@@ -1,0 +1,206 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+LLM-training-data dedup at 100 TB is join-shaped, not sort-shaped: every
+variant here reduces to (1) a per-document signature computed scan-side
+(codegen, no Python), then (2) a shuffle on the signature/bucket key whose
+cardinality we control.  No O(n²) all-pairs step ever materializes — pair
+generation is always bucket-local (same hash / same band / same shingle),
+which is what keeps candidate counts linear-ish at scale.
+
+Hash portability: signatures use ``text.portable_hash64`` (md5-derived) so a
+DuckDB oracle reproduces them bit-for-bit; Spark's native xxhash64 would be
+faster but unverifiable, and at 100 TB the scan is parquet-IO-bound anyway.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalize_ws, portable_hash64
+
+# Deterministic MinHash parameter tables (seeded LCG-style constants).
+# h_i(x) = (A_i * x + B_i) mod P  over the md5-derived base hash.
+_P = 4_294_967_311  # smallest prime > 2^32
+_NUM_PERM_DEFAULT = 16
+
+
+def _minhash_params(num_perm: int) -> list[tuple[int, int]]:
+    # Deterministic params from a fixed multiplicative generator — no RNG at
+    # plan-build time so resubmitted jobs produce identical signatures.
+    params = []
+    a, b = 1_103_515_245, 12_345
+    x = 42
+    for _ in range(num_perm):
+        x = (a * x + b) % (2**31)
+        a_i = 2 * (x % (2**30)) + 1  # odd, < 2^31 so a_i*h(32-bit) fits int64
+        x = (a * x + b) % (2**31)
+        b_i = x % _P
+        params.append((a_i, b_i))
+    return params
+
+
+def shingles(text_col: Column, k: int = 5) -> Column:
+    """Character k-gram shingle set over the normalized text (distinct)."""
+    norm = F.lower(normalize_ws(text_col))
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+    return F.array_distinct(grams)
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical fingerprint → keep the lowest id per group.
+
+    groupBy on the fingerprint — at scale this is one shuffle whose key
+    cardinality ≈ distinct documents; no window needed (min-by beats
+    row_number here: map-side combinable)."""
+    return (
+        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        .groupBy("_fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .withColumnRenamed("_fp", "fingerprint")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Near-dup pairs by exact character-k-gram Jaccard similarity.
+
+    Plan: explode distinct shingles → self-join on shingle (bucket-local
+    pair generation) → count common shingles per pair → Jaccard =
+    common / (|A| + |B| - common) → threshold.  The shingle join is the
+    scale risk: a stop-shingle appearing in f docs yields f² pairs — at
+    100 TB add a shingle-frequency cap (drop shingles with df > limit)
+    before the join; candidates lost that way share only ubiquitous text.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
+    ).dropDuplicates(["id", "shingle"])
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    out = (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("n_a") + F.col("n_b") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    num_perm: int = _NUM_PERM_DEFAULT,
+) -> DataFrame:
+    """MinHash signature per document: for each permutation i,
+    min over shingles of (A_i * h(shingle) + B_i) mod P.
+
+    Computed scan-side with array expressions (no explode, no shuffle):
+    shingle array → base-hash array → per-permutation min via
+    ``array_min(transform(...))``.  Signature column is ``array<long>``.
+    """
+    # Materialize the md5-derived base-hash array once per row; the 16
+    # permutation mins then reuse it (otherwise each permutation re-hashes
+    # every shingle — 16x the md5 work and a codegen blowup).
+    hashed = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(shingles(F.col(text_col), k), portable_hash64).alias("_base"),
+    )
+    sig_cols = []
+    for i, (a_i, b_i) in enumerate(_minhash_params(num_perm)):
+        sig_cols.append(
+            F.array_min(
+                F.transform(
+                    F.col("_base"), lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(_P)
+                )
+            ).alias(f"mh_{i}")
+        )
+    return hashed.select("id", F.array(*sig_cols).alias("signature"))
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; docs sharing any band land in the same bucket;
+    candidate pairs are generated bucket-locally via a self-join on
+    (band_idx, band_key) — the standard shuffle-bounded MinHash-LSH plan.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at("signature", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+    """SimHash over token features: bit j of the hash is 1 iff the sum of
+    ±1 votes (sign of bit j of each token's hash) is positive.
+
+    Expressed as array arithmetic over the token set — scan-side, no
+    shuffle.  ``bits`` ≤ 32 because the portable base hash is 32-bit."""
+    from .text import tokens
+
+    tok_hashes = F.transform(F.array_distinct(tokens(F.col(text_col))), portable_hash64)
+    bit_sums = [
+        F.aggregate(
+            tok_hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
+                F.lit(-1)
+            ),
+        )
+        for j in range(bits)
+    ]
+    sim = F.lit(0).cast("long")
+    for j, s in enumerate(bit_sums):
+        sim = sim + F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))

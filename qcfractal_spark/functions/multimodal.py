@@ -1,0 +1,134 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media are opaque ``binary`` columns plus a typed metadata struct — the same
+pattern as the reference's compressed blob side-tables
+(qcfractal/qcfractal/components/record_db_models.py:87-146, zstd LargeBinary
+with EXTERNAL storage): keep bulk bytes out of the hot row, carry typed
+metadata inline so filters/joins never touch the payload.
+
+Decode/feature-extraction run as Arrow-batched ``mapInPandas`` UDFs.  The
+actual codecs (PIL/librosa/ffmpeg) are NOT in this container, so the decode
+kernel is stubbed behind ``DecoderUnavailable`` with a deterministic fake
+used by tests — the Spark-side plumbing (schema, batch shape, partitioning)
+is real and tested.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("content", BinaryType(), True),
+        StructField("mime", StringType(), True),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("duration_s", DoubleType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("feature", ArrayType(DoubleType()), True),
+        StructField("decode_ok", StringType(), True),
+    ]
+)
+
+
+class DecoderUnavailable(NotImplementedError):
+    """Raised when a real media codec would be required (not installed)."""
+
+
+def _decode_real(content: bytes, kind: str) -> list[float]:  # pragma: no cover
+    raise DecoderUnavailable(
+        "media codecs (PIL/librosa/ffmpeg) are not available in this "
+        "environment; use fake=True for the deterministic test kernel"
+    )
+
+
+def _decode_fake(content: bytes, kind: str, n: int = 8) -> list[float]:
+    """Deterministic fake 'feature vector': byte-histogram moments.  Stands
+    in for decode→resize→embed so the distributed plumbing is testable."""
+    if content is None or len(content) == 0:
+        return [0.0] * n
+    total = float(len(content))
+    return [sum(1 for b in content if b % n == i) / total for i in range(n)]
+
+
+def extract_features(media: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
+    """Decode + featurize media rows via Arrow-batched mapInPandas.
+
+    Partition-size note: repartition upstream by media_id so one executor
+    never holds more than ~a few hundred MB of payload per batch; Arrow
+    batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch.
+    """
+    kernel = _decode_fake if fake else _decode_real
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, oks = [], []
+            for content, kind in zip(pdf["content"], pdf["kind"]):
+                try:
+                    feats.append(kernel(content, kind))
+                    oks.append("ok")
+                except DecoderUnavailable:
+                    feats.append(None)
+                    oks.append("decoder_unavailable")
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "feature": feats, "decode_ok": oks}
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
+    """Video frame-sampling *plan*: expands each video row into per-frame
+    stub rows (timestamps) without decoding — the real frame extraction
+    would run in the same mapInPandas kernel as extract_features."""
+    n_frames = F.greatest(
+        F.floor(F.coalesce(F.col("duration_s"), F.lit(0.0)) / F.lit(every_s)).cast("long"),
+        F.lit(0).cast("long"),
+    )
+    return (
+        media.where(F.col("kind") == "video")
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames)))
+        .withColumn("frame_ts", F.col("frame_idx") * F.lit(every_s))
+        .select("media_id", "frame_idx", "frame_ts")
+    )
+
+
+def make_fake_media(spark, n: int = 64) -> DataFrame:
+    """Deterministic synthetic media table for tests (no codecs needed)."""
+    rows = []
+    kinds = ["image", "audio", "video"]
+    for i in range(n):
+        kind = kinds[i % 3]
+        payload = bytes((i * 31 + j * 7) % 256 for j in range(128 + (i % 5) * 64))
+        rows.append(
+            (
+                i,
+                kind,
+                payload,
+                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                64 if kind == "image" else None,
+                48 if kind == "image" else None,
+                float(i % 7) if kind != "image" else None,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)

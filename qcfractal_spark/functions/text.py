@@ -1,0 +1,116 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's own surface (BASELINE.json north star): language ID,
+quality scoring, token counting, document fingerprinting — all built from
+JVM-side ``pyspark.sql.functions`` so they run inside whole-stage codegen
+(no Python in the hot path) and are exactly reproducible by a SQL oracle.
+
+Every function is deterministic and engine-portable: regex/byte semantics
+chosen so DuckDB produces identical values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword lists for the n-gram/stopword language-ID
+# heuristic.  Deliberately tiny + frozen: the heuristic must be identically
+# expressible in the DuckDB oracle.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "ein", "nicht", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "des", "un", "une", "dans", "que"],
+    "es": ["el", "la", "los", "de", "y", "es", "que", "un", "una", "por"],
+}
+
+
+def normalize_ws(text: Column) -> Column:
+    """Collapse runs of whitespace and trim — canonical text form."""
+    return F.trim(F.regexp_replace(text, r"\s+", " "))
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization after lowercasing; empty strings removed."""
+    return F.filter(
+        F.split(F.lower(normalize_ws(text)), " "), lambda t: t != F.lit("")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count (the cheap tokenizer)."""
+    return F.size(tokens(text)).cast("long")
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word/number/punctuation units via a
+    GPT-2-style pre-tokenizer regex (letters runs, digit runs, single
+    punctuation).  A cheap, deterministic stand-in for real BPE."""
+    units = F.regexp_extract_all(
+        F.lower(text), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+    )
+    return F.size(units).cast("long")
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Language-ID heuristic: argmax over per-language stopword hit counts,
+    'und' (undetermined) when no stopwords hit.  Ties break by language
+    code order (deterministic)."""
+    pairs = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # iterate in reverse-sorted order so earlier codes win exact ties
+    for lang, hits in reversed(pairs):
+        take = hits >= F.greatest(best_hits, F.lit(1))
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1] from cheap surface statistics:
+    alpha-character ratio, punctuation ratio, mean token length band, and
+    a length band — the usual pre-training quality-filter features.
+    Rounded to 6 dp so engines agree bit-for-bit."""
+    n_chars = F.length(text).cast("double")
+    alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?]", "")).cast("double")
+    ntok = token_count(text).cast("double")
+    safe_chars = F.greatest(n_chars, F.lit(1.0))
+    alpha_ratio = alpha / safe_chars
+    punct_ratio = punct / safe_chars
+    mean_tok_len = F.when(ntok > 0, n_chars / ntok).otherwise(F.lit(0.0))
+    len_band = (
+        F.when((ntok >= 10) & (ntok <= 5000), F.lit(1.0))
+        .when(ntok > 0, F.lit(0.5))
+        .otherwise(F.lit(0.0))
+    )
+    tok_band = F.when((mean_tok_len >= 3.0) & (mean_tok_len <= 12.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    score = (
+        alpha_ratio * 0.4 + (1.0 - F.least(punct_ratio * 5.0, F.lit(1.0))) * 0.2
+        + len_band * 0.2 + tok_band * 0.2
+    )
+    return F.round(score, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the lowercased, whitespace-collapsed
+    text.  Exact-dup detection key (content-defined, layout-insensitive)."""
+    return F.md5(F.lower(normalize_ws(text)))
+
+
+def portable_hash64(col: Column) -> Column:
+    """Deterministic 32-bit-range hash portable across engines: first 8 hex
+    chars of md5, parsed as an integer.  DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``.  Used by MinHash/SimHash so
+    oracles can reproduce signatures exactly (Spark's ``hash()`` / xxhash64
+    seeds differ from DuckDB's ``hash()``)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")

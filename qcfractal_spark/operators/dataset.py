@@ -1,0 +1,51 @@
+"""Dataset entry×specification matrix maintenance.
+
+Reference: dataset submission computes the cartesian product of entries ×
+specifications and creates records for the missing cells
+(qcfractal/qcfractal/components/base_dataset_socket.py:1254-1443) — the only
+cross product in the reference.  Status matrices: :189-219 (spec × status),
+:251-292 (tag × status over tasks ∪ services).
+
+Spark-first: ``entries.crossJoin(specs)`` (both sides are per-dataset and
+small relative to records) then a left_anti join against the existing
+record_items fact; the fact table side is pre-filtered by dataset_id so the
+anti-join's build side stays bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def missing_cells(
+    entries: DataFrame,
+    specs: DataFrame,
+    record_items: DataFrame,
+    entry_col: str = "entry_name",
+    spec_col: str = "specification_name",
+) -> DataFrame:
+    """Cells of entry×spec with no record yet (submit-missing semantics)."""
+    full = entries.select(entry_col).crossJoin(specs.select(spec_col))
+    return full.join(
+        record_items.select(entry_col, spec_col).dropDuplicates([entry_col, spec_col]),
+        on=[entry_col, spec_col],
+        how="left_anti",
+    )
+
+
+def status_matrix(
+    record_items: DataFrame,
+    records: DataFrame,
+    spec_col: str = "specification_name",
+    status_col: str = "status",
+    record_id_col: str = "record_id",
+    records_id_col: str = "id",
+) -> DataFrame:
+    """spec × status → count (A3, base_dataset_socket.py:189-219)."""
+    joined = record_items.join(
+        records.select(F.col(records_id_col).alias(record_id_col), status_col),
+        on=record_id_col,
+        how="inner",
+    )
+    return joined.groupBy(spec_col, status_col).agg(F.count(F.lit(1)).alias("count"))

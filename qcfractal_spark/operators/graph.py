@@ -1,0 +1,81 @@
+"""Record-graph traversal: iterative closure over a parent/child edges table.
+
+The reference materializes 1-hop edges as UNION views
+(qcfractal/qcfractal/components/record_db_views.py:30-55) and computes
+unbounded-depth closure by batched 1-hop joins iterated to a fixpoint in
+Python with a visited set (components/record_socket.py:150-236).
+
+Spark-first: the edges live in one normalized ``(parent_id, child_id)``
+table (written at ingest — SURVEY §4 notes the materialized table beats
+re-unioning per query).  Closure is the same BFS fixpoint, but each hop is a
+distributed join; we localCheckpoint periodically to cut lineage growth
+(hard part #3), and the visited set stays a DataFrame (never collected) so
+the traversal scales to graphs that don't fit on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+_CHECKPOINT_EVERY = 3
+
+
+def _closure(
+    seeds: DataFrame, edges: DataFrame, from_col: str, to_col: str, max_depth: int | None
+) -> DataFrame:
+    """BFS from ``seeds`` (single column ``id``) along edges from→to."""
+    visited = seeds.select(F.col("id")).dropDuplicates(["id"])
+    frontier = visited
+    depth = 0
+    while True:
+        depth += 1
+        if max_depth is not None and depth > max_depth:
+            break
+        step = (
+            frontier.join(edges, frontier["id"] == edges[from_col], "inner")
+            .select(F.col(to_col).alias("id"))
+            .dropDuplicates(["id"])
+        )
+        new = step.join(visited, on="id", how="left_anti")
+        if depth % _CHECKPOINT_EVERY == 0:
+            new = new.localCheckpoint(eager=True)
+        # Fixpoint test: one count per level, same as the reference's
+        # "while to_visit" loop (record_socket.py:210-236).
+        if new.isEmpty():
+            break
+        visited = visited.unionByName(new)
+        if depth % _CHECKPOINT_EVERY == 0:
+            visited = visited.localCheckpoint(eager=True)
+        frontier = new
+    return visited
+
+
+def descendants(
+    seeds: DataFrame, edges: DataFrame, max_depth: int | None = None, include_self: bool = False
+) -> DataFrame:
+    """All transitive children of ``seeds`` (record_socket.py:150-162)."""
+    out = _closure(seeds, edges, "parent_id", "child_id", max_depth)
+    if not include_self:
+        out = out.join(seeds.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
+    return out
+
+
+def ancestors(
+    seeds: DataFrame, edges: DataFrame, max_depth: int | None = None, include_self: bool = False
+) -> DataFrame:
+    """All transitive parents of ``seeds`` (record_socket.py:195-208)."""
+    out = _closure(seeds, edges, "child_id", "parent_id", max_depth)
+    if not include_self:
+        out = out.join(seeds.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
+    return out
+
+
+def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
+    """Fixpoint over both directions — the reference's "all relatives"
+    loop (record_socket.py:210-236): alternate parent/child expansion until
+    no new ids appear."""
+    undirected = edges.select(
+        F.col("parent_id").alias("a"), F.col("child_id").alias("b")
+    ).unionByName(edges.select(F.col("child_id").alias("a"), F.col("parent_id").alias("b")))
+    return _closure(seeds, undirected, "a", "b", None)

@@ -1,0 +1,95 @@
+"""Join shapes from the reference, Spark-first.
+
+All reference joins are equi-joins built lazily — a join is added to the
+statement only when a filter needs it ("join elision",
+qcfractal/qcfractal/components/singlepoint/record_socket.py:332-375,
+optimization/record_socket.py:413-457).  In Spark we reproduce that in the
+query-builder layer: construct the join chain from the present filters and
+let Catalyst reorder/broadcast.
+
+Scale notes: dimension sides (specifications, users, managers) are tiny
+relative to records — always broadcast-able; `F.broadcast` hints are applied
+by callers where the optimizer's size estimate may be missing (e.g. after
+non-trivial subplans).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def semi_join_values(
+    spark: SparkSession,
+    df: DataFrame,
+    cols: Sequence[str],
+    values: Sequence[tuple],
+) -> DataFrame:
+    """Composite tuple-IN (P4, db_socket/helpers.py:257-293).
+
+    ``tuple_(cols).in_(values)`` becomes a broadcast left-semi join against a
+    literal values DataFrame — NULL-tolerant like the reference's
+    OR-of-ANDs fallback, and scan-friendly (the semi join's build side is
+    broadcast so the fact table never shuffles).
+    """
+    schema = ", ".join(f"{c} {t}" for c, t in zip(cols, _infer_types(values)))
+    vals_df = spark.createDataFrame(list(values), schema=schema)
+    return df.join(F.broadcast(vals_df), on=list(cols), how="left_semi")
+
+
+def _infer_types(values: Sequence[tuple]) -> list[str]:
+    first = values[0]
+    out = []
+    for v in first:
+        if isinstance(v, bool):
+            out.append("boolean")
+        elif isinstance(v, int):
+            out.append("long")
+        elif isinstance(v, float):
+            out.append("double")
+        else:
+            out.append("string")
+    return out
+
+
+def anti_join_keys(df: DataFrame, existing: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """left_anti "which keys are missing" (J9/U4, helpers.py:663-694)."""
+    return df.join(existing.select(*keys).dropDuplicates(list(keys)), on=list(keys), how="left_anti")
+
+
+def left_join_coalesce_count(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    count_col: str = "record_count",
+) -> DataFrame:
+    """Left outer join to a pre-aggregated count, COALESCE(count, 0) (J10).
+
+    Reference: dataset list joined to per-dataset record counts
+    (qcfractal/qcfractal/components/datasets/dataset_socket.py:228-257).
+    ``right`` must already be grouped to one row per key with ``count_col``.
+    """
+    on_cols = [on] if isinstance(on, str) else list(on)
+    return left.join(right, on=on_cols, how="left").withColumn(
+        count_col, F.coalesce(F.col(count_col), F.lit(0).cast("long"))
+    )
+
+
+def int_or_name_filter(
+    df: DataFrame, id_col: str, name_col: str, values: Sequence[Any]
+) -> DataFrame:
+    """Polymorphic id-or-name filter (P8, record_socket.py:294-300).
+
+    Splits the value list into ints and strings in the driver (plan-build
+    time, not data time) and ORs two IN predicates.
+    """
+    ids = [v for v in values if isinstance(v, int)]
+    names = [v for v in values if isinstance(v, str)]
+    pred = F.lit(False)
+    if ids:
+        pred = pred | F.col(id_col).isin(ids)
+    if names:
+        pred = pred | F.col(name_col).isin(names)
+    return df.where(pred)

@@ -1,0 +1,92 @@
+"""Dataset-matrix analytics: the client's pandas pivot layer, distributed.
+
+Reference:
+- ``compile_values`` (qcportal/qcportal/dataset_models.py:2168-2265): iterate
+  the entry×specification record matrix, apply a user ``value_call`` per
+  record, pivot long→wide (index=entry, columns=spec).
+- ``get_properties_df`` (:2267-2314): the specialization that extracts N
+  property keys per record and drops all-NaN columns.
+
+Spark-first: the client/server ping-pong (batched fetch per spec, SQLite
+cache probe) collapses into one job — join the record_items fact to records,
+compute the value column, ``groupBy(entry).pivot(spec)``.  The pivot is the
+one genuinely shuffle-heavy operator in the reference's surface (SURVEY §4);
+we pass explicit pivot values when known to skip the extra distinct-scan job.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def compile_values_pivot(
+    long_df: DataFrame,
+    entry_col: str,
+    spec_col: str,
+    value: Column,
+    spec_values: Sequence[str] | None = None,
+    agg: str = "first",
+) -> DataFrame:
+    """Long (entry, spec, value) → wide matrix with one column per spec.
+
+    ``value`` may be any Column expression — the moral equivalent of
+    ``value_call`` when the extraction is expressible in Spark SQL (the
+    common case: property lookups, arithmetic).  For genuinely arbitrary
+    Python extraction use ``functions.udfs.value_call_udf``.
+    """
+    df = long_df.withColumn("_value", value)
+    grouped = df.groupBy(entry_col)
+    pivoted = grouped.pivot(spec_col, list(spec_values) if spec_values else None)
+    if agg == "first":
+        # first() over the matrix is deterministic: record_items is unique
+        # per (entry, spec) by construction (the reference's association
+        # table PK, base_dataset_socket.py:207-218).
+        return pivoted.agg(F.first("_value", ignorenulls=True))
+    return pivoted.agg(getattr(F, agg)("_value"))
+
+
+def properties_df(
+    records: DataFrame,
+    entry_col: str,
+    spec_col: str,
+    properties_col: str,
+    keys: Sequence[str],
+    spec_values: Sequence[str] | None = None,
+) -> DataFrame:
+    """get_properties_df: one wide column per (spec, property key).
+
+    Extracts each requested key from the properties map, pivots per key,
+    then joins the per-key matrices on entry (column multi-index flattened
+    to ``{spec}_{key}`` names, the Spark-native equivalent of the pandas
+    swaplevel multi-index).
+    """
+    out: DataFrame | None = None
+    for key in keys:
+        mat = compile_values_pivot(
+            records,
+            entry_col,
+            spec_col,
+            F.element_at(F.col(properties_col), key),
+            spec_values=spec_values,
+        )
+        renamed = mat.select(
+            F.col(entry_col),
+            *[F.col(c).alias(f"{c}_{key}") for c in mat.columns if c != entry_col],
+        )
+        out = renamed if out is None else out.join(renamed, on=entry_col, how="outer")
+    assert out is not None
+    return out
+
+
+def drop_all_null_columns(df: DataFrame, keep: Sequence[str]) -> DataFrame:
+    """Drop columns with zero non-null values (dataset_models.py:2304-2309)
+    — one aggregate pass, then a select."""
+    candidates = [c for c in df.columns if c not in set(keep)]
+    counts = df.agg(
+        *[F.count(F.col(c)).alias(c) for c in candidates]
+    ).first()
+    nonempty = [c for c in candidates if counts[c] > 0]
+    return df.select(*keep, *nonempty)

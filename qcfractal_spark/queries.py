@@ -1,0 +1,1001 @@
+"""Operator-inventory query registry: SURVEY.md §2 → (Spark plan, DuckDB oracle).
+
+Each entry is one query shape from the reference's surface (or a
+beyond-reference LLM-pipeline operator), implemented Spark-first over the
+driver's synthetic tables and paired with an ANSI-SQL oracle that DuckDB
+executes on the same parquet files.  Column names/aliases match exactly on
+both sides (the correctness gate hashes values under sorted column names).
+
+Float discipline (so value-hashes match bit-for-bit):
+- Sums use per-term ``CAST(x AS DECIMAL(20,6))`` → exact decimal sums in
+  both engines → cast back to double.  Never hash a raw float sum whose
+  value depends on partial-aggregation order.
+- Averages derive from the exact decimal sum: round(sum/count, 6).
+- Percentiles are *discrete* (actual data values — no interpolated
+  arithmetic), matching percentile_disc / quantile_disc.
+- Cosine scores round to 6 dp with id tie-breaks.
+"""
+
+from __future__ import annotations
+
+from datetime import datetime
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions import dedup as dd
+from .functions import similarity as sim
+from .functions import text as tx
+from .operators import aggregates as agg
+from .operators import dataset as ds
+from .operators import graph, joins, keyed, pivot, topk
+from .plans import QueryFilters, apply_filters
+
+# --------------------------------------------------------------------------
+# shared helpers
+# --------------------------------------------------------------------------
+
+_DEC = "decimal(20,6)"
+
+
+def _dsum(col, alias):
+    """Exact cross-engine sum: per-term decimal cast, decimal sum, double out."""
+    return F.sum(col.cast(_DEC)).cast("double").alias(alias)
+
+
+def _t(spark, sf_dir, name):
+    return load_table(spark, sf_dir, name)
+
+
+def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized (parent_id, child_id) edges over the TPC-H hierarchy:
+    region→nation→customer→orders→lineitem, ids offset per level so the
+    graph is one id space — the testdata stand-in for the reference's
+    record_direct_children_view (record_db_views.py:30-55)."""
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    e1 = nation.select(
+        (F.lit(1_000_000) + F.col("n_regionkey")).cast("long").alias("parent_id"),
+        (F.lit(2_000_000) + F.col("n_nationkey")).cast("long").alias("child_id"),
+    )
+    e2 = customer.select(
+        (F.lit(2_000_000) + F.col("c_nationkey")).cast("long").alias("parent_id"),
+        (F.lit(3_000_000) + F.col("c_custkey")).cast("long").alias("child_id"),
+    )
+    e3 = orders.select(
+        (F.lit(3_000_000) + F.col("o_custkey")).cast("long").alias("parent_id"),
+        (F.lit(4_000_000) + F.col("o_orderkey")).cast("long").alias("child_id"),
+    )
+    e4 = lineitem.select(
+        (F.lit(4_000_000) + F.col("l_orderkey")).cast("long").alias("parent_id"),
+        (F.lit(5_000_000) + F.col("l_orderkey") * 10 + F.col("l_linenumber"))
+        .cast("long")
+        .alias("child_id"),
+    )
+    return e1.unionByName(e2).unionByName(e3).unionByName(e4)
+
+
+_EDGES_SQL = """
+    SELECT CAST(1000000 + n_regionkey AS BIGINT) AS parent_id,
+           CAST(2000000 + n_nationkey AS BIGINT) AS child_id FROM nation
+    UNION ALL
+    SELECT CAST(2000000 + c_nationkey AS BIGINT),
+           CAST(3000000 + c_custkey AS BIGINT) FROM customer
+    UNION ALL
+    SELECT CAST(3000000 + o_custkey AS BIGINT),
+           CAST(4000000 + o_orderkey AS BIGINT) FROM orders
+    UNION ALL
+    SELECT CAST(4000000 + l_orderkey AS BIGINT),
+           CAST(5000000 + l_orderkey * 10 + l_linenumber AS BIGINT) FROM lineitem
+"""
+
+# DuckDB equivalent of functions.text token pipeline (keep in sync).
+_TOKS_SQL = (
+    "list_filter(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' '), "
+    "x -> x <> '')"
+)
+
+# --------------------------------------------------------------------------
+# §2.1/2.2 scans, filters, pagination
+# --------------------------------------------------------------------------
+
+
+def q_s1_scan_project(spark, sf_dir):
+    """S1/P1: projected scan with a pushed-down predicate."""
+    orders = _t(spark, sf_dir, "orders")
+    from .plans import apply_projection
+
+    proj = apply_projection(orders, include=["o_orderkey", "o_totalprice", "o_orderstatus"])
+    return proj.where(F.col("o_totalprice") > 100000.0)
+
+
+SQL_S1 = """
+SELECT o_orderkey, o_totalprice, o_orderstatus
+FROM orders WHERE o_totalprice > 100000.0
+"""
+
+
+def q_p2_p3_filter_page(spark, sf_dir):
+    """P2+P3+P9+O1 (slice 0): the canonical query_records path — IN-list +
+    time-range filters, keyset cursor, newest-first, limit
+    (record_socket.py:238-335)."""
+    orders = _t(spark, sf_dir, "orders")
+    filters = QueryFilters(
+        in_lists={"o_orderstatus": ["O", "F"]},
+        after={"o_orderdate": datetime(1996, 1, 1)},
+        before={"o_orderdate": datetime(1998, 12, 31)},
+        cursor=12000,
+        limit=200,
+        id_col="o_orderkey",
+    )
+    return apply_filters(orders, filters)
+
+
+SQL_P2_P3 = """
+SELECT * FROM orders
+WHERE o_orderstatus IN ('O', 'F')
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1998-12-31 00:00:00'
+  AND o_orderkey < 12000
+ORDER BY o_orderkey DESC LIMIT 200
+"""
+
+
+def q_s2_bulk_get(spark, sf_dir):
+    """S2/O5: ordered keyed bulk-get with missing_ok None gaps
+    (db_socket/helpers.py:490-573)."""
+    orders = _t(spark, sf_dir, "orders")
+    ids = [42, 7, 999999999, 128, 3]
+    return keyed.bulk_get_ordered(spark, orders, ids, id_col="o_orderkey").select(
+        "_input_idx", "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"
+    )
+
+
+SQL_S2 = """
+WITH ids(_input_idx, o_orderkey) AS (
+  VALUES (0, 42), (1, 7), (2, 999999999), (3, 128), (4, 3)
+)
+SELECT CAST(i._input_idx AS BIGINT) AS _input_idx,
+       CAST(i.o_orderkey AS BIGINT) AS o_orderkey,
+       o.o_custkey, o.o_orderstatus, o.o_totalprice
+FROM ids i LEFT JOIN orders o ON o.o_orderkey = i.o_orderkey
+"""
+
+
+def q_p4_tuple_in(spark, sf_dir):
+    """P4: composite tuple-IN via broadcast semi-join (helpers.py:257-293)."""
+    li = _t(spark, sf_dir, "lineitem")
+    vals = [(1, 1), (1, 2), (2, 1), (5, 3), (42, 2), (100, 1)]
+    return joins.semi_join_values(
+        spark, li, ["l_orderkey", "l_linenumber"], vals
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+
+
+SQL_P4 = """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+JOIN (VALUES (1,1),(1,2),(2,1),(5,3),(42,2),(100,1)) v(ok, ln)
+  ON l_orderkey = ok AND l_linenumber = ln
+"""
+
+
+def q_p5_json_extract(spark, sf_dir):
+    """P5/F4: JSON key extraction + cast + predicate — the JSONB containment
+    filter shape (singlepoint/record_socket.py:356-360)."""
+    events = _t(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+    ).where(F.col("k_val") > 80)
+
+
+SQL_P5 = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val
+FROM events WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+"""
+
+
+def q_p7_array_overlap(spark, sf_dir):
+    """P7: array overlap (compute_tags && tags, managers/socket.py:313-319)
+    over the word-set of p_type."""
+    part = _t(spark, sf_dir, "part")
+    words = F.split(F.col("p_type"), " ")
+    return part.select("p_partkey", "p_type").where(
+        F.arrays_overlap(words, F.array(F.lit("PROMO"), F.lit("SMALL")))
+    )
+
+
+SQL_P7 = """
+SELECT p_partkey, p_type FROM part
+WHERE list_has_any(string_split(p_type, ' '), ['PROMO', 'SMALL'])
+"""
+
+
+def q_p8_int_or_name(spark, sf_dir):
+    """P8: id-or-name polymorphic filter (record_socket.py:294-300)."""
+    cust = _t(spark, sf_dir, "customer")
+    return joins.int_or_name_filter(
+        cust, "c_custkey", "c_name", [1, 5, "customer_9", "customer_77"]
+    ).select("c_custkey", "c_name")
+
+
+SQL_P8 = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey IN (1, 5) OR c_name IN ('customer_9', 'customer_77')
+"""
+
+# --------------------------------------------------------------------------
+# §2.3 joins
+# --------------------------------------------------------------------------
+
+
+def q_j1_dim_join(spark, sf_dir):
+    """J1/J2: chained dimension joins with broadcast hints (records ⋈ spec ⋈
+    subspec, optimization/record_socket.py:413-457)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .where(F.col("r_name") == "ASIA")
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+SQL_J1 = """
+SELECT c_custkey, c_name, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+"""
+
+
+def q_j4_semi_join(spark, sf_dir):
+    """J4: semi-join filter (creator-user subquery, record_socket.py:294-300)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return orders.join(F.broadcast(building), on="o_custkey", how="left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+SQL_J4 = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+"""
+
+
+def q_j9_anti_join(spark, sf_dir):
+    """J9/U4: anti-join — keys with no match (insert dedup "missing" set,
+    helpers.py:663-694): customers with no high-value order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    big = orders.where(F.col("o_totalprice") > 400000.0)
+    return joins.anti_join_keys(
+        cust.withColumn("o_custkey", F.col("c_custkey")), big, ["o_custkey"]
+    ).select("c_custkey", "c_name")
+
+
+SQL_J9 = """
+SELECT c_custkey, c_name FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
+"""
+
+
+def q_j10_count_join(spark, sf_dir):
+    """J10: left join to pre-aggregated counts + COALESCE(count,0)
+    (dataset_socket.py:228-257)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    counts = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+    return joins.left_join_coalesce_count(
+        cust, counts, on="c_custkey", count_col="order_count"
+    ).select("c_custkey", "order_count")
+
+
+SQL_J10 = """
+SELECT c_custkey, COALESCE(cnt, 0) AS order_count
+FROM customer
+LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY o_custkey) o
+  ON c_custkey = o_custkey
+"""
+
+
+def q_j8_closure(spark, sf_dir):
+    """J8: recursive closure — all transitive descendants of two region
+    roots via the iterative BFS loop (record_socket.py:150-236; oracle uses
+    WITH RECURSIVE)."""
+    region = _t(spark, sf_dir, "region")
+    edges = build_edges(spark, sf_dir)
+    seeds = region.where(F.col("r_name").isin("ASIA", "AMERICA")).select(
+        (F.lit(1_000_000) + F.col("r_regionkey")).cast("long").alias("id")
+    )
+    return graph.descendants(seeds, edges).select("id")
+
+
+SQL_J8 = f"""
+WITH RECURSIVE edges AS ({_EDGES_SQL}),
+seeds AS (
+  SELECT CAST(1000000 + r_regionkey AS BIGINT) AS id FROM region
+  WHERE r_name IN ('ASIA', 'AMERICA')
+),
+rec AS (
+  SELECT id FROM seeds
+  UNION
+  SELECT e.child_id FROM rec r JOIN edges e ON e.parent_id = r.id
+)
+SELECT id FROM rec WHERE id NOT IN (SELECT id FROM seeds)
+"""
+
+# --------------------------------------------------------------------------
+# §2.4 aggregations
+# --------------------------------------------------------------------------
+
+
+def q_a2_status_counts(spark, sf_dir):
+    """A2 (slice 0): status histogram (base_record_socket.py:469-477)."""
+    orders = _t(spark, sf_dir, "orders")
+    return agg.status_counts(orders, "o_orderstatus")
+
+
+SQL_A2 = "SELECT o_orderstatus, COUNT(*) AS count FROM orders GROUP BY o_orderstatus"
+
+
+def q_a5_two_col_counts(spark, sf_dir):
+    """A3/A5: two-column count matrix (serverinfo/socket.py:682-689)."""
+    orders = _t(spark, sf_dir, "orders")
+    return agg.grouped_counts(orders, ["o_orderpriority", "o_orderstatus"])
+
+
+SQL_A5 = """
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS count
+FROM orders GROUP BY o_orderpriority, o_orderstatus
+"""
+
+
+def q_a6_access_summary(spark, sf_dir):
+    """A6/F1/F12: telemetry summary — day bucket × type, count/min/max +
+    exact discrete percentiles (serverinfo/socket.py:443-539)."""
+    events = _t(spark, sf_dir, "events")
+    return agg.access_summary(
+        events, "ts", "day", ["event_type"], ["value"]
+    )
+
+
+SQL_A6 = """
+SELECT strftime(ts, '%Y-%m-%d') AS bucket, event_type,
+       COUNT(*) AS count,
+       MIN(value) AS value_min, MAX(value) AS value_max,
+       quantile_disc(value, 0.25) AS value_p25,
+       quantile_disc(value, 0.50) AS value_p50,
+       quantile_disc(value, 0.75) AS value_p75,
+       quantile_disc(value, 0.95) AS value_p95
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_a7_json_rollup(spark, sf_dir):
+    """A7/F2/F4: SUM of a JSON-derived expression grouped by date truncation
+    (cpu-hours rollup, serverinfo/socket.py:645-708)."""
+    events = _t(spark, sf_dir, "events")
+    cpu = F.coalesce(F.get_json_object("props", "$.k").cast("double"), F.lit(0.0)) * F.col(
+        "value"
+    )
+    return events.groupBy(F.to_date("ts").alias("day")).agg(
+        _dsum(cpu, "total_cpu"), F.count(F.lit(1)).alias("n")
+    )
+
+
+SQL_A7 = """
+SELECT CAST(ts AS DATE) AS day,
+       CAST(SUM(CAST(COALESCE(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0)
+                     * value AS DECIMAL(20,6))) AS DOUBLE) AS total_cpu,
+       COUNT(*) AS n
+FROM events GROUP BY 1
+"""
+
+
+def q_a8_status_gate(spark, sf_dir):
+    """A8: array_agg of per-parent statuses + containment gates
+    (services/socket.py:170-227)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.concat_ws("", F.array_sort(F.collect_list("l_linestatus"))).alias("statuses"),
+        F.bool_and(F.col("l_linestatus") == "F").alias("all_finished"),
+        F.bool_or(F.col("l_linestatus") == "O").alias("any_open"),
+    )
+
+
+SQL_A8 = """
+SELECT l_orderkey,
+       string_agg(l_linestatus, '' ORDER BY l_linestatus) AS statuses,
+       bool_and(l_linestatus = 'F') AS all_finished,
+       bool_or(l_linestatus = 'O') AS any_open
+FROM lineitem GROUP BY l_orderkey
+"""
+
+
+def q_a9_argmin(spark, sf_dir):
+    """A9: DISTINCT ON argmin-per-group with tie-break ordering
+    (torsiondrive/record_db_models.py:120-136)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return agg.argmin_per_group(
+        li,
+        ["l_orderkey"],
+        [F.col("l_extendedprice").asc(), F.col("l_linenumber").asc()],
+    ).select("l_orderkey", "l_linenumber", "l_extendedprice")
+
+
+SQL_A9 = """
+SELECT l_orderkey, l_linenumber, l_extendedprice
+FROM lineitem
+QUALIFY row_number() OVER (
+  PARTITION BY l_orderkey ORDER BY l_extendedprice ASC, l_linenumber ASC) = 1
+"""
+
+
+def q_a10_map_agg(spark, sf_dir):
+    """A10: jsonb_object_agg — per-group key→value map as canonical JSON
+    (torsiondrive/record_db_models.py:138-146).  Keys deduped by a
+    pre-aggregation (sum per linenumber) since the synthetic lineitem can
+    repeat linenumbers within an order."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.sum(F.col("l_quantity").cast("long")).alias("qty")
+    )
+    entries = F.sort_array(
+        F.collect_list(
+            F.struct(
+                F.col("l_linenumber").cast("string").alias("k"),
+                F.col("qty").alias("v"),
+            )
+        )
+    )
+    return per_line.groupBy("l_orderkey").agg(
+        F.to_json(F.map_from_entries(entries)).alias("qty_map")
+    )
+
+
+SQL_A10 = """
+WITH per_line AS (
+  SELECT l_orderkey, l_linenumber,
+         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+  FROM lineitem GROUP BY l_orderkey, l_linenumber
+)
+SELECT l_orderkey,
+       to_json(map_from_entries(list_sort(array_agg(
+         struct_pack(k := CAST(l_linenumber AS VARCHAR), v := qty))))) AS qty_map
+FROM per_line GROUP BY l_orderkey
+"""
+
+
+def q_a12_weighted_sum(spark, sf_dir):
+    """A12: Σ coefficient × value per group (reaction energy,
+    reaction/record_socket.py:198-275) — revenue as the stand-in."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "weighted_sum")
+    )
+
+
+SQL_A12 = """
+SELECT l_returnflag,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+         AS weighted_sum
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_a14_pivot(spark, sf_dir):
+    """A14: compile_values pivot — long→wide matrix
+    (qcportal/dataset_models.py:2168-2265)."""
+    orders = _t(spark, sf_dir, "orders")
+    mat = pivot.compile_values_pivot(
+        orders, "o_orderpriority", "o_orderstatus", F.lit(1), spec_values=["F", "O", "P"],
+        agg="count",
+    )
+    return mat.select(
+        "o_orderpriority",
+        *[F.coalesce(F.col(c), F.lit(0)).alias(c) for c in ["F", "O", "P"]],
+    )
+
+
+SQL_A14 = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS "F",
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS "O",
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS "P"
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+def q_a16_dedup_batch(spark, sf_dir):
+    """A16/U3: input-batch dedup with duplicate-count report
+    (helpers.py:234-254 map_duplicates)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_partkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("dup_count"), F.min("l_orderkey").alias("first_key"))
+    )
+
+
+SQL_A16 = """
+SELECT l_partkey, l_suppkey, COUNT(*) AS dup_count, MIN(l_orderkey) AS first_key
+FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+# --------------------------------------------------------------------------
+# §2.5 sorts / top-k, §2.8 windows
+# --------------------------------------------------------------------------
+
+
+def q_o2_priority_topk(spark, sf_dir):
+    """O2/O3: per-group priority top-k — the task-claim selection
+    (tasks/socket.py:303-358) over events as the queue stand-in."""
+    events = _t(spark, sf_dir, "events")
+    return topk.per_group_topk(
+        events,
+        ["event_type"],
+        [F.col("value").desc(), F.col("ts").asc(), F.col("event_id").asc()],
+        5,
+    ).select("event_id", "event_type", "value")
+
+
+SQL_O2 = """
+SELECT event_id, event_type, value FROM events
+QUALIFY row_number() OVER (
+  PARTITION BY event_type ORDER BY value DESC, ts ASC, event_id ASC) <= 5
+"""
+
+
+def q_w1_window_lag(spark, sf_dir):
+    """§2.8: ranking/lag + running sum windows (the dataset-analytics
+    post-processing surface)."""
+    events = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return events.select(
+        "event_id",
+        "user_id",
+        F.round(F.col("value") - F.lag("value").over(w), 6).alias("delta"),
+        F.round(F.sum("value").over(wsum), 6).alias("running_sum"),
+    )
+
+
+SQL_W1 = """
+SELECT event_id, user_id,
+       ROUND(value - LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 6)
+         AS delta,
+       ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS running_sum
+FROM events
+"""
+
+
+def q_t3_hourly_rollup(spark, sf_dir):
+    """T3: tumbling-window rollup (daily-stats upsert shape,
+    serverinfo/socket.py:645-708) — batch form of the streaming aggregation."""
+    events = _t(spark, sf_dir, "events")
+    from .streaming.ingest import windowed_event_counts
+
+    win = F.window("ts", "1 hour")
+    return events.groupBy(win.alias("w"), "event_type").agg(
+        F.count(F.lit(1)).alias("count"), _dsum(F.col("value"), "value_sum")
+    ).select(F.col("w.start").alias("window_start"), "event_type", "count", "value_sum")
+
+
+SQL_T3 = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       COUNT(*) AS count,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM events GROUP BY 1, 2
+"""
+
+# --------------------------------------------------------------------------
+# §2.1/2.6 mutation-classify & dataset matrix
+# --------------------------------------------------------------------------
+
+
+def q_s4_upsert_classify(spark, sf_dir):
+    """S3/S4: which input keys are new vs existing (ON CONFLICT ... RETURNING
+    classification, helpers.py:728-813)."""
+    part = _t(spark, sf_dir, "part")
+    batch = spark.range(190, 211).select(F.col("id").alias("p_partkey"))
+    return keyed.upsert_classify(part.select("p_partkey"), batch, ["p_partkey"]).select(
+        "p_partkey", "_inserted"
+    )
+
+
+SQL_S4 = """
+SELECT CAST(i AS BIGINT) AS p_partkey,
+       i NOT IN (SELECT p_partkey FROM part) AS _inserted
+FROM unnest(generate_series(190, 210)) t(i)
+"""
+
+
+def q_ds_missing_cells(spark, sf_dir):
+    """Dataset submit: entry×spec cross product minus existing cells
+    (base_dataset_socket.py:1254-1443)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    entries = cust.where(F.col("c_custkey") < 50).select(
+        F.col("c_custkey").alias("entry")
+    )
+    specs = orders.select(F.col("o_orderstatus").alias("spec")).dropDuplicates(["spec"])
+    items = orders.where(F.col("o_custkey") < 50).select(
+        F.col("o_custkey").alias("entry"), F.col("o_orderstatus").alias("spec")
+    )
+    return ds.missing_cells(entries, specs, items, entry_col="entry", spec_col="spec")
+
+
+SQL_DS_MISSING = """
+WITH entries AS (SELECT c_custkey AS entry FROM customer WHERE c_custkey < 50),
+specs AS (SELECT DISTINCT o_orderstatus AS spec FROM orders),
+items AS (SELECT DISTINCT o_custkey AS entry, o_orderstatus AS spec
+          FROM orders WHERE o_custkey < 50)
+SELECT e.entry, s.spec FROM entries e CROSS JOIN specs s
+WHERE NOT EXISTS (SELECT 1 FROM items i WHERE i.entry = e.entry AND i.spec = s.spec)
+"""
+
+
+def q_u3_distinct(spark, sf_dir):
+    """U3: DISTINCT over a projection (record_socket.py:332)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select("l_returnflag", "l_linestatus").dropDuplicates(
+        ["l_returnflag", "l_linestatus"]
+    )
+
+
+SQL_U3 = "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem"
+
+# --------------------------------------------------------------------------
+# headline analytics (bench queries)
+# --------------------------------------------------------------------------
+
+
+def q_h1_pricing_summary(spark, sf_dir):
+    """Headline: TPC-H Q1-style pricing summary — full-scan multi-aggregate
+    with derived averages (exact decimal sums)."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    grouped = li.where(F.col("l_shipdate") <= F.lit(datetime(1998, 9, 2))).groupBy(
+        "l_returnflag", "l_linestatus"
+    ).agg(
+        _dsum(F.col("l_quantity"), "sum_qty"),
+        _dsum(F.col("l_extendedprice"), "sum_base_price"),
+        _dsum(disc_price, "sum_disc_price"),
+        _dsum(charge, "sum_charge"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+    return grouped.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 6).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 6).alias("avg_price"),
+        "count_order",
+    )
+
+
+SQL_H1 = """
+WITH g AS (
+  SELECT l_returnflag, l_linestatus,
+    CAST(SUM(CAST(l_quantity AS DECIMAL(20,6))) AS DOUBLE) AS sum_qty,
+    CAST(SUM(CAST(l_extendedprice AS DECIMAL(20,6))) AS DOUBLE) AS sum_base_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+      AS sum_disc_price,
+    CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(20,6)))
+      AS DOUBLE) AS sum_charge,
+    COUNT(*) AS count_order
+  FROM lineitem
+  WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+  GROUP BY l_returnflag, l_linestatus
+)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price, sum_disc_price, sum_charge,
+       ROUND(sum_qty / count_order, 6) AS avg_qty,
+       ROUND(sum_base_price / count_order, 6) AS avg_price,
+       count_order
+FROM g
+"""
+
+
+def q_h3_top_revenue(spark, sf_dir):
+    """Headline: TPC-H Q3-style — join + agg + deterministic top-k."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    building = cust.where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    cutoff = datetime(1997, 1, 1)
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        orders.where(F.col("o_orderdate") < F.lit(cutoff))
+        .join(F.broadcast(building), orders["o_custkey"] == building["c_custkey"])
+        .join(
+            li.where(F.col("l_shipdate") > F.lit(cutoff)),
+            orders["o_orderkey"] == li["l_orderkey"],
+        )
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(_dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+SQL_H3 = """
+SELECT o_orderkey, o_orderdate,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(20,6))) AS DOUBLE)
+    AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
+"""
+
+# --------------------------------------------------------------------------
+# Beyond-reference: text analysis / dedup / similarity (BASELINE.json north star)
+# --------------------------------------------------------------------------
+
+
+def q_tx_text_stats(spark, sf_dir):
+    """Text analysis: token counts (whitespace + BPE-ish), language-ID
+    heuristic, quality score — all JVM-side expressions."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        tx.token_count(t).alias("n_tokens"),
+        tx.bpe_ish_token_count(t).alias("n_bpe_tokens"),
+        tx.lang_id(t).alias("lang_pred"),
+        tx.quality_score(t).alias("quality"),
+    )
+
+
+def _sql_stop_hits(lang_list: str) -> str:
+    return (
+        f"len(list_filter({_TOKS_SQL}, x -> list_contains({lang_list}, x)))"
+    )
+
+
+_EN = "['the','and','of','to','in','is','that','for','with','was']"
+_DE = "['der','die','das','und','ist','von','mit','ein','nicht','auf']"
+_FR = "['le','la','les','et','est','des','un','une','dans','que']"
+_ES = "['el','la','los','de','y','es','que','un','una','por']"
+
+SQL_TX_STATS = f"""
+WITH base AS (
+  SELECT doc_id, text,
+    CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
+      AS n_bpe_tokens,
+    {_sql_stop_hits(_EN)} AS en_h,
+    {_sql_stop_hits(_DE)} AS de_h,
+    {_sql_stop_hits(_FR)} AS fr_h,
+    {_sql_stop_hits(_ES)} AS es_h,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+  FROM documents
+),
+scored AS (
+  SELECT *,
+    greatest(en_h, de_h, fr_h, es_h) AS mx,
+    alpha / greatest(n_chars, 1.0) AS alpha_ratio,
+    punct / greatest(n_chars, 1.0) AS punct_ratio,
+    CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mean_tok_len,
+    CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0
+         WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END AS len_band
+  FROM base
+)
+SELECT doc_id, n_tokens, n_bpe_tokens,
+  CASE WHEN mx = 0 THEN 'und'
+       WHEN de_h = mx THEN 'de'
+       WHEN en_h = mx THEN 'en'
+       WHEN es_h = mx THEN 'es'
+       ELSE 'fr' END AS lang_pred,
+  ROUND(alpha_ratio * 0.4
+        + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.2
+        + len_band * 0.2
+        + (CASE WHEN mean_tok_len >= 3.0 AND mean_tok_len <= 12.0
+                THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+FROM scored
+"""
+
+
+def q_dd_exact(spark, sf_dir):
+    """Exact dedup: canonical-text fingerprint groups with keeper id."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.exact_dedup(docs).select("fingerprint", "keep_id", "dup_count")
+
+
+SQL_DD_EXACT = """
+SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
+       MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
+FROM documents GROUP BY 1
+"""
+
+
+def q_dd_jaccard(spark, sf_dir):
+    """Near-dup pairs by exact 5-gram Jaccard ≥ 0.5 (bucket-local pair
+    generation — no all-pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(docs, k=5, threshold=0.5)
+
+
+SQL_DD_JACCARD = """
+WITH docs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 5) AS shingle
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+"""
+
+
+def q_dd_simhash(spark, sf_dir):
+    """SimHash 32-bit signatures over the distinct-token set."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.simhash(docs)
+
+
+SQL_DD_SIMHASH = f"""
+WITH docs AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM docs),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, unnest(generate_series(0, 31)) AS u(j)
+  GROUP BY doc_id, j
+)
+SELECT doc_id AS id,
+       CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END) AS BIGINT)
+         AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+def q_dd_minhash_lsh(spark, sf_dir):
+    """MinHash(16 perms) + LSH banding (4 bands × 4 rows) candidate pairs.
+    Signatures use the portable md5-derived hash, so this is exactly
+    reproducible — but the SQL mirror is deferred; the driver records a
+    rows-only check for now."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs)
+    return dd.minhash_lsh_candidates(sigs).orderBy("id_a", "id_b")
+
+
+def q_sim_topk(spark, sf_dir):
+    """Brute-force cosine top-10 against the vec_id=0 query vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.brute_force_topk(emb, qvec, k=10)
+
+
+SQL_SIM_TOPK = """
+WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+    ROUND(
+      list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings e, q
+)
+SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_sim_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH bucketed approximate top-10 (scale path; rows-only
+    check — recall is probabilistic by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.lsh_topk(emb, qvec, k=10)
+
+
+def q_mm_features(spark, sf_dir):
+    """Multimodal plumbing: Arrow-batched decode/feature kernel over binary
+    media rows (deterministic fake decoder; rows-only check)."""
+    from .functions import multimodal as mm
+
+    media = mm.make_fake_media(spark, n=64)
+    feats = mm.extract_features(media, fake=True)
+    return feats.select(
+        "media_id",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        "decode_ok",
+    )
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+# name -> (spark_fn, oracle_sql | None)
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "s1_scan_project": (q_s1_scan_project, SQL_S1),
+    "p2_p3_filter_page": (q_p2_p3_filter_page, SQL_P2_P3),
+    "s2_bulk_get": (q_s2_bulk_get, SQL_S2),
+    "p4_tuple_in": (q_p4_tuple_in, SQL_P4),
+    "p5_json_extract": (q_p5_json_extract, SQL_P5),
+    "p7_array_overlap": (q_p7_array_overlap, SQL_P7),
+    "p8_int_or_name": (q_p8_int_or_name, SQL_P8),
+    "j1_dim_join": (q_j1_dim_join, SQL_J1),
+    "j4_semi_join": (q_j4_semi_join, SQL_J4),
+    "j9_anti_join": (q_j9_anti_join, SQL_J9),
+    "j10_count_join": (q_j10_count_join, SQL_J10),
+    "j8_closure": (q_j8_closure, SQL_J8),
+    "a2_status_counts": (q_a2_status_counts, SQL_A2),
+    "a5_two_col_counts": (q_a5_two_col_counts, SQL_A5),
+    "a6_access_summary": (q_a6_access_summary, SQL_A6),
+    "a7_json_rollup": (q_a7_json_rollup, SQL_A7),
+    "a8_status_gate": (q_a8_status_gate, SQL_A8),
+    "a9_argmin": (q_a9_argmin, SQL_A9),
+    "a10_map_agg": (q_a10_map_agg, SQL_A10),
+    "a12_weighted_sum": (q_a12_weighted_sum, SQL_A12),
+    "a14_pivot": (q_a14_pivot, SQL_A14),
+    "a16_dedup_batch": (q_a16_dedup_batch, SQL_A16),
+    "o2_priority_topk": (q_o2_priority_topk, SQL_O2),
+    "w1_window_lag": (q_w1_window_lag, SQL_W1),
+    "t3_hourly_rollup": (q_t3_hourly_rollup, SQL_T3),
+    "s4_upsert_classify": (q_s4_upsert_classify, SQL_S4),
+    "ds_missing_cells": (q_ds_missing_cells, SQL_DS_MISSING),
+    "u3_distinct": (q_u3_distinct, SQL_U3),
+    "h1_pricing_summary": (q_h1_pricing_summary, SQL_H1),
+    "h3_top_revenue": (q_h3_top_revenue, SQL_H3),
+    "tx_text_stats": (q_tx_text_stats, SQL_TX_STATS),
+    "dd_exact": (q_dd_exact, SQL_DD_EXACT),
+    "dd_jaccard": (q_dd_jaccard, SQL_DD_JACCARD),
+    "dd_simhash": (q_dd_simhash, SQL_DD_SIMHASH),
+    "dd_minhash_lsh": (q_dd_minhash_lsh, None),
+    "sim_topk": (q_sim_topk, SQL_SIM_TOPK),
+    "sim_lsh_topk": (q_sim_lsh_topk, None),
+    "mm_features": (q_mm_features, None),
+}
+
+
+def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in REGISTRY.items()}
+
+
+def oracle_sqls() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}

@@ -1,0 +1,52 @@
+"""SparkSession builders tuned for this engine.
+
+Design notes (100 TB posture):
+- AQE on: runtime coalescing of shuffle partitions + skew-join splitting
+  replace hand-tuned partition counts when data volumes vary by 1000x.
+- ``spark.sql.shuffle.partitions`` is only the *initial* number; AQE
+  coalesces.  On a real cluster this would be ~2-3x total cores.
+- UTC session timezone: the reference stores all timestamps UTC
+  (qcfractal/qcfractal/components/record_db_models.py:205, qcportal/utils.py:427
+  ``now_at_utc``) and the DuckDB oracle compares naive timestamps.
+- Arrow enabled for the few pandas-UDF paths (compile_values value_call,
+  multimodal decode) — Arrow batches, never row-at-a-time Python.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(
+    app_name: str = "qcfractal-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's default tuning."""
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.sql.parquet.filterPushdown", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

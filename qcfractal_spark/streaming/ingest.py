@@ -1,0 +1,67 @@
+"""Structured-Streaming analogs of the reference's incremental dataflows.
+
+Reference patterns (SURVEY §2.9):
+- T1 append-only access-log ingest (serverinfo/socket.py:335-350)
+- T2 incremental enrichment with a high-watermark (:212-285)
+- T3 periodic rollup with a trailing re-aggregation window (:645-708)
+
+Spark-first: the log becomes a file-source stream (at scale: Kafka);
+enrichment and rollup are ``foreachBatch`` jobs with watermark columns.
+The reference has no true windowed aggregations; ``windowed_event_counts``
+is the engine's generalization (tumbling window + late-data watermark).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def stream_events_from_directory(
+    spark: SparkSession,
+    path: str,
+    schema: StructType,
+    max_files_per_trigger: int = 8,
+) -> DataFrame:
+    """T1: append-only ingest from a landing directory of parquet files."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(path)
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window: str = "1 hour",
+    watermark: str = "3 days",
+    dims: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Tumbling-window counts with allowed lateness.
+
+    The watermark mirrors the reference's 3-day rollup lookback
+    (serverinfo/socket.py:650-669): late rows within the window are merged,
+    older ones dropped.  Works on both batch and streaming DataFrames."""
+    df = events
+    if events.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df.groupBy(F.window(ts_col, window).alias("win"), *dims).agg(
+        F.count(F.lit(1)).alias("count")
+    )
+
+
+def incremental_enrichment_batch(
+    log: DataFrame,
+    lookup: DataFrame,
+    watermark_ts,
+    ts_col: str = "ts",
+    key_col: str = "ip_address",
+) -> DataFrame:
+    """T2: enrich only rows newer than the stored high watermark by joining
+    a distinct-key lookup (the reference geolocates distinct IPs then
+    updates rows, serverinfo/socket.py:212-285).  Returns enriched new rows;
+    the caller advances the watermark to max(ts) of the batch."""
+    fresh = log.where(F.col(ts_col) > F.lit(watermark_ts))
+    return fresh.join(F.broadcast(lookup), on=key_col, how="left")
