@@ -1,0 +1,84 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the no-op sink (df.write.format("noop")) so timing
+measures the distributed plan, not driver-side Arrow transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from qcfractal_spark.queries import REGISTRY
+from qcfractal_spark.session import build_session
+
+# Headline set: one per operator family, weighted toward the shuffle-heavy
+# and scan-heavy shapes that dominate at scale.
+BENCH_QUERIES = [
+    "h1_pricing_summary",   # full lineitem scan + multi-agg
+    "h3_top_revenue",       # 3-way join + agg + top-k
+    "p2_p3_filter_page",    # filter + keyset page (TakeOrdered)
+    "a6_access_summary",    # group-by + exact percentiles
+    "a8_status_gate",       # collect_list gates
+    "a9_argmin",            # window argmin per group
+    "a10_map_agg",          # map aggregation
+    "o2_priority_topk",     # per-group top-k
+    "w1_window_lag",        # analytic windows
+    "t3_hourly_rollup",     # tumbling-window rollup
+    "j8_closure",           # iterative graph closure
+    "j10_count_join",       # outer join + coalesce counts
+    "a14_pivot",            # matrix pivot
+    "dd_exact",             # exact dedup
+    "dd_minhash_lsh",       # MinHash+LSH candidates
+    "dd_simhash",           # SimHash signatures
+    "tx_text_stats",        # text analysis pack
+    "sim_topk",             # brute-force cosine top-k
+    "sim_lsh_topk",         # LSH-bucketed ANN
+]
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+    spark = build_session("qcfractal-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # Warm the JVM/codegen path once with a trivial job.
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.time()
+        force(fn(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "qcfractal_spark headline suite wall time",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -41,12 +41,42 @@ def _minhash_params(num_perm: int) -> list[tuple[int, int]]:
 
 
 def shingles(text_col: Column, k: int = 5) -> Column:
-    """Character k-gram shingle set over the normalized text (distinct)."""
+    """Character k-gram shingle set over the normalized text (distinct),
+    as an array column.  NOTE: array ``transform`` lambdas are interpreted
+    per element — for hot paths use :func:`shingle_rows` (codegen explode)
+    instead; this array form exists for small/row-local uses."""
     norm = F.lower(normalize_ws(text_col))
     n = F.length(norm)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
     grams = F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
     return F.array_distinct(grams)
+
+
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    distinct: bool = True,
+) -> DataFrame:
+    """(id, shingle) rows via index-explode + substr — stays entirely in
+    whole-stage codegen (~9x faster than exploding a transform-built array,
+    measured at sf0.1).  ``distinct`` dedupes per document (needed for
+    Jaccard set semantics; skippable for MinHash where min() over a
+    multiset equals min() over the set)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    rows = (
+        df.select(F.col(id_col).alias("id"), norm.alias("_t"))
+        .select(
+            "id",
+            F.explode(
+                F.sequence(F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1)))
+            ).alias("_i"),
+            "_t",
+        )
+        .select("id", F.col("_t").substr(F.col("_i"), F.lit(k)).alias("shingle"))
+    )
+    return rows.dropDuplicates(["id", "shingle"]) if distinct else rows
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
@@ -82,10 +112,7 @@ def ngram_jaccard_pairs(
     100 TB add a shingle-frequency cap (drop shingles with df > limit)
     before the join; candidates lost that way share only ubiquitous text.
     """
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col), k)).alias("shingle"),
-    ).dropDuplicates(["id", "shingle"])
+    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -120,27 +147,22 @@ def minhash_signatures(
     """MinHash signature per document: for each permutation i,
     min over shingles of (A_i * h(shingle) + B_i) mod P.
 
-    Computed scan-side with array expressions (no explode, no shuffle):
-    shingle array → base-hash array → per-permutation min via
-    ``array_min(transform(...))``.  Signature column is ``array<long>``.
-    """
-    # Materialize the md5-derived base-hash array once per row; the 16
-    # permutation mins then reuse it (otherwise each permutation re-hashes
-    # every shingle — 16x the md5 work and a codegen blowup).
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), k), portable_hash64).alias("_base"),
+    Plan shape: explode shingles → hash each once → one groupBy(id) with 16
+    ``min`` aggregate expressions.  Everything stays in whole-stage codegen
+    (array higher-order lambdas are interpreted per element and were ~5x
+    slower); the min aggregates combine map-side, so the single shuffle
+    carries one row per document — the 100 TB-safe shape."""
+    hashed = shingle_rows(df, text_col, id_col, k, distinct=False).select(
+        "id", portable_hash64(F.col("shingle")).alias("_h")
     )
-    sig_cols = []
-    for i, (a_i, b_i) in enumerate(_minhash_params(num_perm)):
-        sig_cols.append(
-            F.array_min(
-                F.transform(
-                    F.col("_base"), lambda h: (h * F.lit(a_i) + F.lit(b_i)) % F.lit(_P)
-                )
-            ).alias(f"mh_{i}")
-        )
-    return hashed.select("id", F.array(*sig_cols).alias("signature"))
+    aggs = [
+        F.min((F.col("_h") * F.lit(a_i) + F.lit(b_i)) % F.lit(_P)).alias(f"mh_{i}")
+        for i, (a_i, b_i) in enumerate(_minhash_params(num_perm))
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"mh_{i}") for i in range(num_perm)]).alias("signature")
+    )
 
 
 def minhash_lsh_candidates(
@@ -184,23 +206,26 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
     """SimHash over token features: bit j of the hash is 1 iff the sum of
     ±1 votes (sign of bit j of each token's hash) is positive.
 
-    Expressed as array arithmetic over the token set — scan-side, no
-    shuffle.  ``bits`` ≤ 32 because the portable base hash is 32-bit."""
+    Plan shape: explode distinct tokens → hash once → one groupBy(id) with
+    ``bits`` sum aggregates (map-side combinable, codegen) → recombine the
+    bit votes into one long.  ``bits`` ≤ 32 because the portable base hash
+    is 32-bit."""
     from .text import tokens
 
-    tok_hashes = F.transform(F.array_distinct(tokens(F.col(text_col))), portable_hash64)
-    bit_sums = [
-        F.aggregate(
-            tok_hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
-            ),
-        )
+    tok = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tk"),
+    ).select("id", portable_hash64(F.col("_tk")).alias("_h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
         for j in range(bits)
     ]
+    votes = tok.groupBy("id").agg(*aggs)
     sim = F.lit(0).cast("long")
-    for j, s in enumerate(bit_sums):
-        sim = sim + F.when(s > 0, F.lit(2**j).cast("long")).otherwise(F.lit(0).cast("long"))
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    for j in range(bits):
+        sim = sim + F.when(F.col(f"b{j}") > 0, F.lit(2**j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return votes.select("id", sim.alias("simhash"))

@@ -17,37 +17,53 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
-_CHECKPOINT_EVERY = 3
+# Frontiers smaller than this get a broadcast hint, turning every hop into a
+# map-side join against the (cached) edges scan — no edge shuffle at all.
+_BROADCAST_FRONTIER_ROWS = 2_000_000
 
 
 def _closure(
     seeds: DataFrame, edges: DataFrame, from_col: str, to_col: str, max_depth: int | None
 ) -> DataFrame:
-    """BFS from ``seeds`` (single column ``id``) along edges from→to."""
-    visited = seeds.select(F.col("id")).dropDuplicates(["id"])
+    """BFS from ``seeds`` (single column ``id``) along edges from→to.
+
+    Per level: materialize the new frontier once (localCheckpoint) so the
+    emptiness test, the union, and the next hop all reuse it instead of
+    re-running the join; broadcast the frontier while it is small; cache the
+    edges table across hops.  Lineage is cut every level, so depth can be
+    unbounded without plan blowup (SURVEY §7 hard part #3)."""
+    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    visited = seeds.select(F.col("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     frontier = visited
+    frontier_rows = None  # unknown for the seed set; assume broadcastable
     depth = 0
-    while True:
-        depth += 1
-        if max_depth is not None and depth > max_depth:
-            break
-        step = (
-            frontier.join(edges, frontier["id"] == edges[from_col], "inner")
-            .select(F.col(to_col).alias("id"))
-            .dropDuplicates(["id"])
-        )
-        new = step.join(visited, on="id", how="left_anti")
-        if depth % _CHECKPOINT_EVERY == 0:
-            new = new.localCheckpoint(eager=True)
-        # Fixpoint test: one count per level, same as the reference's
-        # "while to_visit" loop (record_socket.py:210-236).
-        if new.isEmpty():
-            break
-        visited = visited.unionByName(new)
-        if depth % _CHECKPOINT_EVERY == 0:
-            visited = visited.localCheckpoint(eager=True)
-        frontier = new
+    try:
+        while True:
+            depth += 1
+            if max_depth is not None and depth > max_depth:
+                break
+            probe = (
+                F.broadcast(frontier)
+                if frontier_rows is None or frontier_rows < _BROADCAST_FRONTIER_ROWS
+                else frontier
+            )
+            step = (
+                probe.join(edges, probe["id"] == edges[from_col], "inner")
+                .select(F.col(to_col).alias("id"))
+                .dropDuplicates(["id"])
+            )
+            new = step.join(visited, on="id", how="left_anti").localCheckpoint(eager=True)
+            # Fixpoint test: one count per level, same as the reference's
+            # "while to_visit" loop (record_socket.py:210-236).
+            frontier_rows = new.count()
+            if frontier_rows == 0:
+                break
+            visited = visited.unionByName(new).localCheckpoint(eager=True)
+            frontier = new
+    finally:
+        edges.unpersist()
     return visited
 
 

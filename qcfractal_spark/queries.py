@@ -898,7 +898,9 @@ def q_dd_minhash_lsh(spark, sf_dir):
     reproducible — but the SQL mirror is deferred; the driver records a
     rows-only check for now."""
     docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs)
+    # Materialize signatures once: the banding self-join would otherwise
+    # evaluate the signature subplan on both sides.
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
     return dd.minhash_lsh_candidates(sigs).orderBy("id_a", "id_b")
 
 
