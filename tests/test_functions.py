@@ -1,0 +1,159 @@
+"""Function-layer tests: portable hashing, dedup signatures, text stats,
+similarity math — including cross-engine parity spot-checks vs DuckDB."""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from qcfractal_spark.functions import dedup as dd
+from qcfractal_spark.functions import similarity as sim
+from qcfractal_spark.functions import text as tx
+
+
+def test_portable_hash64_matches_duckdb(spark):
+    words = ["hello", "spark", "qcfractal", "ünïcode", ""]
+    df = spark.createDataFrame([(w,) for w in words], "w string")
+    got = {r["w"]: r["h"] for r in df.select("w", tx.portable_hash64(F.col("w")).alias("h")).collect()}
+    con = duckdb.connect()
+    for w in words:
+        expected = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", [w]
+        ).fetchone()[0]
+        assert got[w] == expected, w
+
+
+def test_minhash_params_deterministic_and_bounded():
+    p1 = dd._minhash_params(16)
+    p2 = dd._minhash_params(16)
+    assert p1 == p2
+    for a, b in p1:
+        assert a % 2 == 1 and 0 < a < 2**31
+        assert 0 <= b < dd._P
+
+
+def test_minhash_similar_docs_share_bands(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy dog!"),  # near-dup
+            (3, "completely different content about spark engines"),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(docs)
+    cands = {
+        (r["id_a"], r["id_b"]) for r in dd.minhash_lsh_candidates(sigs).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) not in cands and (2, 3) not in cands
+
+
+def test_exact_dedup_whitespace_insensitive(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "other")],
+        "doc_id long, text string",
+    )
+    out = {r["keep_id"]: r["dup_count"] for r in dd.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ngram_jaccard_identical_docs(spark):
+    docs = spark.createDataFrame(
+        [(1, "abcdefghij"), (2, "abcdefghij"), (3, "zzzzzzzzzz")],
+        "doc_id long, text string",
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert [(p["id_a"], p["id_b"], p["jaccard"]) for p in pairs] == [(1, 2, 1.0)]
+
+
+def test_simhash_close_for_similar_docs(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "alpha beta gamma delta epsilon zeta eta iota"),
+            (3, "one two three four five six seven eight"),
+        ],
+        "doc_id long, text string",
+    )
+    h = {r["id"]: r["simhash"] for r in dd.simhash(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    for v in h.values():
+        assert 0 <= v < 2**32
+
+
+def test_lang_id_and_quality(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is in the house and it is warm"),
+            (2, "der Hund ist nicht auf der Straße und das ist gut"),
+            (3, "xyzzy plugh qwerty"),
+            (4, ""),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["lang"], r["q"])
+        for r in docs.select(
+            "doc_id",
+            tx.lang_id(F.col("text")).alias("lang"),
+            tx.quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == "en"
+    assert out[2][0] == "de"
+    assert out[3][0] == "und"
+    for lang, q in out.values():
+        assert 0.0 <= q <= 1.0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 times")], "id long, text string")
+    row = df.select(
+        tx.token_count(F.col("text")).alias("ws"),
+        tx.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).first()
+    assert row["ws"] == 4
+    # hello , world ! 42 times → 6 units
+    assert row["bpe"] == 6
+
+
+def test_cosine_matches_numpy(spark):
+    import numpy as np
+
+    a = [1.0, 2.0, 3.0, 4.0]
+    b = [-4.0, 3.0, -2.0, 1.0]
+    df = spark.createDataFrame([(a, b)], "x array<double>, y array<double>")
+    got = df.select(sim.cosine(F.col("x"), F.col("y")).alias("c")).first()["c"]
+    exp = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert math.isclose(got, exp, rel_tol=1e-12)
+
+
+def test_brute_force_topk_self_first(spark):
+    from qcfractal_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.where(F.col("vec_id") == 3).first()["embedding"]
+    top = sim.brute_force_topk(emb, q, k=5).collect()
+    assert top[0]["vec_id"] == 3 and top[0]["score"] == 1.0
+    scores = [r["score"] for r in top]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_knn_join_bucketed_shapes(spark):
+    from qcfractal_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    out = sim.knn_join_bucketed(emb, emb, k=3)
+    rows = out.collect()
+    assert len(rows) > 0
+    per_left: dict[int, int] = {}
+    for r in rows:
+        assert r["left_id"] != r["right_id"]
+        per_left[r["left_id"]] = per_left.get(r["left_id"], 0) + 1
+    assert max(per_left.values()) <= 3

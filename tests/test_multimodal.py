@@ -1,0 +1,37 @@
+"""Multimodal plumbing tests — the decode kernel is a deterministic fake
+(codecs not installed); the Spark-side schema/batch plumbing is real."""
+
+from __future__ import annotations
+
+import pytest
+
+from qcfractal_spark.functions import multimodal as mm
+
+
+def test_extract_features_fake_kernel(spark):
+    media = mm.make_fake_media(spark, n=30)
+    feats = mm.extract_features(media, fake=True).collect()
+    assert len(feats) == 30
+    for r in feats:
+        assert r["decode_ok"] == "ok"
+        assert len(r["feature"]) == 8
+        assert abs(sum(r["feature"]) - 1.0) < 1e-9  # histogram sums to 1
+    # determinism
+    again = mm.extract_features(mm.make_fake_media(spark, n=30), fake=True).collect()
+    assert [r["feature"] for r in again] == [r["feature"] for r in feats]
+
+
+def test_real_decoder_reports_unavailable(spark):
+    media = mm.make_fake_media(spark, n=3)
+    out = mm.extract_features(media, fake=False).collect()
+    assert all(r["decode_ok"] == "decoder_unavailable" for r in out)
+    assert all(r["feature"] is None for r in out)
+
+
+def test_frame_sample_plan(spark):
+    media = mm.make_fake_media(spark, n=12)
+    frames = mm.frame_sample_plan(media, every_s=1.0)
+    rows = frames.collect()
+    assert all(r["frame_ts"] == r["frame_idx"] * 1.0 for r in rows)
+    videos = media.where("kind = 'video'").count()
+    assert frames.select("media_id").distinct().count() == videos

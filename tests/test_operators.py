@@ -1,0 +1,154 @@
+"""Operator unit tests — mirror the reference's component-socket test style
+(SURVEY.md §5: exact-count assertions over combinatorial fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.operators import graph, keyed, topk
+from qcfractal_spark.operators.dataset import missing_cells
+from qcfractal_spark.plans import apply_projection, keyset_page
+
+
+def test_bulk_get_ordered_preserves_input_order_with_gaps(spark):
+    table = spark.createDataFrame([(1, "a"), (2, "b"), (5, "e")], "id long, v string")
+    out = keyed.bulk_get_ordered(spark, table, [5, 99, 1], id_col="id").collect()
+    assert [r["_input_idx"] for r in out] == [0, 1, 2]
+    assert [r["v"] for r in out] == ["e", None, "a"]
+    # missing_ok=False drops the gap (reference raises; set semantics here)
+    strict = keyed.bulk_get_ordered(spark, table, [5, 99, 1], id_col="id", missing_ok=False)
+    assert [r["id"] for r in strict.collect()] == [5, 1]
+
+
+def test_insert_dedup_classify(spark):
+    table = spark.createDataFrame([("x", 1), ("y", 2)], "k string, v int")
+    batch = spark.createDataFrame(
+        [("x", 10), ("z", 30), ("z", 31)], "k string, v int"
+    )
+    to_insert, classified = keyed.insert_dedup_classify(table, batch, ["k"])
+    assert [r["k"] for r in to_insert.collect()] == ["z"]  # deduped, missing only
+    flags = {(r["k"], r["v"]): r["_existing"] for r in classified.collect()}
+    assert flags[("x", 10)] is True
+    assert flags[("z", 30)] is False and flags[("z", 31)] is False
+
+
+def test_upsert_classify(spark):
+    table = spark.createDataFrame([(1,), (2,)], "id long")
+    batch = spark.createDataFrame([(2,), (3,)], "id long")
+    out = {r["id"]: r["_inserted"] for r in keyed.upsert_classify(table, batch, ["id"]).collect()}
+    assert out == {2: False, 3: True}
+
+
+def test_projection_include_exclude_wildcards(spark):
+    df = spark.createDataFrame([(1, "a", 2.0)], "id long, name string, v double")
+    assert apply_projection(df, include=["id", "v"]).columns == ["id", "v"]
+    assert apply_projection(df, include=["*"], exclude=["name"]).columns == ["id", "v"]
+    assert apply_projection(df, exclude=["v"]).columns == ["id", "name"]
+
+
+def test_keyset_pagination_pages_are_disjoint_and_ordered(spark):
+    df = spark.range(1, 101).withColumnRenamed("id", "rid")
+    page1 = [r["rid"] for r in keyset_page(df, "rid", None, 10).collect()]
+    assert page1 == list(range(100, 90, -1))
+    page2 = [r["rid"] for r in keyset_page(df, "rid", page1[-1], 10).collect()]
+    assert page2 == list(range(90, 80, -1))
+
+
+def test_priority_claim_topk_eligibility_and_order(spark):
+    from datetime import datetime
+
+    rows = [
+        # id, record_id, tag, priority, sort_date, available, required_programs
+        (1, 11, "t1", 2, datetime(2024, 1, 1), True, ["p1"]),
+        (2, 12, "t1", 2, datetime(2024, 1, 2), True, ["p1"]),
+        (3, 13, "t1", 1, datetime(2024, 1, 1), True, ["p1"]),
+        (4, 14, "t1", 9, datetime(2024, 1, 1), True, ["p1", "px"]),  # px missing
+        (5, 15, "t1", 9, datetime(2024, 1, 1), False, ["p1"]),  # unavailable
+        (6, 16, "t2", 5, datetime(2024, 1, 1), True, ["p1"]),  # other tag
+    ]
+    tasks = spark.createDataFrame(
+        rows,
+        "id long, record_id long, compute_tag string, compute_priority int, "
+        "sort_date timestamp, available boolean, required_programs array<string>",
+    )
+    got = topk.priority_claim_topk(
+        tasks, 2, tags=["t1"], available_programs=["p1", "p2"]
+    )
+    assert [r["id"] for r in got.orderBy("id").collect()] == [1, 2]
+    # '*' tag claims across tags; per-tag top-k
+    star = topk.priority_claim_topk(tasks, 1, tags=["*"], available_programs=["p1"])
+    assert {r["id"] for r in star.collect()} == {1, 6}
+
+
+def test_closure_descendants_ancestors_relatives_with_cycle(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 10)],  # chain + 2-cycle
+        "parent_id long, child_id long",
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    desc = {r["id"] for r in graph.descendants(seeds, edges).collect()}
+    assert desc == {2, 3, 4}
+    anc = {r["id"] for r in graph.ancestors(spark.createDataFrame([(4,)], "id long"), edges).collect()}
+    assert anc == {1, 2, 3}
+    # cycle terminates; relatives of 10 = {10, 11}
+    rel = {r["id"] for r in graph.relatives(spark.createDataFrame([(10,)], "id long"), edges).collect()}
+    assert rel == {10, 11}
+    # depth limit
+    d1 = {r["id"] for r in graph.descendants(seeds, edges, max_depth=1).collect()}
+    assert d1 == {2}
+
+
+def test_missing_cells(spark):
+    entries = spark.createDataFrame([("e1",), ("e2",)], "entry_name string")
+    specs = spark.createDataFrame([("s1",), ("s2",)], "specification_name string")
+    items = spark.createDataFrame(
+        [("e1", "s1"), ("e2", "s2")], "entry_name string, specification_name string"
+    )
+    missing = {
+        (r["entry_name"], r["specification_name"])
+        for r in missing_cells(entries, specs, items).collect()
+    }
+    assert missing == {("e1", "s2"), ("e2", "s1")}
+
+
+def test_compile_values_pivot_and_properties_df(spark):
+    from qcfractal_spark.operators.pivot import (
+        compile_values_pivot,
+        drop_all_null_columns,
+        properties_df,
+    )
+
+    long_df = spark.createDataFrame(
+        [
+            ("e1", "s1", {"energy": 1.0, "grad": 0.1}),
+            ("e1", "s2", {"energy": 2.0}),
+            ("e2", "s1", {"energy": 3.0}),
+        ],
+        "entry string, spec string, props map<string,double>",
+    )
+    mat = compile_values_pivot(
+        long_df, "entry", "spec", F.element_at("props", "energy"), spec_values=["s1", "s2"]
+    )
+    rows = {r["entry"]: (r["s1"], r["s2"]) for r in mat.collect()}
+    assert rows == {"e1": (1.0, 2.0), "e2": (3.0, None)}
+
+    props = properties_df(long_df, "entry", "spec", "props", ["energy", "grad"], ["s1", "s2"])
+    cols = set(props.columns)
+    assert cols == {"entry", "s1_energy", "s2_energy", "s1_grad", "s2_grad"}
+    cleaned = drop_all_null_columns(props, keep=["entry"])
+    assert "s2_grad" not in cleaned.columns  # all-null column dropped
+    assert "s1_grad" in cleaned.columns
+
+
+def test_argmin_tie_break(spark):
+    from qcfractal_spark.operators.aggregates import argmin_per_group
+
+    df = spark.createDataFrame(
+        [(1, 10, 5.0), (1, 11, 5.0), (1, 12, 7.0), (2, 20, 1.0)],
+        "g long, id long, e double",
+    )
+    got = {
+        r["g"]: r["id"]
+        for r in argmin_per_group(df, ["g"], [F.col("e").asc(), F.col("id").asc()]).collect()
+    }
+    assert got == {1: 10, 2: 20}  # ties break to lowest id (DISTINCT ON order)

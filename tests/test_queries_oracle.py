@@ -1,0 +1,54 @@
+"""The oracle gate, in-repo: every REGISTRY query with an oracle must match
+DuckDB exactly at sf0.001 (the driver re-runs the same at sf0.01).
+
+This mirrors the reference's combinatorial exact-count test style
+(qcfractal/qcfractal/components/test_record_client_query.py) with DuckDB as
+the count/value authority.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from qcfractal_spark.queries import REGISTRY
+
+from conftest import SF_SMOKE
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            try:
+                df[c] = pd.to_numeric(s)
+            except (ValueError, TypeError):
+                df[c] = s.astype(str)
+        if pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("Int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            df[c] = df[c].astype("float64")
+    return df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in REGISTRY.items() if sql])
+def test_oracle_parity(spark, duck, name):
+    fn, sql = REGISTRY[name]
+    got = _normalize(fn(spark, SF_SMOKE).toPandas())
+    exp = _normalize(duck.execute(sql).fetchdf())
+    assert list(got.columns) == list(exp.columns)
+    assert len(got) == len(exp), f"rows: spark={len(got)} duck={len(exp)}"
+    for c in got.columns:
+        a, b = got[c], exp[c]
+        same = (a == b) | (a.isna() & b.isna())
+        assert same.all(), f"{name}.{c}: first diff at {list(got.index[~same])[:3]}"
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in REGISTRY.items() if sql is None])
+def test_rows_only_queries_run(spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(spark, SF_SMOKE)
+    assert df.count() >= 0
+    assert len(df.schema.fields) > 0

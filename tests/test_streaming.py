@@ -1,0 +1,106 @@
+"""Streaming/queue tests: single-writer claim set-semantics (the reference's
+SKIP LOCKED contract restated as "no task claimed twice" — SURVEY §7 hard
+part #2), windowed aggregation, incremental enrichment, and a real
+file-source micro-batch run."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from datetime import datetime, timedelta
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.streaming.ingest import (
+    incremental_enrichment_batch,
+    stream_events_from_directory,
+    windowed_event_counts,
+)
+from qcfractal_spark.streaming.queue import SingleWriterQueue
+
+
+def _tasks_df(spark):
+    rows = [
+        (i, 100 + i, ["t1", "t2"][i % 2], i % 3, datetime(2024, 1, 1 + (i % 5)), True, ["p1"])
+        for i in range(20)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "id long, record_id long, compute_tag string, compute_priority int, "
+        "sort_date timestamp, available boolean, required_programs array<string>",
+    )
+
+
+def test_queue_claim_no_double_claim(spark):
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", programs=["p1"], tags=["t1", "t2"])
+    q.register_manager("m2", programs=["p1"], tags=["t1", "t2"])
+    c1 = q.claim("m1", 8)
+    c2 = q.claim("m2", 8)
+    ids1, ids2 = {t["id"] for t in c1}, {t["id"] for t in c2}
+    assert len(ids1) == 8 and len(ids2) == 8
+    assert ids1.isdisjoint(ids2)  # the SKIP LOCKED set-contract
+    # claims follow priority DESC then sort_date ASC then id ASC per tag
+    assert all(q.statuses[t["record_id"]] == "running" for t in c1)
+
+
+def test_queue_return_and_reap(spark):
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", programs=["p1"], tags=["*"])
+    claimed = q.claim("m1", 3)
+    tid, rid = claimed[0]["id"], claimed[0]["record_id"]
+    q.return_task("m1", tid, rid, ok=True)
+    assert q.statuses[rid] == "complete"
+    # dead-manager reaper releases remaining claims
+    q.managers["m1"].last_heartbeat -= timedelta(hours=2)
+    released = q.reap_dead_managers(timedelta(minutes=30))
+    assert set(released) == {t["id"] for t in claimed[1:]}
+    assert not q.claimed
+
+
+def test_windowed_event_counts_batch(spark):
+    from qcfractal_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    out = windowed_event_counts(events, window="1 hour")
+    total = out.agg(F.sum("count")).first()[0]
+    assert total == events.count()
+
+
+def test_incremental_enrichment_watermark(spark):
+    log = spark.createDataFrame(
+        [
+            (1, datetime(2024, 1, 1, 1), "1.1.1.1"),
+            (2, datetime(2024, 1, 1, 2), "2.2.2.2"),
+            (3, datetime(2024, 1, 1, 3), "1.1.1.1"),
+        ],
+        "id long, ts timestamp, ip_address string",
+    )
+    lookup = spark.createDataFrame(
+        [("1.1.1.1", "US"), ("2.2.2.2", "DE")], "ip_address string, country string"
+    )
+    out = incremental_enrichment_batch(log, lookup, datetime(2024, 1, 1, 1))
+    rows = {r["id"]: r["country"] for r in out.collect()}
+    assert rows == {2: "DE", 3: "US"}  # id=1 is at/behind the watermark
+
+
+def test_file_stream_available_now(spark):
+    from qcfractal_spark.catalog import load_table
+
+    src = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        src.coalesce(1).write.parquet(land)
+        stream = stream_events_from_directory(spark, land, src.schema)
+        agg = windowed_event_counts(stream, window="1 hour")
+        qh = (
+            agg.writeStream.format("memory")
+            .queryName("win_counts")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        total = spark.sql("SELECT sum(count) FROM win_counts").first()[0]
+        assert total == 100
