@@ -24,6 +24,8 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
+
 from .catalog import load_table
 from .functions import dedup as dd
 from .functions import similarity as sim
@@ -1001,3 +1003,260 @@ def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sqls() -> dict[str, str]:
     return {name: sql for name, (_, sql) in REGISTRY.items() if sql is not None}
+
+# --------------------------------------------------------------------------
+# coverage widening: unions, sampling, scalar pack, UDF surface, exact ANN
+# --------------------------------------------------------------------------
+
+
+def q_a4_union_counts(spark, sf_dir):
+    """A4/U1: per-source grouped counts concatenated (tasks ∪ services
+    status aggregation, base_dataset_socket.py:251-292)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = orders.groupBy(F.col("o_orderstatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("count")
+    ).withColumn("source", F.lit("orders"))
+    b = li.groupBy(F.col("l_linestatus").alias("status")).agg(
+        F.count(F.lit(1)).alias("count")
+    ).withColumn("source", F.lit("lineitem"))
+    return a.unionByName(b)
+
+
+SQL_A4 = """
+SELECT o_orderstatus AS status, COUNT(*) AS count, 'orders' AS source
+FROM orders GROUP BY 1
+UNION ALL
+SELECT l_linestatus, COUNT(*), 'lineitem' FROM lineitem GROUP BY 1
+"""
+
+
+def q_a11_sample_keys(spark, sf_dir):
+    """A11: DISTINCT-ON sampling + JSON key extraction (one complete record
+    per spec + jsonb_object_keys, base_dataset_socket.py:323-360)."""
+    events = _t(spark, sf_dir, "events")
+    sampled = agg.argmin_per_group(events, ["event_type"], [F.col("event_id").asc()])
+    return sampled.select(
+        "event_type",
+        "event_id",
+        F.concat_ws(",", F.array_sort(F.json_object_keys("props"))).alias("props_keys"),
+    )
+
+
+SQL_A11 = """
+SELECT event_type, event_id,
+       array_to_string(list_sort(json_keys(props)), ',') AS props_keys
+FROM events
+QUALIFY row_number() OVER (PARTITION BY event_type ORDER BY event_id ASC) = 1
+"""
+
+
+def q_f9_content_hash(spark, sf_dir):
+    """F9: deterministic content hash over canonicalized fields (molecule
+    hash, molecules/db_models.py:83-115)."""
+    from .functions.scalars import content_hash
+
+    part = _t(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        content_hash(
+            F.col("p_name"), F.col("p_size").cast("string"), F.col("p_type")
+        ).alias("content_hash"),
+    )
+
+
+SQL_F9 = """
+SELECT p_partkey,
+       md5(concat_ws('|', p_name, CAST(p_size AS VARCHAR), p_type)) AS content_hash
+FROM part
+"""
+
+
+def q_j12_element_at(spark, sf_dir):
+    """J12/F6: array tail indexing (energies[-1] scalar subquery,
+    torsiondrive/record_db_models.py:131)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.round(F.element_at("embedding", -1).cast("double"), 6).alias("last_dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_dim"),
+    )
+
+
+SQL_J12 = """
+SELECT vec_id,
+       ROUND(CAST(embedding[-1] AS DOUBLE), 6) AS last_dim,
+       ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_dim
+FROM embeddings
+"""
+
+
+def q_d1_value_call(spark, sf_dir):
+    """D1: arbitrary per-record Python extraction — compile_values
+    ``value_call`` (dataset_models.py:2168-2236) as an Arrow-batched pandas
+    UDF (the doubling is exact in IEEE, so the oracle matches bit-for-bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def value_call(s: pd.Series) -> pd.Series:
+        return s * 2.0
+
+    orders = _t(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey", value_call(F.col("o_totalprice")).alias("extracted")
+    )
+
+
+SQL_D1 = "SELECT o_orderkey, o_totalprice * 2.0 AS extracted FROM orders"
+
+
+def q_sim_cosine_pairs(spark, sf_dir):
+    """Embedding near-dup pairs, exact: top-20 most-similar pairs by cosine.
+
+    Order-independent float parity via decimal-summed dot products
+    (posexplode → join on dim index → Σ decimal) — the sum is exact, so the
+    arbitrary aggregation order of a 100 TB shuffle can't change the hash.
+    """
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
+    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
+    norms = flat.groupBy("vec_id").agg(
+        F.sum((F.col("x") * F.col("x")).cast("decimal(25,12)"))
+        .cast("double")
+        .alias("nrm")
+    )
+    a = flat.alias("a")
+    b = flat.alias("b")
+    dots = (
+        a.join(b, on="pos")
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .agg(
+            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(25,12)"))
+            .cast("double")
+            .alias("dot")
+        )
+    )
+    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na"))
+    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb"))
+    scored = (
+        dots.join(F.broadcast(na), "id_a")
+        .join(F.broadcast(nb), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+            ).alias("score"),
+        )
+    )
+    return scored.orderBy(F.col("score").desc(), "id_a", "id_b").limit(20)
+
+
+SQL_SIM_PAIRS = """
+WITH flat AS (
+  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+),
+norms AS (
+  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS nrm
+  FROM flat GROUP BY vec_id
+),
+dots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         CAST(SUM(CAST(a.x * b.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
+  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS score
+FROM dots
+JOIN norms na ON na.vec_id = id_a
+JOIN norms nb ON nb.vec_id = id_b
+ORDER BY score DESC, id_a, id_b LIMIT 20
+"""
+
+
+def _minhash_oracle_sql() -> str:
+    """Generate the DuckDB mirror of minhash_signatures + lsh banding from
+    the same deterministic parameter table the Spark plan uses."""
+    from .functions.dedup import _NUM_PERM_DEFAULT, _P, _minhash_params
+
+    params = _minhash_params(_NUM_PERM_DEFAULT)
+    mins = ",\n         ".join(
+        f"MIN((h * {a} + {b}) % {_P}) AS mh_{i}" for i, (a, b) in enumerate(params)
+    )
+    bands = "\n  UNION ALL\n".join(
+        f"  SELECT id, {bi} AS band_idx, concat_ws(':', "
+        + ", ".join(f"mh_{bi * 4 + r}" for r in range(4))
+        + ") AS band_key FROM sig"
+        for bi in range(4)
+    )
+    return f"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT id, substring(t, i, 5) AS sh
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+),
+h AS (SELECT id, ('0x' || substr(md5(sh), 1, 8))::BIGINT AS h FROM sh),
+sig AS (
+  SELECT id,
+         {mins}
+  FROM h GROUP BY id
+),
+bands AS (
+{bands}
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+"""
+
+
+SQL_DD_MINHASH = _minhash_oracle_sql()
+
+
+def _lsh_topk_oracle_sql() -> str:
+    """DuckDB mirror of the hyperplane-LSH bucketed top-k: same
+    deterministic hyperplanes, same sequential-order dot products."""
+    from .functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 8)
+    def arr(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+q AS (SELECT v AS qv, bucket AS qbucket FROM b WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(b.v, q.qv)
+             / (sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(q.qv, q.qv))),
+             6) AS score
+FROM b, q
+WHERE b.bucket = q.qbucket
+ORDER BY score DESC, vec_id ASC LIMIT 10
+"""
+
+
+SQL_SIM_LSH = _lsh_topk_oracle_sql()
+
+REGISTRY.update(
+    {
+        "a4_union_counts": (q_a4_union_counts, SQL_A4),
+        "a11_sample_keys": (q_a11_sample_keys, SQL_A11),
+        "f9_content_hash": (q_f9_content_hash, SQL_F9),
+        "j12_element_at": (q_j12_element_at, SQL_J12),
+        "d1_value_call": (q_d1_value_call, SQL_D1),
+        "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_PAIRS),
+        "dd_minhash_lsh": (q_dd_minhash_lsh, SQL_DD_MINHASH),
+        "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH),
+    }
+)
