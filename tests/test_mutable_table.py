@@ -1,0 +1,67 @@
+"""Copy-on-write MutableTable tests — the S3-S7 mutation semantics
+(insert-dedup metadata, upsert, referential delete errors, retention,
+version swap atomicity)."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime
+
+import pytest
+
+from qcfractal_spark.sources.table import MutableTable
+
+
+@pytest.fixture()
+def tmp_table(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = MutableTable(spark, d + "/tbl")
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a", datetime(2024, 1, 1)), (2, "b", datetime(2024, 1, 5))],
+                "id long, v string, ts timestamp",
+            )
+        )
+        yield t, spark
+
+
+def test_insert_dedup_metadata(tmp_table):
+    t, spark = tmp_table
+    batch = spark.createDataFrame(
+        [(2, "b2", datetime(2024, 1, 6)), (3, "c", datetime(2024, 1, 7))],
+        "id long, v string, ts timestamp",
+    )
+    meta = t.insert_dedup(batch, ["id"])
+    assert meta == {"inserted": 1, "existing": 1}
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "b", 3: "c"}  # existing row untouched (DO NOTHING)
+
+
+def test_upsert_replaces_and_appends(tmp_table):
+    t, spark = tmp_table
+    batch = spark.createDataFrame(
+        [(2, "B", datetime(2024, 1, 6)), (4, "d", datetime(2024, 1, 8))],
+        "id long, v string, ts timestamp",
+    )
+    meta = t.upsert(batch, ["id"])
+    assert meta == {"updated": 1, "inserted": 1}
+    rows = {r["id"]: r["v"] for r in t.read().collect()}
+    assert rows == {1: "a", 2: "B", 4: "d"}
+
+
+def test_delete_with_referential_errors(tmp_table):
+    t, spark = tmp_table
+    refs = spark.createDataFrame([(1,)], "record_id long")
+    out = t.delete_ids([1, 2, 99], id_col="id", referencing=refs, ref_col="record_id")
+    assert out == {"deleted": 1, "errors": [1]}  # id=1 blocked, id=2 deleted, 99 absent
+    assert {r["id"] for r in t.read().collect()} == {1}
+
+
+def test_retention_and_time_travel(tmp_table):
+    t, _ = tmp_table
+    v_before = t.current_version()
+    n = t.retention_delete("ts", datetime(2024, 1, 3))
+    assert n == 1
+    assert {r["id"] for r in t.read().collect()} == {2}
+    # previous version still readable (time-travel depth 1)
+    assert {r["id"] for r in t.read(version=v_before).collect()} == {1, 2}
