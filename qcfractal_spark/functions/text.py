@@ -114,3 +114,49 @@ def portable_hash64(col: Column) -> Column:
     oracles can reproduce signatures exactly (Spark's ``hash()`` / xxhash64
     seeds differ from DuckDB's ``hash()``)."""
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def lang_id_table(
+    df, text_col: str = "text", id_col: str = "doc_id", out_col: str = "lang_pred"
+):
+    """DataFrame-level language ID — same semantics as :func:`lang_id`
+    (stopword hit counts with multiplicity; argmax; ≥1 hit required; ties
+    break to the smallest language code; else 'und') but as an explode →
+    broadcast-join → count plan that stays in whole-stage codegen.
+
+    Trade-off (measured at sf0.1): the Column variant is a zero-shuffle
+    scan and wins here and at scale for short documents; this join variant
+    pays one doc-keyed shuffle but touches each token once, so it wins only
+    when per-row token re-walks dominate (very long documents or many
+    languages).  Both share the same oracle.
+    """
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    langs = sorted(STOPWORDS)
+    sw = spark.createDataFrame(
+        [(lang, w) for lang in langs for w in STOPWORDS[lang]], "_lang string, _tk string"
+    )
+    toks = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.explode(F.split(F.lower(normalize_ws(F.col(text_col))), " ")).alias("_tk"),
+        )
+        .where(F.col("_tk") != "")
+    )
+    counts = (
+        toks.join(F.broadcast(sw), on="_tk")
+        .groupBy("_id")
+        .pivot("_lang", langs)
+        .count()
+    )
+    hit_cols = [F.coalesce(F.col(lang), F.lit(0)).alias(lang) for lang in langs]
+    counts = counts.select("_id", *hit_cols)
+    mx = F.greatest(*[F.col(lang) for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier codes win exact ties
+        pred = F.when((mx > 0) & (F.col(lang) == mx), F.lit(lang)).otherwise(pred)
+    counts = counts.select("_id", pred.alias(out_col))
+    return df.join(
+        counts, on=df[id_col] == counts["_id"], how="left"
+    ).drop("_id").fillna({out_col: "und"})

@@ -1,0 +1,91 @@
+"""Skew mitigation and co-location utilities.
+
+AQE (enabled in session.py) already splits skewed shuffle partitions for
+sort-merge joins at runtime; these helpers cover the cases AQE cannot:
+hot-key *aggregation* (one reducer owns one giant group) and deliberate
+co-partitioning to reuse one shuffle across stages.
+
+Salting is deterministic (hash-derived, no rand()) so repeated runs and
+oracle comparisons see identical results.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Decomposable aggregates: (phase-1 partial, phase-2 merge) per op.
+_MERGEABLE = {
+    "count": (lambda c: F.count(c), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+
+def salted_aggregate(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, tuple[str, str]],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase aggregation over a salted key for hot groups.
+
+    ``aggs`` maps output column → (op, input column) with op in
+    count/sum/min/max (the decomposable set — exactly the aggregates whose
+    partial/merge split is lossless).  Phase 1 groups by
+    (group_cols, salt(hash of all columns) % buckets) so a hot key spreads
+    over ``buckets`` reducers; phase 2 merges the partials per real key.
+
+    Spark's own partial aggregation already does this when the *map-side*
+    reduction is effective; explicit salting matters when per-group state is
+    large (collect_list-ish) or the hot group dominates a single reducer.
+    """
+    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets)).alias("_salt")
+    p1_aggs = []
+    p2_aggs = []
+    for out, (op, col) in aggs.items():
+        partial, merge = _MERGEABLE[op]
+        p1_aggs.append(partial(F.col(col)).alias(f"_p_{out}"))
+        p2_aggs.append(merge(F.col(f"_p_{out}")).alias(out))
+    phase1 = df.select(*df.columns, salt).groupBy(*group_cols, "_salt").agg(*p1_aggs)
+    return phase1.groupBy(*group_cols).agg(*p2_aggs)
+
+
+def salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``skewed`` has hot keys and ``dim`` is too large to
+    broadcast: salt the skewed side deterministically, replicate the dim
+    side ``buckets``-fold, join on (key, salt).  Each hot key's rows spread
+    over ``buckets`` reducers at the cost of a bounded dim replication —
+    the classic salted-join trade.
+
+    (When ``dim`` fits in memory just use ``F.broadcast`` — this exists for
+    the mid-size dim that AQE's skew split can't help because the skew is in
+    the build of a single hash partition.)
+    """
+    other_cols = [c for c in skewed.columns if c != on]
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
+    left = skewed.withColumn("_salt", salt)
+    right = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
+    return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
+
+
+def co_partition(
+    left: DataFrame, right: DataFrame, on: str, partitions: int
+) -> tuple[DataFrame, DataFrame]:
+    """Repartition both sides identically on the join key so the subsequent
+    join (and any later groupBy on the same key) reuses one exchange — the
+    plain-parquet stand-in for bucketed tables (SURVEY §4: B-tree indexes →
+    partition/cluster layout)."""
+    return (
+        left.repartition(partitions, F.col(on)),
+        right.repartition(partitions, F.col(on)),
+    )
