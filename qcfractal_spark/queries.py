@@ -1260,3 +1260,26 @@ REGISTRY.update(
         "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH),
     }
 )
+
+
+def q_f12_hour_percentiles(spark, sf_dir):
+    """F1(hour)/F12: hour bucketing + exact continuous percentiles (the
+    percentile_cont companion of a6's percentile_disc; Spark's exact
+    ``percentile`` interpolates identically to DuckDB quantile_cont)."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("count"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("value_p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("value_p90"),
+    )
+
+
+SQL_F12 = """
+SELECT strftime(ts, '%Y-%m-%d %H') AS bucket,
+       COUNT(*) AS count,
+       ROUND(quantile_cont(value, 0.5), 6) AS value_p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS value_p90
+FROM events GROUP BY 1
+"""
+
+REGISTRY["f12_hour_percentiles"] = (q_f12_hour_percentiles, SQL_F12)
