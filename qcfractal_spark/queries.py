@@ -1113,41 +1113,29 @@ SQL_D1 = "SELECT o_orderkey, o_totalprice * 2.0 AS extracted FROM orders"
 def q_sim_cosine_pairs(spark, sf_dir):
     """Embedding near-dup pairs, exact: top-20 most-similar pairs by cosine.
 
-    Order-independent float parity via decimal-summed dot products
-    (posexplode → join on dim index → Σ decimal) — the sum is exact, so the
-    arbitrary aggregation order of a 100 TB shuffle can't change the hash.
+    Array-native: vectors stay whole (no posexplode/self-join on the dim
+    index, which skews onto D keys and materializes N²·D rows).  Dot products
+    are index-ordered double left-folds (``zip_with``+``aggregate``) — the
+    same deterministic op sequence as DuckDB's ``list_dot_product``, proven
+    bitwise-matching by sim_topk's hash gate.  Pairs form via a broadcast
+    nested-loop join; norms are computed once per row, not per pair; the only
+    shuffle is the final TakeOrdered(20).
     """
     emb = _t(spark, sf_dir, "embeddings")
-    flat = emb.select(
-        "vec_id", F.posexplode(F.col("embedding")).alias("pos", "x")
-    ).select("vec_id", "pos", F.col("x").cast("double").alias("x"))
-    norms = flat.groupBy("vec_id").agg(
-        F.sum((F.col("x") * F.col("x")).cast("decimal(25,12)"))
-        .cast("double")
-        .alias("nrm")
+    v = F.col("embedding").cast("array<double>")
+    vecs = emb.select(
+        "vec_id", v.alias("v"), F.sqrt(sim.dot(v, v)).alias("nrm")
     )
-    a = flat.alias("a")
-    b = flat.alias("b")
-    dots = (
-        a.join(b, on="pos")
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .groupBy(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
-        .agg(
-            F.sum((F.col("a.x") * F.col("b.x")).cast("decimal(25,12)"))
-            .cast("double")
-            .alias("dot")
-        )
-    )
-    na = norms.select(F.col("vec_id").alias("id_a"), F.col("nrm").alias("na"))
-    nb = norms.select(F.col("vec_id").alias("id_b"), F.col("nrm").alias("nb"))
+    a, b = vecs.alias("a"), vecs.alias("b")
     scored = (
-        dots.join(F.broadcast(na), "id_a")
-        .join(F.broadcast(nb), "id_b")
+        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
-            "id_a",
-            "id_b",
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
             F.round(
-                F.col("dot") / (F.sqrt(F.col("na")) * F.sqrt(F.col("nb"))), 6
+                sim.dot(F.col("a.v"), F.col("b.v"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
             ).alias("score"),
         )
     )
@@ -1155,25 +1143,15 @@ def q_sim_cosine_pairs(spark, sf_dir):
 
 
 SQL_SIM_PAIRS = """
-WITH flat AS (
-  SELECT vec_id, i AS pos, CAST(embedding[i] AS DOUBLE) AS x
-  FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
-),
-norms AS (
-  SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(25,12))) AS DOUBLE) AS nrm
-  FROM flat GROUP BY vec_id
-),
-dots AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         CAST(SUM(CAST(a.x * b.x AS DECIMAL(25,12))) AS DOUBLE) AS dot
-  FROM flat a JOIN flat b ON a.pos = b.pos AND a.vec_id < b.vec_id
-  GROUP BY 1, 2
+WITH v AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                               CAST(embedding AS DOUBLE[]))) AS nrm
+  FROM embeddings
 )
-SELECT id_a, id_b,
-       ROUND(dot / (sqrt(na.nrm) * sqrt(nb.nrm)), 6) AS score
-FROM dots
-JOIN norms na ON na.vec_id = id_a
-JOIN norms nb ON nb.vec_id = id_b
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS score
+FROM v a JOIN v b ON a.vec_id < b.vec_id
 ORDER BY score DESC, id_a, id_b LIMIT 20
 """
 
