@@ -65,3 +65,31 @@ def test_retention_and_time_travel(tmp_table):
     assert {r["id"] for r in t.read().collect()} == {2}
     # previous version still readable (time-travel depth 1)
     assert {r["id"] for r in t.read(version=v_before).collect()} == {1, 2}
+
+
+def test_snapshot_export_roundtrip(spark):
+    """S8: dataset-view snapshot = one parquet dataset per table, readable
+    back with identical schema and contents (views.py:26-186 analog — one
+    distributed write per table, no 20-row driver batching)."""
+    import os
+
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.sources.parquet import snapshot_export
+
+    sf = "/root/testdata/sf0.001"
+    tables = {
+        "region": load_table(spark, sf, "region"),
+        "nation": load_table(spark, sf, "nation"),
+        "events": load_table(spark, sf, "events"),
+    }
+    with tempfile.TemporaryDirectory() as d:
+        paths = snapshot_export(tables, os.path.join(d, "snap"))
+        assert set(paths) == set(tables)
+        for name, path in paths.items():
+            back = spark.read.parquet(path)
+            src = tables[name]
+            assert back.schema == src.schema, name
+            assert back.count() == src.count(), name
+            # value-level: symmetric difference is empty
+            assert back.exceptAll(src).count() == 0
+            assert src.exceptAll(back).count() == 0
