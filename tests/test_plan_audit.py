@@ -1,0 +1,34 @@
+"""Physical-plan regression gate: every registry query keeps the plan
+properties that make it viable at 100 TB (see tools/plan_audit.py — join
+strategy, pushdown, column pruning, codegen, map-side group-top-k).
+
+Plan-only (no execution), so auditing the whole registry is cheap."""
+
+from __future__ import annotations
+
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+from qcfractal_spark.queries import REGISTRY
+from tools.plan_audit import SKIP, audit_one
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def static_plan_spark(spark):
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    yield spark
+    spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+
+@pytest.mark.parametrize("name", [n for n in REGISTRY if n not in SKIP])
+def test_plan_properties(static_plan_spark, name):
+    fn, _ = REGISTRY[name]
+    df = fn(static_plan_spark, SF)
+    problems = audit_one(name, df)
+    assert not problems, f"{name}: {problems}"
