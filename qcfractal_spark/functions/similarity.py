@@ -15,6 +15,8 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
+import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -114,6 +116,108 @@ def lsh_topk(
             F.col(id_col),
             F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
         )
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def ivf_assignments(
+    df: DataFrame,
+    n_centroids: int = 16,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: deterministic k-means over cosine direction.
+
+    Init = the ``n_centroids`` lowest-id vectors (a top-k, not a sample — no
+    RNG, so resubmissions build the identical index).  Each Lloyd iteration
+    is one scan (assign: argmax centroid·v/|v|, fully JVM-side via an
+    array-of-structs max) plus one centroid update (posexplode → per-(cid,
+    dim) mean — a groupBy on n_centroids×dim keys, tiny shuffle).  Centroids
+    live on the driver (n_centroids ≪ N) and are inlined as literals, so
+    assignment never joins.  At 100 TB the assignment column is written at
+    ingest and the table is partitioned/bucketed by ``_cid`` — probing then
+    prunes (n_probe/n_centroids) of the data before any distance math.
+
+    Returns (df + ``_cid`` column, centroids).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    init = (
+        df.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(vec_col).cast("array<double>"))
+        .collect()
+    )
+    centroids = [list(r[0]) for r in init]
+
+    def assign(centers: list[list[float]]) -> Column:
+        # Vectorized Arrow-batched kernel: one (batch × dim) @ (dim × C)
+        # matmul per batch instead of C×dim interpreted lambda evaluations
+        # per row — the only Python in the IVF path, and it's BLAS.
+        cmat = np.asarray(centers, dtype=np.float64)
+        cnorm = np.linalg.norm(cmat, axis=1)
+        cnorm[cnorm == 0.0] = 1.0
+        cn = (cmat / cnorm[:, None]).T  # dim × C
+
+        @pandas_udf("int")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy())  # batch × dim
+            return pd.Series(np.argmax(m @ cn, axis=1).astype("int32"))
+
+        return _assign(F.col(vec_col).cast("array<double>"))
+
+    for _ in range(n_iter):
+        assigned = df.withColumn("_cid", assign(centroids))
+        means = (
+            assigned.select("_cid", F.posexplode(F.col(vec_col).cast("array<double>")).alias("_p", "_x"))
+            .groupBy("_cid", "_p")
+            .agg(F.avg("_x").alias("_m"))
+            .collect()
+        )
+        by_cid: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cid.setdefault(r["_cid"], {})[r["_p"]] = r["_m"]
+        dim = len(centroids[0])
+        centroids = [
+            [by_cid[c].get(p, centroids[c][p]) for p in range(dim)] if c in by_cid else centroids[c]
+            for c in range(len(centroids))
+        ]
+    return df.withColumn("_cid", assign(centroids)), centroids
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    assigned: DataFrame | None = None,
+    centroids: list[list[float]] | None = None,
+) -> DataFrame:
+    """IVF approximate top-k: score only the ``n_probe`` inverted lists whose
+    centroids are nearest the query.  Pass a prebuilt (assigned, centroids)
+    index to skip the build — the deployment shape, where the index is
+    computed once at ingest."""
+    import math
+
+    if assigned is None or centroids is None:
+        assigned, centroids = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(centroids[i], query_vec))
+            / (qn * math.sqrt(sum(x * x for x in centroids[i])) or 1.0)
+        ),
+    )[:n_probe]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = assigned.where(F.col("_cid").isin(probe)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 

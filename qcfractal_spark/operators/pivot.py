@@ -58,26 +58,32 @@ def properties_df(
 ) -> DataFrame:
     """get_properties_df: one wide column per (spec, property key).
 
-    Extracts each requested key from the properties map, pivots per key,
-    then joins the per-key matrices on entry (column multi-index flattened
-    to ``{spec}_{key}`` names, the Spark-native equivalent of the pandas
-    swaplevel multi-index).
+    One pivot with one aggregate per key — Spark names the result columns
+    ``{spec}_{key}`` natively (the flattened pandas swaplevel multi-index).
+    A single shuffle on entry, no joins: the per-key pivot-then-outer-join
+    formulation this replaces compiled to one SortMergeJoin per key, which
+    is len(keys)-1 extra fact-sized shuffles at scale.
     """
-    out: DataFrame | None = None
-    for key in keys:
-        mat = compile_values_pivot(
-            records,
-            entry_col,
-            spec_col,
-            F.element_at(F.col(properties_col), key),
-            spec_values=spec_values,
-        )
-        renamed = mat.select(
+    grouped = records.groupBy(entry_col).pivot(
+        spec_col, list(spec_values) if spec_values else None
+    )
+    out = grouped.agg(
+        *[
+            F.first(F.element_at(F.col(properties_col), key), ignorenulls=True).alias(key)
+            for key in keys
+        ]
+    )
+    if len(keys) == 1:
+        # with a single aggregate Spark names columns by pivot value alone;
+        # keep the {spec}_{key} contract regardless of key count
+        out = out.select(
             F.col(entry_col),
-            *[F.col(c).alias(f"{c}_{key}") for c in mat.columns if c != entry_col],
+            *[
+                F.col(c).alias(f"{c}_{keys[0]}")
+                for c in out.columns
+                if c != entry_col
+            ],
         )
-        out = renamed if out is None else out.join(renamed, on=entry_col, how="outer")
-    assert out is not None
     return out
 
 

@@ -936,6 +936,24 @@ def q_sim_lsh_topk(spark, sf_dir):
     return sim.lsh_topk(emb, qvec, k=10)
 
 
+def q_sim_ivf_topk(spark, sf_dir):
+    """IVF-bucketed approximate top-10 (the second scale path beside LSH:
+    deterministic k-means coarse quantizer, probe the 4 nearest of 16
+    inverted lists; rows-only check — recall is probabilistic by design)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    return sim.ivf_topk(emb, qvec, k=10)
+
+
+def q_sim_knn_join(spark, sf_dir):
+    """Bucketed approximate kNN self-join (top-3 neighbors per vector for
+    the first 200 vectors; bucket-local pair generation — the only join
+    shape that survives kNN at 100 TB; rows-only check)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    left = emb.where(F.col("vec_id") < 200)
+    return sim.knn_join_bucketed(left, emb, k=3).orderBy("left_id", "right_id")
+
+
 def q_mm_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched decode/feature kernel over binary
     media rows (deterministic fake decoder; rows-only check)."""
@@ -1236,6 +1254,8 @@ REGISTRY.update(
         "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_PAIRS),
         "dd_minhash_lsh": (q_dd_minhash_lsh, SQL_DD_MINHASH),
         "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH),
+        "sim_ivf_topk": (q_sim_ivf_topk, None),
+        "sim_knn_join": (q_sim_knn_join, None),
     }
 )
 
@@ -1261,3 +1281,58 @@ FROM events GROUP BY 1
 """
 
 REGISTRY["f12_hour_percentiles"] = (q_f12_hour_percentiles, SQL_F12)
+
+
+_A15_SPECS = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_a15_properties_df(spark, sf_dir):
+    """A15: get_properties_df (qcportal/dataset_models.py:2267-2314) — one
+    wide column per (specification × property key), all-null columns
+    dropped.
+
+    The entry×spec matrix is first made unique per cell (argmin by id — the
+    record_items PK guarantee the reference gets from its association
+    table), so the pivot's ``first()`` is deterministic.  The probed key set
+    includes a key absent from every row ("zz"), exercising the all-NaN
+    column drop."""
+    events = _t(spark, sf_dir, "events")
+    uniq = agg.argmin_per_group(
+        events.select(
+            F.col("user_id").alias("entry"),
+            F.col("event_type").alias("spec"),
+            F.from_json("props", "map<string,double>").alias("properties"),
+            "event_id",
+        ),
+        group_cols=["entry", "spec"],
+        order_cols=[F.col("event_id").asc()],
+    )
+    wide = pivot.properties_df(
+        uniq, "entry", "spec", "properties", keys=["k", "zz"], spec_values=_A15_SPECS
+    )
+    return pivot.drop_all_null_columns(wide, keep=["entry"])
+
+
+SQL_A15 = """
+WITH uniq AS (
+  SELECT entry, spec, props FROM (
+    SELECT user_id AS entry, event_type AS spec, props,
+           ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                              ORDER BY event_id) AS _rn
+    FROM events) WHERE _rn = 1
+)
+SELECT entry,
+       MIN(CASE WHEN spec = 'click'
+                THEN CAST(json_extract_string(props, 'k') AS DOUBLE) END) AS click_k,
+       MIN(CASE WHEN spec = 'error'
+                THEN CAST(json_extract_string(props, 'k') AS DOUBLE) END) AS error_k,
+       MIN(CASE WHEN spec = 'purchase'
+                THEN CAST(json_extract_string(props, 'k') AS DOUBLE) END) AS purchase_k,
+       MIN(CASE WHEN spec = 'signup'
+                THEN CAST(json_extract_string(props, 'k') AS DOUBLE) END) AS signup_k,
+       MIN(CASE WHEN spec = 'view'
+                THEN CAST(json_extract_string(props, 'k') AS DOUBLE) END) AS view_k
+FROM uniq GROUP BY entry
+"""
+
+REGISTRY["a15_properties_df"] = (q_a15_properties_df, SQL_A15)

@@ -157,3 +157,30 @@ def test_knn_join_bucketed_shapes(spark):
         assert r["left_id"] != r["right_id"]
         per_left[r["left_id"]] = per_left.get(r["left_id"], 0) + 1
     assert max(per_left.values()) <= 3
+
+
+def test_ivf_topk_recall_vs_brute_force(spark):
+    """IVF with all lists probed is exact; with 4/16 probed, recall@10 vs
+    the brute-force baseline stays useful (deterministic index, so the
+    bound is stable run-to-run)."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = {r["vec_id"] for r in sim.brute_force_topk(emb, qvec, k=10).collect()}
+
+    assigned, centroids = sim.ivf_assignments(emb, n_centroids=16)
+    assigned = assigned.localCheckpoint(eager=True)  # index built once, reused
+
+    full = sim.ivf_topk(
+        emb, qvec, k=10, n_probe=16, assigned=assigned, centroids=centroids
+    )
+    assert {r["vec_id"] for r in full.collect()} == exact  # all-probe == exact
+
+    approx = sim.ivf_topk(
+        emb, qvec, k=10, n_probe=4, assigned=assigned, centroids=centroids
+    )
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(got) == 10
+    assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
