@@ -1336,3 +1336,51 @@ FROM uniq GROUP BY entry
 """
 
 REGISTRY["a15_properties_df"] = (q_a15_properties_df, SQL_A15)
+
+
+def q_st_sessionize(spark, sf_dir):
+    """Session-window rollup per user (gap 30 min) — the engine's
+    sessionization surface (streaming/state.py; batch plan here, identical
+    aggregation streaming-side with a watermark).  Spark merges an event
+    into the open session iff ts < last_event + gap; the oracle reproduces
+    that with lag + cumulative-sum session ids."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), "30 minutes").alias("s"), "user_id"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum(F.col("value"), "sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+SQL_ST_SESSION = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM sess GROUP BY user_id, sid
+"""
+
+REGISTRY["st_sessionize"] = (q_st_sessionize, SQL_ST_SESSION)
