@@ -102,20 +102,35 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     k: int = 5,
     threshold: float = 0.8,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by exact character-k-gram Jaccard similarity.
 
     Plan: explode distinct shingles → self-join on shingle (bucket-local
     pair generation) → count common shingles per pair → Jaccard =
     common / (|A| + |B| - common) → threshold.  The shingle join is the
-    scale risk: a stop-shingle appearing in f docs yields f² pairs — at
-    100 TB add a shingle-frequency cap (drop shingles with df > limit)
-    before the join; candidates lost that way share only ubiquitous text.
-    """
+    scale risk: a stop-shingle appearing in f docs yields f² pairs —
+    ``max_doc_freq`` drops shingles with document frequency above the cap
+    *before* the join (one extra count-aggregate, cheap next to the f²
+    blowup it prevents).  Capping is conservative: |A|,|B| still count the
+    FULL shingle sets while ``common`` can only shrink, so similarity is
+    only ever *under*-estimated — no pair can cross the threshold because
+    of the cap, but pairs whose overlap is mostly stop-shingles may be
+    missed.  Default None (exact) for oracle parity at test sf; set at
+    100 TB."""
     sh = shingle_rows(df, text_col, id_col, k, distinct=True)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    join_sh = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, on="shingle", how="left_semi")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
     common = (
         a.join(b, on="shingle")
         .where(F.col("a.id") < F.col("b.id"))

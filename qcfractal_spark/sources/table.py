@@ -68,6 +68,42 @@ class MutableTable:
             shutil.rmtree(self._version_dir(old), ignore_errors=True)
         return v
 
+    def _commit_partition_scoped(
+        self, touched_survivors: DataFrame, touched_values: Sequence
+    ) -> int:
+        """Partition-scoped rewrite (single partition column): hardlink the
+        untouched partition directories from the previous version, write
+        only the touched partitions' surviving rows.  This is the physical
+        plan Delta executes for DELETE/MERGE — IO scales with the touched
+        partitions, not the table.  Touched partitions whose survivor set is
+        empty are simply not written (partition drop)."""
+        assert len(self.partition_by) == 1
+        pcol = self.partition_by[0]
+        prev = self.current_version()
+        assert prev is not None
+        v = prev + 1
+        vdir = self._version_dir(v)
+        os.makedirs(vdir, exist_ok=True)
+        touched_strs = {str(t) for t in touched_values}
+        prev_dir = self._version_dir(prev)
+        for entry in os.listdir(prev_dir):
+            if entry.startswith(f"{pcol}="):
+                if entry.split("=", 1)[1] not in touched_strs:
+                    shutil.copytree(
+                        os.path.join(prev_dir, entry),
+                        os.path.join(vdir, entry),
+                        copy_function=os.link,  # refcounted, no data copy
+                    )
+        if touched_strs:
+            touched_survivors.write.mode("append").partitionBy(pcol).parquet(vdir)
+        tmp = self._pointer + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"version": v, "ts": time.time()}, fh)
+        os.replace(tmp, self._pointer)
+        for old in range(v - 1):
+            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        return v
+
     # -- reads --------------------------------------------------------------
 
     def read(self, version: int | None = None) -> DataFrame:
@@ -123,16 +159,43 @@ class MutableTable:
             blocked = [r[id_col] for r in blocked_df.collect()]
         deletable = [i for i in ids if i not in set(blocked)]
         del_df = self.spark.createDataFrame([(i,) for i in deletable] or [(None,)], f"{id_col} long")
-        remaining = current.join(del_df, on=id_col, how="left_anti")
-        n_deleted = current.count() - remaining.count()
-        self._commit(remaining)
+        if len(self.partition_by) == 1:
+            pcol = self.partition_by[0]
+            touched = [
+                r[0]
+                for r in current.join(del_df, on=id_col, how="left_semi")
+                .select(pcol)
+                .distinct()
+                .collect()
+            ]
+            scoped = current.where(F.col(pcol).isin(touched))
+            remaining = scoped.join(del_df, on=id_col, how="left_anti")
+            n_deleted = scoped.count() - remaining.count()
+            self._commit_partition_scoped(remaining, touched)
+        else:
+            remaining = current.join(del_df, on=id_col, how="left_anti")
+            n_deleted = current.count() - remaining.count()
+            self._commit(remaining)
         return {"deleted": n_deleted, "errors": blocked}
 
     def retention_delete(self, ts_col: str, cutoff) -> int:
-        """S7/T6: drop rows older than the cutoff (partition drop when
-        partitioned by the time bucket)."""
+        """S7/T6: drop rows older than the cutoff.  On a partitioned table
+        only partitions containing expired rows are touched: fully-expired
+        partitions drop without a rewrite, straddling ones rewrite their
+        survivors, current ones are hardlinked untouched."""
         current = self.read()
-        remaining = current.where(F.col(ts_col) >= F.lit(cutoff))
+        keep = F.col(ts_col) >= F.lit(cutoff)
+        if len(self.partition_by) == 1:
+            pcol = self.partition_by[0]
+            touched = [
+                r[0] for r in current.where(~keep).select(pcol).distinct().collect()
+            ]
+            scoped = current.where(F.col(pcol).isin(touched))
+            remaining = scoped.where(keep)
+            n = scoped.count() - remaining.count()
+            self._commit_partition_scoped(remaining, touched)
+            return n
+        remaining = current.where(keep)
         n = current.count() - remaining.count()
         self._commit(remaining)
         return n

@@ -184,3 +184,29 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     got = {r["vec_id"] for r in approx.collect()}
     assert len(got) == 10
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
+
+
+def test_jaccard_doc_freq_cap_is_conservative(spark):
+    """With a df-cap, surviving pair scores never exceed the uncapped exact
+    score (similarity only under-estimated), and pairs built purely from
+    ubiquitous shingles disappear."""
+    from qcfractal_spark.functions import dedup as dd
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the the the the the the the the the the the"),
+        (4, "the the the the the the the the the the the"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.0).collect()
+    }
+    capped = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dd.ngram_jaccard_pairs(df, threshold=0.0, max_doc_freq=2).collect()
+    }
+    assert (3, 4) in exact and exact[(3, 4)] == 1.0
+    for pair, score in capped.items():
+        assert score <= exact[pair] + 1e-9, pair

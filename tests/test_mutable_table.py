@@ -93,3 +93,48 @@ def test_snapshot_export_roundtrip(spark):
             # value-level: symmetric difference is empty
             assert back.exceptAll(src).count() == 0
             assert src.exceptAll(back).count() == 0
+
+
+def test_partition_scoped_delete_links_untouched_partitions(spark):
+    """Partition-scoped DELETE: IO is proportional to touched partitions —
+    untouched partition files are hardlinks to the previous version's files
+    (same inode), expired partitions drop, straddling ones rewrite."""
+    import os
+
+    with tempfile.TemporaryDirectory() as d:
+        t = MutableTable(spark, d + "/tbl", partition_by=["p_day"])
+        rows = [
+            (i, f"v{i}", datetime(2024, 1, 1 + (i % 3)), 1 + (i % 3))
+            for i in range(30)
+        ]
+        t.overwrite(
+            spark.createDataFrame(rows, "id long, v string, ts timestamp, p_day int")
+        )
+        v0 = t._version_dir(t.current_version())
+        inodes_before = {
+            e: os.stat(os.path.join(v0, e, f)).st_ino
+            for e in os.listdir(v0)
+            if e.startswith("p_day=")
+            for f in os.listdir(os.path.join(v0, e))
+            if f.endswith(".parquet")
+        }
+
+        # delete two ids, both in partition p_day=1 → only that partition rewrites
+        res = t.delete_ids([0, 3], "id")
+        assert res == {"deleted": 2, "errors": []}
+        v1 = t._version_dir(t.current_version())
+        assert t.read().count() == 28
+        assert t.read().where("p_day = 1").count() == 8
+        for e in ["p_day=2", "p_day=3"]:
+            files = [f for f in os.listdir(os.path.join(v1, e)) if f.endswith(".parquet")]
+            assert any(
+                os.stat(os.path.join(v1, e, f)).st_ino in inodes_before.values()
+                for f in files
+            ), f"{e} was rewritten, expected hardlink"
+
+        # retention: cutoff drops p_day=1 (all ts 2024-01-01) entirely, keeps others
+        n = t.retention_delete("ts", datetime(2024, 1, 2))
+        assert n == 8
+        v2 = t._version_dir(t.current_version())
+        assert not os.path.isdir(os.path.join(v2, "p_day=1"))
+        assert t.read().count() == 20
