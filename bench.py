@@ -42,6 +42,11 @@ BENCH_QUERIES = [
     "tx_text_stats",        # text analysis pack
     "sim_topk",             # brute-force cosine top-k
     "sim_lsh_topk",         # LSH-bucketed ANN
+    "sim_ivf_topk",         # IVF-bucketed ANN (index built in-query)
+    "sim_cosine_pairs",     # exact all-pairs baseline (array-native BNLJ)
+    "st_sessionize",        # session-window rollup
+    "a15_properties_df",    # multi-key pivot matrix
+    "f12_hour_percentiles", # hour buckets + exact continuous percentiles
 ]
 
 

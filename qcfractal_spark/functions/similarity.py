@@ -120,6 +120,109 @@ def lsh_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def exact_cosine_pairs_topk(
+    df: DataFrame,
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+    candidate_pool: int = 200,
+) -> DataFrame:
+    """Exact global top-k most-similar pairs, two-phase:
+
+    1. *Candidate scan* — Arrow-batched numpy kernel (`mapInPandas`): each
+       batch computes one (batch × N) BLAS matmul against the broadcast
+       normalized matrix and keeps its top ``candidate_pool`` pairs.  A
+       per-batch pool ≥ k is lossless for the global top-k (any global
+       winner ranks ≤ k within its own batch); the pool is 10×k to also
+       absorb float divergence between BLAS and fold summation (~1e-13,
+       vs rounding at 1e-6).
+    2. *Exact rescore* — the surviving ≤pool pairs re-score with the same
+       index-ordered JVM left-fold the single-phase version used, so the
+       emitted scores are bit-identical to an oracle's sequential
+       ``list_dot_product`` — phase 1 only selects, never scores.
+
+    Memory envelope: the broadcast matrix is N×dim doubles — the exact
+    all-pairs baseline presumes N fits one executor (it's quadratic work
+    regardless); beyond that, the scale path is the LSH/IVF variants.
+    """
+    from pyspark.sql.functions import broadcast
+
+    data = df.select(
+        F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
+    ).collect()
+    ids = np.array([r[0] for r in data], dtype=np.int64)
+    mat = np.stack([np.asarray(r[1], dtype=np.float64) for r in data])
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0.0] = 1.0
+    bn = mat / norms[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, bn))
+    pool = max(candidate_pool, 10 * k)
+
+    def gen(batches):
+        bids, B = bc.value
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            M = np.stack(pdf["v"].to_numpy())
+            mn = np.linalg.norm(M, axis=1)
+            mn[mn == 0.0] = 1.0
+            S = (M / mn[:, None]) @ B.T
+            rid = pdf["id"].to_numpy()
+            S[bids[None, :] <= rid[:, None]] = -np.inf  # a < b pairs only
+            flat = S.ravel()
+            kk = min(pool, flat.size)
+            idx = np.argpartition(flat, -kk)[-kk:]
+            keep = np.isfinite(flat[idx])
+            idx = idx[keep]
+            bi, bj = np.unravel_index(idx, S.shape)
+            yield pd.DataFrame(
+                {"id_a": rid[bi], "id_b": bids[bj], "approx": flat[idx]}
+            )
+
+    cand = (
+        df.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(vec_col).cast("array<double>").alias("v"),
+        )
+        .mapInPandas(gen, "id_a long, id_b long, approx double")
+        .orderBy(F.col("approx").desc())
+        .limit(pool)
+    )
+    vecs = df.select(
+        F.col(id_col).cast("long").alias("_vid"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.sqrt(
+            F.aggregate(
+                F.transform(
+                    F.col(vec_col).cast("array<double>"), lambda x: x * x
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        ).alias("_nrm"),
+    )
+    a = vecs.select(
+        F.col("_vid").alias("id_a"), F.col("_v").alias("_va"), F.col("_nrm").alias("_na")
+    )
+    b = vecs.select(
+        F.col("_vid").alias("id_b"), F.col("_v").alias("_vb"), F.col("_nrm").alias("_nb")
+    )
+    rescored = (
+        broadcast(broadcast(cand).join(a, on="id_a"))
+        .join(b, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb")),
+                round_to,
+            ).alias("score"),
+        )
+    )
+    return rescored.orderBy(F.col("score").desc(), "id_a", "id_b").limit(k)
+
+
 def ivf_assignments(
     df: DataFrame,
     n_centroids: int = 16,

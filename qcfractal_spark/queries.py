@@ -1131,33 +1131,15 @@ SQL_D1 = "SELECT o_orderkey, o_totalprice * 2.0 AS extracted FROM orders"
 def q_sim_cosine_pairs(spark, sf_dir):
     """Embedding near-dup pairs, exact: top-20 most-similar pairs by cosine.
 
-    Array-native: vectors stay whole (no posexplode/self-join on the dim
-    index, which skews onto D keys and materializes N²·D rows).  Dot products
-    are index-ordered double left-folds (``zip_with``+``aggregate``) — the
-    same deterministic op sequence as DuckDB's ``list_dot_product``, proven
-    bitwise-matching by sim_topk's hash gate.  Pairs form via a broadcast
-    nested-loop join; norms are computed once per row, not per pair; the only
-    shuffle is the final TakeOrdered(20).
+    Two-phase (similarity.exact_cosine_pairs_topk): a vectorized Arrow/BLAS
+    candidate scan selects a per-batch top pool, then only the pool pairs
+    are re-scored with the index-ordered JVM left-fold — the same
+    deterministic op sequence as DuckDB's ``list_dot_product`` (proven
+    bitwise-matching by sim_topk's hash gate), so phase 1 only selects and
+    the emitted scores stay oracle-exact.
     """
     emb = _t(spark, sf_dir, "embeddings")
-    v = F.col("embedding").cast("array<double>")
-    vecs = emb.select(
-        "vec_id", v.alias("v"), F.sqrt(sim.dot(v, v)).alias("nrm")
-    )
-    a, b = vecs.alias("a"), vecs.alias("b")
-    scored = (
-        a.join(F.broadcast(b), F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(
-                sim.dot(F.col("a.v"), F.col("b.v"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
-                6,
-            ).alias("score"),
-        )
-    )
-    return scored.orderBy(F.col("score").desc(), "id_a", "id_b").limit(20)
+    return sim.exact_cosine_pairs_topk(emb, k=20)
 
 
 SQL_SIM_PAIRS = """
