@@ -1,0 +1,128 @@
+"""Property-based tests (hypothesis) — beyond the reference's combinatorial
+grids (SURVEY §5 notes it has no randomized testing):
+
+- keyset pagination tiles any table: pages are disjoint, internally
+  descending, and their union is exactly the table;
+- insert_dedup is idempotent (re-inserting a batch inserts nothing);
+- portable_hash64 matches DuckDB's md5-derived hash on arbitrary text
+  (the bit-parity MinHash/SimHash signatures depend on);
+- sessionize respects the gap invariant on arbitrary event streams
+  (no intra-session gap ≥ gap; consecutive sessions separated by ≥ gap).
+
+Examples are kept small: every example runs Spark jobs."""
+
+from __future__ import annotations
+
+import tempfile
+from datetime import datetime, timedelta
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SETTINGS = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=400), min_size=1, max_size=60),
+    page_size=st.integers(min_value=1, max_value=7),
+)
+@settings(**SETTINGS)
+def test_keyset_pagination_tiles_any_table(spark, ids, page_size):
+    from qcfractal_spark.plans.filters import keyset_page
+
+    distinct = sorted(set(ids))
+    df = spark.createDataFrame([(i,) for i in distinct], "id long")
+    seen: list[int] = []
+    cursor = None
+    while True:
+        page = [r["id"] for r in keyset_page(df, "id", cursor, page_size).collect()]
+        if not page:
+            break
+        assert page == sorted(page, reverse=True)  # newest-first within page
+        seen.extend(page)
+        cursor = page[-1]
+    assert seen == sorted(distinct, reverse=True)  # disjoint + exhaustive
+
+
+@given(
+    keys=st.lists(
+        st.text(alphabet="abcdef", min_size=1, max_size=3), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_insert_dedup_idempotent(spark, keys):
+    from qcfractal_spark.sources.table import MutableTable
+
+    with tempfile.TemporaryDirectory() as d:
+        t = MutableTable(spark, d + "/tbl")
+        base = spark.createDataFrame([(k, 1) for k in set(keys)], "k string, v long")
+        t.overwrite(base.limit(0))
+        first = t.insert_dedup(base, ["k"])
+        assert first["inserted"] == len(set(keys))
+        again = t.insert_dedup(base, ["k"])
+        assert again["inserted"] == 0
+        assert again["existing"] == len(set(keys))
+        assert t.read().count() == len(set(keys))
+
+
+@given(
+    texts=st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",), max_codepoint=0x2FFF),
+            max_size=40,
+        ),
+        min_size=1,
+        max_size=20,
+        unique=True,
+    )
+)
+@settings(**SETTINGS)
+def test_portable_hash_matches_duckdb(spark, duck, texts):
+    from qcfractal_spark.functions.text import portable_hash64
+
+    df = spark.createDataFrame([(t,) for t in texts], "s string")
+    got = {
+        r["s"]: r["h"]
+        for r in df.select("s", portable_hash64(F.col("s")).alias("h")).collect()
+    }
+    for t in texts:
+        expect = duck.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 8))::BIGINT", [t]
+        ).fetchone()[0]
+        assert got[t] == expect, repr(t)
+
+
+@given(
+    offsets=st.lists(
+        st.integers(min_value=0, max_value=6 * 3600), min_size=1, max_size=40
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_gap_invariant(spark, offsets):
+    from qcfractal_spark.streaming.state import sessionize
+
+    base = datetime(2024, 1, 1)
+    rows = [(base + timedelta(seconds=o), 1, 1.0) for o in offsets]
+    df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
+    gap = timedelta(minutes=30)
+    sessions = sorted(
+        (r["session_start"], r["session_end"], r["n_events"])
+        for r in sessionize(df, gap="30 minutes").collect()
+    )
+    ts = sorted(base + timedelta(seconds=o) for o in set(offsets))
+    # sessions tile the events exactly
+    assert sum(s[2] for s in sessions) == len(ts)
+    for i, (start, end, _n) in enumerate(sessions):
+        covered = [t for t in ts if start <= t < end]
+        # every covered inter-event gap is < gap and the window ends gap
+        # after its last event
+        for a, b in zip(covered, covered[1:]):
+            assert b - a < gap
+        assert end == covered[-1] + gap
+        if i + 1 < len(sessions):
+            assert sessions[i + 1][0] - covered[-1] >= gap
