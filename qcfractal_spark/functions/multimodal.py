@@ -97,6 +97,57 @@ def extract_features(media: DataFrame, fake: bool = True, batch_hint: int | None
     return media.select("media_id", "kind", "content").mapInPandas(run, FEATURE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "media_id long, kind string, content binary, width int, height int, "
+    "resize_ok string"
+)
+
+
+def _resize_fake(content: bytes, width: int, height: int) -> bytes:
+    """Deterministic fake resize: re-tile the payload bytes to width×height
+    by index striding — stands in for a PIL/ffmpeg resample so the schema,
+    batch shape and binary round-trip are real and testable."""
+    if content is None or len(content) == 0:
+        return bytes(width * height)
+    n = width * height
+    src = len(content)
+    return bytes(content[(i * src) // n] for i in range(n))
+
+
+def resize_media(
+    media: DataFrame, width: int, height: int, fake: bool = True
+) -> DataFrame:
+    """Resize kernel over Arrow-batched mapInPandas: binary in → binary out
+    with typed size metadata.  Same partitioning contract as
+    :func:`extract_features`; the real decoder slot raises
+    :class:`DecoderUnavailable` (codecs not installed here)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs, oks = [], []
+            for content in pdf["content"]:
+                try:
+                    if not fake:
+                        _decode_real(content, "image")
+                    outs.append(_resize_fake(content, width, height))
+                    oks.append("ok")
+                except DecoderUnavailable:
+                    outs.append(None)
+                    oks.append("decoder_unavailable")
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "content": outs,
+                    "width": [width] * len(pdf),
+                    "height": [height] * len(pdf),
+                    "resize_ok": oks,
+                }
+            )
+
+    return media.select("media_id", "kind", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into per-frame
     stub rows (timestamps) without decoding — the real frame extraction

@@ -35,3 +35,19 @@ def test_frame_sample_plan(spark):
     assert all(r["frame_ts"] == r["frame_idx"] * 1.0 for r in rows)
     videos = media.where("kind = 'video'").count()
     assert frames.select("media_id").distinct().count() == videos
+
+
+def test_resize_media_binary_roundtrip(spark):
+    from qcfractal_spark.functions.multimodal import make_fake_media, resize_media
+
+    media = make_fake_media(spark, n=16)
+    out = resize_media(media, width=4, height=3).collect()
+    assert len(out) == 16
+    for r in out:
+        assert r["resize_ok"] == "ok"
+        assert (r["width"], r["height"]) == (4, 3)
+        assert len(r["content"]) == 12  # binary payload re-tiled to w*h
+    # real-decoder slot degrades gracefully, never crashes the job
+    degraded = resize_media(media, width=2, height=2, fake=False).collect()
+    assert all(r["resize_ok"] == "decoder_unavailable" for r in degraded)
+    assert all(r["content"] is None for r in degraded)
