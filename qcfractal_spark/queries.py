@@ -1366,3 +1366,34 @@ FROM sess GROUP BY user_id, sid
 """
 
 REGISTRY["st_sessionize"] = (q_st_sessionize, SQL_ST_SESSION)
+
+
+def q_t2_enrichment(spark, sf_dir):
+    """T2: incremental high-watermark enrichment
+    (serverinfo/socket.py:212-285) as a verifiable batch: rows newer than
+    the stored watermark are enriched by a broadcast join against a
+    distinct-key lookup (here: per-user first-seen date derived from
+    history, the analog of the geo table built from distinct IPs)."""
+    from .streaming.ingest import incremental_enrichment_batch
+
+    events = _t(spark, sf_dir, "events")
+    watermark = datetime(2024, 1, 25)
+    lookup = events.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_seen")
+    )
+    out = incremental_enrichment_batch(
+        events, lookup, watermark, ts_col="ts", key_col="user_id"
+    )
+    return out.select("event_id", "user_id", "first_seen")
+
+
+SQL_T2 = """
+WITH lookup AS (
+  SELECT user_id, MIN(CAST(ts AS DATE)) AS first_seen FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, l.first_seen
+FROM events e LEFT JOIN lookup l ON e.user_id = l.user_id
+WHERE e.ts > TIMESTAMP '2024-01-25 00:00:00'
+"""
+
+REGISTRY["t2_enrichment"] = (q_t2_enrichment, SQL_T2)
