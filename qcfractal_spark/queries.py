@@ -897,8 +897,8 @@ FROM bits GROUP BY doc_id
 def q_dd_minhash_lsh(spark, sf_dir):
     """MinHash(16 perms) + LSH banding (4 bands × 4 rows) candidate pairs.
     Signatures use the portable md5-derived hash, so this is exactly
-    reproducible — but the SQL mirror is deferred; the driver records a
-    rows-only check for now."""
+    reproducible; the oracle (SQL_DD_MINHASH) replays the same permutation
+    table and banding in DuckDB."""
     docs = _t(spark, sf_dir, "documents")
     # Materialize signatures once: the banding self-join would otherwise
     # evaluate the signature subplan on both sides.
@@ -929,7 +929,7 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
 
 
 def q_sim_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH bucketed approximate top-10 (scale path; rows-only
+    """Hyperplane-LSH bucketed approximate top-10 (scale path; exact-hash
     check — recall is probabilistic by design)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
@@ -939,7 +939,8 @@ def q_sim_lsh_topk(spark, sf_dir):
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-10 (the second scale path beside LSH:
     deterministic k-means coarse quantizer, probe the 4 nearest of 16
-    inverted lists; rows-only check — recall is probabilistic by design)."""
+    inverted lists; SQL_SIM_IVF replays the full k-means build in DuckDB
+    for an exact-hash check)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return sim.ivf_topk(emb, qvec, k=10)
@@ -948,7 +949,7 @@ def q_sim_ivf_topk(spark, sf_dir):
 def q_sim_knn_join(spark, sf_dir):
     """Bucketed approximate kNN self-join (top-3 neighbors per vector for
     the first 200 vectors; bucket-local pair generation — the only join
-    shape that survives kNN at 100 TB; rows-only check)."""
+    shape that survives kNN at 100 TB; exact-hash check vs SQL_SIM_KNN)."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") < 200)
     return sim.knn_join_bucketed(left, emb, k=3).orderBy("left_id", "right_id")
@@ -956,7 +957,9 @@ def q_sim_knn_join(spark, sf_dir):
 
 def q_mm_features(spark, sf_dir):
     """Multimodal plumbing: Arrow-batched decode/feature kernel over binary
-    media rows (deterministic fake decoder; rows-only check)."""
+    media rows (deterministic fake decoder; exact-hash check vs
+    SQL_MM_FEATURES, which re-derives payload bytes and the histogram
+    moment in pure SQL)."""
     from .functions import multimodal as mm
 
     media = mm.make_fake_media(spark, n=64)
@@ -1011,7 +1014,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dd_minhash_lsh": (q_dd_minhash_lsh, None),
     "sim_topk": (q_sim_topk, SQL_SIM_TOPK),
     "sim_lsh_topk": (q_sim_lsh_topk, None),
-    "mm_features": (q_mm_features, None),
+    "mm_features": (q_mm_features, None),  # oracle attached below, after SQL_MM_FEATURES
 }
 
 
@@ -1226,6 +1229,134 @@ ORDER BY score DESC, vec_id ASC LIMIT 10
 
 SQL_SIM_LSH = _lsh_topk_oracle_sql()
 
+
+def _knn_join_oracle_sql() -> str:
+    """DuckDB mirror of the bucketed kNN self-join: same deterministic
+    hyperplane buckets (6 planes), bucket-equi pairs, top-3 per left by
+    (rounded score desc, right_id) — identical rank tie-break."""
+    from .functions.similarity import _hyperplanes
+
+    planes = _hyperplanes(64, 6)
+
+    def arr(p):
+        return "[" + ", ".join(repr(v) for v in p) + "]"
+
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {arr(p)}) > 0 THEN {2**i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (SELECT vec_id, v, {bucket_expr} AS bucket FROM e),
+l AS (SELECT vec_id AS left_id, v AS lv, bucket FROM b WHERE vec_id < 200),
+pairs AS (
+  SELECT l.left_id, r.vec_id AS right_id,
+         ROUND(list_dot_product(l.lv, r.v)
+               / (sqrt(list_dot_product(l.lv, l.lv))
+                  * sqrt(list_dot_product(r.v, r.v))), 6) AS score
+  FROM l JOIN b r ON l.bucket = r.bucket AND l.left_id <> r.vec_id
+),
+rn AS (
+  SELECT left_id, right_id, score,
+         row_number() OVER (PARTITION BY left_id
+                            ORDER BY score DESC, right_id) AS rn
+  FROM pairs
+)
+SELECT left_id, right_id, score FROM rn WHERE rn <= 3
+"""
+
+
+SQL_SIM_KNN = _knn_join_oracle_sql()
+
+
+# DuckDB mirror of the multimodal fake-decode kernel: make_fake_media's
+# payload is bytes((i*31 + j*7) % 256, j < 128 + (i%5)*64) and _decode_fake's
+# feature[0] is the fraction of bytes with b % 8 == 0 — both re-derivable in
+# pure SQL, so the Arrow kernel's output is exact-hash checkable.
+SQL_MM_FEATURES = """
+WITH m AS (SELECT i AS media_id, 128 + (i % 5) * 64 AS plen
+           FROM generate_series(0, 63) t(i)),
+b AS (SELECT media_id, (media_id * 31 + j * 7) % 256 AS byte
+      FROM m, generate_series(0, 383) g(j) WHERE j < plen)
+SELECT media_id,
+       ROUND(SUM(CASE WHEN byte % 8 = 0 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*), 6) AS f0,
+       'ok' AS decode_ok
+FROM b GROUP BY media_id
+"""
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
+                    dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of the deterministic IVF index build + probe.
+
+    Replays ivf_assignments exactly: init = the ``n_centroids`` lowest-id
+    vectors, each Lloyd iteration = argmax over centroid·v/|c| (ties to the
+    lowest cid, matching np.argmax) then per-(cid, dim) mean with
+    empty-cluster carry-forward, final probe = the ``n_probe`` centroids
+    nearest the query.  Centroid means differ from Spark only in float
+    summation order, which can flip an assignment solely on an exact
+    argmax near-tie — absent ties the candidate sets are identical and the
+    final scores are pure functions of (v, q), so the hash matches."""
+    score = ("list_dot_product(e.v, c.v) / (CASE WHEN list_dot_product(c.v, c.v) = 0 "
+             "THEN 1.0 ELSE sqrt(list_dot_product(c.v, c.v)) END)")
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {n_centroids})
+)""",
+    ]
+    for it in range(n_iter):
+        parts.append(f"""a{it} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {score} DESC, c.cid ASC) AS rn
+    FROM e, c{it} c) WHERE rn = 1
+)""")
+        parts.append(f"""m{it} AS (
+  SELECT cid, j, AVG(v[j]) AS m
+  FROM a{it}, generate_series(1, {dim}) t(j)
+  GROUP BY cid, j
+)""")
+        parts.append(f"""c{it + 1} AS (
+  SELECT g.cid, list(COALESCE(m.m, g.x) ORDER BY g.j) AS v
+  FROM (SELECT cid, j, v[j] AS x
+        FROM c{it}, generate_series(1, {dim}) t(j)) g
+  LEFT JOIN m{it} m ON m.cid = g.cid AND m.j = g.j
+  GROUP BY g.cid
+)""")
+    cf = f"c{n_iter}"
+    parts.append(f"""afin AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+                              ORDER BY {score} DESC, c.cid ASC) AS rn
+    FROM e, {cf} c) WHERE rn = 1
+)""")
+    parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
+    parts.append(f"""pr AS (
+  SELECT cid FROM {cf} c, q
+  ORDER BY list_dot_product(c.v, q.qv)
+           / (sqrt(list_dot_product(q.qv, q.qv))
+              * sqrt(list_dot_product(c.v, c.v))) DESC, cid ASC
+  LIMIT {n_probe}
+)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT a.vec_id,
+       ROUND(list_dot_product(a.v, q.qv)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+FROM afin a, q
+WHERE a.cid IN (SELECT cid FROM pr)
+ORDER BY score DESC, vec_id ASC LIMIT {k}
+"""
+
+
+SQL_SIM_IVF = _ivf_oracle_sql()
+
 REGISTRY.update(
     {
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
@@ -1236,8 +1367,9 @@ REGISTRY.update(
         "sim_cosine_pairs": (q_sim_cosine_pairs, SQL_SIM_PAIRS),
         "dd_minhash_lsh": (q_dd_minhash_lsh, SQL_DD_MINHASH),
         "sim_lsh_topk": (q_sim_lsh_topk, SQL_SIM_LSH),
-        "sim_ivf_topk": (q_sim_ivf_topk, None),
-        "sim_knn_join": (q_sim_knn_join, None),
+        "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF),
+        "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN),
+        "mm_features": (q_mm_features, SQL_MM_FEATURES),
     }
 )
 
