@@ -95,3 +95,63 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
         F.col("parent_id").alias("a"), F.col("child_id").alias("b")
     ).unionByName(edges.select(F.col("child_id").alias("a"), F.col("parent_id").alias("b")))
     return _closure(seeds, undirected, "a", "b", None)
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation: every node ends up
+    labeled with the smallest node id in its component.
+
+    Each iteration is one join (labels onto edge endpoints) + one min-agg —
+    both shuffle on the node id, so the same partitioning is reused across
+    iterations.  Convergence is detected by the monotone invariant
+    sum(label) — strictly decreasing until the fixpoint — which costs one
+    tiny aggregate per round instead of a change-count join.  Iterations
+    needed = component diameter: the right trade for dedup clustering,
+    where near-dup components are dense and shallow (cliques from LSH
+    buckets).  For adversarial long-chain graphs swap in alternating
+    large-star/small-star (O(log n) rounds, same join shapes).
+
+    Returns ``(id, component)`` for every node appearing in ``edges``;
+    callers left-join and coalesce to assign singletons their own id.
+    """
+    und = edges.select(
+        F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
+    )
+    und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    und = und.dropDuplicates(["src", "dst"]).persist(StorageLevel.MEMORY_AND_DISK)
+    labels = (
+        und.select(F.col("src").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("component")).first()[0]
+    try:
+        for _ in range(max_iter):
+            nbr = (
+                und.join(labels, und["dst"] == labels["id"], "inner")
+                .groupBy("src")
+                .agg(F.min("component").alias("_nbr_min"))
+            )
+            labels = (
+                labels.join(nbr, labels["id"] == nbr["src"], "left")
+                .select(
+                    "id",
+                    F.least(
+                        F.col("component"), F.coalesce("_nbr_min", F.col("component"))
+                    ).alias("component"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            cur_sum = labels.agg(F.sum("component")).first()[0]
+            if cur_sum == prev_sum:
+                break
+            prev_sum = cur_sum
+    finally:
+        und.unpersist()
+    return labels

@@ -1357,6 +1357,52 @@ ORDER BY score DESC, vec_id ASC LIMIT {k}
 
 SQL_SIM_IVF = _ivf_oracle_sql()
 
+
+def q_dd_cluster(spark, sf_dir):
+    """Near-dup cluster assignment: MinHash-LSH candidate pairs → connected
+    components (min-label propagation, operators/graph.py) → every document
+    labeled with the smallest doc_id in its near-dup cluster (singletons
+    label themselves).  The canonical "which rows survive" step after LSH
+    candidate generation in a training-data dedup pipeline: downstream,
+    keep rows WHERE id = cluster_id."""
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dd.minhash_lsh_candidates(sigs)
+    comp = connected_components(pairs, "id_a", "id_b")
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id"))
+    )
+
+
+def _cluster_oracle_sql() -> str:
+    """DuckDB mirror of dd_cluster: the generated MinHash-LSH pair SQL as a
+    derived table, transitive closure via a recursive CTE, component label =
+    min reachable id (LEAST with self covers isolated-pair direction)."""
+    pairs_sql = _minhash_oracle_sql()
+    return f"""
+WITH RECURSIVE pairs AS (SELECT * FROM ({pairs_sql}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (SELECT src AS id, MIN(dst) AS mn FROM reach GROUP BY src)
+SELECT d.doc_id AS id, COALESCE(LEAST(l.id, l.mn), d.doc_id) AS cluster_id
+FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
+"""
+
+
+SQL_DD_CLUSTER = _cluster_oracle_sql()
+
 REGISTRY.update(
     {
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
@@ -1370,6 +1416,7 @@ REGISTRY.update(
         "sim_ivf_topk": (q_sim_ivf_topk, SQL_SIM_IVF),
         "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN),
         "mm_features": (q_mm_features, SQL_MM_FEATURES),
+        "dd_cluster": (q_dd_cluster, SQL_DD_CLUSTER),
     }
 )
 

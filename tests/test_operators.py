@@ -98,6 +98,18 @@ def test_closure_descendants_ancestors_relatives_with_cycle(spark):
     assert d1 == {2}
 
 
+def test_connected_components_chain_cycle_and_separate(spark):
+    # component {1,2,3,4} (chain), {10,11} (cycle), {20,21,22} (star on 21)
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (11, 10), (21, 20), (21, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r["id"]: r["component"] for r in graph.connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
 def test_missing_cells(spark):
     entries = spark.createDataFrame([("e1",), ("e2",)], "entry_name string")
     specs = spark.createDataFrame([("s1",), ("s2",)], "specification_name string")
