@@ -1403,6 +1403,45 @@ FROM documents d LEFT JOIN lab l ON d.doc_id = l.id
 
 SQL_DD_CLUSTER = _cluster_oracle_sql()
 
+
+def q_j13_asof(spark, sf_dir):
+    """J13 (beyond-reference): as-of join — each click event matched to the
+    latest error event at-or-before it for the same user (union + window
+    carry-forward in operators/joins.py:asof_join_backward; one shuffle on
+    user_id, no row-multiplying join)."""
+    from .operators.joins import asof_join_backward
+
+    events = _t(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    errors = events.where(F.col("event_type") == "error").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join_backward(
+        clicks, errors, key_col="user_id", ts_col="ts",
+        right_id_col="event_id", payload_cols=("value",),
+    )
+    return out.select("event_id", "user_id", "ref_event_id", "ref_value")
+
+
+# Backward inclusive as-of: the matching right row is the max (ts, event_id)
+# with ts <= left.ts — the rank mirror of the window carry-forward.  (DuckDB
+# has a native ASOF JOIN but leaves exact-ts duplicate ties unspecified;
+# the explicit rank pins the same deterministic tie-break as the Spark plan.)
+SQL_J13 = """
+WITH c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+e AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'error'),
+j AS (
+  SELECT c.event_id, c.user_id,
+         e.event_id AS ref_event_id, e.value AS ref_value,
+         row_number() OVER (PARTITION BY c.event_id
+                            ORDER BY e.ts DESC, e.event_id DESC) AS rn
+  FROM c LEFT JOIN e ON e.user_id = c.user_id AND e.ts <= c.ts
+)
+SELECT event_id, user_id, ref_event_id, ref_value FROM j WHERE rn = 1
+"""
+
 REGISTRY.update(
     {
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
@@ -1417,6 +1456,7 @@ REGISTRY.update(
         "sim_knn_join": (q_sim_knn_join, SQL_SIM_KNN),
         "mm_features": (q_mm_features, SQL_MM_FEATURES),
         "dd_cluster": (q_dd_cluster, SQL_DD_CLUSTER),
+        "j13_asof": (q_j13_asof, SQL_J13),
     }
 )
 

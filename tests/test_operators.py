@@ -110,6 +110,34 @@ def test_connected_components_chain_cycle_and_separate(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
 
 
+def test_asof_join_backward_tie_break_inclusive_and_null_payload(spark):
+    from qcfractal_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(100, 1, 10.0), (101, 1, 20.0), (102, 1, 5.0), (103, 2, 50.0)],
+        "event_id long, user_id long, ts double",
+    )
+    right = spark.createDataFrame(
+        # user 1: two rights at ts=10.0 (exact-ts tie with left 100 → inclusive,
+        # max event_id wins); event 7 has NULL value (payload must still come
+        # from event 7, not fall back to event 6's value)
+        [(6, 1, 10.0, 1.5), (7, 1, 10.0, None), (8, 1, 15.0, 3.0)],
+        "event_id long, user_id long, ts double, value double",
+    )
+    out = {
+        r["event_id"]: (r["ref_event_id"], r["ref_value"])
+        for r in asof_join_backward(
+            left, right, "user_id", "ts", "event_id", ("value",)
+        ).collect()
+    }
+    assert out == {
+        100: (7, None),   # inclusive exact-ts; tie → max right id; NULL stays
+        101: (8, 3.0),    # latest at-or-before 20.0
+        102: (None, None),  # no right at-or-before 5.0
+        103: (None, None),  # user 2 has no rights at all
+    }
+
+
 def test_missing_cells(spark):
     entries = spark.createDataFrame([("e1",), ("e2",)], "entry_name string")
     specs = spark.createDataFrame([("s1",), ("s2",)], "specification_name string")
