@@ -141,3 +141,59 @@ def asof_join_backward(
         F.col(f"_match.{right_id_col}").alias(f"{out_prefix}{right_id_col}")
     ] + [F.col(f"_match.{c}").alias(f"{out_prefix}{c}") for c in payload_cols]
     return matched.where(F.col("_side") == 1).select(*out_cols)
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: float,
+    upper_s: float,
+    bucket_s: float | None = None,
+    inclusive_lower: bool = False,
+    inclusive_upper: bool = True,
+) -> DataFrame:
+    """Interval (range) join: pair each left row with the right rows whose
+    timestamp falls in ``(left.ts + lower_s, left.ts + upper_s]`` for the
+    same key (bound inclusivity configurable).
+
+    Naive range joins degenerate to a per-key cross product filtered late
+    (Spark plans them as BroadcastNestedLoop when no equi-key exists).  The
+    scale plan is bucketization: rights get one time bucket of width
+    ``bucket_s`` (default: the interval span), lefts explode to the (at
+    most ⌈span/bucket⌉+1) buckets their window overlaps, the join is a
+    plain equi-join on (key, bucket) — shuffle-bounded, AQE/skew-join
+    eligible — and the exact predicate filters bucket-local candidates.
+    A right row owns exactly one bucket, so no pair is produced twice and
+    no dedup pass is needed.  Bucket ids come from epoch seconds as double
+    (exact for micro-precision timestamps within the 53-bit mantissa); the
+    final predicate compares native timestamps, so bucketing only ever
+    widens candidates, never changes results.
+
+    Returns the joined rows (all left columns + all right columns).
+    """
+    if left_ts == right_ts:
+        raise ValueError(
+            "left_ts and right_ts must have distinct names (rename one side "
+            "before joining) so the post-join range predicate is unambiguous"
+        )
+    span = float(upper_s - lower_s)
+    w = float(bucket_s) if bucket_s is not None else span
+    if w <= 0:
+        raise ValueError("bucket width must be positive")
+    lts_d = F.col(left_ts).cast("double")
+    rts_d = F.col(right_ts).cast("double")
+    lo_b = F.floor((lts_d + F.lit(float(lower_s))) / F.lit(w)).cast("long")
+    hi_b = F.floor((lts_d + F.lit(float(upper_s))) / F.lit(w)).cast("long")
+    l = left.withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))
+    r = right.withColumn("_b", F.floor(rts_d / F.lit(w)).cast("long"))
+    lo_cmp = (rts_d >= lts_d + F.lit(float(lower_s))) if inclusive_lower else (
+        rts_d > lts_d + F.lit(float(lower_s))
+    )
+    hi_cmp = (rts_d <= lts_d + F.lit(float(upper_s))) if inclusive_upper else (
+        rts_d < lts_d + F.lit(float(upper_s))
+    )
+    joined = l.join(r, on=[key_col, "_b"] if key_col else ["_b"], how="inner")
+    return joined.where(lo_cmp & hi_cmp).drop("_b")

@@ -1442,6 +1442,65 @@ j AS (
 SELECT event_id, user_id, ref_event_id, ref_value FROM j WHERE rn = 1
 """
 
+
+def q_j14_interval(spark, sf_dir):
+    """J14 (beyond-reference): interval/range join — for each error event,
+    the click events by the same user strictly after it and within 15
+    minutes, aggregated per error (operators/joins.py:interval_join:
+    bucketized equi-join, never a per-key cross product).  Aggregates are
+    order-independent (count / max / exact min-gap) so the hash is stable
+    across engines; the min gap is a difference of micro-precision epoch
+    doubles, which are exact in 53-bit mantissa."""
+    from .operators.joins import interval_join
+
+    events = _t(spark, sf_dir, "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("clk_ts"), F.col("value").alias("clk_value")
+    )
+    pairs = interval_join(
+        errors, clicks, key_col="user_id",
+        left_ts="err_ts", right_ts="clk_ts", lower_s=0.0, upper_s=900.0,
+    )
+    agg = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.max("clk_value").alias("max_click_value"),
+        F.round(
+            F.min(F.col("clk_ts").cast("double") - F.col("err_ts").cast("double")), 6
+        ).alias("min_gap_s"),
+    )
+    return (
+        errors.join(agg, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+            "max_click_value",
+            "min_gap_s",
+        )
+    )
+
+
+SQL_J14 = """
+WITH err AS (
+  SELECT event_id, user_id, ts AS err_ts FROM events WHERE event_type = 'error'
+),
+clk AS (
+  SELECT user_id, ts AS clk_ts, value AS clk_value FROM events WHERE event_type = 'click'
+)
+SELECT e.event_id, e.user_id,
+       COUNT(c.clk_ts) AS n_clicks,
+       MAX(c.clk_value) AS max_click_value,
+       ROUND(MIN(epoch(c.clk_ts) - epoch(e.err_ts)), 6) AS min_gap_s
+FROM err e LEFT JOIN clk c
+  ON c.user_id = e.user_id
+ AND c.clk_ts > e.err_ts
+ AND epoch(c.clk_ts) <= epoch(e.err_ts) + 900.0
+GROUP BY e.event_id, e.user_id
+"""
+
 REGISTRY.update(
     {
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
@@ -1457,6 +1516,7 @@ REGISTRY.update(
         "mm_features": (q_mm_features, SQL_MM_FEATURES),
         "dd_cluster": (q_dd_cluster, SQL_DD_CLUSTER),
         "j13_asof": (q_j13_asof, SQL_J13),
+        "j14_interval": (q_j14_interval, SQL_J14),
     }
 )
 

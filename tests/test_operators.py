@@ -138,6 +138,40 @@ def test_asof_join_backward_tie_break_inclusive_and_null_payload(spark):
     }
 
 
+def test_interval_join_bucket_boundaries(spark):
+    import datetime as dt
+
+    from qcfractal_spark.operators.joins import interval_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 1, ts(100.0)), (2, 1, ts(850.0)), (3, 2, ts(100.0))],
+        "lid long, user_id long, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        # for lid=1 (window (100, 1000]): 100.0 excluded (strict lower),
+        # 1000.0 included (inclusive upper), 1000.5 excluded; 950 crosses
+        # the 900s bucket boundary — the explode must still find it.
+        [
+            (10, 1, ts(100.0)),
+            (11, 1, ts(950.0)),
+            (12, 1, ts(1000.0)),
+            (13, 1, ts(1000.5)),
+            (14, 2, ts(2000.0)),
+        ],
+        "rid long, user_id long, rts timestamp",
+    )
+    out = interval_join(
+        left, right, "user_id", "lts", "rts", lower_s=0.0, upper_s=900.0
+    )
+    pairs = {(r["lid"], r["rid"]) for r in out.collect()}
+    assert pairs == {(1, 11), (1, 12), (2, 11), (2, 12), (2, 13)}
+
+
 def test_missing_cells(spark):
     entries = spark.createDataFrame([("e1",), ("e2",)], "entry_name string")
     specs = spark.createDataFrame([("s1",), ("s2",)], "specification_name string")

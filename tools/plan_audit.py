@@ -42,6 +42,8 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 SMJ_OK = {
     "dd_jaccard",  # shingle self-join: both sides are fact-sized
     "dd_minhash_lsh",  # band-bucket self-join: both sides fact-sized
+    "dd_cluster",  # band join + component-label joins: fact-sized sides
+    "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
