@@ -47,6 +47,9 @@ BENCH_QUERIES = [
     "st_sessionize",        # session-window rollup
     "a15_properties_df",    # multi-key pivot matrix
     "f12_hour_percentiles", # hour buckets + exact continuous percentiles
+    "dd_cluster",           # LSH pairs → connected-components labeling
+    "j13_asof",             # as-of join (union + window carry-forward)
+    "j14_interval",         # bucketized interval join + per-left agg
 ]
 
 

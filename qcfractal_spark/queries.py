@@ -1501,8 +1501,69 @@ FROM err e LEFT JOIN clk c
 GROUP BY e.event_id, e.user_id
 """
 
+def q_tx_repetition(spark, sf_dir):
+    """TX+ (beyond-reference): Gopher-style repetition quality signals per
+    document — top-word fraction and distinct-word ratio, the standard
+    "drop boilerplate/spam" features of a training-data filter.  Two
+    map-side-combinable aggregations keyed by (doc_id, word) then doc_id;
+    ratios are IEEE divisions of exact small ints, so the hash is stable."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).where(F.length("w") > 0)
+    wc = words.groupBy("doc_id", "w").agg(F.count(F.lit(1)).alias("c"))
+    return wc.groupBy("doc_id").agg(
+        F.sum("c").alias("n_words"),
+        F.round(F.max("c") / F.sum("c"), 6).alias("top_word_frac"),
+        F.round(F.count(F.lit(1)) / F.sum("c"), 6).alias("distinct_ratio"),
+    )
+
+
+SQL_TX_REP = r"""
+WITH w AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents) t
+  WHERE length(w) > 0
+),
+wc AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+SELECT doc_id, SUM(c) AS n_words,
+       ROUND(MAX(c)::DOUBLE / SUM(c), 6) AS top_word_frac,
+       ROUND(COUNT(*)::DOUBLE / SUM(c), 6) AS distinct_ratio
+FROM wc GROUP BY doc_id
+"""
+
+
+def q_u5_stratified_sample(spark, sf_dir):
+    """U5 (beyond-reference): deterministic hash-stratified sampling — the
+    data-mixing primitive of a training pipeline.  Per-language keep rates
+    applied via the portable md5 hash mod 100, so the sample is (a) exactly
+    reproducible across engines and resubmissions and (b) a pure scan-side
+    filter: no shuffle, no RNG state, prunes to the sampled subset at the
+    reader at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    rates = {"en": 35, "de": 60, "es": 60, "fr": 60, "zh": 60}
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in rates.items()],
+        F.lit(10),
+    )
+    bucket = F.pmod(tx.portable_hash64(F.col("doc_id").cast("string")), F.lit(100))
+    return docs.where(bucket < rate).select("doc_id", "lang", "source")
+
+
+SQL_U5 = """
+SELECT doc_id, lang, source
+FROM documents
+WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
+      CASE lang WHEN 'en' THEN 35 WHEN 'de' THEN 60 WHEN 'es' THEN 60
+                WHEN 'fr' THEN 60 WHEN 'zh' THEN 60 ELSE 10 END
+"""
+
+
 REGISTRY.update(
     {
+        "tx_repetition": (q_tx_repetition, SQL_TX_REP),
+        "u5_stratified_sample": (q_u5_stratified_sample, SQL_U5),
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
         "a11_sample_keys": (q_a11_sample_keys, SQL_A11),
         "f9_content_hash": (q_f9_content_hash, SQL_F9),
