@@ -65,3 +65,40 @@ def incremental_enrichment_batch(
     the caller advances the watermark to max(ts) of the batch."""
     fresh = log.where(F.col(ts_col) > F.lit(watermark_ts))
     return fresh.join(F.broadcast(lookup), on=key_col, how="left")
+
+
+def stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str,
+    left_ts: str,
+    right_ts: str,
+    upper_s: float,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    the right events for the same key in ``(left.ts, left.ts + upper_s]``.
+
+    Both sides carry an event-time watermark and the join condition bounds
+    right's event time relative to left's, so Spark derives a state
+    retention horizon for BOTH buffers — without the time bound the join
+    state grows forever.  This is the streaming twin of
+    ``operators.joins.interval_join`` (same predicate, same results once
+    all files are processed); the batch one exists because a backfill over
+    stored history should be a bucketized batch join, not a replayed
+    stream.  Works on batch DataFrames too (watermarks become no-ops),
+    which is how the parity test pins the semantics.
+    """
+    if left_ts == right_ts:
+        raise ValueError("rename one side's timestamp column before joining")
+    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    cond = (
+        (l[key_col] == r[key_col])
+        & (F.col(right_ts).cast("double") > F.col(left_ts).cast("double"))
+        & (
+            F.col(right_ts).cast("double")
+            <= F.col(left_ts).cast("double") + F.lit(float(upper_s))
+        )
+    )
+    return l.join(r, cond, "inner").drop(r[key_col])

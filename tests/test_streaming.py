@@ -104,3 +104,51 @@ def test_file_stream_available_now(spark):
         qh.awaitTermination(120)
         total = spark.sql("SELECT sum(count) FROM win_counts").first()[0]
         assert total == 100
+
+
+def test_stream_stream_interval_join_matches_batch(spark):
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.operators.joins import interval_join
+    from qcfractal_spark.streaming.ingest import (
+        stream_events_from_directory,
+        stream_interval_join,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    errors = events.where(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"), "user_id", F.col("ts").alias("err_ts")
+    )
+    clicks = events.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("clk_id"), "user_id", F.col("ts").alias("clk_ts")
+    )
+    expected = {
+        (r["err_id"], r["clk_id"])
+        for r in interval_join(
+            errors, clicks, "user_id", "err_ts", "clk_ts", 0.0, 900.0
+        ).collect()
+    }
+    assert expected  # non-degenerate fixture
+
+    with tempfile.TemporaryDirectory() as d:
+        err_dir, clk_dir = os.path.join(d, "err"), os.path.join(d, "clk")
+        errors.coalesce(1).write.parquet(err_dir)
+        clicks.coalesce(1).write.parquet(clk_dir)
+        es = stream_events_from_directory(spark, err_dir, errors.schema)
+        cs = stream_events_from_directory(spark, clk_dir, clicks.schema)
+        joined = stream_interval_join(
+            es, cs, "user_id", "err_ts", "clk_ts", 900.0, watermark="2 hours"
+        )
+        qh = (
+            joined.writeStream.format("memory")
+            .queryName("ss_join")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(180)
+        got = {
+            (r["err_id"], r["clk_id"])
+            for r in spark.sql("SELECT err_id, clk_id FROM ss_join").collect()
+        }
+    assert got == expected
