@@ -363,3 +363,66 @@ def knn_join_bucketed(
         .where(F.col("_rn") <= k)
         .select("left_id", "right_id", "score")
     )
+
+
+def write_ivf_index(
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Persist an IVF index: vectors partitioned by inverted-list id
+    (``_cid=<k>/`` directories) plus a tiny centroids table.
+
+    This is the deployment shape of IVF at 100 TB: the quantizer runs once
+    at ingest, vectors land clustered on disk, and every probe query then
+    *partition-prunes* to ``n_probe/n_centroids`` of the data before any
+    distance math — the scan never touches the other inverted lists (the
+    pruning test asserts file counts, not hope).  Centroids are a
+    driver-size artifact (n_centroids × dim), stored alongside."""
+    assigned, centroids = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    assigned.write.mode("overwrite").partitionBy("_cid").parquet(f"{path}/vectors")
+    spark = df.sparkSession
+    cent_rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
+    spark.createDataFrame(cent_rows, "cid int, centroid array<double>").coalesce(
+        1
+    ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def ivf_topk_indexed(
+    spark,
+    path: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Probe a persisted IVF index (see :func:`write_ivf_index`): pick the
+    ``n_probe`` nearest centroids driver-side (tiny read), then scan only
+    those ``_cid=`` partitions.  Identical results to the in-memory
+    :func:`ivf_topk` on the same index."""
+    import math
+
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    probe = sorted(
+        range(len(centroids)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(centroids[i], query_vec))
+            / (qn * math.sqrt(sum(x * x for x in centroids[i])) or 1.0)
+        ),
+    )[:n_probe]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    scored = vectors.where(F.col("_cid").isin(probe)).select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
+    )
+    return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)

