@@ -244,3 +244,43 @@ def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits:
             F.lit(0).cast("long")
         )
     return votes.select("id", sim.alias("simhash"))
+
+
+def contamination_report(
+    corpus: DataFrame,
+    bench: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 13,
+) -> DataFrame:
+    """Benchmark-decontamination scan: for each corpus document, how many of
+    its distinct character ``k``-grams also occur anywhere in the benchmark
+    set, plus the contaminated fraction.
+
+    Shape: both sides reduce to (id, shingle) rows scan-side (codegen
+    explode, same kernel as MinHash), the benchmark side collapses to a
+    distinct-shingle set, and the join is shingle-bucket-local — the
+    standard n-gram-overlap decontamination plan (k=13 following the
+    GPT-3/PaLM convention).  At 100 TB the benchmark side is tiny compared
+    to the corpus (eval suites, not training data) so Spark broadcasts it;
+    corpus-side counts combine map-side.  No similarity math — containment
+    is exact, which is what decontamination wants (a single leaked 13-gram
+    is a hit).
+    """
+    c = shingle_rows(corpus, text_col, id_col, k, distinct=True)
+    b = (
+        shingle_rows(bench, text_col, id_col, k, distinct=True)
+        .select("shingle")
+        .dropDuplicates(["shingle"])
+    )
+    tot = c.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    hits = c.join(b, on="shingle").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_hit")
+    )
+    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
+    return tot.join(hits, on="id", how="left").select(
+        "id",
+        n_hit.alias("n_hit"),
+        "n_shingles",
+        F.round(n_hit / F.col("n_shingles"), 6).alias("hit_frac"),
+    )

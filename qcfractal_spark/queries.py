@@ -1560,8 +1560,42 @@ WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 <
 """
 
 
+def q_dd_contamination(spark, sf_dir):
+    """DD+ (beyond-reference): benchmark decontamination — every 100th
+    document plays the benchmark set; each remaining document reports how
+    many of its distinct 13-grams leak from the benchmark
+    (functions/dedup.py:contamination_report)."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    return dd.contamination_report(corpus, bench, k=13)
+
+
+SQL_DD_CONTAM = r"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT id, substring(t, i, 13) AS shingle
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 12, 1))) u(i)
+),
+bench AS (SELECT DISTINCT shingle FROM sh WHERE id % 100 = 0),
+corp AS (SELECT id, shingle FROM sh WHERE id % 100 <> 0),
+tot AS (SELECT id, COUNT(*) AS n_shingles FROM corp GROUP BY id),
+hit AS (
+  SELECT c.id, COUNT(*) AS n_hit
+  FROM corp c JOIN bench b USING (shingle) GROUP BY c.id
+)
+SELECT t.id, COALESCE(h.n_hit, 0) AS n_hit, t.n_shingles,
+       ROUND(COALESCE(h.n_hit, 0)::DOUBLE / t.n_shingles, 6) AS hit_frac
+FROM tot t LEFT JOIN hit h ON t.id = h.id
+"""
+
+
 REGISTRY.update(
     {
+        "dd_contamination": (q_dd_contamination, SQL_DD_CONTAM),
         "tx_repetition": (q_tx_repetition, SQL_TX_REP),
         "u5_stratified_sample": (q_u5_stratified_sample, SQL_U5),
         "a4_union_counts": (q_a4_union_counts, SQL_A4),
