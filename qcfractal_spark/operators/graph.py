@@ -124,10 +124,13 @@ def connected_components(
     )
     und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     und = und.dropDuplicates(["src", "dst"]).persist(StorageLevel.MEMORY_AND_DISK)
+    # Initial labels already fold in the first propagation round: a node's
+    # neighbors start labeled with their own ids, so round 1's output is
+    # exactly min(self, min neighbor) — one map-combinable agg, no join.
     labels = (
-        und.select(F.col("src").alias("id"))
-        .dropDuplicates(["id"])
-        .withColumn("component", F.col("id"))
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.min("dst").alias("_mn"))
+        .select("id", F.least(F.col("id"), F.col("_mn")).alias("component"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]

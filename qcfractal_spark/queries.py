@@ -1369,7 +1369,10 @@ def q_dd_cluster(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
-    pairs = dd.minhash_lsh_candidates(sigs)
+    # Materialize the (small) candidate-pair set once: the CC loop derives
+    # both edge directions from it, which would otherwise re-run the band
+    # join per direction.
+    pairs = dd.minhash_lsh_candidates(sigs).localCheckpoint(eager=True)
     comp = connected_components(pairs, "id_a", "id_b")
     return (
         docs.select(F.col("doc_id").alias("id"))
