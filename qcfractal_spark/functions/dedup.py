@@ -284,3 +284,60 @@ def contamination_report(
         "n_shingles",
         F.round(n_hit / F.col("n_shingles"), 6).alias("hit_frac"),
     )
+
+
+def simhash_candidate_pairs(
+    signatures: DataFrame,
+    bands: int = 4,
+    bits: int = 32,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs from SimHash signatures with Hamming distance ≤
+    ``max_hamming``, found by banded self-join — and found EXACTLY: with
+    ``bands`` equal bit-slices, any pair differing in ≤ bands-1 bits shares
+    at least one identical band (pigeonhole), so the band equi-join is a
+    complete candidate generator for ``max_hamming ≤ bands - 1``, not a
+    probabilistic one.  Pair generation stays bucket-local (join key =
+    (band index, band value)); the exact popcount filter runs only on
+    bucket-local candidates.  This is the standard Google-crawl simhash
+    dedup plan; at 100 TB the band columns are written at ingest and the
+    join shuffles on band buckets whose size ~ corpus / 2^(bits/bands).
+    """
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"banded search is only exhaustive for max_hamming <= bands-1 "
+            f"({bands} bands cover <= {bands - 1} differing bits)"
+        )
+    w = bits // bands
+    mask = (1 << w) - 1
+    banded = signatures.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("simhash"), i * w).bitwiseAND(F.lit(mask))
+                    for i in range(bands)
+                ]
+            )
+        ).alias("_band_idx", "_band_key"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a._band_idx") == F.col("b._band_idx"))
+            & (F.col("a._band_key") == F.col("b._band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("_sa"),
+            F.col("b.simhash").alias("_sb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1596,8 +1596,31 @@ FROM tot t LEFT JOIN hit h ON t.id = h.id
 """
 
 
+def q_dd_simhash_pairs(spark, sf_dir):
+    """DD+ (beyond-reference): SimHash near-dup pairs at Hamming ≤ 3 via
+    4-band pigeonhole join (functions/dedup.py:simhash_candidate_pairs) —
+    exhaustive, not probabilistic, so the brute-force oracle matches
+    exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.simhash(docs).localCheckpoint(eager=True)
+    return dd.simhash_candidate_pairs(sigs).orderBy("id_a", "id_b")
+
+
+# Brute-force mirror: the banded join is exhaustive for hamming <= bands-1
+# (pigeonhole), so all-pairs popcount over the same signatures is the exact
+# oracle (fine at sf0.01's 500 docs; the banded plan is the scale path).
+SQL_DD_SIMHASH_PAIRS = f"""
+WITH s AS ({SQL_DD_SIMHASH})
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+
 REGISTRY.update(
     {
+        "dd_simhash_pairs": (q_dd_simhash_pairs, SQL_DD_SIMHASH_PAIRS),
         "dd_contamination": (q_dd_contamination, SQL_DD_CONTAM),
         "tx_repetition": (q_tx_repetition, SQL_TX_REP),
         "u5_stratified_sample": (q_u5_stratified_sample, SQL_U5),
