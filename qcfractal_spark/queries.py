@@ -1618,8 +1618,38 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_a17_group_centroid(spark, sf_dir):
+    """A17 (beyond-reference): group-wise embedding centroids — per-group
+    per-dimension mean vector (the cluster-stats / IVF-retrain primitive),
+    as (grp, dim) rows.  posexplode keeps the whole computation in one
+    map-combinable aggregate on (grp, dim); components follow the float
+    discipline: inputs rounded to 6 dp then decimal-cast, so the sum is
+    exact under any aggregation order, then one double division."""
+    emb = _t(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        (F.col("vec_id") % 8).alias("grp"),
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("j", "x"),
+    )
+    dec = F.round(F.col("x"), 6).cast("decimal(20,10)")
+    return ex.groupBy("grp", "j").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(dec).cast("double") / F.count(F.lit(1)), 6).alias("centroid"),
+    )
+
+
+SQL_A17 = """
+SELECT vec_id % 8 AS grp, j - 1 AS j, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(ROUND(v[j], 6) AS DECIMAL(20,10))) AS DOUBLE)
+             / COUNT(*), 6) AS centroid
+FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings) e,
+     generate_series(1, 64) t(j)
+GROUP BY 1, 2
+"""
+
+
 REGISTRY.update(
     {
+        "a17_group_centroid": (q_a17_group_centroid, SQL_A17),
         "dd_simhash_pairs": (q_dd_simhash_pairs, SQL_DD_SIMHASH_PAIRS),
         "dd_contamination": (q_dd_contamination, SQL_DD_CONTAM),
         "tx_repetition": (q_tx_repetition, SQL_TX_REP),
