@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "dd_cluster",           # LSH pairs → connected-components labeling
     "j13_asof",             # as-of join (union + window carry-forward)
     "j14_interval",         # bucketized interval join + per-left agg
+    "h6_forecast_revenue",  # single-scan filter-sum (pushdown showcase)
+    "dd_simhash_pairs",     # banded Hamming pair join
+    "dd_contamination",     # 13-gram benchmark leak scan
+    "a17_group_centroid",   # group-wise embedding centroids
 ]
 
 

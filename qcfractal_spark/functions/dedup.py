@@ -333,11 +333,14 @@ def simhash_candidate_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("_sa"),
-            F.col("b.simhash").alias("_sb"),
+            # popcount BEFORE the pair-dedup: the xor is free codegen on
+            # join output, and filtering first means the dropDuplicates
+            # shuffle carries only matching pairs, not every multi-band
+            # candidate collision.
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
-        .withColumn("hamming", F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))))
         .where(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
     )

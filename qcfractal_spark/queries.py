@@ -1647,8 +1647,39 @@ GROUP BY 1, 2
 """
 
 
+def q_h6_forecast_revenue(spark, sf_dir):
+    """H6: the classic single-scan filter-sum (TPC-H Q6 shape) — every
+    predicate is scan-pushable and the aggregate is one decimal-exact sum:
+    the canonical pushdown + map-side-combine showcase the plan audit
+    asserts."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = li.where(
+        (F.col("l_shipdate") >= F.lit("1994-01-01"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    rev = F.sum(
+        (F.col("l_extendedprice").cast("decimal(18,2)")
+         * F.col("l_discount").cast("decimal(18,2)")).cast("decimal(38,6)")
+    )
+    return out.agg(rev.cast("double").alias("revenue"))
+
+
+SQL_H6 = """
+SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                     * CAST(l_discount AS DECIMAL(18,2)) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1994-01-01' AND l_shipdate < DATE '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
 REGISTRY.update(
     {
+        "h6_forecast_revenue": (q_h6_forecast_revenue, SQL_H6),
         "a17_group_centroid": (q_a17_group_centroid, SQL_A17),
         "dd_simhash_pairs": (q_dd_simhash_pairs, SQL_DD_SIMHASH_PAIRS),
         "dd_contamination": (q_dd_contamination, SQL_DD_CONTAM),

@@ -224,6 +224,51 @@ def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
     assert touched < total, "probe scan did not prune inverted-list partitions"
 
 
+def test_simhash_pairs_pigeonhole_exhaustive(spark):
+    """The banded join finds every pair with Hamming <= bands-1 — verified
+    against brute force on hand-built signatures, including a pair that
+    agrees on NO full band boundary alignment beyond the guaranteed one."""
+    sigs = [
+        (1, 0b0000_0000_0000_0000_0000_0000_0000_0000),
+        (2, 0b0000_0000_0000_0000_0000_0000_0000_0111),  # ham 3 vs 1
+        (3, 0b1000_0000_1000_0000_1000_0000_1000_0000),  # ham 4 vs 1: dropped
+        (4, 0b0000_0000_0000_0001_0000_0001_0000_0001),  # ham 3 vs 1, spread
+    ]
+    df = spark.createDataFrame(sigs, "id long, simhash long")
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in dd.simhash_candidate_pairs(df).collect()
+    }
+    import itertools
+    expected = {
+        (a, b): bin(sa ^ sb).count("1")
+        for (a, sa), (b, sb) in itertools.combinations(sigs, 2)
+        if bin(sa ^ sb).count("1") <= 3
+    }
+    assert got == expected
+
+    with pytest.raises(ValueError):
+        dd.simhash_candidate_pairs(df, bands=4, max_hamming=4)
+
+
+def test_contamination_report_counts_and_zero_hit(spark):
+    corpus = spark.createDataFrame(
+        [(1, "the quick brown fox jumps"), (2, "zzzzzzzzzzzzzzzzzz unique")],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox")], "doc_id long, text string"
+    )
+    out = {
+        r["id"]: (r["n_hit"], r["n_shingles"])
+        for r in dd.contamination_report(corpus, bench, k=13).collect()
+    }
+    # doc 1 contains "quick brown fox" => its 13-grams overlap the bench set
+    assert out[1][0] > 0
+    assert out[2][0] == 0  # zero-hit doc still reported (left join)
+    assert all(n_sh > 0 for _, n_sh in out.values())
+
+
 def test_jaccard_doc_freq_cap_is_conservative(spark):
     """With a df-cap, surviving pair scores never exceed the uncapped exact
     score (similarity only under-estimated), and pairs built purely from

@@ -53,6 +53,7 @@ PUSHDOWN_EXPECTED = {
     "p8_int_or_name",  # id/name OR filter
     "j1_dim_join",  # spec filter on the dimension scan
     "h3_top_revenue",  # date + segment predicates
+    "h6_forecast_revenue",  # all predicates scan-pushable (TPC-H Q6 shape)
 }
 # (o2_priority_topk / a11_sample_keys have no scan predicates — they are
 # whole-table per-group top-k; their scale property is the partial
