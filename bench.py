@@ -84,17 +84,51 @@ def main() -> None:
         times[name] = round(best, 3)
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "qcfractal_spark headline suite wall time (steady-state, best of 2)",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": sf,
-            }
-        )
+    out = {
+        "metric": "qcfractal_spark headline suite wall time (steady-state, best of 2)",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+    }
+
+    # Regression guard: compare per-query against the newest recorded
+    # BENCH_r{N}.json at the same sf and surface anything >2x slower —
+    # regressions must be visible in-repo, not only in the driver's record.
+    baselines = sorted(
+        f
+        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
+        if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
+    if baselines:
+        with open(baselines[-1]) as fh:
+            base = json.load(fh)
+        # Driver-recorded files wrap our JSON line inside a "tail" capture.
+        if "queries" not in base and "tail" in base:
+            at = base["tail"].rfind('{"metric"')
+            if at >= 0:
+                try:
+                    parsed, _ = json.JSONDecoder().raw_decode(base["tail"][at:])
+                    base = {**base, **parsed}
+                except ValueError:
+                    pass
+        if base.get("queries") and base.get("sf") == sf:
+            regressions = {
+                q: {"now": t, "baseline": base["queries"][q]}
+                for q, t in times.items()
+                if q in base.get("queries", {})
+                and base["queries"][q] > 0.05
+                and t > 2.0 * base["queries"][q]
+            }
+            if regressions:
+                out["regressions_vs_" + baselines[-1]] = regressions
+                print(
+                    f"WARNING: {len(regressions)} queries >2x slower than "
+                    f"{baselines[-1]}: {sorted(regressions)}",
+                    file=sys.stderr,
+                )
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

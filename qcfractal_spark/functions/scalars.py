@@ -6,6 +6,8 @@ Each helper cites the PostgreSQL construct it replaces in the reference.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -49,6 +51,108 @@ def normalize_basis(col: Column | str) -> Column:
     "no basis" so equality filters are total."""
     c = F.col(col) if isinstance(col, str) else col
     return F.coalesce(F.lower(c), F.lit(""))
+
+
+def order_molecular_formula(col: Column | str) -> Column:
+    """Hill-system canonical ordering of a molecular formula string (F10 —
+    ``order_molecular_formula``, used by the identifiers query at
+    qcfractal/qcfractal/components/molecules/socket.py:237-249).
+
+    Hill order: if carbon is present, C first, then H, then every other
+    element alphabetically; with no carbon, all elements alphabetically
+    (H included).  Counts of 1 are omitted in the output, matching the
+    public qcelemental behavior.
+
+    Everything is built-in array/regexp expressions — parse tokens, tag each
+    with a sort key, ``array_sort`` (struct comparison is field-order
+    lexicographic, so the key field drives it), then fold back to a string —
+    zero Python rows, stays inside codegen.  Assumes each element appears at
+    most once per formula (true for formulas emitted from aggregated symbol
+    counts, which is what the reference stores).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.regexp_extract_all(c, F.lit(r"[A-Z][a-z]*\d*"), F.lit(0))
+    pairs = F.transform(
+        toks,
+        lambda t: F.struct(
+            F.regexp_extract(t, r"^([A-Z][a-z]*)", 1).alias("el"),
+            F.coalesce(
+                F.nullif(F.regexp_extract(t, r"(\d+)$", 1), F.lit("")), F.lit("1")
+            )
+            .cast("int")
+            .alias("n"),
+        ),
+    )
+    has_c = F.exists(pairs, lambda p: p["el"] == F.lit("C"))
+    keyed = F.transform(
+        pairs,
+        lambda p: F.struct(
+            F.when(has_c & (p["el"] == F.lit("C")), F.lit("0"))
+            .when(has_c & (p["el"] == F.lit("H")), F.lit("1"))
+            .otherwise(F.concat(F.lit("2"), p["el"]))
+            .alias("k"),
+            p["el"].alias("el"),
+            p["n"].alias("n"),
+        ),
+    )
+    return F.aggregate(
+        F.array_sort(keyed),
+        F.lit(""),
+        lambda acc, p: F.concat(
+            acc,
+            p["el"],
+            F.when(p["n"] > 1, p["n"].cast("string")).otherwise(F.lit("")),
+        ),
+    )
+
+
+def order_formula_py(formula: str) -> str:
+    """Driver-side mirror of :func:`order_molecular_formula` for
+    canonicalizing *query inputs* (the reference canonicalizes the user's
+    formula list in Python before it reaches SQL, socket.py:239-244).
+    Merges duplicate element tokens by summing counts."""
+    counts: dict[str, int] = {}
+    for el, n in re.findall(r"([A-Z][a-z]*)(\d*)", formula):
+        if el:
+            counts[el] = counts.get(el, 0) + int(n or "1")
+    if "C" in counts:
+        order = (
+            ["C"]
+            + (["H"] if "H" in counts else [])
+            + sorted(k for k in counts if k not in ("C", "H"))
+        )
+    else:
+        order = sorted(counts)
+    return "".join(el + (str(counts[el]) if counts[el] > 1 else "") for el in order)
+
+
+def short_description(
+    record_type: Column, formula: Column, program: Column, method: Column, basis: Column
+) -> Column:
+    """D4 — per-record-type display string (record_db_models.py:282-288 base
+    fallback; singlepoint/record_db_models.py:89-131 ``{formula}
+    {program}/{method}/{basis}`` with ``(none)`` placeholders; optimization
+    prefixes ``{program}+``).  Null↔'' method/basis normalize to the same
+    placeholder, matching P10 discipline."""
+    spec = F.format_string(
+        "%s/%s/%s",
+        program,
+        F.coalesce(F.nullif(method, F.lit("")), F.lit("(none)")),
+        F.coalesce(F.nullif(basis, F.lit("")), F.lit("(none)")),
+    )
+    return (
+        F.when(
+            record_type == F.lit("singlepoint"),
+            F.format_string("%s %s", formula, spec),
+        )
+        .when(
+            record_type == F.lit("optimization"),
+            F.format_string("%s %s+%s", formula, program, spec),
+        )
+        .otherwise(
+            F.format_string("short_description not implemented for %s", record_type)
+        )
+    )
 
 
 def content_hash(*cols: Column) -> Column:

@@ -127,6 +127,7 @@ def exact_cosine_pairs_topk(
     id_col: str = "vec_id",
     round_to: int = 6,
     candidate_pool: int = 200,
+    max_rows: int = 100_000,
 ) -> DataFrame:
     """Exact global top-k most-similar pairs, two-phase:
 
@@ -148,6 +149,19 @@ def exact_cosine_pairs_topk(
     """
     from pyspark.sql.functions import broadcast
 
+    # Exact all-pairs is a verification baseline: it collects every vector to
+    # the driver and broadcasts the N x dim matrix, which only works when N
+    # fits one node.  Refuse to run past max_rows so this can never be
+    # pointed at a real table by accident — the scale paths are
+    # lsh_bucket_topk / IVF (build_ivf_index + ivf_topk) / knn_join_bucketed.
+    n = df.count()
+    if n > max_rows:
+        raise ValueError(
+            f"exact_cosine_pairs_topk is the driver-side verification baseline "
+            f"(collects all vectors); got {n} rows > max_rows={max_rows}. "
+            f"Use the LSH (lsh_bucket_topk) or IVF (build_ivf_index/ivf_topk) "
+            f"scale paths, or raise max_rows explicitly."
+        )
     data = df.select(
         F.col(id_col).cast("long"), F.col(vec_col).cast("array<double>")
     ).collect()

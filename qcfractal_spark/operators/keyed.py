@@ -31,6 +31,7 @@ def bulk_get_ordered(
     ids: Sequence[Any],
     id_col: str = "id",
     missing_ok: bool = True,
+    max_pushdown_ids: int = 10_000,
 ) -> DataFrame:
     """Fetch rows by id preserving the caller's input order.
 
@@ -38,13 +39,28 @@ def bulk_get_ordered(
     missing ids survive as all-NULL rows (the reference returns None in that
     slot).  Ordering is carried by an explicit index column (hard part #7 in
     SURVEY §7) because row order is never implicit in Spark.
+
+    Scale shape: for driver-sized id lists (≤ ``max_pushdown_ids``) the id
+    set is pushed as an IN filter to the parquet scan — the reader prunes to
+    the matching row groups and only id-count rows ever leave the scan; the
+    ordered/missing realignment is then a broadcast join between two
+    id-sized frames.  (Broadcasting the ids as the build side of a right
+    outer join is NOT a plan Spark supports — the hint silently degrades to
+    a full-table SortMergeJoin, and broadcasting the fact table is an OOM.)
+    Beyond the threshold the id list is fact-sized, so it goes through a
+    plain shuffled join on the key — the only strategy that survives there.
     """
     ids_df = spark.createDataFrame(
         [(i, v) for i, v in enumerate(ids)], schema=f"_input_idx long, {id_col} long"
     )
     how = "left" if missing_ok else "inner"
-    joined = ids_df.join(F.broadcast(table), on=id_col, how=how)
-    return joined.orderBy("_input_idx")
+    if len(ids) <= max_pushdown_ids:
+        filtered = table.where(F.col(id_col).isin(list(ids)))
+        joined = ids_df.join(F.broadcast(filtered), on=id_col, how=how)
+    else:
+        joined = ids_df.join(table, on=id_col, how=how)
+    other_cols = [c for c in table.columns if c != id_col]
+    return joined.select(id_col, "_input_idx", *other_cols).orderBy("_input_idx")
 
 
 def insert_dedup_classify(
@@ -70,6 +86,65 @@ def insert_dedup_classify(
         "_existing", F.coalesce(F.col("_existing"), F.lit(False))
     )
     return to_insert, classified
+
+
+def insert_mixed_classify(
+    spark: SparkSession,
+    table: DataFrame,
+    items: Sequence[Any],
+    id_col: str = "id",
+    search_cols: Sequence[str] = ("name",),
+) -> tuple[list[int], list[int], list[tuple[int, str]]]:
+    """S5 — mixed id-or-object insert (helpers.py:816-888
+    ``_insert_mixed_general_batch``): plain ints are ids that must already
+    exist (missing ids are per-index errors), dicts are objects that go
+    through the S3 query-first dedup insert; returns
+    ``(inserted_idx, existing_idx, errors)`` over the *original* input
+    indices, exactly the reference's InsertMetadata split.
+
+    Composition of S2 (ordered bulk get for the id side) and S3
+    (insert_dedup_classify for the object side); the returned metadata is
+    input-sized, so collecting it mirrors the reference's driver-side
+    bookkeeping — the heavy lookups are the two Spark joins.
+    """
+    id_items = [(i, v) for i, v in enumerate(items) if isinstance(v, int)]
+    obj_items = [(i, v) for i, v in enumerate(items) if isinstance(v, dict)]
+    errors: list[tuple[int, str]] = [
+        (i, f"Data type for insert_mixed not understood: {type(v).__name__}")
+        for i, v in enumerate(items)
+        if not isinstance(v, (int, dict))
+    ]
+    inserted_idx: list[int] = []
+    existing_idx: list[int] = []
+
+    if id_items:
+        got = bulk_get_ordered(
+            spark, table, [v for _, v in id_items], id_col=id_col, missing_ok=True
+        ).collect()
+        probe = [c for c in table.columns if c != id_col][0]
+        for (orig_idx, iid), row in zip(id_items, got):
+            if row[probe] is None:
+                errors.append((orig_idx, f"id={iid} was not found in the database"))
+            else:
+                existing_idx.append(orig_idx)
+
+    if obj_items:
+        keys = list(search_cols)
+        batch = spark.createDataFrame(
+            [{"_input_idx": i, **v} for i, v in obj_items]
+        )
+        _, classified = insert_dedup_classify(table, batch, keys)
+        from pyspark.sql import Window
+
+        w = Window.partitionBy(*keys).orderBy("_input_idx")
+        marked = classified.withColumn("_first", F.row_number().over(w) == 1).collect()
+        for row in sorted(marked, key=lambda r: r["_input_idx"]):
+            if not row["_existing"] and row["_first"]:
+                inserted_idx.append(row["_input_idx"])
+            else:
+                existing_idx.append(row["_input_idx"])
+
+    return sorted(inserted_idx), sorted(existing_idx), sorted(errors)
 
 
 def upsert_classify(

@@ -67,7 +67,14 @@ class SingleWriterQueue:
         eligible = priority_claim_topk(
             self.tasks, limit + len(self.claimed), tags=st.tags, available_programs=st.programs
         )
-        rows = eligible.collect()
+        # collect() returns rows in nondeterministic partition order; the
+        # reference claims strictly by priority DESC, sort_date ASC, id ASC
+        # (tasks/socket.py:303-358), so re-sort before taking the first
+        # `limit` unclaimed rows.
+        rows = sorted(
+            eligible.collect(),
+            key=lambda r: (-r["compute_priority"], r["sort_date"], r["id"]),
+        )
         out: list[dict] = []
         for r in rows:
             if len(out) >= limit:

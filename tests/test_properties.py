@@ -107,7 +107,9 @@ def test_sessionize_gap_invariant(spark, offsets):
     from qcfractal_spark.streaming.state import sessionize
 
     base = datetime(2024, 1, 1)
-    rows = [(base + timedelta(seconds=o), 1, 1.0) for o in offsets]
+    # dedupe offsets: the invariant below counts distinct timestamps, so the
+    # input must be a set (duplicate offsets collapse to one event here)
+    rows = [(base + timedelta(seconds=o), 1, 1.0) for o in sorted(set(offsets))]
     df = spark.createDataFrame(rows, "ts timestamp, user_id long, value double")
     gap = timedelta(minutes=30)
     sessions = sorted(

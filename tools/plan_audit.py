@@ -54,7 +54,14 @@ PUSHDOWN_EXPECTED = {
     "j1_dim_join",  # spec filter on the dimension scan
     "h3_top_revenue",  # date + segment predicates
     "h6_forecast_revenue",  # all predicates scan-pushable (TPC-H Q6 shape)
+    "s2_bulk_get",  # the id list itself must reach the scan as In(...)
 }
+
+# Queries whose broadcast side must be id-sized: every parquet scan under a
+# BroadcastExchange must carry a pushed In(...) filter.  Broadcasting an
+# unfiltered fact scan (what a mis-placed hint silently produces) is exactly
+# the 100 TB OOM this audit exists to catch.
+BROADCAST_MUST_BE_FILTERED = {"s2_bulk_get"}
 # (o2_priority_topk / a11_sample_keys have no scan predicates — they are
 # whole-table per-group top-k; their scale property is the partial
 # WindowGroupLimit below the exchange, asserted separately.)
@@ -73,6 +80,33 @@ def executed_plan(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def _marker_col(line: str) -> int:
+    m = re.search(r"[+:]- ", line)
+    return m.start() if m else -1
+
+
+def operator_subtrees(plan: str, op: str) -> list[list[str]]:
+    """Children of each `op` occurrence in a simple-mode plan tree, scoped by
+    the tree-marker indentation column."""
+    lines = plan.splitlines()
+    out: list[list[str]] = []
+    for i, ln in enumerate(lines):
+        if op not in ln:
+            continue
+        col = _marker_col(ln)
+        sub = []
+        for nxt in lines[i + 1 :]:
+            if _marker_col(nxt) <= col:
+                break
+            sub.append(nxt)
+        out.append(sub)
+    return out
 
 
 def audit_one(name: str, df) -> list[str]:
@@ -96,6 +130,18 @@ def audit_one(name: str, df) -> list[str]:
 
     if name in GROUP_TOPK and "WindowGroupLimit" not in plan:
         problems.append("per-group top-k without map-side WindowGroupLimit")
+
+    if name in BROADCAST_MUST_BE_FILTERED:
+        splan = simple_plan(df)
+        trees = operator_subtrees(splan, "BroadcastExchange")
+        if not trees:
+            problems.append("expected a broadcast join of the id-filtered side")
+        for sub in trees:
+            for ln in sub:
+                if "FileScan" in ln and "In(" not in ln:
+                    problems.append(
+                        "broadcast side contains an unfiltered parquet scan"
+                    )
 
     # Every parquet scan must prune columns: ReadSchema listing >20 fields
     # for these tables means a select didn't reach the scan.
