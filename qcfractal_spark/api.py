@@ -86,21 +86,30 @@ def query_records(
     if f.creator_user is not None:
         ids = [v for v in f.creator_user if isinstance(v, int)]
         names = [v for v in f.creator_user if isinstance(v, str)]
-        p = F.lit(False)
-        if ids:
-            p = p | F.col("creator_user_id").isin(ids)
         if names and users is not None:
+            # The reference ORs id and name matches (record_socket.py creator
+            # filter).  Express the OR as one semi-join against the union of
+            # the literal-id frame and the name-resolved ids — no driver-side
+            # collect of the users dim; the union is users-dim-bounded and
+            # broadcasts.
             uid = users.where(F.col("username").isin(names)).select(
                 F.col("id").alias("creator_user_id")
             )
-            df = df.join(F.broadcast(uid), on="creator_user_id", how="left_semi") if not ids else df
-            # when mixing ids+names the reference ORs them — emulate by
-            # collecting the name-ids into the predicate
             if ids:
-                name_ids = [r["creator_user_id"] for r in uid.collect()]
-                p = p | F.col("creator_user_id").isin(name_ids)
-        if ids or (names and users is None):
-            preds.append(p)
+                idf = df.sparkSession.createDataFrame(
+                    [(int(i),) for i in ids], "creator_user_id long"
+                )
+                uid = uid.unionByName(idf)
+            df = df.join(
+                F.broadcast(uid.dropDuplicates(["creator_user_id"])),
+                on="creator_user_id",
+                how="left_semi",
+            )
+        elif ids:
+            # ids only: a plain IN predicate — scan-pushable, no join at all
+            preds.append(F.col("creator_user_id").isin(ids))
+        else:
+            preds.append(F.lit(False))
 
     # spec join only if a spec filter is present (join elision)
     spec_filters = {

@@ -286,6 +286,84 @@ def contamination_report(
     )
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    algorithm): hash every character ``k``-gram, slide a window of ``w``
+    consecutive hashes, keep the minimum of each window; the fingerprint set
+    is the distinct per-window minima — ~2/(w+1) of all hashes, with the
+    guarantee that any shared substring of length ≥ k+w-1 contributes at
+    least one common fingerprint.
+
+    Plan: codegen k-gram explode + portable hash (the MinHash kernel), one
+    shuffle on the doc id for the ordered sliding-window min, then a
+    distinct.  Window state is w rows — streamable; at 100 TB this is
+    scan + one doc-keyed shuffle, same envelope as signature computation.
+
+    Returns (id, fp) rows — one row per distinct selected fingerprint.
+    """
+    hashed = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(1))
+                )
+            ).alias("_i"),
+            "_t",
+        )
+        .select(
+            "id",
+            "_i",
+            portable_hash64(F.col("_t").substr(F.col("_i"), F.lit(k))).alias("_h"),
+            (F.length("_t") - F.lit(k - 1)).alias("_n"),
+        )
+    )
+    win = Window.partitionBy("id").orderBy("_i").rowsBetween(0, w - 1)
+    return (
+        hashed.withColumn("_wmin", F.min("_h").over(win))
+        # only full windows define a fingerprint (positions 1..n-w+1)
+        .where(F.col("_i") <= F.greatest(F.col("_n") - F.lit(w - 1), F.lit(1)))
+        .select("id", F.col("_wmin").alias("fp"))
+        .dropDuplicates(["id", "fp"])
+    )
+
+
+def winnow_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    w: int = 4,
+    min_common: int = 2,
+) -> DataFrame:
+    """Near-dup candidate pairs from shared winnowing fingerprints: docs
+    sharing ≥ ``min_common`` selected fingerprints.  Pair generation is
+    fingerprint-bucket-local (equi-join on fp) — same shuffle envelope as
+    the LSH band join, with winnowing's shared-substring guarantee instead
+    of a probabilistic bound."""
+    # Materialize the fingerprint set once — the self-join would otherwise
+    # re-run the explode+hash+window pipeline for both sides.
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=True)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, on="fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .where(F.col("n_common") >= min_common)
+    )
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

@@ -37,7 +37,8 @@ def _closure(
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
     visited = seeds.select(F.col("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
     frontier = visited
-    frontier_rows = None  # unknown for the seed set; assume broadcastable
+    visited_rows = visited.count()
+    frontier_rows = visited_rows
     depth = 0
     try:
         while True:
@@ -46,7 +47,7 @@ def _closure(
                 break
             probe = (
                 F.broadcast(frontier)
-                if frontier_rows is None or frontier_rows < _BROADCAST_FRONTIER_ROWS
+                if frontier_rows < _BROADCAST_FRONTIER_ROWS
                 else frontier
             )
             step = (
@@ -54,13 +55,27 @@ def _closure(
                 .select(F.col(to_col).alias("id"))
                 .dropDuplicates(["id"])
             )
-            new = step.join(visited, on="id", how="left_anti").localCheckpoint(eager=True)
+            # Anti-join against visited; broadcast the visited side while its
+            # (exactly tracked) row count is small so the step needs no extra
+            # shuffle beyond its own dedup.
+            vis = (
+                F.broadcast(visited)
+                if visited_rows < _BROADCAST_FRONTIER_ROWS
+                else visited
+            )
+            new = step.join(vis, on="id", how="left_anti").localCheckpoint(eager=True)
             # Fixpoint test: one count per level, same as the reference's
             # "while to_visit" loop (record_socket.py:210-236).
             frontier_rows = new.count()
             if frontier_rows == 0:
                 break
-            visited = visited.unionByName(new).localCheckpoint(eager=True)
+            # visited = union of already-checkpointed frontiers: no
+            # re-materialization job per level; the plan grows by one leaf
+            # per level, flattened every 8 levels to bound analysis cost.
+            visited = visited.unionByName(new)
+            visited_rows += frontier_rows
+            if depth % 8 == 0:
+                visited = visited.localCheckpoint(eager=True)
             frontier = new
     finally:
         edges.unpersist()
@@ -123,7 +138,15 @@ def connected_components(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
     und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    und = und.dropDuplicates(["src", "dst"]).persist(StorageLevel.MEMORY_AND_DISK)
+    # Pre-partition the (persisted) edge table by the probe key: every
+    # round's labels join then reuses the cached exchange instead of
+    # re-shuffling the edges — one shuffle per round, on the labels side
+    # only.
+    und = (
+        und.dropDuplicates(["src", "dst"])
+        .repartition("dst")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     # Initial labels already fold in the first propagation round: a node's
     # neighbors start labeled with their own ids, so round 1's output is
     # exactly min(self, min neighbor) — one map-combinable agg, no join.
@@ -136,19 +159,18 @@ def connected_components(
     prev_sum = labels.agg(F.sum("component")).first()[0]
     try:
         for _ in range(max_iter):
-            nbr = (
-                und.join(labels, und["dst"] == labels["id"], "inner")
-                .groupBy("src")
-                .agg(F.min("component").alias("_nbr_min"))
+            # One round = min over {self label} ∪ {labels of neighbors}.
+            # Expressing the self term as a union branch (instead of a
+            # second left join back onto labels) keeps each round at two
+            # shuffles: the edge-probe join and the min-agg; both are
+            # map-side combinable and keyed on the node id.
+            nbr = und.join(labels, und["dst"] == labels["id"], "inner").select(
+                F.col("src").alias("id"), "component"
             )
             labels = (
-                labels.join(nbr, labels["id"] == nbr["src"], "left")
-                .select(
-                    "id",
-                    F.least(
-                        F.col("component"), F.coalesce("_nbr_min", F.col("component"))
-                    ).alias("component"),
-                )
+                labels.unionByName(nbr)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
                 .localCheckpoint(eager=True)
             )
             cur_sum = labels.agg(F.sum("component")).first()[0]

@@ -52,6 +52,29 @@ def windowed_event_counts(
     )
 
 
+def stream_dedup(
+    df: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: drop rows whose key was already seen within the
+    watermark horizon — the ingest-time arm of the dedup suite (a training
+    pipeline dedups the stream on content fingerprint before anything else
+    touches it).
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it, so state is bounded by (arrival rate × horizon) —
+    the unbounded-state ``dropDuplicates`` on a stream is an OOM by design.
+    Works on batch frames too (plain dropDuplicates) so the same callable
+    serves both gates."""
+    if not df.isStreaming:
+        return df.dropDuplicates(list(key_cols))
+    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def incremental_enrichment_batch(
     log: DataFrame,
     lookup: DataFrame,

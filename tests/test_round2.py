@@ -132,6 +132,117 @@ def test_insert_mixed_classify(spark):
     assert "not understood" in errors[1][1]
 
 
+# ------------------------------------------------------------ similarity ---
+
+
+def test_lit_array_bit_exact(spark):
+    """lit_array builds literals through the SQL parser; values must bind to
+    the identical IEEE doubles as the Python floats."""
+    import struct
+
+    from qcfractal_spark.functions.similarity import lit_array
+
+    vals = [0.1, -1.234567890123456e-05, 2.0, 5e-324, 1.7976931348623157e308, -0.0]
+    got = spark.range(1).select(lit_array(vals).alias("a")).first()["a"]
+    assert all(
+        struct.pack("<d", a) == struct.pack("<d", b) for a, b in zip(got, vals)
+    )
+
+
+def test_lsh_bucket_py_matches_column(spark):
+    """Driver-side bucket (used for the query vector) must be bit-identical
+    to the JVM fold used for row vectors."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions.similarity import (
+        _hyperplanes,
+        lsh_bucket,
+        lsh_bucket_py,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(50)
+    planes = _hyperplanes(64, 8)
+    rows = emb.select(
+        "vec_id",
+        F.col("embedding").alias("v"),
+        lsh_bucket(F.col("embedding"), planes).alias("b"),
+    ).collect()
+    for r in rows:
+        assert lsh_bucket_py(list(r["v"]), planes) == r["b"], r["vec_id"]
+
+
+# ------------------------------------------------------------- winnowing ---
+
+
+def test_winnow_shared_substring_guarantee(spark):
+    """Winnowing's defining property: two documents sharing a substring of
+    length ≥ k + w - 1 share at least one selected fingerprint."""
+    from qcfractal_spark.functions.dedup import winnow_fingerprints, winnow_pairs
+
+    k, w = 8, 4
+    shared = "the quick brown fox jumps over the lazy dog"  # 43 >= k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, "AAAA xxxx " + shared + " yyyy unique one text"),
+            (2, "BBBB zzzz different prefix " + shared + " qqq two"),
+            (3, "completely unrelated content with no overlap at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs, k=k, w=w)
+    by_doc = {}
+    for r in fps.collect():
+        by_doc.setdefault(r["id"], set()).add(r["fp"])
+    assert by_doc[1] & by_doc[2], "docs sharing a >=k+w-1 substring must share a fp"
+    pairs = {
+        (r["id_a"], r["id_b"]): r["n_common"]
+        for r in winnow_pairs(docs, k=k, w=w, min_common=1).collect()
+    }
+    assert (1, 2) in pairs
+
+
+def test_stream_dedup_within_watermark(spark):
+    """Streaming exact dedup drops key repeats within the watermark horizon;
+    state is bounded (dropDuplicatesWithinWatermark, not dropDuplicates)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from qcfractal_spark.streaming.ingest import stream_dedup
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0), "fp_a"),
+        (2, datetime(2024, 1, 1, 0, 5), "fp_a"),  # dup of fp_a -> dropped
+        (3, datetime(2024, 1, 1, 0, 10), "fp_b"),
+        (4, datetime(2024, 1, 1, 0, 15), "fp_b"),  # dup of fp_b -> dropped
+        (5, datetime(2024, 1, 1, 0, 20), "fp_c"),
+    ]
+    src = spark.createDataFrame(rows, "id long, ts timestamp, fp string")
+    # batch arm
+    assert stream_dedup(src, ("fp",)).count() == 3
+    # streaming arm
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        src.coalesce(1).write.parquet(land)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .parquet(land)
+        )
+        out = stream_dedup(stream, ("fp",), ts_col="ts", watermark="1 hour")
+        qh = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        got = sorted(
+            r["fp"] for r in spark.sql("SELECT fp FROM dedup_out").collect()
+        )
+        assert got == ["fp_a", "fp_b", "fp_c"]
+
+
 # ---------------------------------------------------------------- S2 -------
 
 

@@ -44,6 +44,8 @@ SMJ_OK = {
     "dd_minhash_lsh",  # band-bucket self-join: both sides fact-sized
     "dd_cluster",  # band join + component-label joins: fact-sized sides
     "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
+    "dd_winnow",  # fingerprint self-join: both sides fact-sized
+    "dd_embed",  # LSH bucket self-join: both sides fact-sized
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
