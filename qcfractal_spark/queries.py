@@ -2110,6 +2110,9 @@ REGISTRY["dd_embed"] = (q_dd_embed, SQL_DD_EMBED)
 #   a2_status_counts  ⊂ a5_two_col_counts     dd_simhash ⊂ dd_simhash_pairs
 #   a4/a11/u3/j12/f9  trivial sub-shapes       h1/h3/h6   TPC-H extras
 #   sim_cosine_pairs  verification-only baseline (guarded collect)
+#   ds_missing_cells  A3 matrix via a5          f12 F12 scalars via a6/a7
+#   (both r1-driver-green; stepped out for the round-2 first-class
+#   operators dd_winnow / dd_embed)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -2126,15 +2129,14 @@ _DRIVER_WINDOW = [
     "a16_dedup_batch", "a17_group_centroid",
     # top-k / windows / temporal
     "o2_priority_topk", "w1_window_lag", "t3_hourly_rollup",
-    "f12_hour_percentiles", "st_sessionize", "t2_enrichment",
-    # mutation-classify / dataset / UDF / formula
-    "s4_upsert_classify", "ds_missing_cells", "d1_value_call",
-    "mol_identifiers",
+    "st_sessionize", "t2_enrichment",
+    # mutation-classify / UDF / formula
+    "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
     "tx_text_stats", "tx_repetition", "u5_stratified_sample",
     # dedup suite
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
-    "dd_contamination", "dd_cluster",
+    "dd_contamination", "dd_cluster", "dd_winnow", "dd_embed",
     # similarity suite
     "sim_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_knn_join",
     # multimodal
