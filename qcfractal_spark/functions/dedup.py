@@ -272,17 +272,22 @@ def contamination_report(
         shingle_rows(bench, text_col, id_col, k, distinct=True)
         .select("shingle")
         .dropDuplicates(["shingle"])
+        .withColumn("_hit", F.lit(1).cast("long"))
     )
-    tot = c.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    hits = c.join(b, on="shingle").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_hit")
-    )
-    n_hit = F.coalesce(F.col("n_hit"), F.lit(0))
-    return tot.join(hits, on="id", how="left").select(
-        "id",
+    # Single pass: broadcast-left-join the benchmark shingle set onto the
+    # corpus shingles and fold totals + hits into ONE groupBy — the corpus
+    # explode/dedup pipeline (the dominant cost) runs once, not twice.
+    # b has distinct shingles, so the left join is row-preserving.
+    joined = c.join(F.broadcast(b), on="shingle", how="left")
+    n_hit = F.coalesce(F.sum("_hit"), F.lit(0).cast("long"))
+    return joined.groupBy("id").agg(
         n_hit.alias("n_hit"),
+        F.count(F.lit(1)).alias("n_shingles"),
+    ).select(
+        "id",
+        "n_hit",
         "n_shingles",
-        F.round(n_hit / F.col("n_shingles"), 6).alias("hit_frac"),
+        F.round(F.col("n_hit") / F.col("n_shingles"), 6).alias("hit_frac"),
     )
 
 
