@@ -217,6 +217,51 @@ def minhash_lsh_candidates(
     )
 
 
+def minhash_lsh_star_edges(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Star-contracted LSH edges for component finding: instead of the
+    bucket-local *clique* (`minhash_lsh_candidates`, O(b²) pairs per bucket
+    of size b), emit one edge per member to the bucket's representative
+    (min doc id in the bucket) — a star.  The star and the clique have
+    identical connected components (every member reaches every other via the
+    rep), but the star's edge count is Σb — linear — which is what a 100 TB
+    dedup graph needs: a single hot bucket of 10⁶ docs yields 10⁶ edges, not
+    5·10¹¹.  Pair *scoring* still wants the clique (use
+    `minhash_lsh_candidates`); clustering never does.
+
+    Plan: band explode (codegen) → one min-agg per bucket (map-side
+    combinable) → rebroadcast-free equi-join back on the bucket key →
+    distinct (id, rep) edges.
+    """
+    banded = signatures.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        *[
+                            F.element_at("signature", b * rows_per_band + r + 1)
+                            for r in range(rows_per_band)
+                        ],
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    reps = banded.groupBy("band_idx", "band_key").agg(F.min("id").alias("rep"))
+    return (
+        banded.join(reps, on=["band_idx", "band_key"])
+        .where(F.col("id") != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col("id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
     """SimHash over token features: bit j of the hash is 1 iff the sum of
     ±1 votes (sign of bit j of each token's hash) is positive.

@@ -1369,11 +1369,13 @@ def q_dd_cluster(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
-    # Materialize the (small) candidate-pair set once: the CC loop derives
-    # both edge directions from it, which would otherwise re-run the band
-    # join per direction.
-    pairs = dd.minhash_lsh_candidates(sigs).localCheckpoint(eager=True)
-    comp = connected_components(pairs, "id_a", "id_b")
+    # Star-contracted edges (doc -> bucket representative), NOT the bucket
+    # cliques: identical components, edge count linear in bucket size
+    # instead of quadratic (dedup.minhash_lsh_star_edges docstring) — the
+    # shape that survives a hot bucket at 100 TB.  Materialized once: the
+    # CC loop derives both directions from it.
+    edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=True)
+    comp = connected_components(edges, "id_a", "id_b")
     return (
         docs.select(F.col("doc_id").alias("id"))
         .join(comp, "id", "left")

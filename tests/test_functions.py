@@ -52,6 +52,39 @@ def test_minhash_similar_docs_share_bands(spark):
     assert (1, 3) not in cands and (2, 3) not in cands
 
 
+def test_star_edges_same_components_as_clique_pairs(spark):
+    # Star contraction (doc -> bucket-rep) must yield exactly the connected
+    # components of the bucket-clique pair graph — near-dup chains included.
+    from qcfractal_spark.operators.graph import connected_components
+
+    docs = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog"),
+            (11, "the quick brown fox jumps over the lazy dog!"),
+            (12, "the quick brown fox jumps over the lazy dog!!"),
+            (20, "completely different content about spark engines"),
+            (21, "completely different content about spark engines."),
+        ],
+        "doc_id long, text string",
+    )
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
+
+    def comps(edges):
+        return {
+            r["id"]: r["component"]
+            for r in connected_components(edges, "id_a", "id_b").collect()
+        }
+
+    clique = comps(dd.minhash_lsh_candidates(sigs))
+    star = comps(dd.minhash_lsh_star_edges(sigs))
+    assert clique == star
+    # star edge count never exceeds clique pair count
+    assert (
+        dd.minhash_lsh_star_edges(sigs).count()
+        <= dd.minhash_lsh_candidates(sigs).count()
+    )
+
+
 def test_exact_dedup_whitespace_insensitive(spark):
     docs = spark.createDataFrame(
         [(1, "Hello  World"), (2, "hello world"), (3, "other")],
