@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "dd_simhash_pairs",     # banded Hamming pair join
     "dd_contamination",     # 13-gram benchmark leak scan
     "a17_group_centroid",   # group-wise embedding centroids
+    "tx_tfidf",             # TF-IDF top terms (explode + broadcast df + window)
+    "tx_unigram_lm",        # unigram-LM quality scoring (decimal-exact nll)
+    "tx_pii",               # PII scan + redaction (pure codegen regex)
+    "pk_pack",              # concat-and-chunk sequence packing
 ]
 
 

@@ -1,0 +1,55 @@
+"""Sequence packing for LLM pre-training: the concat-and-chunk layout.
+
+Training pipelines concatenate documents within a stream and split the token
+stream into fixed-size context windows; each document then occupies a span
+of chunks.  This module computes that layout declaratively — per-stream
+running token offsets via a window cumsum, chunk ids by integer division —
+so the plan is one shuffle on the stream key and stays in whole-stage
+codegen (integer math only, bit-exact in any engine).
+
+Scale shape: the window partitions by the stream key (``part_col``), never
+globally — a global ordered cumsum would serialize into a single partition.
+At 100 TB the stream key is the shard/source, so each partition's cumsum is
+independent and the shuffle is the one the data already needs for layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def concat_chunk_layout(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    part_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each document its span of fixed-``budget`` chunks under
+    concat-and-chunk packing, per stream ``part_col`` in ``order_col`` order.
+
+    Returns the input keys plus ``start_offset`` (tokens before this doc in
+    its stream), ``first_chunk``/``last_chunk`` (chunk ids the doc touches),
+    and ``n_chunks`` (span width).  Zero-token documents occupy no tokens
+    and are pinned to the chunk at their offset.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = F.col(token_col).cast("long")
+    cum = F.sum(n_tok).over(w)
+    start = (cum - n_tok).alias("start_offset")
+    first = F.floor((cum - n_tok) / budget).cast("long")
+    last = F.floor((F.greatest(cum - 1, cum - n_tok)) / budget).cast("long")
+    return df.select(
+        part_col,
+        order_col,
+        n_tok.alias("n_tokens"),
+        start,
+        first.alias("first_chunk"),
+        last.alias("last_chunk"),
+        (last - first + 1).alias("n_chunks"),
+    )

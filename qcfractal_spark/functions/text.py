@@ -116,6 +116,27 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+# PII patterns kept RE2-and-Java compatible (no lookaround/backrefs) so the
+# DuckDB oracle runs the byte-identical regex.  \b is supported by both.
+PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
+PII_PHONE_RE = r"\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+PII_IPV4_RE = r"[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}"
+
+
+def pii_count(text: Column, pattern: str) -> Column:
+    """Number of non-overlapping matches of ``pattern`` (a PII regex)."""
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace emails → <EMAIL>, then phones → <PHONE>, then IPv4s → <IP>.
+    Order matters (emails contain dots that could pair into IP-ish runs);
+    the oracle applies the same three passes in the same order."""
+    out = F.regexp_replace(text, PII_EMAIL_RE, "<EMAIL>")
+    out = F.regexp_replace(out, PII_PHONE_RE, "<PHONE>")
+    return F.regexp_replace(out, PII_IPV4_RE, "<IP>")
+
+
 def lang_id_table(
     df, text_col: str = "text", id_col: str = "doc_id", out_col: str = "lang_pred"
 ):

@@ -2103,6 +2103,243 @@ REGISTRY["dd_embed"] = (q_dd_embed, SQL_DD_EMBED)
 
 
 # --------------------------------------------------------------------------
+# round 2: TF-IDF, unigram-LM scoring, PII redaction, sequence packing
+# --------------------------------------------------------------------------
+
+
+def q_tx_tfidf(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — the keyword-extraction step of a
+    corpus-analysis pipeline.  Plan: codegen token explode → (doc, term)
+    counts (one shuffle, map-combinable) → document frequencies (broadcast
+    back: the vocabulary is orders smaller than the corpus) → per-doc
+    window top-3.  idf = ln((N+1)/(df+1)) with N carried as a broadcast
+    1-row aggregate, never a driver-side collect."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), on="term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "doc_id", "term", "tf", "df", "tfidf",
+            F.col("rnk").cast("long").alias("rnk"),
+        )
+    )
+
+
+SQL_TX_TFIDF = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+dfreq AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY doc_id ORDER BY tfidf DESC, term ASC
+  ) AS rnk FROM scored
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= 3
+"""
+
+REGISTRY["tx_tfidf"] = (q_tx_tfidf, SQL_TX_TFIDF)
+
+
+def q_tx_unigram_lm(spark, sf_dir):
+    """Unigram language-model scoring (the CCNet-style perplexity proxy for
+    quality filtering): train the unigram model on the corpus itself, score
+    each document by its mean negative log2 token probability.
+
+    Float discipline: per-term -log2(p) is rounded to 9 dp and cast to
+    decimal BEFORE the per-doc sum, so the sum is order-independent and the
+    oracle reproduces it bit-for-bit; transcendentals never enter a float
+    accumulation."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.col("doc_id"), F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("total"))
+    nll_term = F.round(-F.log2(F.col("cf") / F.col("total")), 9).cast(
+        "decimal(28,9)"
+    )
+    return (
+        tf.join(F.broadcast(cf), on="term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            # tf as decimal(8,0) keeps the product at decimal(37,9) — full
+            # scale 9 retained in BOTH engines, no precision-loss rescale.
+            F.sum(F.col("tf").cast("decimal(8,0)") * nll_term).alias("_nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.round(
+                F.col("_nll_sum").cast("double") / F.col("n_tokens"), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
+SQL_TX_UNIGRAM = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_TOKS_SQL}) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM toks GROUP BY doc_id, term
+),
+cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY term),
+tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf)
+SELECT tf.doc_id,
+       CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(CAST(tf.tf AS DECIMAL(8,0))
+                      * CAST(ROUND(-log2(CAST(cf.cf AS DOUBLE) / tot.total), 9)
+                             AS DECIMAL(28,9))) AS DOUBLE)
+             / SUM(tf.tf), 6) AS mean_nll
+FROM tf JOIN cf USING (term) CROSS JOIN tot
+GROUP BY tf.doc_id
+"""
+
+REGISTRY["tx_unigram_lm"] = (q_tx_unigram_lm, SQL_TX_UNIGRAM)
+
+
+# Deterministic PII augmentation: the synthetic corpus contains no PII, so
+# both engines append the same derived contact block before scanning — the
+# regexes are exercised on real matches while the fixture stays untouched.
+_PII_AUG = (
+    "text || ' contact user' || doc_id || '@example.com or +1-555-' || "
+    "lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' ip 10.' || "
+    "(doc_id % 256) || '.0.' || ((doc_id * 7) % 256)"
+)
+
+
+def q_tx_pii(spark, sf_dir):
+    """PII detection + redaction over the (deterministically augmented)
+    corpus: per-document counts of emails / phone numbers / IPv4s and the
+    md5 of the redacted text.  Pure codegen regex scan — zero shuffles; the
+    shape every pre-training privacy pass needs at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ip 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        ((F.col("doc_id") * 7) % 256).cast("string"),
+    )
+    return docs.select(
+        "doc_id",
+        tx.pii_count(aug, tx.PII_EMAIL_RE).alias("n_emails"),
+        tx.pii_count(aug, tx.PII_PHONE_RE).alias("n_phones"),
+        tx.pii_count(aug, tx.PII_IPV4_RE).alias("n_ips"),
+        F.md5(tx.redact_pii(aug)).alias("redacted_md5"),
+    )
+
+
+SQL_TX_PII = f"""
+WITH aug AS (SELECT doc_id, {_PII_AUG} AS t FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}'))
+       AS BIGINT) AS n_emails,
+  CAST(len(regexp_extract_all(t, '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}'))
+       AS BIGINT) AS n_phones,
+  CAST(len(regexp_extract_all(t, '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}'))
+       AS BIGINT) AS n_ips,
+  md5(regexp_replace(
+        regexp_replace(
+          regexp_replace(t, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{{2,}}',
+                         '<EMAIL>', 'g'),
+          '\\+[0-9]{{1,2}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+        '[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}\\.[0-9]{{1,3}}', '<IP>', 'g'
+      )) AS redacted_md5
+FROM aug
+"""
+
+REGISTRY["tx_pii"] = (q_tx_pii, SQL_TX_PII)
+
+
+def q_pk_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (functions/packing.py): per source
+    stream, documents are concatenated in doc_id order and split into
+    512-token context windows; each document reports its token offset and
+    the chunk span it occupies.  Integer-only window math — bit-exact, one
+    shuffle on the stream key, never a global sort."""
+    from .functions.packing import concat_chunk_layout
+
+    docs = _t(spark, sf_dir, "documents")
+    with_tok = docs.select(
+        "source", "doc_id", tx.bpe_ish_token_count(F.col("text")).alias("n_tok")
+    )
+    return concat_chunk_layout(
+        with_tok, token_col="n_tok", budget=512, part_col="source", order_col="doc_id"
+    )
+
+
+SQL_PK_PACK = """
+WITH base AS (
+  SELECT source, doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+    SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS c
+  FROM base
+)
+SELECT source, doc_id, n_tokens,
+  CAST(c - n_tokens AS BIGINT) AS start_offset,
+  CAST(FLOOR((c - n_tokens) / 512) AS BIGINT) AS first_chunk,
+  CAST(FLOOR(GREATEST(c - 1, c - n_tokens) / 512) AS BIGINT) AS last_chunk,
+  CAST(FLOOR(GREATEST(c - 1, c - n_tokens) / 512)
+       - FLOOR((c - n_tokens) / 512) + 1 AS BIGINT) AS n_chunks
+FROM cum
+"""
+
+REGISTRY["pk_pack"] = (q_pk_pack, SQL_PK_PACK)
+
+
+# --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
 # operator and every §2 row whose only hard evidence is its driver row.
@@ -2115,20 +2352,27 @@ REGISTRY["dd_embed"] = (q_dd_embed, SQL_DD_EMBED)
 #   ds_missing_cells  A3 matrix via a5          f12 F12 scalars via a6/a7
 #   (both r1-driver-green; stepped out for the round-2 first-class
 #   operators dd_winnow / dd_embed)
+# Round-2 rotation (all four r1-driver-green, code unchanged since, shape
+# carried by an in-window sibling) — stepped out for the new first-class
+# pipeline operators tx_tfidf / tx_unigram_lm / tx_pii / pk_pack:
+#   p4_tuple_in   semi-join-on-values ⊂ j4_semi_join family
+#   j10_count_join left-join+coalesce counts ⊂ a15_properties_df join-agg
+#   a12_weighted_sum same groupBy-decimal-sum shape as a13_manybody_levels
+#   a16_dedup_batch  groupBy count+min ⊂ dd_exact
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 core scans / filters / keyed access
-    "s1_scan_project", "p2_p3_filter_page", "s2_bulk_get", "p4_tuple_in",
+    "s1_scan_project", "p2_p3_filter_page", "s2_bulk_get",
     "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
     # joins + graph
-    "j1_dim_join", "j4_semi_join", "j9_anti_join", "j10_count_join",
+    "j1_dim_join", "j4_semi_join", "j9_anti_join",
     "j8_closure", "j13_asof", "j14_interval",
     # aggregates / pivots
     "a5_two_col_counts", "a6_access_summary", "a7_json_rollup",
-    "a8_status_gate", "a9_argmin", "a10_map_agg", "a12_weighted_sum",
+    "a8_status_gate", "a9_argmin", "a10_map_agg",
     "a13_manybody_levels", "a14_pivot", "a15_properties_df",
-    "a16_dedup_batch", "a17_group_centroid",
+    "a17_group_centroid",
     # top-k / windows / temporal
     "o2_priority_topk", "w1_window_lag", "t3_hourly_rollup",
     "st_sessionize", "t2_enrichment",
@@ -2136,6 +2380,7 @@ _DRIVER_WINDOW = [
     "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
     "tx_text_stats", "tx_repetition", "u5_stratified_sample",
+    "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
     # dedup suite
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
     "dd_contamination", "dd_cluster", "dd_winnow", "dd_embed",

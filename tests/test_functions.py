@@ -326,3 +326,44 @@ def test_jaccard_doc_freq_cap_is_conservative(spark):
     assert (3, 4) in exact and exact[(3, 4)] == 1.0
     for pair, score in capped.items():
         assert score <= exact[pair] + 1e-9, pair
+
+
+def test_redact_pii_and_counts(spark):
+    from qcfractal_spark.functions import text as tx2
+
+    df = spark.createDataFrame(
+        [(1, "mail a@b.io and c.d+x@e-f.org call +1-555-0100 host 10.0.0.1 end")],
+        "doc_id long, text string",
+    )
+    t = F.col("text")
+    row = df.select(
+        tx2.pii_count(t, tx2.PII_EMAIL_RE).alias("e"),
+        tx2.pii_count(t, tx2.PII_PHONE_RE).alias("p"),
+        tx2.pii_count(t, tx2.PII_IPV4_RE).alias("i"),
+        tx2.redact_pii(t).alias("red"),
+    ).first()
+    assert (row["e"], row["p"], row["i"]) == (2, 1, 1)
+    assert row["red"] == "mail <EMAIL> and <EMAIL> call <PHONE> host <IP> end"
+
+
+def test_concat_chunk_layout_spans_and_offsets(spark):
+    from qcfractal_spark.functions.packing import concat_chunk_layout
+
+    # stream s: 3 docs of 6, 3, 8 tokens; budget 8 =>
+    #   doc 1: tokens [0,6)  -> chunk 0 only
+    #   doc 2: tokens [6,9)  -> straddles chunks 0-1
+    #   doc 3: tokens [9,17) -> chunks 1-2
+    # plus a zero-token doc pinned at its offset; a second stream restarts at 0.
+    df = spark.createDataFrame(
+        [("s", 1, 6), ("s", 2, 3), ("s", 3, 8), ("s", 4, 0), ("t", 9, 5)],
+        "source string, doc_id long, n_tok long",
+    )
+    out = {
+        r["doc_id"]: (r["start_offset"], r["first_chunk"], r["last_chunk"], r["n_chunks"])
+        for r in concat_chunk_layout(df, "n_tok", budget=8).collect()
+    }
+    assert out[1] == (0, 0, 0, 1)
+    assert out[2] == (6, 0, 1, 2)
+    assert out[3] == (9, 1, 2, 2)
+    assert out[4] == (17, 2, 2, 1)  # zero-token doc: no span growth
+    assert out[9] == (0, 0, 0, 1)  # independent stream restarts at offset 0

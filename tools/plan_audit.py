@@ -37,6 +37,14 @@ from qcfractal_spark.session import build_session
 # base_dataset_socket.py:1254-1443).
 ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 
+# Queries that cross-join a broadcast 1-row aggregate (a global scalar such
+# as corpus size or total token count) — the Spark-idiomatic scalar-subquery
+# pattern.  The BroadcastNestedLoopJoin is benign: its build side is exactly
+# one row, so the "nested loop" is a constant append per stream row.  The
+# audit still verifies no CartesianProduct and that every OTHER join keeps
+# its strategy.
+SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm"}
+
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
 SMJ_OK = {
@@ -117,7 +125,11 @@ def audit_one(name: str, df) -> list[str]:
 
     if "CartesianProduct" in plan:
         problems.append("CartesianProduct in plan")
-    if "BroadcastNestedLoopJoin" in plan and name not in ALLPAIRS_OK:
+    if (
+        "BroadcastNestedLoopJoin" in plan
+        and name not in ALLPAIRS_OK
+        and name not in SCALAR_BROADCAST_OK
+    ):
         problems.append("unexpected BroadcastNestedLoopJoin")
     if "SortMergeJoin" in plan and name not in SMJ_OK:
         problems.append("SortMergeJoin where a broadcast join was expected")
