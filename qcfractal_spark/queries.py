@@ -2339,6 +2339,179 @@ FROM cum
 REGISTRY["pk_pack"] = (q_pk_pack, SQL_PK_PACK)
 
 
+def q_dd_common_ngrams(spark, sf_dir):
+    """Boilerplate detection: the 20 most document-frequent 8-grams (per-doc
+    distinct, so a gram repeated inside one doc counts once).  The corpus
+    statistic behind repeated-template removal: grams with df near N are
+    boilerplate to strip before dedup.  Shape: codegen shingle explode →
+    one map-combinable count agg → TakeOrdered 20 — scan-dominated, the
+    exact shape that holds at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.shingle_rows(docs, "text", "doc_id", k=8, distinct=True)
+    return (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("shingle").asc())
+        .limit(20)
+    )
+
+
+SQL_DD_COMMON = r"""
+WITH norm AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id, substring(t, i, 8) AS shingle
+  FROM norm, unnest(generate_series(1, greatest(length(t) - 7, 1))) u(i)
+)
+SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+FROM grams GROUP BY shingle
+ORDER BY df DESC, shingle ASC LIMIT 20
+"""
+
+REGISTRY["dd_common_ngrams"] = (q_dd_common_ngrams, SQL_DD_COMMON)
+
+
+def q_u6_mixture_sample(spark, sf_dir):
+    """Temperature-based data mixing (the multilingual/multi-source rebalance
+    used in LLM pre-training): per-source token shares are re-weighted by
+    share^0.5 (temperature T=2 upsampling of small sources), renormalized,
+    and converted into a per-source deterministic sampling rate; the rate is
+    then applied with the portable-hash filter to count surviving docs —
+    sampling stays scan-side with zero RNG state, so any executor re-derives
+    the same sample.  sqrt (IEEE-exact) rather than pow keeps the oracle
+    bit-identical."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(tx.bpe_ish_token_count(F.col("text"))).alias("n_tokens"),
+    )
+    tot = per_src.agg(
+        F.sum("n_tokens").alias("_tot"),
+    )
+    shares = (
+        per_src.crossJoin(F.broadcast(tot))
+        .withColumn("share", F.col("n_tokens") / F.col("_tot"))
+        .withColumn("_w", F.sqrt(F.col("share")))
+    )
+    # round-then-decimal before the sum: order-independent accumulation with
+    # identical double->decimal rounding in both engines
+    wsum = shares.agg(
+        F.sum(F.round(F.col("_w"), 6).cast(_DEC)).cast("double").alias("_wsum")
+    )
+    rated = (
+        shares.crossJoin(F.broadcast(wsum))
+        .withColumn("target_share", F.col("_w") / F.col("_wsum"))
+        .withColumn(
+            "rate",
+            F.round(F.least(F.lit(1.0), F.col("target_share") / F.col("share")), 6),
+        )
+    )
+    # deterministic doc-level application: portable hash in [0, 1)
+    u = (tx.portable_hash64(F.col("doc_id").cast("string")) % 1_000_000) / 1_000_000.0
+    sampled = (
+        docs.select("source", "doc_id")
+        .join(F.broadcast(rated.select("source", "rate")), on="source")
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        rated.join(F.broadcast(sampled), on="source", how="left")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("share", 6).alias("share"),
+            F.round("target_share", 6).alias("target_share"),
+            "rate",
+            F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+SQL_U6_MIXTURE = """
+WITH per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    CAST(SUM(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+             AS BIGINT)) AS BIGINT) AS n_tokens
+  FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n_tokens) AS _tot FROM per_src),
+shares AS (
+  SELECT *, CAST(n_tokens AS DOUBLE) / _tot AS share,
+         sqrt(CAST(n_tokens AS DOUBLE) / _tot) AS _w
+  FROM per_src CROSS JOIN tot
+),
+wsum AS (
+  SELECT CAST(SUM(CAST(ROUND(_w, 6) AS DECIMAL(20,6))) AS DOUBLE) AS _wsum
+  FROM shares
+),
+rated AS (
+  SELECT *, _w / _wsum AS target_share,
+         ROUND(LEAST(1.0, (_w / _wsum) / share), 6) AS rate
+  FROM shares CROSS JOIN wsum
+),
+sampled AS (
+  SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_sampled
+  FROM documents d JOIN rated r ON d.source = r.source
+  WHERE (('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000000)
+        / 1000000.0 < r.rate
+  GROUP BY d.source
+)
+SELECT r.source, r.n_docs, r.n_tokens,
+       ROUND(r.share, 6) AS share,
+       ROUND(r.target_share, 6) AS target_share,
+       r.rate,
+       COALESCE(s.n_sampled, 0) AS n_sampled
+FROM rated r LEFT JOIN sampled s ON r.source = s.source
+"""
+
+REGISTRY["u6_mixture_sample"] = (q_u6_mixture_sample, SQL_U6_MIXTURE)
+
+
+def q_pk_domain_cap(spark, sf_dir):
+    """Per-domain token-budget capping: within each source (doc_id order),
+    keep documents while the running token total stays under the 100k
+    budget — the deterministic "cap each domain's contribution" pass that
+    precedes mixture sampling.  One shuffle on the stream key; integer-only
+    window math."""
+    docs = _t(spark, sf_dir, "documents")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    n_tok = tx.bpe_ish_token_count(F.col("text"))
+    return (
+        docs.select("source", "doc_id", n_tok.alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+        .where(F.col("cum_tokens") <= 100_000)
+    )
+
+
+SQL_PK_DOMAIN_CAP = """
+WITH base AS (
+  SELECT source, doc_id,
+    CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+         AS BIGINT) AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT source, doc_id, n_tokens,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY source ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM base
+)
+SELECT * FROM cum WHERE cum_tokens <= 100000
+"""
+
+REGISTRY["pk_domain_cap"] = (q_pk_domain_cap, SQL_PK_DOMAIN_CAP)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -2359,6 +2532,9 @@ REGISTRY["pk_pack"] = (q_pk_pack, SQL_PK_PACK)
 #   j10_count_join left-join+coalesce counts ⊂ a15_properties_df join-agg
 #   a12_weighted_sum same groupBy-decimal-sum shape as a13_manybody_levels
 #   a16_dedup_batch  groupBy count+min ⊂ dd_exact
+#   u5_stratified_sample hash-filter sampling ⊂ u6_mixture_sample
+#   (dd_common_ngrams shingle-count ⊂ dd_contamination; pk_domain_cap
+#   window-cumsum ⊂ pk_pack — both born outside the window)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -2379,7 +2555,7 @@ _DRIVER_WINDOW = [
     # mutation-classify / UDF / formula
     "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
-    "tx_text_stats", "tx_repetition", "u5_stratified_sample",
+    "tx_text_stats", "tx_repetition", "u6_mixture_sample",
     "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
     # dedup suite
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
