@@ -2512,6 +2512,95 @@ SELECT * FROM cum WHERE cum_tokens <= 100000
 REGISTRY["pk_domain_cap"] = (q_pk_domain_cap, SQL_PK_DOMAIN_CAP)
 
 
+def q_sim_pq_topk(spark, sf_dir):
+    """Product-quantization ANN: train per-subspace codebooks (deterministic
+    k-means, functions/similarity.py:pq_train), encode every vector to m
+    codes, then answer the query from the COMPRESSED codes alone via
+    asymmetric-distance table lookups — the memory-bandwidth ANN plan (codes
+    are m bytes vs 4·dim; the raw vectors never enter the scoring scan).
+    Small demo geometry (m=2, ksub=8) so the oracle replay stays tractable;
+    the operators take m/ksub as parameters."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    books = sim.pq_train(emb, m=2, ksub=8, n_iter=1)
+    codes = sim.pq_codes(emb, books).localCheckpoint(eager=True)
+    return sim.pq_adc_topk(codes, books, qvec, k=10)
+
+
+def _pq_oracle_sql(m: int = 2, ksub: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of the PQ build + ADC query (mirrors _ivf_oracle_sql's
+    strategy): init codebooks = subvectors of the ksub lowest-id vectors,
+    one Lloyd step (argmin by -2·s·c + |c|², ties to the lowest code; means
+    with empty-cluster carry), final codebooks ROUNDed to 6 dp (the same
+    discretization pq_train applies), ADC tables from the identical
+    |q|² − 2·q·c + |c|² decomposition, distances as the 2-term rounded sum."""
+    dsub = dim // m
+    parts = ["WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        parts.append(f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS s FROM e)")
+        parts.append(f"""cb0_{j} AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, s AS c
+  FROM (SELECT vec_id, s FROM s{j} ORDER BY vec_id LIMIT {ksub})
+)""")
+        parts.append(f"""a0_{j} AS (
+  SELECT vec_id, s, cid FROM (
+    SELECT t.vec_id, t.s, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             -2 * list_dot_product(t.s, c.c) + list_dot_product(c.c, c.c) ASC,
+             c.cid ASC) AS rn
+    FROM s{j} t, cb0_{j} c) WHERE rn = 1
+)""")
+        parts.append(f"""m0_{j} AS (
+  SELECT cid, p, AVG(s[p]) AS mv
+  FROM a0_{j}, unnest(generate_series(1, {dsub})) u(p)
+  GROUP BY cid, p
+)""")
+        parts.append(f"""cb1_{j} AS (
+  SELECT g.cid, list(ROUND(COALESCE(m.mv, g.x), 6) ORDER BY g.p) AS c
+  FROM (SELECT cid, p, c[p] AS x
+        FROM cb0_{j}, unnest(generate_series(1, {dsub})) u(p)) g
+  LEFT JOIN m0_{j} m ON m.cid = g.cid AND m.p = g.p
+  GROUP BY g.cid
+)""")
+        parts.append(f"""afin_{j} AS (
+  SELECT vec_id, cid FROM (
+    SELECT t.vec_id, c.cid,
+           row_number() OVER (PARTITION BY t.vec_id ORDER BY
+             -2 * list_dot_product(t.s, c.c) + list_dot_product(c.c, c.c) ASC,
+             c.cid ASC) AS rn
+    FROM s{j} t, cb1_{j} c) WHERE rn = 1
+)""")
+        parts.append(f"q{j} AS (SELECT s AS qs FROM s{j} WHERE vec_id = 0)")
+        parts.append(f"""t_{j} AS (
+  SELECT c.cid,
+         ROUND(list_dot_product(q.qs, q.qs)
+               - 2 * list_dot_product(q.qs, c.c)
+               + list_dot_product(c.c, c.c), 6) AS val
+  FROM cb1_{j} c, q{j} q
+)""")
+    body = ",\n".join(parts)
+    joins = " ".join(
+        f"JOIN afin_{j} a{j} ON a{j}.vec_id = a0.vec_id "
+        f"JOIN t_{j} t{j} ON t{j}.cid = a{j}.cid"
+        for j in range(1, m)
+    )
+    adist = " + ".join(f"t{j}.val" for j in range(m))
+    return f"""{body}
+SELECT a0.vec_id, ROUND({adist}, 6) AS adist
+FROM afin_0 a0 JOIN t_0 t0 ON t0.cid = a0.cid {joins}
+ORDER BY adist ASC, a0.vec_id ASC LIMIT {k}
+"""
+
+
+SQL_SIM_PQ = _pq_oracle_sql()
+
+REGISTRY["sim_pq_topk"] = (q_sim_pq_topk, SQL_SIM_PQ)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -2533,6 +2622,7 @@ REGISTRY["pk_domain_cap"] = (q_pk_domain_cap, SQL_PK_DOMAIN_CAP)
 #   a12_weighted_sum same groupBy-decimal-sum shape as a13_manybody_levels
 #   a16_dedup_batch  groupBy count+min ⊂ dd_exact
 #   u5_stratified_sample hash-filter sampling ⊂ u6_mixture_sample
+#   sim_lsh_topk  LSH-bucket probe ⊂ dd_embed + sim_knn_join (both in-window)
 #   (dd_common_ngrams shingle-count ⊂ dd_contamination; pk_domain_cap
 #   window-cumsum ⊂ pk_pack — both born outside the window)
 # --------------------------------------------------------------------------
@@ -2561,7 +2651,7 @@ _DRIVER_WINDOW = [
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
     "dd_contamination", "dd_cluster", "dd_winnow", "dd_embed",
     # similarity suite
-    "sim_topk", "sim_lsh_topk", "sim_ivf_topk", "sim_knn_join",
+    "sim_topk", "sim_pq_topk", "sim_ivf_topk", "sim_knn_join",
     # multimodal
     "mm_features",
 ]

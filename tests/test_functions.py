@@ -367,3 +367,28 @@ def test_concat_chunk_layout_spans_and_offsets(spark):
     assert out[3] == (9, 1, 2, 2)
     assert out[4] == (17, 2, 2, 1)  # zero-token doc: no span growth
     assert out[9] == (0, 0, 0, 1)  # independent stream restarts at offset 0
+
+
+def test_pq_exact_when_codebook_saturates(spark):
+    """With ksub >= N and init = all vectors, every vector is its own
+    centroid, so the ADC distance equals the exact squared L2 distance to
+    the query (up to the 6-dp table rounding)."""
+    import numpy as np
+    from qcfractal_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").where(
+        F.col("vec_id") < 8
+    )
+    rows = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    books = sim.pq_train(emb, m=2, ksub=8, n_iter=1)
+    codes = sim.pq_codes(emb, books)
+    q = rows[0]
+    out = {r["vec_id"]: r["adist"]
+           for r in sim.pq_adc_topk(codes, books, list(q), k=8).collect()}
+    for vid, vec in rows.items():
+        exact = float(np.sum((q - vec) ** 2))
+        assert abs(out[vid] - exact) < 2e-4, (vid, out[vid], exact)
+    # codes are valid indices
+    for r in codes.collect():
+        assert all(0 <= c < 8 for c in r["codes"])
