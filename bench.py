@@ -58,6 +58,12 @@ BENCH_QUERIES = [
     "tx_unigram_lm",        # unigram-LM quality scoring (decimal-exact nll)
     "tx_pii",               # PII scan + redaction (pure codegen regex)
     "pk_pack",              # concat-and-chunk sequence packing
+    "tx_dsir",              # DSIR hashed-ngram importance weights
+    "tx_quality_clf",       # hashing-trick linear classifier (scan-speed)
+    "sim_pq_topk",          # product-quantization ADC top-k
+    # dd_containment is gate-only: on this ~2k-shingle template corpus the
+    # exact shingle join is quadratic by construction (see q_dd_containment
+    # docstring); dd_winnow is the benched substring-dup scale path.
 ]
 
 

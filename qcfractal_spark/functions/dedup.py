@@ -152,6 +152,59 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    threshold: float = 0.8,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Directed shingle-containment pairs: ``C(a→b) = |S(a)∩S(b)| / |S(a)|``.
+
+    Containment is the sub-document dup detector: a short document quoted
+    verbatim inside a long one scores C≈1 while its Jaccard is tiny (the
+    union is dominated by the long doc), so threshold-Jaccard dedup misses
+    exactly the quote/boilerplate-inclusion cases containment catches.
+
+    Same bucket-local plan as :func:`ngram_jaccard_pairs` — shingle
+    self-join, no all-pairs — but pairs are DIRECTED (a≠b both orders):
+    each unordered overlap yields C(a→b) and C(b→a), which differ whenever
+    |S(a)|≠|S(b)|.  ``max_doc_freq`` caps stop-shingle f² blowup exactly as
+    in the Jaccard op, and is likewise conservative: |S(a)| keeps the full
+    set while the intersection can only shrink, so containment is only ever
+    under-estimated.
+    """
+    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_sh = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, on="shingle", how="left_semi")
+    a = join_sh.alias("a")
+    b = join_sh.alias("b")
+    common = (
+        a.join(b, on="shingle")
+        .where(F.col("a.id") != F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    return (
+        common.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"),
+            "id_a",
+        )
+        .withColumn("containment", F.round(F.col("common") / F.col("n_a"), 6))
+        .where(F.col("containment") >= threshold)
+        .select("id_a", "id_b", "containment")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",

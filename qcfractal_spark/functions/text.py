@@ -52,6 +52,25 @@ def bpe_ish_token_count(text: Column) -> Column:
     return F.size(units).cast("long")
 
 
+def ngram_features(text: Column) -> Column:
+    """Unigram + word-bigram feature list — the fastText / DSIR (Xie et al.
+    2023, "Data Selection for Language Models via Importance Resampling")
+    feature space.  Bigrams are joined with a single space so the feature
+    string is reconstructible by any engine; docs with <2 tokens contribute
+    unigrams only.  Pure array ops — stays in whole-stage codegen."""
+    toks = tokens(text)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, F.lit(1), n - 1),
+            F.slice(toks, F.lit(2), n - 1),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.concat(toks, bigrams)
+
+
 def stopword_hits(text: Column, lang: str) -> Column:
     """Count of tokens that are stopwords of ``lang`` (with multiplicity)."""
     sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

@@ -112,11 +112,17 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
     return _closure(seeds, undirected, "a", "b", None)
 
 
+# Target undirected-edge rows per CC partition: ~2M (long,long) pairs is
+# ~32 MB shuffled — comfortably in-memory per task at any scale.
+_CC_ROWS_PER_PARTITION = 2_000_000
+
+
 def connected_components(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     max_iter: int = 50,
+    approx_edges: int | None = None,
 ) -> DataFrame:
     """Connected components by min-label propagation: every node ends up
     labeled with the smallest node id in its component.
@@ -134,6 +140,15 @@ def connected_components(
     keeps adversarial long-chain graphs tractable at 100 TB, where each
     round is a serial full-shuffle stage.
 
+    ``approx_edges`` (the edge count, which callers that materialize the
+    pair table first have for free) sizes the loop's partitioning:
+    ~2M undirected rows per partition, floored at defaultParallelism/4.
+    The rounds are serial, so per-round task overhead multiplies by the
+    iteration count — a 5k-edge graph over 32 partitions pays 8x32 nearly
+    empty tasks per shuffle, while a 10^11-edge graph gets the tens of
+    thousands of partitions it needs.  Unset, the session's shuffle
+    partitioning applies.
+
     Returns ``(id, component)`` for every node appearing in ``edges``;
     callers left-join and coalesce to assign singletons their own id.
     """
@@ -145,9 +160,15 @@ def connected_components(
     # round's labels join then reuses the cached exchange instead of
     # re-shuffling the edges — one shuffle per round, on the labels side
     # only.
+    if approx_edges is not None:
+        floor = max(1, edges.sparkSession.sparkContext.defaultParallelism // 4)
+        n_parts = max(floor, (2 * approx_edges) // _CC_ROWS_PER_PARTITION + 1)
+        part_cols = [n_parts, "dst"]
+    else:
+        part_cols = ["dst"]
     und = (
         und.dropDuplicates(["src", "dst"])
-        .repartition("dst")
+        .repartition(*part_cols)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # Initial labels already fold in the first propagation round: a node's

@@ -1375,7 +1375,7 @@ def q_dd_cluster(spark, sf_dir):
     # shape that survives a hot bucket at 100 TB.  Materialized once: the
     # CC loop derives both directions from it.
     edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=True)
-    comp = connected_components(edges, "id_a", "id_b")
+    comp = connected_components(edges, "id_a", "id_b", approx_edges=edges.count())
     return (
         docs.select(F.col("doc_id").alias("id"))
         .join(comp, "id", "left")
@@ -2601,6 +2601,209 @@ SQL_SIM_PQ = _pq_oracle_sql()
 REGISTRY["sim_pq_topk"] = (q_sim_pq_topk, SQL_SIM_PQ)
 
 
+# DuckDB mirror of functions.text.ngram_features over a token-list column
+# ``tk`` (keep in sync): unigrams ++ space-joined word bigrams.
+_FEATS_SQL = (
+    "list_concat(tk, CASE WHEN len(tk) >= 2 THEN "
+    "list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) "
+    "ELSE []::VARCHAR[] END)"
+)
+
+
+def q_tx_dsir(spark, sf_dir):
+    """DSIR-style data selection (Xie et al. 2023): per-document log
+    importance weight log(p_target/p_raw) under hashed-ngram bag models —
+    the importance-resampling score used to select pretraining data that
+    matches a target distribution (here: target = the English slice,
+    raw = the whole corpus).
+
+    Plan: one codegen feature explode (unigrams+bigrams → 256 hash
+    buckets), two map-combinable bucket counts (target is a filtered branch
+    of the same scan), a broadcast-sized log-ratio table, then one
+    (doc,bucket)-keyed count and one doc-keyed weighted sum — two real
+    shuffles total, both map-combinable; the model tables never leave
+    broadcast range because the bucket count is fixed, not
+    vocabulary-sized.  That fixed-width hashing is what makes DSIR run at
+    100 TB where an exact-vocabulary LM would not.
+
+    Float discipline: per-bucket log-ratio rounded to 9 dp and cast to
+    decimal BEFORE the per-doc sum (order-independent, oracle-exact);
+    transcendentals never enter a float accumulation."""
+    B = 256
+    docs = _t(spark, sf_dir, "documents")
+    fb = (
+        docs.select(
+            "doc_id", "lang", F.explode(tx.ngram_features(F.col("text"))).alias("feat")
+        )
+        .select("doc_id", "lang", (tx.portable_hash64(F.col("feat")) % B).alias("b"))
+    )
+    raw = fb.groupBy("b").agg(F.count(F.lit(1)).alias("r"))
+    tgt = fb.where(F.col("lang") == "en").groupBy("b").agg(F.count(F.lit(1)).alias("t"))
+    buckets = raw.join(tgt, "b", "left").select(
+        "b", "r", F.coalesce("t", F.lit(0)).alias("t")
+    )
+    tots = buckets.agg(F.sum("r").alias("r_tot"), F.sum("t").alias("t_tot"))
+    lr = buckets.crossJoin(F.broadcast(tots)).select(
+        "b",
+        F.round(
+            F.log((F.col("t") + 1.0) / (F.col("t_tot") + float(B)))
+            - F.log((F.col("r") + 1.0) / (F.col("r_tot") + float(B))),
+            9,
+        )
+        .cast("decimal(28,9)")
+        .alias("lr"),
+    )
+    c = fb.groupBy("doc_id", "b").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        c.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_feats"),
+            F.sum(F.col("c").cast("decimal(8,0)") * F.col("lr")).alias("_s"),
+        )
+        .select(
+            "doc_id",
+            "n_feats",
+            F.round(F.col("_s").cast("double"), 6).alias("logw"),
+        )
+    )
+
+
+SQL_TX_DSIR = f"""
+WITH toks AS (SELECT doc_id, lang, {_TOKS_SQL} AS tk FROM documents),
+feats AS (
+  SELECT doc_id, lang,
+         ('0x' || substr(md5(f), 1, 8))::BIGINT % 256 AS b
+  FROM (SELECT doc_id, lang, unnest({_FEATS_SQL}) AS f FROM toks)
+),
+raw AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS r FROM feats GROUP BY b),
+tgt AS (SELECT b, CAST(COUNT(*) AS BIGINT) AS t FROM feats WHERE lang = 'en' GROUP BY b),
+buckets AS (
+  SELECT raw.b, raw.r, COALESCE(tgt.t, 0) AS t
+  FROM raw LEFT JOIN tgt ON raw.b = tgt.b
+),
+tots AS (
+  SELECT CAST(SUM(r) AS BIGINT) AS r_tot, CAST(SUM(t) AS BIGINT) AS t_tot
+  FROM buckets
+),
+lr AS (
+  SELECT b,
+         CAST(ROUND(ln((t + 1.0) / (t_tot + 256.0))
+                    - ln((r + 1.0) / (r_tot + 256.0)), 9) AS DECIMAL(28,9)) AS lr
+  FROM buckets CROSS JOIN tots
+),
+c AS (SELECT doc_id, b, CAST(COUNT(*) AS BIGINT) AS c FROM feats GROUP BY doc_id, b)
+SELECT c.doc_id,
+       CAST(SUM(c.c) AS BIGINT) AS n_feats,
+       ROUND(CAST(SUM(CAST(c.c AS DECIMAL(8,0)) * lr.lr) AS DOUBLE), 6) AS logw
+FROM c JOIN lr USING (b)
+GROUP BY c.doc_id
+"""
+
+REGISTRY["tx_dsir"] = (q_tx_dsir, SQL_TX_DSIR)
+
+
+def q_tx_quality_clf(spark, sf_dir):
+    """Hashing-trick linear quality classifier (the fastText-shaped filter
+    every web-corpus pipeline runs): features = unigrams+bigrams hashed to
+    4096 buckets, score = mean bucket weight, p_keep = logistic(score).
+    Weights here are a deterministic hash-derived stand-in (the container
+    has no trained model) — the SPARK SHAPE is the product: weight lookup
+    is inlined arithmetic on the feature hash, so the entire classifier is
+    one codegen scan + one map-combinable doc aggregate.  One shuffle, no
+    joins, no Python — at 100 TB the classifier runs at scan speed, vs the
+    usual Python-UDF inference bottleneck.
+
+    Exactness: per-feature weights are INTEGER milliunits (hash % 2001 −
+    1000 ∈ [−1000, 1000]); the doc sum stays in BIGINT and floats appear
+    only in the final two rounded expressions."""
+    B = 4096
+    docs = _t(spark, sf_dir, "documents")
+    fb = docs.select(
+        "doc_id", F.explode(tx.ngram_features(F.col("text"))).alias("feat")
+    )
+    bucket = (tx.portable_hash64(F.col("feat")) % B).cast("string")
+    wu = tx.portable_hash64(F.concat(F.lit("w:"), bucket)) % 2001 - 1000
+    s = (
+        fb.select("doc_id", wu.alias("wu"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_feats"), F.sum("wu").alias("units"))
+    )
+    score = F.round(F.col("units") / (F.col("n_feats") * 1000.0), 6)
+    return s.select(
+        "doc_id",
+        "n_feats",
+        score.alias("score"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-score)), 6).alias("p_keep"),
+    )
+
+
+SQL_TX_QCLF = f"""
+WITH toks AS (SELECT doc_id, {_TOKS_SQL} AS tk FROM documents),
+feats AS (
+  SELECT doc_id, f FROM (SELECT doc_id, unnest({_FEATS_SQL}) AS f FROM toks)
+),
+wu AS (
+  SELECT doc_id,
+         ('0x' || substr(md5('w:' ||
+            (('0x' || substr(md5(f), 1, 8))::BIGINT % 4096)), 1, 8))::BIGINT
+           % 2001 - 1000 AS wu
+  FROM feats
+),
+s AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(SUM(wu) AS BIGINT) AS units
+  FROM wu GROUP BY doc_id
+)
+SELECT doc_id, n_feats,
+       ROUND(units / (n_feats * 1000.0), 6) AS score,
+       ROUND(1.0 / (1.0 + exp(-ROUND(units / (n_feats * 1000.0), 6))), 6) AS p_keep
+FROM s
+"""
+
+REGISTRY["tx_quality_clf"] = (q_tx_quality_clf, SQL_TX_QCLF)
+
+
+def q_dd_containment(spark, sf_dir):
+    """Directed 5-gram containment pairs ≥ 0.5 (functions/dedup.py:
+    containment_pairs): the sub-document duplication detector — catches a
+    short doc quoted inside a long one, which symmetric Jaccard
+    under-scores.  Exact (uncapped) — the verification baseline the oracle
+    can mirror.  Scale note: this synthetic corpus is template-generated
+    with only ~2k distinct shingles, so shingle df grows linearly with
+    corpus size and the exact join is inherently quadratic (measured 1.5e9
+    join rows at sf0.1); on such low-entropy corpora the production
+    substring-dup path is winnowing fingerprints (`dd_winnow`), while on
+    natural zipfian corpora `max_doc_freq` keeps this exact join linear."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, k=5, threshold=0.5)
+
+
+SQL_DD_CONTAIN = """
+WITH docs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 5) AS shingle
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / sa.n_sh, 6) AS containment
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+WHERE ROUND(common * 1.0 / sa.n_sh, 6) >= 0.5
+"""
+
+REGISTRY["dd_containment"] = (q_dd_containment, SQL_DD_CONTAIN)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -2625,12 +2828,17 @@ REGISTRY["sim_pq_topk"] = (q_sim_pq_topk, SQL_SIM_PQ)
 #   sim_lsh_topk  LSH-bucket probe ⊂ dd_embed + sim_knn_join (both in-window)
 #   (dd_common_ngrams shingle-count ⊂ dd_contamination; pk_domain_cap
 #   window-cumsum ⊂ pk_pack — both born outside the window)
+# Second round-2 rotation (all three r1-driver-green, code unchanged since,
+# shape carried in-window) — stepped out for tx_dsir / tx_quality_clf /
+# dd_containment:
+#   p5_json_extract   JSON-path filter ⊂ a7_json_rollup
+#   p7_array_overlap  array containment gates ⊂ a8_status_gate
+#   p8_int_or_name    mixed-key filter join ⊂ j4_semi_join family
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 core scans / filters / keyed access
     "s1_scan_project", "p2_p3_filter_page", "s2_bulk_get",
-    "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
     # joins + graph
     "j1_dim_join", "j4_semi_join", "j9_anti_join",
     "j8_closure", "j13_asof", "j14_interval",
@@ -2647,9 +2855,11 @@ _DRIVER_WINDOW = [
     # text-pipeline operators
     "tx_text_stats", "tx_repetition", "u6_mixture_sample",
     "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
+    "tx_dsir", "tx_quality_clf",
     # dedup suite
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
     "dd_contamination", "dd_cluster", "dd_winnow", "dd_embed",
+    "dd_containment",
     # similarity suite
     "sim_topk", "sim_pq_topk", "sim_ivf_topk", "sim_knn_join",
     # multimodal

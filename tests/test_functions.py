@@ -392,3 +392,56 @@ def test_pq_exact_when_codebook_saturates(spark):
     # codes are valid indices
     for r in codes.collect():
         assert all(0 <= c < 8 for c in r["codes"])
+
+
+def test_ngram_features_unigrams_plus_bigrams(spark):
+    df = spark.createDataFrame(
+        [("a b c",), ("solo",), ("",)], "text string"
+    )
+    out = [r[0] for r in df.select(tx.ngram_features(F.col("text"))).collect()]
+    assert out[0] == ["a", "b", "c", "a b", "b c"]
+    assert out[1] == ["solo"]  # <2 tokens: unigrams only
+    assert out[2] == []
+
+
+def test_containment_catches_subdocument_quote(spark):
+    # B embeds A verbatim: C(A->B) ~ 1 while Jaccard(A,B) is far below
+    # threshold -- the case the directed operator exists for.
+    a_text = "the quick brown fox jumps over the lazy dog near the river"
+    b_text = (
+        "unrelated preamble sentence with plenty of extra filler words here "
+        + a_text
+        + " and a long unrelated tail that keeps adding novel shingles all "
+        "the way to the end of this much longer document body"
+    )
+    docs = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    cont = {
+        (r["id_a"], r["id_b"]): r["containment"]
+        for r in dd.containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert cont[(1, 2)] >= 0.9  # A contained in B
+    assert (2, 1) not in cont  # B not contained in A
+    jac = dd.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the quote
+
+
+def test_dsir_prefers_target_distribution(spark):
+    # Target slice = lang 'en'.  English docs must average a higher log
+    # importance weight than the rest -- the defining DSIR property.
+    from qcfractal_spark.queries import REGISTRY, _t
+
+    q_fn = REGISTRY["tx_dsir"][0]
+    sf = "/root/testdata/sf0.001"
+    out = q_fn(spark, sf)
+    docs = _t(spark, sf, "documents").select("doc_id", "lang")
+    by_lang = (
+        out.join(docs, "doc_id")
+        .groupBy(F.col("lang") == "en")
+        .agg(F.avg("logw").alias("m"))
+        .collect()
+    )
+    means = {r[0]: r["m"] for r in by_lang}
+    assert means[True] > means[False]
+    assert means[True] > 0 > means[False]
