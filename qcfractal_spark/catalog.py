@@ -48,15 +48,38 @@ def default_sf_dir() -> str:
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TimestampType (session-tz LTZ).
+
+    The testdata parquet stores tz-less ``timestamp[us]``; depending on
+    ``spark.sql.parquet.inferTimestampNTZ.enabled`` Spark reads that as
+    TIMESTAMP_NTZ, a type that cannot be cast to DOUBLE and is rejected by
+    ``withWatermark``.  The engine's timestamp contract is the reference's
+    (all timestamps UTC — record_db_models.py:205): one instant type,
+    TimestampType under a UTC session timezone, normalized at the scan so
+    every downstream operator (epoch math, watermarks, window()) sees one
+    type regardless of how the parquet writer flagged tz-ness.  The cast is
+    wall-clock-identity under UTC and sits above the scan, so pushdown and
+    pruning on other columns are unaffected."""
+    ntz_cols = [c for c, t in df.dtypes if t == "timestamp_ntz"]
+    for c in ntz_cols:
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Prefer reading tz-less parquet timestamps directly as LTZ (no cast
+    # node at all); normalize_ntz below covers environments that ignore or
+    # predate this conf.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(

@@ -95,6 +95,17 @@ def int_or_name_filter(
     return df.where(pred)
 
 
+def epoch_seconds(col) -> F.Column:
+    """Epoch seconds as double, robust across timestamp flavors.
+
+    ``TIMESTAMP_NTZ`` (what Spark ≥3.4 may infer for tz-less parquet)
+    cannot cast to DOUBLE directly; routing through ``timestamp_ltz`` is an
+    identity for LTZ inputs and a session-tz (UTC here) interpretation for
+    NTZ — exact for micro-precision values within the 53-bit mantissa."""
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp_ltz").cast("double")
+
+
 def asof_join_backward(
     left: DataFrame,
     right: DataFrame,
@@ -183,8 +194,8 @@ def interval_join(
     w = float(bucket_s) if bucket_s is not None else span
     if w <= 0:
         raise ValueError("bucket width must be positive")
-    lts_d = F.col(left_ts).cast("double")
-    rts_d = F.col(right_ts).cast("double")
+    lts_d = epoch_seconds(left_ts)
+    rts_d = epoch_seconds(right_ts)
     lo_b = F.floor((lts_d + F.lit(float(lower_s))) / F.lit(w)).cast("long")
     hi_b = F.floor((lts_d + F.lit(float(upper_s))) / F.lit(w)).cast("long")
     l = left.withColumn("_b", F.explode(F.sequence(lo_b, hi_b)))

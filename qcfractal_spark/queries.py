@@ -1473,7 +1473,11 @@ def q_j14_interval(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clicks"),
         F.max("clk_value").alias("max_click_value"),
         F.round(
-            F.min(F.col("clk_ts").cast("double") - F.col("err_ts").cast("double")), 6
+            F.min(
+                F.col("clk_ts").cast("timestamp_ltz").cast("double")
+                - F.col("err_ts").cast("timestamp_ltz").cast("double")
+            ),
+            6,
         ).alias("min_gap_s"),
     )
     return (

@@ -17,7 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    from ..catalog import normalize_ntz
+
+    return normalize_ntz(spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet")))
 
 
 def snapshot_export(

@@ -17,6 +17,17 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+from ..operators.joins import epoch_seconds
+
+
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    """``withWatermark`` rejects TIMESTAMP_NTZ; normalize the event-time
+    column to TimestampType (identity for LTZ, session-tz/UTC read for NTZ)
+    so both parquet timestamp flavors stream identically."""
+    if dict(df.dtypes).get(ts_col) == "timestamp_ntz":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
 
 def stream_events_from_directory(
     spark: SparkSession,
@@ -44,7 +55,7 @@ def windowed_event_counts(
     The watermark mirrors the reference's 3-day rollup lookback
     (serverinfo/socket.py:650-669): late rows within the window are merged,
     older ones dropped.  Works on both batch and streaming DataFrames."""
-    df = events
+    df = _watermarkable(events, ts_col)
     if events.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return df.groupBy(F.window(ts_col, window).alias("win"), *dims).agg(
@@ -70,9 +81,9 @@ def stream_dedup(
     serves both gates."""
     if not df.isStreaming:
         return df.dropDuplicates(list(key_cols))
-    return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
-        list(key_cols)
-    )
+    return _watermarkable(df, ts_col).withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(list(key_cols))
 
 
 def incremental_enrichment_batch(
@@ -114,14 +125,13 @@ def stream_interval_join(
     """
     if left_ts == right_ts:
         raise ValueError("rename one side's timestamp column before joining")
-    l = left.withWatermark(left_ts, watermark) if left.isStreaming else left
-    r = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    l = _watermarkable(left, left_ts)
+    r = _watermarkable(right, right_ts)
+    l = l.withWatermark(left_ts, watermark) if l.isStreaming else l
+    r = r.withWatermark(right_ts, watermark) if r.isStreaming else r
     cond = (
         (l[key_col] == r[key_col])
-        & (F.col(right_ts).cast("double") > F.col(left_ts).cast("double"))
-        & (
-            F.col(right_ts).cast("double")
-            <= F.col(left_ts).cast("double") + F.lit(float(upper_s))
-        )
+        & (epoch_seconds(right_ts) > epoch_seconds(left_ts))
+        & (epoch_seconds(right_ts) <= epoch_seconds(left_ts) + F.lit(float(upper_s)))
     )
     return l.join(r, cond, "inner").drop(r[key_col])
