@@ -83,15 +83,24 @@ def main() -> None:
 
     # Two runs per query, report the min: the first run pays one-time JIT /
     # codegen / parquet-footer costs that a resident service never re-pays.
+    # Per-query error isolation: one broken query must never zero the whole
+    # suite (it cost two rounds of benchmark data when it did) — record the
+    # error, keep going, and still emit the JSON line for what ran.
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn, _ = REGISTRY[name]
         best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            force(fn(spark, sf_dir))
-            best = min(best, time.time() - t0)
-        times[name] = round(best, 3)
+        try:
+            for _ in range(2):
+                t0 = time.time()
+                force(fn(spark, sf_dir))
+                best = min(best, time.time() - t0)
+            times[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — isolate, report, continue
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"ERROR in {name}: {msg[:2000]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
     out = {
@@ -101,6 +110,8 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if errors:
+        out["errors"] = errors
 
     # Regression guard: compare per-query against the newest recorded
     # BENCH_r{N}.json at the same sf and surface anything >2x slower —

@@ -2838,6 +2838,14 @@ REGISTRY["dd_containment"] = (q_dd_containment, SQL_DD_CONTAIN)
 #   p5_json_extract   JSON-path filter ⊂ a7_json_rollup
 #   p7_array_overlap  array containment gates ⊂ a8_status_gate
 #   p8_int_or_name    mixed-key filter join ⊂ j4_semi_join family
+# Round-4 rotation — step IN the only three queries never driver-verified in
+# any round (f12_hour_percentiles, dd_common_ngrams, pk_domain_cap; VERDICT
+# r3 item 3); step OUT three r3-driver-green near-duplicates whose shape an
+# in-window sibling carries:
+#   dd_winnow       window-minima shingle-bucket join ⊂ dd_jaccard /
+#                   dd_contamination (same bucket-local shingle-join family)
+#   dd_containment  bucket-local shingle containment ⊂ dd_jaccard
+#   a10_map_agg     map_from_entries groupBy ⊂ a8_status_gate collect family
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -2848,7 +2856,7 @@ _DRIVER_WINDOW = [
     "j8_closure", "j13_asof", "j14_interval",
     # aggregates / pivots
     "a5_two_col_counts", "a6_access_summary", "a7_json_rollup",
-    "a8_status_gate", "a9_argmin", "a10_map_agg",
+    "a8_status_gate", "a9_argmin", "f12_hour_percentiles",
     "a13_manybody_levels", "a14_pivot", "a15_properties_df",
     "a17_group_centroid",
     # top-k / windows / temporal
@@ -2859,11 +2867,11 @@ _DRIVER_WINDOW = [
     # text-pipeline operators
     "tx_text_stats", "tx_repetition", "u6_mixture_sample",
     "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
-    "tx_dsir", "tx_quality_clf",
+    "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite
     "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
-    "dd_contamination", "dd_cluster", "dd_winnow", "dd_embed",
-    "dd_containment",
+    "dd_contamination", "dd_cluster", "dd_embed",
+    "dd_common_ngrams",
     # similarity suite
     "sim_topk", "sim_pq_topk", "sim_ivf_topk", "sim_knn_join",
     # multimodal
