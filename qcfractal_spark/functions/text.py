@@ -11,6 +11,8 @@ chosen so DuckDB produces identical values.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -131,7 +133,18 @@ def portable_hash64(col: Column) -> Column:
     chars of md5, parsed as an integer.  DuckDB equivalent:
     ``('0x' || substr(md5(x), 1, 8))::BIGINT``.  Used by MinHash/SimHash so
     oracles can reproduce signatures exactly (Spark's ``hash()`` / xxhash64
-    seeds differ from DuckDB's ``hash()``)."""
+    seeds differ from DuckDB's ``hash()``).
+
+    ``SPARK_GRAFT_FAST_HASH=1`` swaps in native ``xxhash64`` masked to the
+    same non-negative 32-bit range (whole-stage codegen, no md5 digest or
+    hex parse) — the production mode for runs that don't need a
+    DuckDB-reproducible hash (SCALE.md §4).  The mask keeps every consumer
+    contract intact: MinHash permutations ``(a*h + b) % p`` stay inside
+    64-bit ANSI arithmetic, and ``% n`` bucketing stays non-negative.
+    Hash-derived artifacts (signatures, buckets, samples) differ between
+    the two modes by construction; each mode is internally deterministic."""
+    if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1":
+        return F.xxhash64(col).bitwiseAND(F.lit(0xFFFFFFFF))
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
