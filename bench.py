@@ -61,6 +61,8 @@ BENCH_QUERIES = [
     "tx_dsir",              # DSIR hashed-ngram importance weights
     "tx_quality_clf",       # hashing-trick linear classifier (scan-speed)
     "sim_pq_topk",          # product-quantization ADC top-k
+    "pk_domain_cap",        # per-domain token-budget caps (window cumsum)
+    "dd_common_ngrams",     # corpus-wide boilerplate n-gram stats
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow is the benched substring-dup scale path.
@@ -121,33 +123,40 @@ def main() -> None:
         for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
         if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
-    if baselines:
-        with open(baselines[-1]) as fh:
-            base = json.load(fh)
+    # Newest PARSEABLE baseline: a crashed round's record has no queries
+    # (rc=1, tail is a traceback) and must not silently disable the guard.
+    base = {}
+    base_name = None
+    for name in reversed(baselines):
+        with open(name) as fh:
+            cand = json.load(fh)
         # Driver-recorded files wrap our JSON line inside a "tail" capture.
-        if "queries" not in base and "tail" in base:
-            at = base["tail"].rfind('{"metric"')
+        if "queries" not in cand and "tail" in cand:
+            at = cand["tail"].rfind('{"metric"')
             if at >= 0:
                 try:
-                    parsed, _ = json.JSONDecoder().raw_decode(base["tail"][at:])
-                    base = {**base, **parsed}
+                    parsed, _ = json.JSONDecoder().raw_decode(cand["tail"][at:])
+                    cand = {**cand, **parsed}
                 except ValueError:
                     pass
-        if base.get("queries") and base.get("sf") == sf:
-            regressions = {
-                q: {"now": t, "baseline": base["queries"][q]}
-                for q, t in times.items()
-                if q in base.get("queries", {})
-                and base["queries"][q] > 0.05
-                and t > 2.0 * base["queries"][q]
-            }
-            if regressions:
-                out["regressions_vs_" + baselines[-1]] = regressions
-                print(
-                    f"WARNING: {len(regressions)} queries >2x slower than "
-                    f"{baselines[-1]}: {sorted(regressions)}",
-                    file=sys.stderr,
-                )
+        if cand.get("queries") and cand.get("sf") == sf:
+            base, base_name = cand, name
+            break
+    if base_name:
+        regressions = {
+            q: {"now": t, "baseline": base["queries"][q]}
+            for q, t in times.items()
+            if q in base["queries"]
+            and base["queries"][q] > 0.05
+            and t > 2.0 * base["queries"][q]
+        }
+        if regressions:
+            out["regressions_vs_" + base_name] = regressions
+            print(
+                f"WARNING: {len(regressions)} queries >2x slower than "
+                f"{base_name}: {sorted(regressions)}",
+                file=sys.stderr,
+            )
 
     print(json.dumps(out))
 
