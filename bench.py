@@ -63,6 +63,8 @@ BENCH_QUERIES = [
     "sim_pq_topk",          # product-quantization ADC top-k
     "pk_domain_cap",        # per-domain token-budget caps (window cumsum)
     "dd_common_ngrams",     # corpus-wide boilerplate n-gram stats
+    "dd_span_dedup",        # C4 span dedup (one fingerprint shuffle)
+    "dd_semdedup",          # SemDeDup cluster-local semantic dedup
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow is the benched substring-dup scale path.

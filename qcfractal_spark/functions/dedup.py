@@ -152,6 +152,71 @@ def ngram_jaccard_pairs(
     return out
 
 
+def span_dedup_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+) -> DataFrame:
+    """C4-style duplicated-span removal stats (Raffel et al. 2020 §2.2
+    dedup "three-sentence spans"; here fixed ``span_tokens``-token spans
+    since the corpus has no sentence structure).
+
+    A span is a consecutive non-overlapping ``span_tokens``-token chunk of
+    a document.  The global first occurrence of each distinct span text —
+    ordered by (doc_id, span position) — is kept; every later occurrence
+    (in the same document or any other) is a duplicate.  Returns per-doc
+    (doc_id, n_spans, n_dup_spans, dup_frac): the table a pipeline uses to
+    drop or trim boilerplate-heavy documents.
+
+    Plan: tokenize scan-side, explode one row per span (array slice, pure
+    codegen — the text is never re-scanned per span), then ONE shuffle on
+    the span fingerprint for the first-occurrence window and one
+    map-combinable groupBy on doc_id.  At 100 TB this is the canonical
+    dedup shuffle: key cardinality ≈ distinct spans, heavily combinable,
+    and skew is bounded because identical spans hash to one key whose
+    group is processed by a window (rank only), never materialized as
+    pairs.
+    """
+    from pyspark.sql import Window
+
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    spans = df.select(
+        F.col(id_col), toks.alias("_toks"), n_spans.alias("_n")
+    ).select(
+        id_col,
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        "span_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("span_idx") * span_tokens + 1,
+                    F.lit(span_tokens),
+                ),
+            )
+        ).alias("_h"),
+    )
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("span_idx").asc())
+    ranked = spans.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.when(F.col("_rn") > 1, 1).otherwise(0)).alias("n_dup_spans"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.round(F.col("n_dup_spans") / F.col("n_spans"), 6),
+        )
+    )
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

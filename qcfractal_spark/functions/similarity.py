@@ -455,6 +455,53 @@ def embed_neardup_pairs(
     )
 
 
+def semdedup(
+    df: DataFrame,
+    threshold: float = 0.9,
+    n_centroids: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): k-means-cluster the embeddings, then within each cluster
+    drop every vector that has a lower-id near-duplicate at cosine ≥
+    ``threshold``; the lowest id in each near-dup group survives.
+
+    Cluster-local pair generation is the scale contract: the pairwise
+    cosine never crosses clusters, so the join is an equi-join on the
+    cluster id and per-task work is bounded by the largest cluster (at
+    100 TB, ``n_centroids`` scales with corpus size — SemDeDup uses
+    ~0.1–1 clusters per 1k docs — keeping cluster populations roughly
+    constant; the assignment column is written at ingest by the same
+    ``ivf_assignments`` quantizer the ANN path uses, so dedup and
+    retrieval share one index).  The threshold compares the 6-dp-rounded
+    cosine so the decision is reproducible across engines.
+
+    Returns one row per vector: (id, cluster, keep 0/1).
+    """
+    assigned, _ = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    sides = assigned.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "_cid"
+    )
+    a, b = sides.alias("a"), sides.alias("b")
+    dropped = (
+        a.join(b, on="_cid")
+        .where(F.col("a.id") < F.col("b.id"))
+        .where(F.round(cosine(F.col("a._v"), F.col("b._v")), 6) >= threshold)
+        .select(F.col("b.id").alias("id"))
+        .dropDuplicates(["id"])
+        .withColumn("_drop", F.lit(1))
+    )
+    return (
+        sides.join(dropped, on="id", how="left")
+        .select(
+            "id",
+            F.col("_cid").alias("cluster"),
+            F.when(F.col("_drop").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        )
+    )
+
+
 def write_ivf_index(
     df: DataFrame,
     path: str,

@@ -1286,18 +1286,12 @@ FROM b GROUP BY media_id
 """
 
 
-def _ivf_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
-                    dim: int = 64, k: int = 10) -> str:
-    """DuckDB mirror of the deterministic IVF index build + probe.
-
-    Replays ivf_assignments exactly: init = the ``n_centroids`` lowest-id
-    vectors, each Lloyd iteration = argmax over centroid·v/|c| (ties to the
-    lowest cid, matching np.argmax) then per-(cid, dim) mean with
-    empty-cluster carry-forward, final probe = the ``n_probe`` centroids
-    nearest the query.  Centroid means differ from Spark only in float
-    summation order, which can flip an assignment solely on an exact
-    argmax near-tie — absent ties the candidate sets are identical and the
-    final scores are pure functions of (v, q), so the hash matches."""
+def _ivf_build_parts(n_centroids: int = 16, n_iter: int = 2, dim: int = 64) -> list[str]:
+    """Shared DuckDB replay of the deterministic IVF/k-means build
+    (``similarity.ivf_assignments``): WITH-parts from the embedding scan
+    through ``afin`` (final per-vector cluster assignment).  Reused by the
+    IVF probe oracle and the SemDeDup oracle so both verify against the
+    byte-identical quantizer."""
     score = ("list_dot_product(e.v, c.v) / (CASE WHEN list_dot_product(c.v, c.v) = 0 "
              "THEN 1.0 ELSE sqrt(list_dot_product(c.v, c.v)) END)")
     parts = [
@@ -1335,6 +1329,23 @@ def _ivf_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
                               ORDER BY {score} DESC, c.cid ASC) AS rn
     FROM e, {cf} c) WHERE rn = 1
 )""")
+    return parts
+
+
+def _ivf_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
+                    dim: int = 64, k: int = 10) -> str:
+    """DuckDB mirror of the deterministic IVF index build + probe.
+
+    Replays ivf_assignments exactly: init = the ``n_centroids`` lowest-id
+    vectors, each Lloyd iteration = argmax over centroid·v/|c| (ties to the
+    lowest cid, matching np.argmax) then per-(cid, dim) mean with
+    empty-cluster carry-forward, final probe = the ``n_probe`` centroids
+    nearest the query.  Centroid means differ from Spark only in float
+    summation order, which can flip an assignment solely on an exact
+    argmax near-tie — absent ties the candidate sets are identical and the
+    final scores are pure functions of (v, q), so the hash matches."""
+    parts = _ivf_build_parts(n_centroids, n_iter, dim)
+    cf = f"c{n_iter}"
     parts.append("q AS (SELECT v AS qv FROM e WHERE vec_id = 0)")
     parts.append(f"""pr AS (
   SELECT cid FROM {cf} c, q
@@ -2808,6 +2819,77 @@ WHERE ROUND(common * 1.0 / sa.n_sh, 6) >= 0.5
 REGISTRY["dd_containment"] = (q_dd_containment, SQL_DD_CONTAIN)
 
 
+def q_dd_span_dedup(spark, sf_dir):
+    """DD+ (beyond-reference): C4-style duplicated-span stats — global
+    first occurrence of each 20-token span survives, later occurrences are
+    duplicates; per-doc duplicate fraction drives drop/trim decisions
+    (functions/dedup.py:span_dedup_stats; one span-fingerprint shuffle +
+    one map-combinable doc rollup)."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.span_dedup_stats(docs, span_tokens=20)
+
+
+SQL_DD_SPAN = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS j
+  FROM t
+),
+s AS (
+  SELECT doc_id, CAST(j AS INT) AS span_idx,
+         md5(array_to_string(list_slice(toks, j * 20 + 1, j * 20 + 20), ' ')) AS h
+  FROM x
+),
+r AS (
+  SELECT doc_id, span_idx, h,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+  FROM s
+)
+SELECT doc_id, COUNT(*) AS n_spans,
+       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
+FROM r GROUP BY doc_id
+"""
+
+REGISTRY["dd_span_dedup"] = (q_dd_span_dedup, SQL_DD_SPAN)
+
+
+def q_dd_semdedup(spark, sf_dir):
+    """DD+ (beyond-reference): SemDeDup cluster-local semantic dedup
+    (functions/similarity.py:semdedup) — k-means clusters from the same
+    deterministic quantizer as the IVF ANN path, within-cluster cosine ≥
+    threshold drops the higher id.  Fixture embeddings are random (pair
+    cosines ≈ 0), so the query thresholds at 0.25 to exercise the
+    operator; deployment uses ~0.95 — same plan, different constant.  The
+    oracle replays the identical k-means build (shared _ivf_build_parts)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.semdedup(emb, threshold=0.25)
+
+
+def _semdedup_oracle_sql(threshold: float = 0.25, n_centroids: int = 16,
+                         n_iter: int = 2, dim: int = 64) -> str:
+    parts = _ivf_build_parts(n_centroids, n_iter, dim)
+    cos = ("list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v)) "
+           "* sqrt(list_dot_product(b.v, b.v)))")
+    parts.append(f"""d AS (
+  SELECT DISTINCT b.vec_id
+  FROM afin a JOIN afin b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE ROUND({cos}, 6) >= {threshold}
+)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT e.vec_id AS id, e.cid AS cluster,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM afin e LEFT JOIN d ON d.vec_id = e.vec_id
+"""
+
+
+SQL_DD_SEMDEDUP = _semdedup_oracle_sql()
+
+REGISTRY["dd_semdedup"] = (q_dd_semdedup, SQL_DD_SEMDEDUP)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -2846,6 +2928,12 @@ REGISTRY["dd_containment"] = (q_dd_containment, SQL_DD_CONTAIN)
 #                   dd_contamination (same bucket-local shingle-join family)
 #   dd_containment  bucket-local shingle containment ⊂ dd_jaccard
 #   a10_map_agg     map_from_entries groupBy ⊂ a8_status_gate collect family
+# Round-4 additions — step IN the two new first-class pipeline operators
+# (dd_span_dedup: C4 span dedup; dd_semdedup: SemDeDup cluster-local
+# semantic dedup) so their first round has driver rows; step OUT two
+# r3-driver-green shapes an in-window sibling carries:
+#   u6_mixture_sample hash-u sampling ⊂ tx_dsir/u5 hash-filter family
+#   sim_knn_join      hyperplane-bucket join ⊂ dd_embed (same plan family)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -2865,7 +2953,7 @@ _DRIVER_WINDOW = [
     # mutation-classify / UDF / formula
     "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
-    "tx_text_stats", "tx_repetition", "u6_mixture_sample",
+    "tx_text_stats", "tx_repetition", "dd_span_dedup",
     "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
     "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite
@@ -2873,7 +2961,7 @@ _DRIVER_WINDOW = [
     "dd_contamination", "dd_cluster", "dd_embed",
     "dd_common_ngrams",
     # similarity suite
-    "sim_topk", "sim_pq_topk", "sim_ivf_topk", "sim_knn_join",
+    "sim_topk", "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
     # multimodal
     "mm_features",
 ]

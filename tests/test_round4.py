@@ -1,0 +1,66 @@
+"""Round-4 operator units: C4-style span dedup and SemDeDup cluster-local
+semantic dedup (the two new first-class pipeline operators; their exact
+oracle parity is covered by tests/test_queries_oracle.py — these pin the
+semantics on hand-built fixtures)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.functions.dedup import span_dedup_stats
+from qcfractal_spark.functions.similarity import semdedup
+
+
+def test_span_dedup_marks_later_occurrences(spark):
+    words = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    # doc 0: two distinct 5-token spans; doc 1 repeats doc 0 verbatim;
+    # doc 2 is fresh.
+    t0 = words("a", 5) + " " + words("b", 5)
+    rows = [(0, t0), (1, t0), (2, words("c", 10))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r
+        for r in span_dedup_stats(df, span_tokens=5).collect()
+    }
+    assert out[0]["n_spans"] == 2 and out[0]["n_dup_spans"] == 0
+    assert out[1]["n_spans"] == 2 and out[1]["n_dup_spans"] == 2
+    assert out[1]["dup_frac"] == 1.0
+    assert out[2]["n_dup_spans"] == 0
+
+
+def test_span_dedup_intra_document_duplicates(spark):
+    span = " ".join(f"w{i}" for i in range(4))
+    df = spark.createDataFrame(
+        [(7, span + " " + span + " " + span)], "doc_id long, text string"
+    )
+    row = span_dedup_stats(df, span_tokens=4).first()
+    # first occurrence kept, the two later in-document repeats are dups
+    assert row["n_spans"] == 3 and row["n_dup_spans"] == 2
+
+
+def test_semdedup_drops_higher_id_near_duplicate(spark):
+    import random
+
+    rng = random.Random(7)
+    dim = 8
+    base = [rng.uniform(-1, 1) for _ in range(dim)]
+    rows = []
+    for i in range(20):
+        if i in (5, 11):  # exact duplicates of vector 1's direction
+            v = [x * (2.0 if i == 11 else 1.0) for x in base]
+        elif i == 1:
+            v = list(base)
+        else:
+            v = [rng.uniform(-1, 1) for _ in range(dim)]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in semdedup(df, threshold=0.999, n_centroids=4).collect()}
+    assert len(out) == 20
+    # 1, 5, 11 are colinear -> same cluster (cosine-direction k-means);
+    # the lowest id survives, the later ids are dropped.
+    assert out[1]["keep"] == 1
+    assert out[5]["keep"] == 0 and out[11]["keep"] == 0
+    assert out[5]["cluster"] == out[1]["cluster"] == out[11]["cluster"]
+    # everything else is random noise at threshold 0.999: kept
+    dropped = [i for i, r in out.items() if r["keep"] == 0]
+    assert sorted(dropped) == [5, 11]

@@ -54,6 +54,7 @@ SMJ_OK = {
     "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
     "dd_winnow",  # fingerprint self-join: both sides fact-sized
     "dd_embed",  # LSH bucket self-join: both sides fact-sized
+    "dd_semdedup",  # cluster-local self-join: both sides fact-sized
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
