@@ -2890,6 +2890,113 @@ SQL_DD_SEMDEDUP = _semdedup_oracle_sql()
 REGISTRY["dd_semdedup"] = (q_dd_semdedup, SQL_DD_SEMDEDUP)
 
 
+_BM25_TERMS = ["spark", "table", "hash"]
+
+
+def q_tx_bm25(spark, sf_dir):
+    """TX+ (beyond-reference): BM25 ranked retrieval (Robertson-Spärck
+    Jones; k1=1.2, b=0.75) over the documents corpus for a literal query —
+    the relevance-ranking companion of tx_tfidf.
+
+    Plan: one tokenize scan feeds both the per-doc length table and the
+    term-frequency table; corpus stats (N, avgdl) travel as a 1-row
+    broadcast scalar (never a collect), per-term doc frequencies as a
+    broadcast dim.  The matched-docs table (docs containing a query term)
+    is broadcast into the per-doc-length join: selective query terms make
+    it dims-sized — the inverted-index probe shape, where at 100 TB the
+    tf/dlen tables are ingest-time materializations and the per-query work
+    is only the final small join.  Per-term scores are rounded then
+    decimal-summed so the doc score is order-independent; IEEE ops are
+    written in the byte-identical shape on both engines."""
+    docs = _t(spark, sf_dir, "documents")
+    k1, b = 1.2, 0.75
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("w")
+    ).where(F.length("w") > 0)
+    dlen = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dlen.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("w").isin(_BM25_TERMS))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        dlen.join(F.broadcast(tf.join(F.broadcast(df_t), "w")), "doc_id")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    tfn = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * ((1.0 - b) + b * F.col("dl") / F.col("avgdl"))
+    )
+    return (
+        scored.withColumn("_s", F.round(idf * tfn, 6).cast(_DEC))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum("_s").cast("double"), 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )
+
+
+SQL_TX_BM25 = r"""
+WITH toks AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS w
+        FROM documents) t
+  WHERE length(w) > 0
+),
+dlen AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dlen),
+tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks
+       WHERE w IN ('spark', 'table', 'hash') GROUP BY doc_id, w),
+dft AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY w),
+term AS (
+  SELECT t.doc_id,
+         CAST(ROUND(ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                    * ((t.tf * 2.2) / (t.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))),
+                    6) AS DECIMAL(20,6)) AS s
+  FROM tf t JOIN dft d USING (w) JOIN dlen l USING (doc_id), stats s
+)
+SELECT doc_id, ROUND(CAST(SUM(s) AS DOUBLE), 6) AS bm25
+FROM term GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+"""
+
+REGISTRY["tx_bm25"] = (q_tx_bm25, SQL_TX_BM25)
+
+
+def q_a18_cube_counts(spark, sf_dir):
+    """A18 (beyond-reference): CUBE rollup over (lang, source) — all four
+    grouping-set combinations in ONE pass (the generalization of the
+    reference's A3/A5 two-column matrices, which it assembles with
+    separate queries; record_socket.py:1190-1232).  Spark's cube() is a
+    single shuffle with grouping-set expansion map-side — at 100 TB this
+    replaces 4 full scans with 1.  GROUPING indicators disambiguate
+    subtotal NULLs from data NULLs."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.cube("lang", "source").agg(
+        F.grouping("lang").cast("int").alias("g_lang"),
+        F.grouping("source").cast("int").alias("g_source"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+SQL_A18 = """
+SELECT lang, source,
+       CAST(GROUPING(lang) AS INT) AS g_lang,
+       CAST(GROUPING(source) AS INT) AS g_source,
+       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+FROM documents GROUP BY CUBE(lang, source)
+"""
+
+REGISTRY["a18_cube_counts"] = (q_a18_cube_counts, SQL_A18)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -2934,6 +3041,11 @@ REGISTRY["dd_semdedup"] = (q_dd_semdedup, SQL_DD_SEMDEDUP)
 # r3-driver-green shapes an in-window sibling carries:
 #   u6_mixture_sample hash-u sampling ⊂ tx_dsir/u5 hash-filter family
 #   sim_knn_join      hyperplane-bucket join ⊂ dd_embed (same plan family)
+# …and step IN tx_bm25 (BM25 ranked retrieval) + a18_cube_counts (CUBE
+# grouping sets — the one-pass generalization of a5's matrix); step OUT:
+#   tx_repetition     scan-ratio family ⊂ tx_text_stats (driver-green r2+r3)
+#   a5_two_col_counts two-col count matrix ⊂ a18_cube_counts itself
+#                     (driver-green r1+r2+r3)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -2943,7 +3055,7 @@ _DRIVER_WINDOW = [
     "j1_dim_join", "j4_semi_join", "j9_anti_join",
     "j8_closure", "j13_asof", "j14_interval",
     # aggregates / pivots
-    "a5_two_col_counts", "a6_access_summary", "a7_json_rollup",
+    "a18_cube_counts", "a6_access_summary", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "f12_hour_percentiles",
     "a13_manybody_levels", "a14_pivot", "a15_properties_df",
     "a17_group_centroid",
@@ -2953,7 +3065,7 @@ _DRIVER_WINDOW = [
     # mutation-classify / UDF / formula
     "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
-    "tx_text_stats", "tx_repetition", "dd_span_dedup",
+    "tx_text_stats", "tx_bm25", "dd_span_dedup",
     "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
     "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite

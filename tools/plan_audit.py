@@ -43,7 +43,8 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 # one row, so the "nested loop" is a constant append per stream row.  The
 # audit still verifies no CartesianProduct and that every OTHER join keeps
 # its strategy.
-SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir"}
+SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir",
+                       "tx_bm25"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
