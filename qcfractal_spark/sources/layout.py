@@ -46,3 +46,63 @@ def pruned_files(df: DataFrame) -> int:
     files.  (``DataFrame.inputFiles()`` reports the unpruned relation, so we
     observe the executed scan via ``input_file_name()``.)"""
     return df.select(F.input_file_name().alias("f")).distinct().count()
+
+
+def zorder_column(
+    df: DataFrame, cols: Sequence[str], bits: int = 12, out_col: str = "_z"
+) -> DataFrame:
+    """Morton/Z-order interleave of ``cols`` into one long sort key.
+
+    Each column is min-max scaled to ``bits`` bits (global min/max is one
+    tiny aggregate whose single row is inlined as plan literals — control
+    plane, not a data collect), then the bit patterns are interleaved with
+    shift/mask expressions — pure whole-stage codegen, no UDF.  Sorting by
+    the interleaved key gives every participating column locality within
+    each file, so parquet min/max stats prune files for predicates on ANY
+    of the columns — the Delta ``OPTIMIZE ZORDER BY`` physics, without the
+    single-column limitation of a plain sort.  At 100 TB this is the
+    layout move for fact tables filtered on more than one dimension
+    (e.g. records by (created_on, record_type)): one re-cluster pays for
+    every subsequent multi-dimension scan."""
+    names = list(cols)
+    row = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in names],
+        *[F.max(c).alias(f"mx_{c}") for c in names],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = []
+    for c in names:
+        mn = float(row[f"mn_{c}"])
+        span = float(row[f"mx_{c}"]) - mn or 1.0
+        s = F.floor((F.col(c).cast("double") - mn) / span * top).cast("long")
+        scaled.append(F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), s)))
+    k = len(scaled)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, s in enumerate(scaled):
+            bit = F.shiftright(s, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return df.withColumn(out_col, z)
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: Sequence[str],
+    n_files: int,
+    bits: int = 12,
+    mode: str = "overwrite",
+) -> None:
+    """Re-cluster ``df`` by the Z-order of ``cols`` into ``n_files``
+    range-partitioned parquet files (each file owns a contiguous Z range,
+    so its per-column min/max footer stats are tight on every Z-order
+    dimension).  One range shuffle + per-partition sort — the standard
+    one-time layout job."""
+    zdf = zorder_column(df, cols, bits=bits)
+    (
+        zdf.repartitionByRange(n_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode(mode)
+        .parquet(path)
+    )
