@@ -2997,6 +2997,23 @@ FROM documents GROUP BY CUBE(lang, source)
 REGISTRY["a18_cube_counts"] = (q_a18_cube_counts, SQL_A18)
 
 
+def q_a19_approx_distinct(spark, sf_dir):
+    """A19 (beyond-reference): HyperLogLog++ approximate distinct users per
+    event_type (rsd=1%).  At 100 TB exact COUNT(DISTINCT) is a full
+    shuffle of every distinct value; the HLL sketch is a few KB per group,
+    map-side mergeable, and the standard cardinality primitive of a
+    telemetry pipeline.  No SQL oracle by design — sketch estimates are
+    engine-specific (the driver records a rows-only check); the exactness
+    bound vs COUNT(DISTINCT) is pinned by tests/test_round4.py instead."""
+    events = _t(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
+REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, None)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship

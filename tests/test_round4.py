@@ -38,6 +38,27 @@ def test_span_dedup_intra_document_duplicates(spark):
     assert row["n_spans"] == 3 and row["n_dup_spans"] == 2
 
 
+def test_approx_distinct_within_rsd_bound(spark):
+    """a19's HLL estimate must sit within a conservative 5x the configured
+    1% relative standard deviation of the exact distinct count."""
+    from qcfractal_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["a19_approx_distinct"]
+    approx = {r["event_type"]: r["approx_users"] for r in fn(spark, "/root/testdata/sf0.001").collect()}
+    from qcfractal_spark.catalog import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, n in exact.items():
+        assert abs(approx[et] - n) <= max(1, 0.05 * n), (et, approx[et], n)
+
+
 def test_semdedup_drops_higher_id_near_duplicate(spark):
     import random
 
