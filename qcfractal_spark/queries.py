@@ -2847,7 +2847,7 @@ r AS (
   FROM s
 )
 SELECT doc_id, COUNT(*) AS n_spans,
-       SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS n_dup_spans,
+       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans,
        ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6) AS dup_frac
 FROM r GROUP BY doc_id
 """
@@ -2990,7 +2990,7 @@ SQL_A18 = """
 SELECT lang, source,
        CAST(GROUPING(lang) AS INT) AS g_lang,
        CAST(GROUPING(source) AS INT) AS g_source,
-       COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+       COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY CUBE(lang, source)
 """
 
