@@ -128,3 +128,41 @@ def test_sessionize_gap_invariant(spark, offsets):
         assert end == covered[-1] + gap
         if i + 1 < len(sessions):
             assert sessions[i + 1][0] - covered[-1] >= gap
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=17
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    span=st.integers(min_value=1, max_value=5),
+)
+@settings(**SETTINGS)
+def test_span_dedup_matches_bruteforce(spark, docs, span):
+    """span_dedup_stats agrees with a pure-Python global-first-occurrence
+    reference on arbitrary small corpora (C4 span-dedup semantics)."""
+    from qcfractal_spark.functions.dedup import span_dedup_stats
+
+    rows = [(i, " ".join(words)) for i, words in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_spans"], r["n_dup_spans"])
+        for r in span_dedup_stats(df, span_tokens=span).collect()
+    }
+    seen: set[str] = set()
+    for i, words in enumerate(rows):
+        toks = rows[i][1].split(" ")
+        spans = [
+            " ".join(toks[j * span : j * span + span])
+            for j in range((len(toks) + span - 1) // span)
+        ]
+        dups = 0
+        for s in spans:
+            if s in seen:
+                dups += 1
+            else:
+                seen.add(s)
+        assert got[i] == (len(spans), dups), (i, got[i], spans)
