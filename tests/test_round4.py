@@ -85,3 +85,30 @@ def test_semdedup_drops_higher_id_near_duplicate(spark):
     # everything else is random noise at threshold 0.999: kept
     dropped = [i for i, r in out.items() if r["keep"] == 0]
     assert sorted(dropped) == [5, 11]
+
+
+def test_bm25_ranks_denser_term_matches_higher(spark):
+    """BM25 sanity on a hand-built corpus: with equal doc length, more
+    query-term occurrences -> higher score; docs without query terms never
+    appear."""
+    from qcfractal_spark.queries import REGISTRY
+    import os
+    import tempfile
+
+    filler = ["x" + str(i) for i in range(10)]
+    rows = [
+        (0, " ".join(["spark"] * 4 + filler[:6])),   # densest
+        (1, " ".join(["spark"] * 2 + filler[:8])),
+        (2, " ".join(["spark"] * 1 + filler[:9])),
+        (3, " ".join(filler)),                        # no query terms
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        fn, _ = REGISTRY["tx_bm25"]
+        out = fn(spark, d).collect()
+    ids = [r["doc_id"] for r in out]
+    assert ids[:3] == [0, 1, 2]  # score-descending by term density
+    assert 3 not in ids
+    scores = [r["bm25"] for r in out]
+    assert scores == sorted(scores, reverse=True)
