@@ -101,6 +101,56 @@ def incremental_enrichment_batch(
     return fresh.join(F.broadcast(lookup), on=key_col, how="left")
 
 
+def stream_span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    span_tokens: int = 20,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming C4-style span dedup: explode each arriving document into
+    its non-overlapping ``span_tokens``-token spans and keep only spans
+    whose fingerprint has not been seen within the watermark horizon — the
+    ingest-time arm of ``dedup.span_dedup_stats`` (batch computes global
+    first-occurrence over stored history; the stream dedups arrivals with
+    bounded state).
+
+    State is keyed by the span fingerprint and expires with the watermark
+    (``dropDuplicatesWithinWatermark``), so memory is (arrival rate ×
+    horizon), never corpus-sized — the property that makes stream-side
+    dedup viable at all at 100 TB/day ingest.  Returns the surviving
+    (id, span_idx, fingerprint, ts) rows; a sink typically re-assembles or
+    counts them per document downstream.  Works on batch frames too (plain
+    dropDuplicates on the fingerprint), which is how the parity test pins
+    the semantics."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    spans = df.select(
+        F.col(id_col), F.col(ts_col), toks.alias("_toks"), n_spans.alias("_n")
+    ).select(
+        id_col,
+        ts_col,
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        ts_col,
+        "span_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("span_idx") * span_tokens + 1,
+                    F.lit(span_tokens),
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+    return stream_dedup(spans, key_cols=("fingerprint",), ts_col=ts_col, watermark=watermark)
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -112,3 +112,72 @@ def test_bm25_ranks_denser_term_matches_higher(spark):
     assert 3 not in ids
     scores = [r["bm25"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_stream_span_dedup_matches_batch_first_occurrence(spark):
+    """The streaming span dedup keeps exactly one row per distinct span
+    fingerprint (parity with the batch global-first-occurrence rule when
+    all data fits one micro-batch)."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from qcfractal_spark.streaming.ingest import stream_span_dedup
+
+    words = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, words("a", 4)),
+        (1, t0, words("a", 4)),   # duplicate span of doc 0
+        (2, t0, words("b", 4)),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    batch = spark.createDataFrame(rows, schema)
+    got_batch = stream_span_dedup(batch, span_tokens=4).collect()
+    assert len(got_batch) == 2  # one survivor per distinct span
+
+    src = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        src.coalesce(1).write.parquet(land)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        out = stream_span_dedup(stream, span_tokens=4)
+        qh = (
+            out.writeStream.format("memory")
+            .queryName("span_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        survivors = spark.sql("SELECT fingerprint FROM span_stream").collect()
+    assert len(survivors) == 2
+    assert len({r["fingerprint"] for r in survivors}) == 2
+
+
+def test_semdedup_handles_fewer_vectors_than_centroids(spark):
+    from qcfractal_spark.functions.similarity import semdedup
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0]), (2, [2.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["id"]: r for r in semdedup(df, threshold=0.999, n_centroids=16).collect()}
+    assert len(out) == 3
+    assert out[0]["keep"] == 1 and out[2]["keep"] == 0  # colinear, higher id drops
+    assert out[1]["keep"] == 1
+
+
+def test_span_dedup_single_token_docs(spark):
+    from qcfractal_spark.functions.dedup import span_dedup_stats
+
+    df = spark.createDataFrame(
+        [(0, "solo"), (1, "solo"), (2, "other")], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r["n_dup_spans"] for r in span_dedup_stats(df, span_tokens=20).collect()}
+    assert got == {0: 0, 1: 1, 2: 0}
