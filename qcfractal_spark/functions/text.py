@@ -59,8 +59,20 @@ def ngram_features(text: Column) -> Column:
     2023, "Data Selection for Language Models via Importance Resampling")
     feature space.  Bigrams are joined with a single space so the feature
     string is reconstructible by any engine; docs with <2 tokens contribute
-    unigrams only.  Pure array ops — stays in whole-stage codegen."""
-    toks = tokens(text)
+    unigrams only.  Pure array ops — stays in whole-stage codegen.
+
+    Callers that explode the result should prefer projecting ``tokens(text)``
+    to a column first and passing it to :func:`ngram_features_from_tokens`:
+    expressions inlined into a Generate are not common-subexpression
+    eliminated, so this composite re-tokenizes the document once per
+    sub-expression occurrence (~8×, measured ~2× wall on the DSIR scan)."""
+    return ngram_features_from_tokens(tokens(text))
+
+
+def ngram_features_from_tokens(toks: Column) -> Column:
+    """:func:`ngram_features` over an already-tokenized array column — the
+    explode-friendly form (tokenize once in a projection below the
+    Generate, reference the attribute many times for free)."""
     n = F.size(toks)
     bigrams = F.when(
         n >= 2,

@@ -2646,9 +2646,14 @@ def q_tx_dsir(spark, sf_dir):
     transcendentals never enter a float accumulation."""
     B = 256
     docs = _t(spark, sf_dir, "documents")
+    # tokenize in a projection BELOW the explode: generator expressions are
+    # not CSE'd, so inlining tokens(text) would re-tokenize ~8x per row
     fb = (
-        docs.select(
-            "doc_id", "lang", F.explode(tx.ngram_features(F.col("text"))).alias("feat")
+        docs.select("doc_id", "lang", tx.tokens(F.col("text")).alias("_tk"))
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(tx.ngram_features_from_tokens(F.col("_tk"))).alias("feat"),
         )
         .select("doc_id", "lang", (tx.portable_hash64(F.col("feat")) % B).alias("b"))
     )
@@ -2734,8 +2739,8 @@ def q_tx_quality_clf(spark, sf_dir):
     only in the final two rounded expressions."""
     B = 4096
     docs = _t(spark, sf_dir, "documents")
-    fb = docs.select(
-        "doc_id", F.explode(tx.ngram_features(F.col("text"))).alias("feat")
+    fb = docs.select("doc_id", tx.tokens(F.col("text")).alias("_tk")).select(
+        "doc_id", F.explode(tx.ngram_features_from_tokens(F.col("_tk"))).alias("feat")
     )
     bucket = (tx.portable_hash64(F.col("feat")) % B).cast("string")
     wu = tx.portable_hash64(F.concat(F.lit("w:"), bucket)) % 2001 - 1000
