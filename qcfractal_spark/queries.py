@@ -3019,6 +3019,84 @@ def q_a19_approx_distinct(spark, sf_dir):
 REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, None)
 
 
+def q_t8_funnel(spark, sf_dir):
+    """T8 (beyond-reference): ordered funnel analysis — per user, the
+    earliest strictly-ordered view → click → purchase chain and the funnel
+    depth reached (the canonical product-analytics sequence query).
+
+    Plan: one filtered aggregate per step, each joined to the previous
+    step's anchor timestamp and re-minimized — three shuffles keyed on
+    user_id, every one map-side combinable, no window over the full event
+    stream and no per-user event-array materialization (the collect_list
+    formulation explodes memory on power users; this one is bounded by
+    one row per user per step).  Step joins use the previous step's
+    1-row-per-user output, broadcast when small."""
+    events = _t(spark, sf_dir, "events")
+
+    def step(ev_type):
+        return events.where(F.col("event_type") == ev_type).select(
+            "user_id", F.col("ts")
+        )
+
+    v = step("view").groupBy("user_id").agg(F.min("ts").alias("t_view"))
+    c = (
+        step("click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        step("purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            (
+                F.lit(1)
+                + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+                + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+            ).alias("funnel_depth"),
+        )
+    )
+
+
+SQL_T8 = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(e.ts) AS t_click
+  FROM events e JOIN v ON v.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts > v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(e.ts) AS t_purchase
+  FROM events e JOIN c ON c.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS funnel_depth
+FROM v LEFT JOIN c ON c.user_id = v.user_id
+       LEFT JOIN p ON p.user_id = v.user_id
+"""
+
+REGISTRY["t8_funnel"] = (q_t8_funnel, SQL_T8)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
