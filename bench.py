@@ -123,18 +123,22 @@ def main() -> None:
     # Regression guard: compare per-query against the newest recorded
     # BENCH_r{N}.json at the same sf and surface anything >2x slower —
     # regressions must be visible in-repo, not only in the driver's record.
+    repo_dir = os.path.dirname(os.path.abspath(__file__))
     baselines = sorted(
-        f
-        for f in os.listdir(os.path.dirname(os.path.abspath(__file__)))
-        if re.fullmatch(r"BENCH_r\d+\.json", f)
+        f for f in os.listdir(repo_dir) if re.fullmatch(r"BENCH_r\d+\.json", f)
     )
     # Newest PARSEABLE baseline: a crashed round's record has no queries
     # (rc=1, tail is a traceback) and must not silently disable the guard.
+    # Any unreadable/corrupt baseline is skipped — the guard must never be
+    # the reason a finished benchmark run loses its results.
     base = {}
     base_name = None
     for name in reversed(baselines):
-        with open(name) as fh:
-            cand = json.load(fh)
+        try:
+            with open(os.path.join(repo_dir, name)) as fh:
+                cand = json.load(fh)
+        except (OSError, ValueError):
+            continue
         # Driver-recorded files wrap our JSON line inside a "tail" capture.
         if "queries" not in cand and "tail" in cand:
             at = cand["tail"].rfind('{"metric"')

@@ -152,6 +152,47 @@ def ngram_jaccard_pairs(
     return out
 
 
+def span_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_tokens: int = 20,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """One row per non-overlapping ``span_tokens``-token span of each
+    document: (id, *extra_cols, span_idx, fingerprint).  The SINGLE
+    definition of span identity shared by the batch global-first-occurrence
+    stats (:func:`span_dedup_stats`) and the streaming ingest-time dedup
+    (``streaming.ingest.stream_span_dedup``) — batch/stream parity requires
+    the two arms to fingerprint byte-identically, so neither re-implements
+    this."""
+    toks = F.split(F.col(text_col), " ")
+    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
+    return df.select(
+        F.col(id_col), *[F.col(c) for c in extra_cols],
+        toks.alias("_toks"), n_spans.alias("_n"),
+    ).select(
+        id_col,
+        *extra_cols,
+        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        *extra_cols,
+        "span_idx",
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.slice(
+                    F.col("_toks"),
+                    F.col("span_idx") * span_tokens + 1,
+                    F.lit(span_tokens),
+                ),
+            )
+        ).alias("fingerprint"),
+    )
+
+
 def span_dedup_stats(
     df: DataFrame,
     text_col: str = "text",
@@ -180,27 +221,8 @@ def span_dedup_stats(
     """
     from pyspark.sql import Window
 
-    toks = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
-    spans = df.select(
-        F.col(id_col), toks.alias("_toks"), n_spans.alias("_n")
-    ).select(
-        id_col,
-        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx"),
-        F.col("_toks"),
-    ).select(
-        id_col,
-        "span_idx",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("_toks"),
-                    F.col("span_idx") * span_tokens + 1,
-                    F.lit(span_tokens),
-                ),
-            )
-        ).alias("_h"),
+    spans = span_fingerprints(df, text_col, id_col, span_tokens).withColumnRenamed(
+        "fingerprint", "_h"
     )
     w = Window.partitionBy("_h").orderBy(F.col(id_col).asc(), F.col("span_idx").asc())
     ranked = spans.withColumn("_rn", F.row_number().over(w))

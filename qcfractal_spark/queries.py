@@ -1467,7 +1467,7 @@ def q_j14_interval(spark, sf_dir):
     order-independent (count / max / exact min-gap) so the hash is stable
     across engines; the min gap is a difference of micro-precision epoch
     doubles, which are exact in 53-bit mantissa."""
-    from .operators.joins import interval_join
+    from .operators.joins import epoch_seconds, interval_join
 
     events = _t(spark, sf_dir, "events")
     errors = events.where(F.col("event_type") == "error").select(
@@ -1484,11 +1484,7 @@ def q_j14_interval(spark, sf_dir):
         F.count(F.lit(1)).alias("n_clicks"),
         F.max("clk_value").alias("max_click_value"),
         F.round(
-            F.min(
-                F.col("clk_ts").cast("timestamp_ltz").cast("double")
-                - F.col("err_ts").cast("timestamp_ltz").cast("double")
-            ),
-            6,
+            F.min(epoch_seconds("clk_ts") - epoch_seconds("err_ts")), 6
         ).alias("min_gap_s"),
     )
     return (

@@ -53,10 +53,13 @@ def zorder_column(
 ) -> DataFrame:
     """Morton/Z-order interleave of ``cols`` into one long sort key.
 
-    Each column is min-max scaled to ``bits`` bits (global min/max is one
-    tiny aggregate whose single row is inlined as plan literals — control
-    plane, not a data collect), then the bit patterns are interleaved with
-    shift/mask expressions — pure whole-stage codegen, no UDF.  Sorting by
+    Numeric and timestamp/date columns are min-max scaled to ``bits`` bits
+    (global min/max is one tiny aggregate whose single row is inlined as
+    plan literals — control plane, not a data collect); string columns are
+    hash-bucketed into the same range (equality locality: equal values
+    share a bucket so equality predicates prune, but string ranges don't).
+    The bit patterns are then interleaved with shift/mask expressions —
+    pure whole-stage codegen, no UDF.  Sorting by
     the interleaved key gives every participating column locality within
     each file, so parquet min/max stats prune files for predicates on ANY
     of the columns — the Delta ``OPTIMIZE ZORDER BY`` physics, without the
@@ -65,16 +68,40 @@ def zorder_column(
     (e.g. records by (created_on, record_type)): one re-cluster pays for
     every subsequent multi-dimension scan."""
     names = list(cols)
-    row = df.agg(
-        *[F.min(c).alias(f"mn_{c}") for c in names],
-        *[F.max(c).alias(f"mx_{c}") for c in names],
-    ).first()
     top = (1 << bits) - 1
+    types = dict(df.dtypes)
+    # Column → double expression per type family: numerics and
+    # timestamps/dates keep RANGE locality (min-max scaled); strings get
+    # EQUALITY locality only (hash-bucketed — equal values share a bucket,
+    # so equality predicates prune; range predicates on strings don't).
+    numeric: dict[str, F.Column] = {}
+    hashed: dict[str, F.Column] = {}
+    for c in names:
+        t = types[c]
+        if t.startswith("timestamp") or t == "date":
+            numeric[c] = F.col(c).cast("timestamp_ltz").cast("double")
+        elif t == "string":
+            hashed[c] = F.xxhash64(F.col(c)).bitwiseAND(F.lit(top))
+        else:
+            numeric[c] = F.col(c).cast("double")
+    row = None
+    if numeric:
+        row = df.agg(
+            *[F.min(numeric[c]).alias(f"mn_{c}") for c in numeric],
+            *[F.max(numeric[c]).alias(f"mx_{c}") for c in numeric],
+        ).first()
     scaled = []
     for c in names:
-        mn = float(row[f"mn_{c}"])
-        span = float(row[f"mx_{c}"]) - mn or 1.0
-        s = F.floor((F.col(c).cast("double") - mn) / span * top).cast("long")
+        if c in hashed:
+            scaled.append(hashed[c])
+            continue
+        mn_v, mx_v = (row[f"mn_{c}"], row[f"mx_{c}"]) if row is not None else (None, None)
+        if mn_v is None or mx_v is None:  # empty input or all-null column
+            scaled.append(F.lit(0).cast("long"))
+            continue
+        mn = float(mn_v)
+        span = float(mx_v) - mn or 1.0
+        s = F.floor((numeric[c] - mn) / span * top).cast("long")
         scaled.append(F.greatest(F.lit(0).cast("long"), F.least(F.lit(top).cast("long"), s)))
     k = len(scaled)
     z = F.lit(0).cast("long")

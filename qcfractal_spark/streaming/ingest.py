@@ -120,33 +120,17 @@ def stream_span_dedup(
     (``dropDuplicatesWithinWatermark``), so memory is (arrival rate ×
     horizon), never corpus-sized — the property that makes stream-side
     dedup viable at all at 100 TB/day ingest.  Returns the surviving
-    (id, span_idx, fingerprint, ts) rows; a sink typically re-assembles or
+    (id, ts, span_idx, fingerprint) rows; a sink typically re-assembles or
     counts them per document downstream.  Works on batch frames too (plain
     dropDuplicates on the fingerprint), which is how the parity test pins
-    the semantics."""
-    toks = F.split(F.col(text_col), " ")
-    n_spans = F.ceil(F.size(toks) / F.lit(float(span_tokens))).cast("int")
-    spans = df.select(
-        F.col(id_col), F.col(ts_col), toks.alias("_toks"), n_spans.alias("_n")
-    ).select(
-        id_col,
-        ts_col,
-        F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("span_idx"),
-        F.col("_toks"),
-    ).select(
-        id_col,
-        ts_col,
-        "span_idx",
-        F.md5(
-            F.concat_ws(
-                " ",
-                F.slice(
-                    F.col("_toks"),
-                    F.col("span_idx") * span_tokens + 1,
-                    F.lit(span_tokens),
-                ),
-            )
-        ).alias("fingerprint"),
+    the semantics.  Span identity comes from the SHARED
+    ``dedup.span_fingerprints`` projection, so the batch and streaming
+    arms can never fingerprint differently."""
+    from ..functions.dedup import span_fingerprints
+
+    spans = span_fingerprints(
+        df, text_col=text_col, id_col=id_col, span_tokens=span_tokens,
+        extra_cols=(ts_col,),
     )
     return stream_dedup(spans, key_cols=("fingerprint",), ts_col=ts_col, watermark=watermark)
 

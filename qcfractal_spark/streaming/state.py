@@ -40,7 +40,9 @@ def sessionize(
 
     Works on batch and streaming inputs; streaming requires the watermark
     (session windows are unbounded state without one)."""
-    df = events
+    from .ingest import _watermarkable
+
+    df = _watermarkable(events, ts_col)
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return (
@@ -144,8 +146,11 @@ def stateful_session_stats(
             }
         )
 
+    from .ingest import _watermarkable
+
     return (
-        events.withWatermark(ts_col, watermark)
+        _watermarkable(events, ts_col)
+        .withWatermark(ts_col, watermark)
         .groupBy(key_col)
         .applyInPandasWithState(
             update,

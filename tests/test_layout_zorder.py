@@ -50,3 +50,21 @@ def test_zorder_layout_prunes_on_both_dimensions(spark):
         df.repartition(N_FILES).write.parquet(rpath)
         r = spark.read.parquet(rpath)
         assert pruned_files(r.where(F.col("a") < 4096)) == N_FILES
+
+
+def test_zorder_supports_timestamp_and_string_dims(spark):
+    """The docstring's own example shape — (created_on, record_type) — must
+    work: timestamps min-max scale via epoch, strings hash-bucket."""
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(i, base + timedelta(hours=i), ["sp", "opt", "td"][i % 3]) for i in range(300)],
+        "id long, created_on timestamp, record_type string",
+    )
+    z = zorder_column(df, ["created_on", "record_type"], bits=6)
+    assert z.where(F.col("_z").isNull()).count() == 0
+    assert z.agg(F.max("_z")).first()[0] < (1 << 12)
+    # empty input and all-null columns degrade to a constant key, not a crash
+    empty = zorder_column(df.where(F.lit(False)), ["created_on", "record_type"])
+    assert empty.count() == 0

@@ -102,3 +102,39 @@ def test_streaming_watermark_on_ntz_source(spark):
         qh.awaitTermination(120)
         total = spark.sql("SELECT sum(count) FROM ntz_counts").first()[0]
         assert total == 10
+
+
+def test_sessionize_watermark_on_ntz_source(spark):
+    """sessionize must normalize TIMESTAMP_NTZ before watermarking (same
+    contract as windowed_event_counts; the session-window path is a
+    separate withWatermark call site)."""
+    from qcfractal_spark.streaming.state import sessionize
+
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("ts", TimestampNTZType()),
+        ]
+    )
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        os.makedirs(land)
+        _write_ntz_parquet(os.path.join(land, "part-0.parquet"))
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(land)
+            .withColumnRenamed("event_id", "user_id")
+            .withColumn("value", F.lit(1.0))
+        )
+        out = sessionize(stream, gap="30 minutes")
+        qh = (
+            out.writeStream.format("memory")
+            .queryName("ntz_sessions")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        n = spark.sql("SELECT count(*) FROM ntz_sessions").first()[0]
+        assert n >= 0  # the query RAN — the NTZ watermark no longer throws
