@@ -68,6 +68,7 @@ BENCH_QUERIES = [
     "tx_bm25",              # BM25 ranked retrieval (inverted-probe shape)
     "a18_cube_counts",      # CUBE grouping sets in one pass
     "t8_funnel",            # ordered funnel (chained filtered min-aggs)
+    "t9_cohort_retention",  # weekly cohort retention triangle
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow is the benched substring-dup scale path.

@@ -3093,6 +3093,57 @@ FROM v LEFT JOIN c ON c.user_id = v.user_id
 REGISTRY["t8_funnel"] = (q_t8_funnel, SQL_T8)
 
 
+def q_t9_cohort_retention(spark, sf_dir):
+    """T9 (beyond-reference): weekly cohort retention — users grouped by
+    the week of their first event; for each (cohort_week, week_offset),
+    how many of that cohort were active (the classic retention triangle).
+
+    Plan: one min-agg for the cohort anchor, one distinct (user, week)
+    activity table, a user-keyed join, then a count-distinct keyed on
+    (cohort, offset) — all combinable shuffles on bounded keys; nothing
+    per-user is materialized beyond one row per active week.  Week offsets
+    come from epoch differences of week-truncated timestamps (UTC, exact
+    multiples of 604800), so both engines derive identical integers."""
+    from .operators.joins import epoch_seconds
+
+    events = _t(spark, sf_dir, "events")
+    first = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = events.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("w")
+    ).distinct()
+    return (
+        activity.join(first, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((epoch_seconds("w") - epoch_seconds("cohort_week")) / 604800)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
+SQL_T9 = """
+WITH f AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
+  FROM events GROUP BY user_id
+),
+a AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events
+)
+SELECT f.cohort_week,
+       CAST((epoch(a.w) - epoch(f.cohort_week)) / 604800 AS BIGINT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_users
+FROM a JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+REGISTRY["t9_cohort_retention"] = (q_t9_cohort_retention, SQL_T9)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
