@@ -3144,6 +3144,46 @@ GROUP BY 1, 2
 REGISTRY["t9_cohort_retention"] = (q_t9_cohort_retention, SQL_T9)
 
 
+def q_a20_salted_agg(spark, sf_dir):
+    """A20 (beyond-reference): hot-key aggregation via explicit two-phase
+    salting (operators/skew.py:salted_aggregate) — phase 1 groups by
+    (key, salt) so one hot key spreads across 16 reducers, phase 2 merges
+    partials per real key.  Salting is LOSSLESS for the decomposable ops
+    (count/sum/min/max), so the oracle is the plain GROUP BY: identical
+    results, different physics — which is exactly the property that makes
+    the operator safe to drop into a skewed 100 TB pipeline.  The sum
+    input is decimal-cast before phase 1 so the two-phase accumulation is
+    order-independent."""
+    from .operators.skew import salted_aggregate
+
+    events = _t(spark, sf_dir, "events").withColumn(
+        "v_dec", F.round(F.col("value"), 6).cast(_DEC)
+    )
+    out = salted_aggregate(
+        events,
+        ["event_type"],
+        {
+            "n": ("count", "value"),
+            "v_min": ("min", "value"),
+            "v_max": ("max", "value"),
+            "v_sum": ("sum", "v_dec"),
+        },
+        buckets=16,
+    )
+    return out.select(
+        "event_type", "n", "v_min", "v_max", F.col("v_sum").cast("double").alias("v_sum")
+    )
+
+
+SQL_A20 = """
+SELECT event_type, COUNT(value) AS n, MIN(value) AS v_min, MAX(value) AS v_max,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS v_sum
+FROM events GROUP BY event_type
+"""
+
+REGISTRY["a20_salted_agg"] = (q_a20_salted_agg, SQL_A20)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
