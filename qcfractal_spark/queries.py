@@ -3184,6 +3184,38 @@ FROM events GROUP BY event_type
 REGISTRY["a20_salted_agg"] = (q_a20_salted_agg, SQL_A20)
 
 
+def q_j15_salted_join(spark, sf_dir):
+    """J15 (beyond-reference): skewed fact-to-dim join via deterministic
+    salting (operators/skew.py:salted_join) — the fact side salts its hot
+    keys across 8 buckets, the dim side replicates 8-fold, and the join
+    runs on (key, salt) so no single reducer owns a hot key's build.
+    Salting is result-invariant, so the oracle is the plain join+rollup:
+    identical output, skew-proof physics.  Post-join rollup follows the
+    float discipline (decimal-cast sum)."""
+    from .operators.skew import salted_join
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    joined = salted_join(events, customer, on="user_id", buckets=8)
+    return joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _dsum(F.round(F.col("value"), 6), "value_sum"),
+    )
+
+
+SQL_J15 = """
+SELECT c.c_nationkey,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(ROUND(e.value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS value_sum
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_nationkey
+"""
+
+REGISTRY["j15_salted_join"] = (q_j15_salted_join, SQL_J15)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
