@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "a18_cube_counts",      # CUBE grouping sets in one pass
     "t8_funnel",            # ordered funnel (chained filtered min-aggs)
     "t9_cohort_retention",  # weekly cohort retention triangle
+    "a20_salted_agg",       # two-phase salted hot-key aggregation
+    "j15_salted_join",      # salted fact-to-dim join
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow is the benched substring-dup scale path.
