@@ -903,7 +903,7 @@ def q_dd_minhash_lsh(spark, sf_dir):
     # Materialize signatures once: the banding self-join would otherwise
     # evaluate the signature subplan on both sides.
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
-    return dd.minhash_lsh_candidates(sigs).orderBy("id_a", "id_b")
+    return dd.minhash_lsh_candidates(sigs)
 
 
 def q_sim_topk(spark, sf_dir):
@@ -952,7 +952,7 @@ def q_sim_knn_join(spark, sf_dir):
     shape that survives kNN at 100 TB; exact-hash check vs SQL_SIM_KNN)."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") < 200)
-    return sim.knn_join_bucketed(left, emb, k=3).orderBy("left_id", "right_id")
+    return sim.knn_join_bucketed(left, emb, k=3)
 
 
 def q_mm_features(spark, sf_dir):
@@ -1616,7 +1616,7 @@ def q_dd_simhash_pairs(spark, sf_dir):
     exactly."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.simhash(docs).localCheckpoint(eager=True)
-    return dd.simhash_candidate_pairs(sigs).orderBy("id_a", "id_b")
+    return dd.simhash_candidate_pairs(sigs)
 
 
 # Brute-force mirror: the banded join is exhaustive for hamming <= bands-1
