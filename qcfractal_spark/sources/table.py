@@ -117,6 +117,39 @@ class MutableTable:
     def overwrite(self, df: DataFrame) -> int:
         return self._commit(df)
 
+    def compact(
+        self,
+        target_files: int = 1,
+        zorder_by: Sequence[str] | None = None,
+    ) -> int:
+        """OPTIMIZE: rewrite the current version into few large files,
+        optionally Z-order clustered — the steady-state maintenance job of
+        any table that streams or micro-batches appends (every commit above
+        writes task-count files; at 100 TB/day ingest the small-file tax on
+        scan planning and footer reads grows until compaction pays it off).
+
+        Unpartitioned tables repartition to ``target_files``; partitioned
+        tables repartition on the partition column so each Hive partition
+        directory compacts to one file.  ``zorder_by`` routes through
+        ``layout.zorder_column`` for multi-dimension stats locality (same
+        semantics as Delta ``OPTIMIZE ... ZORDER BY``).  Data is unchanged
+        — one new version, same rows."""
+        df = self.read()
+        if zorder_by:
+            from .layout import zorder_column
+
+            df = (
+                zorder_column(df, list(zorder_by))
+                .repartitionByRange(target_files, F.col("_z"))
+                .sortWithinPartitions("_z")
+                .drop("_z")
+            )
+        elif self.partition_by:
+            df = df.repartition(*[F.col(c) for c in self.partition_by])
+        else:
+            df = df.repartition(target_files)
+        return self._commit(df)
+
     def insert_dedup(self, batch: DataFrame, search_cols: Sequence[str]) -> dict:
         """S3 query-first bulk insert: append rows whose natural key is new;
         report inserted/existing counts (InsertMetadata,

@@ -138,3 +138,42 @@ def test_partition_scoped_delete_links_untouched_partitions(spark):
         v2 = t._version_dir(t.current_version())
         assert not os.path.isdir(os.path.join(v2, "p_day=1"))
         assert t.read().count() == 20
+
+
+def test_compact_reduces_files_preserves_data(spark, tmp_path):
+    from qcfractal_spark.sources.table import MutableTable
+    import glob
+
+    t = MutableTable(spark, str(tmp_path / "t"))
+    df = spark.range(0, 10_000).selectExpr("id", "id % 7 AS grp", "id * 1.5 AS x")
+    t.overwrite(df.repartition(32))  # fragmented: 32 small files
+    v0 = t.current_version()
+    n_before = len(glob.glob(str(tmp_path / "t" / f"v{v0:06d}" / "*.parquet")))
+    assert n_before >= 16
+
+    before = sorted(r["id"] for r in t.read().collect())
+    v1 = t.compact(target_files=2)
+    n_after = len(glob.glob(str(tmp_path / "t" / f"v{v1:06d}" / "*.parquet")))
+    assert n_after <= 2
+    after = sorted(r["id"] for r in t.read().collect())
+    assert after == before  # same rows, fewer files
+
+
+def test_compact_zorder_clusters_dimensions(spark, tmp_path):
+    from qcfractal_spark.sources.table import MutableTable
+    from qcfractal_spark.sources.layout import pruned_files
+    from pyspark.sql import functions as F
+
+    t = MutableTable(spark, str(tmp_path / "tz"))
+    df = spark.range(0, 50_000).select(
+        "id",
+        (F.col("id") * 48271 % 65536).alias("a"),
+        (F.col("id") * 16807 % 65536).alias("b"),
+    )
+    t.overwrite(df.repartition(16))
+    t.compact(target_files=8, zorder_by=["a", "b"])
+    z = t.read()
+    total = pruned_files(z)
+    assert total == 8
+    assert pruned_files(z.where(F.col("a") < 4096)) < total
+    assert pruned_files(z.where(F.col("b") < 4096)) < total
