@@ -211,6 +211,41 @@ class MutableTable:
             self._commit(remaining)
         return {"deleted": n_deleted, "errors": blocked}
 
+    def change_feed(self, key_cols: Sequence[str]) -> DataFrame:
+        """Change-data-feed between the previous and current version: one
+        row per changed key with ``_change ∈ {insert, delete, update}``
+        (Delta CDF shape, derived rather than logged).  Keys only in the
+        current version are inserts, only in the previous are deletes, in
+        both but with differing non-key columns are updates.
+
+        Two anti-joins + one diff join, all keyed on ``key_cols`` — the
+        downstream-sync primitive (incremental index refresh, cache
+        invalidation, derived-table maintenance) that otherwise forces a
+        full-table compare.  Time-travel depth is 1, matching the version
+        retention above."""
+        cur_v = self.current_version()
+        if cur_v is None or cur_v == 0:
+            raise ValueError("change_feed needs a previous version to diff against")
+        keys = list(key_cols)
+        cur = self.read()
+        prev = self.read(cur_v - 1)
+        inserted = cur.join(prev.select(*keys), on=keys, how="left_anti").withColumn(
+            "_change", F.lit("insert")
+        )
+        deleted = prev.join(cur.select(*keys), on=keys, how="left_anti").withColumn(
+            "_change", F.lit("delete")
+        )
+        val_cols = [c for c in cur.columns if c not in keys]
+        cur_s = cur.select(*keys, F.struct(*val_cols).alias("_new"))
+        prev_s = prev.select(*keys, F.struct(*val_cols).alias("_old"))
+        updated = (
+            cur_s.join(prev_s, on=keys)
+            .where(F.col("_new") != F.col("_old"))
+            .select(*keys, "_new.*")
+            .withColumn("_change", F.lit("update"))
+        )
+        return inserted.unionByName(deleted).unionByName(updated)
+
     def retention_delete(self, ts_col: str, cutoff) -> int:
         """S7/T6: drop rows older than the cutoff.  On a partitioned table
         only partitions containing expired rows are touched: fully-expired

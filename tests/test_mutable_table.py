@@ -177,3 +177,23 @@ def test_compact_zorder_clusters_dimensions(spark, tmp_path):
     assert total == 8
     assert pruned_files(z.where(F.col("a") < 4096)) < total
     assert pruned_files(z.where(F.col("b") < 4096)) < total
+
+
+def test_change_feed_classifies_insert_delete_update(spark, tmp_path):
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path / "cdc"))
+    t.overwrite(
+        spark.createDataFrame(
+            [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+            "id long, name string, score double",
+        )
+    )
+    t.overwrite(
+        spark.createDataFrame(
+            [(2, "b", 20.0), (3, "c", 99.0), (4, "d", 40.0)],
+            "id long, name string, score double",
+        )
+    )
+    feed = {r["id"]: r["_change"] for r in t.change_feed(["id"]).collect()}
+    assert feed == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged
