@@ -3216,6 +3216,40 @@ GROUP BY c.c_nationkey
 REGISTRY["j15_salted_join"] = (q_j15_salted_join, SQL_J15)
 
 
+def q_a21_histogram(spark, sf_dir):
+    """A21 (beyond-reference): fixed-width value histogram per event type —
+    the distribution-profiling aggregate (data-quality dashboards, drift
+    detection).  One map-combinable groupBy on (type, bin); the bin id is
+    floor(value/width), a pure IEEE op both engines evaluate identically.
+    Per-bin share is an exact small-int division rounded at 6 dp."""
+    events = _t(spark, sf_dir, "events")
+    binned = events.groupBy(
+        "event_type", F.floor(F.col("value") / F.lit(50.0)).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type")
+    return binned.select(
+        "event_type",
+        "bin",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
+    )
+
+
+SQL_A21 = """
+WITH b AS (
+  SELECT event_type, CAST(FLOOR(value / 50.0) AS BIGINT) AS bin, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, bin, n,
+       ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY event_type), 6) AS share
+FROM b
+"""
+
+REGISTRY["a21_histogram"] = (q_a21_histogram, SQL_A21)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
