@@ -74,6 +74,9 @@ BENCH_QUERIES = [
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow is the benched substring-dup scale path.
+    # dd_lev_verify is gate-only too: the exact edit-distance DP over LSH
+    # candidates is the deliberately-expensive verify pass (~19s at sf0.1
+    # on this template corpus's ~3KB docs) — run rarely by design.
 ]
 
 

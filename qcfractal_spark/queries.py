@@ -3250,6 +3250,53 @@ FROM b
 REGISTRY["a21_histogram"] = (q_a21_histogram, SQL_A21)
 
 
+def q_dd_lev_verify(spark, sf_dir):
+    """DD+ (beyond-reference): candidate-then-verify dedup — MinHash-LSH
+    candidate pairs re-scored with exact edit distance and a normalized
+    similarity ``1 − lev/max(|a|,|b|)``.
+
+    The composition IS the 100 TB design: the O(n·m) edit-distance DP is
+    unaffordable across all pairs, affordable across LSH candidates (a
+    vanishing fraction).  The joins hydrate only the candidate ids' texts
+    (broadcast of the pair list against the corpus scan), so full
+    documents never shuffle for non-candidates.  Both engines implement
+    classical Levenshtein — integer output, exact parity."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
+    pairs = dd.minhash_lsh_candidates(sigs)
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
+    lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        ta.join(F.broadcast(pairs), "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            lev.alias("lev"),
+            F.round(
+                F.lit(1.0)
+                - lev / F.greatest(F.length("_ta"), F.length("_tb")),
+                6,
+            ).alias("lev_sim"),
+        )
+    )
+
+
+SQL_DD_LEV = f"""
+WITH cand AS ({_minhash_oracle_sql()})
+SELECT c.id_a, c.id_b,
+       levenshtein(a.text, b.text) AS lev,
+       ROUND(1.0 - levenshtein(a.text, b.text) * 1.0
+             / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6) AS lev_sim
+FROM cand c
+JOIN documents a ON a.doc_id = c.id_a
+JOIN documents b ON b.doc_id = c.id_b
+"""
+
+REGISTRY["dd_lev_verify"] = (q_dd_lev_verify, SQL_DD_LEV)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
