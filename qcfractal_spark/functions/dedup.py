@@ -96,6 +96,27 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def _capped_shingles(df, text_col, id_col, k, max_doc_freq):
+    """Shared (join-side shingles, per-doc sizes) pair for the Jaccard and
+    containment generators: distinct per-doc shingles, with the
+    stop-shingle document-frequency cap applied BEFORE the pair join when
+    ``max_doc_freq`` is set.  Sizes always count the FULL shingle set so
+    capping only ever under-estimates similarity (both callers rely on
+    that conservativeness — one definition, no drift)."""
+    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    join_sh = sh
+    if max_doc_freq is not None:
+        rare = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= max_doc_freq)
+            .select("shingle")
+        )
+        join_sh = sh.join(rare, on="shingle", how="left_semi")
+    return join_sh, sizes
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -118,17 +139,7 @@ def ngram_jaccard_pairs(
     of the cap, but pairs whose overlap is mostly stop-shingles may be
     missed.  Default None (exact) for oracle parity at test sf; set at
     100 TB."""
-    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    join_sh = sh
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
-            .select("shingle")
-        )
-        join_sh = sh.join(rare, on="shingle", how="left_semi")
+    join_sh, sizes = _capped_shingles(df, text_col, id_col, k, max_doc_freq)
     a = join_sh.alias("a")
     b = join_sh.alias("b")
     common = (
@@ -262,17 +273,7 @@ def containment_pairs(
     set while the intersection can only shrink, so containment is only ever
     under-estimated.
     """
-    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    join_sh = sh
-    if max_doc_freq is not None:
-        rare = (
-            sh.groupBy("shingle")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .where(F.col("_df") <= max_doc_freq)
-            .select("shingle")
-        )
-        join_sh = sh.join(rare, on="shingle", how="left_semi")
+    join_sh, sizes = _capped_shingles(df, text_col, id_col, k, max_doc_freq)
     a = join_sh.alias("a")
     b = join_sh.alias("b")
     common = (
@@ -320,17 +321,25 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_candidates(
-    signatures: DataFrame,
-    bands: int = 4,
-    rows_per_band: int = 4,
-) -> DataFrame:
-    """LSH banding: split each signature into ``bands`` bands of
-    ``rows_per_band`` values; docs sharing any band land in the same bucket;
-    candidate pairs are generated bucket-locally via a self-join on
-    (band_idx, band_key) — the standard shuffle-bounded MinHash-LSH plan.
-    """
-    banded = signatures.select(
+def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
+    """(id, band_idx, band_key) rows — the SINGLE banding projection shared
+    by the clique pair generator and the star edge generator, so the two
+    can never band differently.  Validates the band geometry against the
+    actual signature width: too-large would throw INVALID_ARRAY_INDEX
+    mid-job under ANSI mode; too-small would silently ignore part of the
+    signature (recall loss with no warning)."""
+    sig_len = signatures.schema["signature"].dataType
+    from pyspark.sql.types import ArrayType
+
+    assert isinstance(sig_len, ArrayType)
+    width = signatures.select(F.size("signature").alias("n")).limit(1).first()
+    if width is not None and width["n"] != bands * rows_per_band:
+        raise ValueError(
+            f"bands*rows_per_band = {bands * rows_per_band} must equal the "
+            f"signature width {width['n']} (pass matching num_perm to "
+            "minhash_signatures)"
+        )
+    return signatures.select(
         "id",
         F.posexplode(
             F.array(
@@ -347,6 +356,19 @@ def minhash_lsh_candidates(
             )
         ).alias("band_idx", "band_key"),
     )
+
+
+def minhash_lsh_candidates(
+    signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: split each signature into ``bands`` bands of
+    ``rows_per_band`` values; docs sharing any band land in the same bucket;
+    candidate pairs are generated bucket-locally via a self-join on
+    (band_idx, band_key) — the standard shuffle-bounded MinHash-LSH plan.
+    """
+    banded = _banded(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -376,23 +398,7 @@ def minhash_lsh_star_edges(
     combinable) → rebroadcast-free equi-join back on the bucket key →
     distinct (id, rep) edges.
     """
-    banded = signatures.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        ":",
-                        *[
-                            F.element_at("signature", b * rows_per_band + r + 1)
-                            for r in range(rows_per_band)
-                        ],
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
-    )
+    banded = _banded(signatures, bands, rows_per_band)
     reps = banded.groupBy("band_idx", "band_key").agg(F.min("id").alias("rep"))
     return (
         banded.join(reps, on=["band_idx", "band_key"])

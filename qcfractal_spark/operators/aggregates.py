@@ -79,7 +79,9 @@ def percentile_disc(col: Column, q: float) -> Column:
     arr = F.array_sort(F.collect_list(col))
     n = F.size(arr)
     idx = F.greatest(F.ceil(F.lit(q) * n).cast("int"), F.lit(1))
-    return F.element_at(arr, idx)
+    # All-NULL group → empty array; element_at(empty, 1) THROWS under
+    # Spark 4's default ANSI mode, so guard to return NULL like SQL does.
+    return F.when(n > 0, F.element_at(arr, idx))
 
 
 def argmin_per_group(

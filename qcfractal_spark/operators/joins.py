@@ -32,17 +32,23 @@ def semi_join_values(
     ``tuple_(cols).in_(values)`` becomes a broadcast left-semi join against a
     literal values DataFrame — NULL-tolerant like the reference's
     OR-of-ANDs fallback, and scan-friendly (the semi join's build side is
-    broadcast so the fact table never shuffles).
+    broadcast so the fact table never shuffles).  An empty value list means
+    "IN ()": zero rows, no job.
     """
+    if not values:
+        return df.where(F.lit(False))
     schema = ", ".join(f"{c} {t}" for c, t in zip(cols, _infer_types(values)))
     vals_df = spark.createDataFrame(list(values), schema=schema)
     return df.join(F.broadcast(vals_df), on=list(cols), how="left_semi")
 
 
 def _infer_types(values: Sequence[tuple]) -> list[str]:
-    first = values[0]
+    """Per-position type from the first NON-None value (a None in the first
+    tuple must not pin the column to string)."""
+    width = len(values[0])
     out = []
-    for v in first:
+    for pos in range(width):
+        v = next((t[pos] for t in values if t[pos] is not None), None)
         if isinstance(v, bool):
             out.append("boolean")
         elif isinstance(v, int):
@@ -133,7 +139,11 @@ def asof_join_backward(
     from pyspark.sql import Window
 
     pay = F.struct(*[F.col(c) for c in (right_id_col, *payload_cols)])
-    r = right.select(
+    # A NULL-ts right row would sort FIRST (asc puts NULLs first) and its
+    # payload would carry forward as a bogus "match" for every early left
+    # row; a row with no timestamp can never satisfy ts <= left.ts, so
+    # drop it from the right side entirely.
+    r = right.where(F.col(ts_col).isNotNull()).select(
         F.col(key_col), F.col(ts_col), pay.alias("_rpay"), F.lit(0).alias("_side")
     )
     l = left.withColumn("_side", F.lit(1))

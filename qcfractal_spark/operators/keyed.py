@@ -82,8 +82,13 @@ def insert_dedup_classify(
     existing_flag = (
         table.select(*keys).dropDuplicates(keys).withColumn("_existing", F.lit(True))
     )
-    classified = batch.join(existing_flag, on=keys, how="left").withColumn(
-        "_existing", F.coalesce(F.col("_existing"), F.lit(False))
+    from pyspark.sql import Window
+
+    dup_w = Window.partitionBy(*keys)
+    classified = (
+        batch.join(existing_flag, on=keys, how="left")
+        .withColumn("_existing", F.coalesce(F.col("_existing"), F.lit(False)))
+        .withColumn("_dup_of", F.count(F.lit(1)).over(dup_w) - F.lit(1))
     )
     return to_insert, classified
 
@@ -118,12 +123,18 @@ def insert_mixed_classify(
     existing_idx: list[int] = []
 
     if id_items:
+        # Probe a marker literal, not a data column: a present row whose
+        # first non-id column is legitimately NULL must not read as
+        # missing (and an id-only table has no other column to probe).
         got = bulk_get_ordered(
-            spark, table, [v for _, v in id_items], id_col=id_col, missing_ok=True
+            spark,
+            table.withColumn("_found", F.lit(True)),
+            [v for _, v in id_items],
+            id_col=id_col,
+            missing_ok=True,
         ).collect()
-        probe = [c for c in table.columns if c != id_col][0]
         for (orig_idx, iid), row in zip(id_items, got):
-            if row[probe] is None:
+            if row["_found"] is None:
                 errors.append((orig_idx, f"id={iid} was not found in the database"))
             else:
                 existing_idx.append(orig_idx)

@@ -70,8 +70,17 @@ def salted_join(
     (When ``dim`` fits in memory just use ``F.broadcast`` — this exists for
     the mid-size dim that AQE's skew split can't help because the skew is in
     the build of a single hash partition.)
+
+    Only ``inner``/``left`` are supported: the dim side is replicated
+    ``buckets``-fold, so a right/full outer join would emit every unmatched
+    dim row once per salt copy.
     """
-    other_cols = [c for c in skewed.columns if c != on]
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: the "
+            "replicated dim side would duplicate unmatched rows under a "
+            "right/full outer join"
+        )
     salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
     left = skewed.withColumn("_salt", salt)
     right = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))

@@ -181,3 +181,70 @@ def test_span_dedup_single_token_docs(spark):
     )
     got = {r["doc_id"]: r["n_dup_spans"] for r in span_dedup_stats(df, span_tokens=20).collect()}
     assert got == {0: 0, 1: 1, 2: 0}
+
+
+def test_percentile_disc_all_null_group_returns_null(spark):
+    """An all-NULL metric group must yield NULL, not an ANSI
+    element_at-on-empty-array crash."""
+    from qcfractal_spark.operators.aggregates import percentile_disc
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 3.0), ("b", None)], "grp string, v double"
+    )
+    got = {
+        r["grp"]: r["p50"]
+        for r in df.groupBy("grp").agg(percentile_disc(F.col("v"), 0.5).alias("p50")).collect()
+    }
+    assert got["a"] == 1.0 and got["b"] is None
+
+
+def test_asof_join_ignores_null_timestamp_rights(spark):
+    """A right row with NULL event time can never satisfy ts <= left.ts;
+    it must not sort first and leak its payload into early left rows."""
+    from datetime import datetime
+
+    from qcfractal_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 1, 12))], "user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, None, 99), (1, datetime(2024, 1, 2), 7)],  # NULL ts + later-only
+        "user_id long, ts timestamp, rid long",
+    )
+    out = asof_join_backward(
+        left, right, key_col="user_id", ts_col="ts", right_id_col="rid"
+    ).first()
+    assert out["ref_rid"] is None  # no valid backward match exists
+
+
+def test_insert_mixed_present_row_with_null_column_is_existing(spark):
+    from qcfractal_spark.operators.keyed import insert_mixed_classify
+
+    table = spark.createDataFrame([(7, None)], "id long, name string")
+    inserted, existing, errors = insert_mixed_classify(
+        spark, table, [7], id_col="id", search_cols=("name",)
+    )
+    assert existing == [0]  # input index 0 is an existing row, not an error
+    assert errors == []
+
+
+def test_salted_join_rejects_outer_how(spark):
+    import pytest
+
+    from qcfractal_spark.operators.skew import salted_join
+
+    df = spark.createDataFrame([(1, "x")], "k long, a string")
+    dim = spark.createDataFrame([(1, "y")], "k long, b string")
+    with pytest.raises(ValueError, match="inner"):
+        salted_join(df, dim, "k", how="full")
+
+
+def test_insert_dedup_classify_reports_dup_of(spark):
+    from qcfractal_spark.operators.keyed import insert_dedup_classify
+
+    table = spark.createDataFrame([("a",)], "name string")
+    batch = spark.createDataFrame([("a",), ("b",), ("b",)], "name string")
+    _, classified = insert_dedup_classify(table, batch, ["name"])
+    got = {(r["name"], r["_existing"], r["_dup_of"]) for r in classified.collect()}
+    assert got == {("a", True, 0), ("b", False, 1)}
