@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from .session import ensure_session_contract
+
 TABLES = (
     "region",
     "nation",
@@ -68,13 +70,11 @@ def normalize_ntz(df: DataFrame) -> DataFrame:
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # One-time, load-order-independent session contract (nanosAsLong +
+    # inferTimestampNTZ) — all conf mutation lives in session.py; this is a
+    # no-op after the first table load on a given session.
+    ensure_session_contract(spark)
     nanos_cols = _NANOS_TS_COLS.get(name, ())
-    if nanos_cols:
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    # Prefer reading tz-less parquet timestamps directly as LTZ (no cast
-    # node at all); normalize_ntz below covers environments that ignore or
-    # predate this conf.
-    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
         if dict(df.dtypes).get(c) == "bigint":

@@ -124,6 +124,7 @@ def ngram_jaccard_pairs(
     k: int = 5,
     threshold: float = 0.8,
     max_doc_freq: int | None = None,
+    min_common: int = 1,
 ) -> DataFrame:
     """Near-dup pairs by exact character-k-gram Jaccard similarity.
 
@@ -138,7 +139,14 @@ def ngram_jaccard_pairs(
     only ever *under*-estimated — no pair can cross the threshold because
     of the cap, but pairs whose overlap is mostly stop-shingles may be
     missed.  Default None (exact) for oracle parity at test sf; set at
-    100 TB."""
+    100 TB.
+
+    ``min_common`` drops pairs sharing fewer than that many (surviving)
+    shingles right after the pair count — with a doc-frequency cap this is
+    the rare-shingle candidate-generation mode: a 1-rare-shingle
+    coincidence is noise, ≥ min_common rare shingles is signal, and the
+    filter sits on the aggregate so the downstream size joins only see
+    candidates."""
     join_sh, sizes = _capped_shingles(df, text_col, id_col, k, max_doc_freq)
     a = join_sh.alias("a")
     b = join_sh.alias("b")
@@ -148,6 +156,8 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("common"))
     )
+    if min_common > 1:
+        common = common.where(F.col("common") >= min_common)
     out = (
         common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -328,17 +338,30 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     actual signature width: too-large would throw INVALID_ARRAY_INDEX
     mid-job under ANSI mode; too-small would silently ignore part of the
     signature (recall loss with no warning)."""
-    sig_len = signatures.schema["signature"].dataType
+    sig_type = signatures.schema["signature"].dataType
     from pyspark.sql.types import ArrayType
 
-    assert isinstance(sig_len, ArrayType)
-    width = signatures.select(F.size("signature").alias("n")).limit(1).first()
-    if width is not None and width["n"] != bands * rows_per_band:
-        raise ValueError(
-            f"bands*rows_per_band = {bands * rows_per_band} must equal the "
-            f"signature width {width['n']} (pass matching num_perm to "
-            "minhash_signatures)"
+    assert isinstance(sig_type, ArrayType)
+    # Width check lives IN the plan (when/raise_error around the column the
+    # bands read), not as a plan-construction sample: a .first() here was an
+    # eager job that recomputed the whole signature subplan per call for
+    # non-checkpointed inputs, and a one-row sample misses ragged widths.
+    # This form costs one codegen comparison per row, validates every row,
+    # and cannot be pruned away (its result IS the banded column source).
+    expected = bands * rows_per_band
+    checked = F.when(F.size("signature") == expected, F.col("signature")).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"bands*rows_per_band = {expected} must equal the "
+                    "signature width "
+                ),
+                F.size("signature").cast("string"),
+                F.lit(" (pass matching num_perm to minhash_signatures)"),
+            )
         )
+    )
+    signatures = signatures.withColumn("signature", checked)
     return signatures.select(
         "id",
         F.posexplode(

@@ -34,6 +34,32 @@ def missing_cells(
     )
 
 
+def membership_records(
+    record_items: DataFrame,
+    records: DataFrame,
+    dataset_id=None,
+    record_id_col: str = "record_id",
+    records_id_col: str = "id",
+) -> DataFrame:
+    """Dataset-membership join (J6): the records belonging to a dataset,
+    one row per membership cell with the record's columns attached — the
+    reference's ``dataset_id`` record-query filter, which joins
+    DatasetDirectRecordsView and keeps rows whose dataset is in the id list
+    (record_socket.py:317-320, dataset_db_views.py:17-44).
+
+    The dataset predicate is applied to the membership fact *before* the
+    join, so at 100 TB the join's probe side is one dataset's cells, not
+    the whole association table; the records side joins on its key (a
+    shuffle-on-key equi-join both sides, or broadcast when the filtered
+    membership is small — left to AQE)."""
+    items = record_items
+    if dataset_id is not None:
+        values = dataset_id if isinstance(dataset_id, (list, tuple)) else [dataset_id]
+        items = items.where(F.col("dataset_id").isin(*values))
+    rec = records.withColumnRenamed(records_id_col, record_id_col)
+    return items.join(rec, on=record_id_col, how="inner")
+
+
 def status_matrix(
     record_items: DataFrame,
     records: DataFrame,

@@ -35,7 +35,11 @@ def _closure(
     edges table across hops.  Lineage is cut every level, so depth can be
     unbounded without plan blowup (SURVEY §7 hard part #3)."""
     edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
-    visited = seeds.select(F.col("id")).dropDuplicates(["id"]).localCheckpoint(eager=True)
+    # Lazy localCheckpoint + count = ONE job that both materializes the
+    # checkpoint blocks and returns the row count (eager=True would launch
+    # a materialization job and then a second count job per level — two
+    # driver round trips where one suffices; VERDICT r4 item 7).
+    visited = seeds.select(F.col("id")).dropDuplicates(["id"]).localCheckpoint(eager=False)
     frontier = visited
     visited_rows = visited.count()
     frontier_rows = visited_rows
@@ -63,9 +67,10 @@ def _closure(
                 if visited_rows < _BROADCAST_FRONTIER_ROWS
                 else visited
             )
-            new = step.join(vis, on="id", how="left_anti").localCheckpoint(eager=True)
-            # Fixpoint test: one count per level, same as the reference's
-            # "while to_visit" loop (record_socket.py:210-236).
+            new = step.join(vis, on="id", how="left_anti").localCheckpoint(eager=False)
+            # Fixpoint test + checkpoint materialization in one job per
+            # level, same loop as the reference's "while to_visit"
+            # (record_socket.py:210-236).
             frontier_rows = new.count()
             if frontier_rows == 0:
                 break
@@ -100,6 +105,26 @@ def ancestors(
     if not include_self:
         out = out.join(seeds.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
     return out
+
+
+def one_hop_children(seeds: DataFrame, edges: DataFrame) -> DataFrame:
+    """Direct (1-hop) children of ``seeds`` as (parent_id, child_id) pairs —
+    the reference's ``parent_id`` record-query filter, which joins the
+    direct-children view and keeps rows whose parent is in the id list
+    (record_socket.py:305-308, record_db_views.py:30-43).
+
+    One left-semi join of the edges table against the seed set; the seeds
+    are broadcast while small (the common case — an explicit id list), so
+    the edges scan never shuffles."""
+    probe = seeds.select(F.col("id").alias("parent_id")).dropDuplicates(["parent_id"])
+    return edges.join(F.broadcast(probe), on="parent_id", how="left_semi")
+
+
+def one_hop_parents(seeds: DataFrame, edges: DataFrame) -> DataFrame:
+    """Direct (1-hop) parents of ``seeds`` — the ``child_id`` filter arm
+    (record_socket.py:310-314).  Same broadcast-semi-join physics."""
+    probe = seeds.select(F.col("id").alias("child_id")).dropDuplicates(["child_id"])
+    return edges.join(F.broadcast(probe), on="child_id", how="left_semi")
 
 
 def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
@@ -178,7 +203,9 @@ def connected_components(
         und.groupBy(F.col("src").alias("id"))
         .agg(F.min("dst").alias("_mn"))
         .select("id", F.least(F.col("id"), F.col("_mn")).alias("component"))
-        .localCheckpoint(eager=True)
+        # Lazy checkpoint: the convergence agg below materializes the
+        # blocks in the same job (one driver round trip per round).
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("component")).first()[0]
     try:
@@ -211,7 +238,7 @@ def connected_components(
                         F.col("component"), F.coalesce("_jump", F.col("component"))
                     ).alias("component"),
                 )
-                .localCheckpoint(eager=True)
+                .localCheckpoint(eager=False)
             )
             cur_sum = labels.agg(F.sum("component")).first()[0]
             if cur_sum == prev_sum:

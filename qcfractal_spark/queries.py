@@ -3267,6 +3267,9 @@ def q_dd_lev_verify(spark, sf_dir):
     ta = docs.select(F.col("doc_id").alias("id_a"), F.col("text").alias("_ta"))
     tb = docs.select(F.col("doc_id").alias("id_b"), F.col("text").alias("_tb"))
     lev = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    # Two empty texts collide in every LSH band; 0/0 is NaN on Spark but an
+    # error/NULL on DuckDB — guard to NULL on both engines (NULLIF in SQL).
     return (
         ta.join(F.broadcast(pairs), "id_a")
         .join(tb, "id_b")
@@ -3274,10 +3277,8 @@ def q_dd_lev_verify(spark, sf_dir):
             "id_a",
             "id_b",
             lev.alias("lev"),
-            F.round(
-                F.lit(1.0)
-                - lev / F.greatest(F.length("_ta"), F.length("_tb")),
-                6,
+            F.when(
+                maxlen > 0, F.round(F.lit(1.0) - lev / maxlen, 6)
             ).alias("lev_sim"),
         )
     )
@@ -3288,13 +3289,235 @@ WITH cand AS ({_minhash_oracle_sql()})
 SELECT c.id_a, c.id_b,
        levenshtein(a.text, b.text) AS lev,
        ROUND(1.0 - levenshtein(a.text, b.text) * 1.0
-             / GREATEST(LENGTH(a.text), LENGTH(b.text)), 6) AS lev_sim
+             / NULLIF(GREATEST(LENGTH(a.text), LENGTH(b.text)), 0), 6) AS lev_sim
 FROM cand c
 JOIN documents a ON a.doc_id = c.id_a
 JOIN documents b ON b.doc_id = c.id_b
 """
 
 REGISTRY["dd_lev_verify"] = (q_dd_lev_verify, SQL_DD_LEV)
+
+
+def q_dd_jaccard_capped(spark, sf_dir):
+    """DD (bounded-bench arm): rare-shingle candidate pairs — the 5-gram
+    Jaccard operator in the configuration it actually runs with at scale:
+    stop-shingle document-frequency cap (max_doc_freq=20) + a ≥3
+    common-rare-shingle floor, scored with the conservative capped Jaccard.
+
+    The uncapped `dd_jaccard` is gate-only on this template corpus (its
+    shared boilerplate shingles make the pair join quadratic by
+    construction, and near-dup overlap here IS boilerplate, so a capped
+    *threshold* query is structurally empty).  The capped *candidate* form
+    is the useful scale primitive: shingles with document frequency > 20
+    contribute 0 pairs instead of f², and pairs sharing ≥3 surviving rare
+    shingles are the verify-pass input.  Oracle replays cap + floor."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs, k=5, threshold=0.0, max_doc_freq=20, min_common=3
+    )
+
+
+SQL_DD_JACCARD_CAPPED = """
+WITH docs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 5) AS shingle
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+capped AS (
+  SELECT doc_id, shingle FROM sh
+  WHERE shingle IN (SELECT shingle FROM sh GROUP BY shingle HAVING COUNT(*) <= 20)
+),
+common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 3
+)
+SELECT id_a, id_b,
+       ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+"""
+
+REGISTRY["dd_jaccard_capped"] = (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED)
+
+
+def q_j5_one_hop(spark, sf_dir):
+    """J5: direct-children join — records whose parent is in a filtered id
+    set, via one hop over the materialized edges table (the reference's
+    ``parent_id`` query filter joining record_direct_children_view,
+    record_socket.py:305-308; view record_db_views.py:30-43).
+
+    Seeds = customers in EUROPE (dimension semi-join chain, both dims
+    broadcast); hop = broadcast-semi-join of the edges table against the
+    seed ids — the edges scan never shuffles, and at 100 TB the seed list
+    (an explicit id set in the reference API) stays broadcast-sized."""
+    region = _t(spark, sf_dir, "region")
+    nation = _t(spark, sf_dir, "nation")
+    customer = _t(spark, sf_dir, "customer")
+    nkeys = nation.join(
+        F.broadcast(region.where(F.col("r_name") == "EUROPE").select("r_regionkey")),
+        nation["n_regionkey"] == F.col("r_regionkey"),
+        "left_semi",
+    ).select("n_nationkey")
+    seeds = customer.join(
+        F.broadcast(nkeys),
+        customer["c_nationkey"] == F.col("n_nationkey"),
+        "left_semi",
+    ).select((F.lit(3_000_000) + F.col("c_custkey")).cast("long").alias("id"))
+    return graph.one_hop_children(seeds, build_edges(spark, sf_dir))
+
+
+SQL_J5 = f"""
+WITH edges AS ({_EDGES_SQL}),
+seeds AS (
+  SELECT CAST(3000000 + c_custkey AS BIGINT) AS id FROM customer
+  WHERE c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE')
+)
+SELECT parent_id, child_id FROM edges
+WHERE parent_id IN (SELECT id FROM seeds)
+"""
+
+REGISTRY["j5_one_hop"] = (q_j5_one_hop, SQL_J5)
+
+
+def q_j6_membership(spark, sf_dir):
+    """J6: dataset-membership join — all records belonging to one dataset,
+    membership cell columns + record columns (the reference's
+    ``dataset_id`` filter joining DatasetDirectRecordsView,
+    record_socket.py:317-320, dataset_db_views.py:17-44).
+
+    Membership fact stand-in: lineitem cells keyed into 20 synthetic
+    datasets; records = orders.  The dataset predicate lands on the fact
+    scan before the join (operators/dataset.py:membership_records), so the
+    probe side is one dataset's cells, not the association table."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select(
+        (F.col("l_suppkey") % 20).alias("dataset_id"),
+        F.col("l_partkey").alias("entry_id"),
+        F.col("l_linenumber").alias("spec_id"),
+        F.col("l_orderkey").alias("record_id"),
+    )
+    records = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("total_price"),
+    )
+    return ds.membership_records(items, records, dataset_id=7)
+
+
+SQL_J6 = """
+SELECT l.l_orderkey AS record_id,
+       l.l_suppkey % 20 AS dataset_id,
+       l.l_partkey AS entry_id,
+       l.l_linenumber AS spec_id,
+       o.o_orderstatus AS status,
+       o.o_totalprice AS total_price
+FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+WHERE l.l_suppkey % 20 = 7
+"""
+
+REGISTRY["j6_membership"] = (q_j6_membership, SQL_J6)
+
+
+def _scratch_dir(sf_dir: str, tag: str) -> str:
+    """Deterministic per-(sf_dir, query) scratch path for mutation queries;
+    rebuilt from the source table on every call, so the query is
+    idempotent and the files outlive the (lazy) returned DataFrame."""
+    import hashlib
+    import os
+    import tempfile
+
+    h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(tempfile.gettempdir(), f"qcfractal_spark_{tag}_{h}")
+
+
+def q_s6_delete_survivors(spark, sf_dir):
+    """S6 under the hash gate: keyed delete with FK error capture on a
+    scratch MutableTable copy, returning the surviving rows (reference
+    delete-with-per-row-error-capture, db_socket/helpers.py:576-641).
+
+    Delete set = suppliers with s_suppkey % 7 = 0 (the reference API takes
+    an explicit id list, so the bounded collect of the id set mirrors its
+    contract); referencing set = lineitems of suppliers with
+    l_suppkey % 3 = 0 (the active-FK stand-in), so ids divisible by 21 are
+    blocked and reported as errors while the rest are deleted.  The oracle
+    replays the same predicate logic as a pure SELECT — the mutation path
+    (copy-on-write commit + version pointer swap) must land exactly the
+    anti-join semantics to hash-match."""
+    import shutil
+
+    from .sources.table import MutableTable
+
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    path = _scratch_dir(sf_dir, "s6")
+    shutil.rmtree(path, ignore_errors=True)
+    table = MutableTable(spark, path)
+    table.overwrite(supplier)
+    ids = [
+        r[0]
+        for r in supplier.where(F.col("s_suppkey") % 7 == 0)
+        .select("s_suppkey")
+        .collect()
+    ]
+    table.delete_ids(
+        ids,
+        "s_suppkey",
+        referencing=lineitem.where(F.col("l_suppkey") % 3 == 0),
+        ref_col="l_suppkey",
+    )
+    return table.read().select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+SQL_S6 = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+WHERE NOT (s_suppkey % 7 = 0
+           AND s_suppkey NOT IN (SELECT l_suppkey FROM lineitem
+                                 WHERE l_suppkey % 3 = 0))
+"""
+
+REGISTRY["s6_delete_survivors"] = (q_s6_delete_survivors, SQL_S6)
+
+
+def q_s7_retention_survivors(spark, sf_dir):
+    """S7/T6 under the hash gate: retention sweep on a scratch MutableTable
+    copy of events — drop everything before the cutoff, return survivors
+    (reference access-log retention delete, serverinfo/socket.py:601-643).
+
+    On a date-partitioned table this commit drops expired partitions
+    without rewriting them (pytest covers that arm); here the unpartitioned
+    arm proves the predicate + copy-on-write commit land exactly the
+    cutoff SELECT the oracle runs."""
+    import shutil
+
+    from .sources.table import MutableTable
+
+    events = _t(spark, sf_dir, "events")
+    path = _scratch_dir(sf_dir, "s7")
+    shutil.rmtree(path, ignore_errors=True)
+    table = MutableTable(spark, path)
+    table.overwrite(events)
+    table.retention_delete("ts", datetime(2024, 1, 20))
+    surv = table.read()
+    return surv.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+SQL_S7 = """
+SELECT event_id, ts, user_id, event_type, ROUND(value, 6) AS value
+FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
+"""
+
+REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 
 
 # --------------------------------------------------------------------------
@@ -3346,32 +3569,54 @@ REGISTRY["dd_lev_verify"] = (q_dd_lev_verify, SQL_DD_LEV)
 #   tx_repetition     scan-ratio family ⊂ tx_text_stats (driver-green r2+r3)
 #   a5_two_col_counts two-col count matrix ⊂ a18_cube_counts itself
 #                     (driver-green r1+r2+r3)
+# Round-5 rotation (VERDICT r4 items 1-3) — step IN every registry query
+# that has never had a driver CORRECTNESS row: the round-4 additions
+# (t8_funnel, t9_cohort_retention, a20_salted_agg, j15_salted_join,
+# a21_histogram, dd_lev_verify, a19_approx_distinct rows-only) plus the
+# round-5 newcomers (j5_one_hop, j6_membership direct-edge/dataset joins;
+# s6_delete_survivors, s7_retention_survivors mutation-under-hash-gate).
+# Step OUT eleven multiply-driver-green rows whose shape an in-window
+# sibling carries:
+#   s1_scan_project   scan+project ⊂ p2_p3_filter_page (green r1-r4)
+#   j1_dim_join       broadcast dim join ⊂ j13_asof/j14_interval/j6 (r1-r4)
+#   j4_semi_join      semi join ⊂ j9_anti_join + j5_one_hop semi (r1-r4)
+#   a13_manybody_levels conditional sums ⊂ a7_json_rollup (r2-r4)
+#   a17_group_centroid  vector mean agg ⊂ dd_semdedup centroids (r1-r4)
+#   tx_tfidf          ⊂ tx_bm25 (superset ranking formula) (r2-r4)
+#   tx_unigram_lm     ⊂ tx_dsir (LM log-ratio weights) (r2-r4)
+#   dd_jaccard        shingle-bucket ⊂ dd_minhash_lsh/dd_contamination (r1-r4)
+#   w1_window_lag     lag window ⊂ pk_pack/pk_domain_cap cumsum (r1-r4)
+#   tx_text_stats     ⊂ tx_quality_clf (superset feature set) (r1-r4)
+#   dd_exact          hash-groupBy first-wins ⊂ dd_span_dedup/a9 (r1-r4)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 core scans / filters / keyed access
-    "s1_scan_project", "p2_p3_filter_page", "s2_bulk_get",
+    "p2_p3_filter_page", "s2_bulk_get",
+    # mutation surface under the hash gate (S6/S7)
+    "s6_delete_survivors", "s7_retention_survivors",
     # joins + graph
-    "j1_dim_join", "j4_semi_join", "j9_anti_join",
-    "j8_closure", "j13_asof", "j14_interval",
+    "j5_one_hop", "j6_membership", "j9_anti_join",
+    "j8_closure", "j13_asof", "j14_interval", "j15_salted_join",
     # aggregates / pivots
     "a18_cube_counts", "a6_access_summary", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "f12_hour_percentiles",
-    "a13_manybody_levels", "a14_pivot", "a15_properties_df",
-    "a17_group_centroid",
+    "a14_pivot", "a15_properties_df",
+    "a19_approx_distinct", "a20_salted_agg", "a21_histogram",
     # top-k / windows / temporal
-    "o2_priority_topk", "w1_window_lag", "t3_hourly_rollup",
+    "o2_priority_topk", "t3_hourly_rollup",
     "st_sessionize", "t2_enrichment",
+    "t8_funnel", "t9_cohort_retention",
     # mutation-classify / UDF / formula
     "s4_upsert_classify", "d1_value_call", "mol_identifiers",
     # text-pipeline operators
-    "tx_text_stats", "tx_bm25", "dd_span_dedup",
-    "tx_tfidf", "tx_unigram_lm", "tx_pii", "pk_pack",
+    "tx_bm25", "dd_span_dedup",
+    "tx_pii", "pk_pack",
     "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite
-    "dd_exact", "dd_jaccard", "dd_minhash_lsh", "dd_simhash_pairs",
+    "dd_minhash_lsh", "dd_simhash_pairs",
     "dd_contamination", "dd_cluster", "dd_embed",
-    "dd_common_ngrams",
+    "dd_common_ngrams", "dd_lev_verify",
     # similarity suite
     "sim_topk", "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
     # multimodal

@@ -19,6 +19,41 @@ import os
 from pyspark.sql import SparkSession
 
 
+# Session-level parquet/timestamp contract (see catalog.normalize_ntz for
+# the full rationale):
+# - inferTimestampNTZ off: tz-less parquet timestamps read as one instant
+#   type (LTZ under the UTC session timezone) everywhere.
+# - nanosAsLong on: TIMESTAMP(NANOS) parquet columns (events.ts in the
+#   testdata) read as int64 nanos instead of erroring; the catalog converts
+#   the registered nanos columns back to TimestampType at the scan.
+# Applied at build time below, and enforced idempotently by
+# ``ensure_session_contract`` for sessions this engine did not build (the
+# correctness driver passes its own SparkSession into ``entry``).
+SESSION_CONTRACT_CONFS = {
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+_contract_applied: set[int] = set()
+
+
+def ensure_session_contract(spark: SparkSession) -> None:
+    """Apply the engine's session confs to an externally-built session.
+
+    Runs once per session object (not per table load, and independent of
+    table load order — round-4's per-load mutation set ``nanosAsLong`` only
+    when ``events`` happened to load first, so a later nanos-typed read of
+    another table silently typed as bigint or not depending on history).
+    All ``spark.conf.set`` calls of the engine live here."""
+    key = id(spark)
+    if key in _contract_applied:
+        return
+    for k, v in SESSION_CONTRACT_CONFS.items():
+        if spark.conf.get(k, None) != v:
+            spark.conf.set(k, v)
+    _contract_applied.add(key)
+
+
 def build_session(
     app_name: str = "qcfractal-spark",
     master: str | None = None,
@@ -43,13 +78,16 @@ def build_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
-        # tz-less parquet timestamps read as LTZ (one instant type everywhere;
-        # see catalog.normalize_ntz for the contract)
-        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in SESSION_CONTRACT_CONFS.items():
+        builder = builder.config(k, v)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    # getOrCreate can return a pre-existing session whose builder confs were
+    # ignored; enforce the contract on it either way.
+    ensure_session_contract(session)
+    return session

@@ -138,12 +138,26 @@ class MutableTable:
         if zorder_by:
             from .layout import zorder_column
 
-            df = (
-                zorder_column(df, list(zorder_by))
-                .repartitionByRange(target_files, F.col("_z"))
-                .sortWithinPartitions("_z")
-                .drop("_z")
-            )
+            df = zorder_column(df, list(zorder_by))
+            if self.partition_by:
+                # Hive-partitioned table: the commit below re-splits output
+                # by partitionBy, so global _z ranges would scatter each
+                # Z-range across partition directories (up to target_files
+                # files per directory).  Cluster WITHIN partitions instead:
+                # one shuffle on the partition columns (one file per
+                # directory, same as the non-zorder arm) with rows Z-sorted
+                # inside, which is what per-partition min/max pruning reads.
+                df = (
+                    df.repartition(*[F.col(c) for c in self.partition_by])
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
+            else:
+                df = (
+                    df.repartitionByRange(target_files, F.col("_z"))
+                    .sortWithinPartitions("_z")
+                    .drop("_z")
+                )
         elif self.partition_by:
             df = df.repartition(*[F.col(c) for c in self.partition_by])
         else:
@@ -236,6 +250,23 @@ class MutableTable:
             "_change", F.lit("delete")
         )
         val_cols = [c for c in cur.columns if c not in keys]
+        if not val_cols:
+            # All columns are keys: a key either exists in both versions
+            # (identical row — no change) or in exactly one (insert/delete
+            # above); there is no update arm to diff.
+            return inserted.unionByName(deleted)
+        from pyspark.sql.types import MapType
+
+        unorderable = [
+            c for c in val_cols if isinstance(cur.schema[c].dataType, MapType)
+        ]
+        if unorderable:
+            raise ValueError(
+                "change_feed diffs value columns with an ordering-based "
+                f"struct comparison; map-typed columns {unorderable} are "
+                "unorderable — diff a to_json projection or exclude them "
+                "via key_cols"
+            )
         cur_s = cur.select(*keys, F.struct(*val_cols).alias("_new"))
         prev_s = prev.select(*keys, F.struct(*val_cols).alias("_old"))
         updated = (

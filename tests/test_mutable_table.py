@@ -197,3 +197,56 @@ def test_change_feed_classifies_insert_delete_update(spark, tmp_path):
     )
     feed = {r["id"]: r["_change"] for r in t.change_feed(["id"]).collect()}
     assert feed == {1: "delete", 3: "update", 4: "insert"}  # 2 unchanged
+
+
+def test_compact_zorder_on_partitioned_table_one_file_per_partition(spark, tmp_path):
+    """zorder_by + partition_by must still compact each Hive partition
+    directory to one file (Z-clustering happens WITHIN the partition), not
+    scatter Z-ranges across directories."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path / "tpz"), partition_by=["grp"])
+    df = spark.range(0, 20_000).select(
+        "id",
+        (F.col("id") % 4).alias("grp"),
+        (F.col("id") * 48271 % 65536).alias("a"),
+        (F.col("id") * 16807 % 65536).alias("b"),
+    )
+    t.overwrite(df.repartition(16))
+    before = sorted(r["id"] for r in t.read().collect())
+    v = t.compact(target_files=8, zorder_by=["a", "b"])
+    for g in range(4):
+        files = glob.glob(
+            str(tmp_path / "tpz" / f"v{v:06d}" / f"grp={g}" / "*.parquet")
+        )
+        assert len(files) == 1, f"grp={g} has {len(files)} files"
+    assert sorted(r["id"] for r in t.read().collect()) == before
+
+
+def test_change_feed_all_key_columns_and_map_rejection(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path / "cdc2"))
+    t.overwrite(spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string"))
+    t.overwrite(spark.createDataFrame([(2, "b"), (3, "c")], "id long, name string"))
+    # every column a key: only insert/delete arms exist
+    feed = {
+        (r["id"], r["name"]): r["_change"]
+        for r in t.change_feed(["id", "name"]).collect()
+    }
+    assert feed == {(1, "a"): "delete", (3, "c"): "insert"}
+
+    tm = MutableTable(spark, str(tmp_path / "cdc3"))
+    mdf = spark.createDataFrame([(1, {"k": "v"})], "id long, props map<string,string>")
+    tm.overwrite(mdf)
+    tm.overwrite(mdf)
+    import pytest
+
+    with pytest.raises(ValueError, match="map-typed"):
+        tm.change_feed(["id"])

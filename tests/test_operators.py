@@ -98,6 +98,49 @@ def test_closure_descendants_ancestors_relatives_with_cycle(spark):
     assert d1 == {2}
 
 
+def test_one_hop_children_and_parents(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 4), (3, 4)], "parent_id long, child_id long"
+    )
+    seeds = spark.createDataFrame([(1,), (1,), (99,)], "id long")  # dup + missing
+    kids = {
+        (r["parent_id"], r["child_id"])
+        for r in graph.one_hop_children(seeds, edges).collect()
+    }
+    assert kids == {(1, 2), (1, 3)}
+    par = {
+        (r["parent_id"], r["child_id"])
+        for r in graph.one_hop_parents(
+            spark.createDataFrame([(4,)], "id long"), edges
+        ).collect()
+    }
+    assert par == {(2, 4), (3, 4)}
+
+
+def test_closure_one_job_per_level(spark):
+    """The BFS loop must cost ONE driver job per level (lazy localCheckpoint
+    materialized by the fixpoint count), not two (eager checkpoint job +
+    count job).  Measured on this 6-hop chain with AQE off: lazy = 23 jobs,
+    the old eager form = 31; the bound sits between them so an eager
+    regression fails loudly while broadcast-job jitter doesn't."""
+    sc = spark.sparkContext
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        edges = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 7)], "parent_id long, child_id long"
+        )
+        seeds = spark.createDataFrame([(1,)], "id long")
+        sc.setJobGroup("closure-jobcount", "one job per BFS level")
+        out = graph.descendants(seeds, edges)
+        assert {r["id"] for r in out.collect()} == {2, 3, 4, 5, 6, 7}
+        jobs = len(sc.statusTracker().getJobIdsForGroup("closure-jobcount"))
+    finally:
+        sc.setJobGroup(None, None)
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+    assert jobs <= 27, f"closure spent {jobs} driver jobs on a 7-level BFS"
+
+
 def test_connected_components_chain_cycle_and_separate(spark):
     # component {1,2,3,4} (chain), {10,11} (cycle), {20,21,22} (star on 21)
     edges = spark.createDataFrame(
