@@ -76,8 +76,9 @@ BENCH_QUERIES = [
     "j5_one_hop",           # direct-children broadcast-semi edge join
     "j6_membership",        # dataset-membership fact-to-record join
     "dd_jaccard_capped",    # rare-shingle candidates (df-capped pair join)
-    # s6_delete_survivors / s7_retention_survivors are gate-only: they time
-    # scratch-table writes (mutation IO), not a query plan.
+    # s6_delete_survivors / s7_retention_survivors / dd_incremental are
+    # gate-only: each times a scratch-table write (mutation/index IO) ahead
+    # of the query plan; dd_minhash_lsh benches the banding/probe physics.
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow and dd_jaccard_capped are the benched

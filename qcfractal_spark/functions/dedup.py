@@ -402,6 +402,61 @@ def minhash_lsh_candidates(
     )
 
 
+def write_lsh_band_index(
+    signatures: DataFrame,
+    path: str,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> None:
+    """Persist the banded LSH index — ``(id, band_key)`` rows partitioned
+    by ``band_idx`` — the corpus-side artifact of incremental dedup.
+
+    At 100 TB the corpus is signatured ONCE; every subsequent ingest batch
+    probes this index instead of re-scanning corpus text (the batch-scale
+    analog of the reference's query-first insert dedup,
+    db_socket/helpers.py:317-406: "look up what exists, insert what's
+    new").  Partitioning by band_idx keeps each band's bucket space in its
+    own directory, so a probe join reads band files, never corpus text."""
+    banded = _banded(signatures, bands, rows_per_band)
+    banded.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+
+
+def incremental_lsh_candidates(
+    spark,
+    index_path: str,
+    new_signatures: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs of an ingest batch: batch×corpus pairs via
+    a probe join against the persisted band index, plus batch×batch pairs
+    via a self-join — the corpus contributes only its (id, band) rows, its
+    text and signatures are never recomputed.
+
+    Output orientation: ``id_a`` = the already-indexed (or smaller batch)
+    id, ``id_b`` = the new id.  The batch side is broadcast while small
+    (the common ingest shape: daily increment ≪ corpus); the index scan
+    then never shuffles."""
+    index = spark.read.parquet(index_path).select("id", "band_idx", "band_key")
+    probe = _banded(new_signatures, bands, rows_per_band)
+    cross = (
+        index.join(
+            F.broadcast(probe.withColumnRenamed("id", "id_b")),
+            on=["band_idx", "band_key"],
+        )
+        .where(F.col("id") != F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+    )
+    a = probe.alias("a")
+    b = probe.alias("b")
+    within = (
+        a.join(b, on=["band_idx", "band_key"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    return cross.unionByName(within).dropDuplicates(["id_a", "id_b"])
+
+
 def minhash_lsh_star_edges(
     signatures: DataFrame,
     bands: int = 4,

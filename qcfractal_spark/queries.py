@@ -1159,9 +1159,13 @@ ORDER BY score DESC, id_a, id_b LIMIT 20
 """
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_oracle_sql(
+    pair_pred: str = "a.id < b.id",
+) -> str:
     """Generate the DuckDB mirror of minhash_signatures + lsh banding from
-    the same deterministic parameter table the Spark plan uses."""
+    the same deterministic parameter table the Spark plan uses.
+    ``pair_pred`` is the pair-orientation predicate over aliases a/b
+    (default: the canonical ordered-pair form)."""
     from .functions.dedup import _NUM_PERM_DEFAULT, _P, _minhash_params
 
     params = _minhash_params(_NUM_PERM_DEFAULT)
@@ -1194,7 +1198,8 @@ bands AS (
 )
 SELECT DISTINCT a.id AS id_a, b.id AS id_b
 FROM bands a
-JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND ({pair_pred})
 """
 
 
@@ -3345,6 +3350,33 @@ JOIN sizes sb ON sb.doc_id = id_b
 """
 
 REGISTRY["dd_jaccard_capped"] = (q_dd_jaccard_capped, SQL_DD_JACCARD_CAPPED)
+
+
+def q_dd_incremental(spark, sf_dir):
+    """DD (beyond-reference): incremental dedup of an ingest batch against
+    a PERSISTED LSH band index — the daily-ingest pattern at 100 TB.  The
+    corpus (doc_id % 10 != 0) is signatured once and written as an
+    (id, band_key) index partitioned by band_idx
+    (functions/dedup.py:write_lsh_band_index); the batch (doc_id % 10 == 0)
+    probes it with a broadcast join plus a within-batch self-join
+    (incremental_lsh_candidates).  Corpus text/signatures are never
+    recomputed at probe time — only band rows are read.  This is the
+    batch-scale analog of the reference's query-first insert dedup
+    (db_socket/helpers.py:317-406).  The oracle replays the full banding
+    with the batch/corpus pair predicate."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    path = _scratch_dir(sf_dir, "lsh_index")
+    dd.write_lsh_band_index(dd.minhash_signatures(corpus), path)
+    return dd.incremental_lsh_candidates(spark, path, dd.minhash_signatures(batch))
+
+
+SQL_DD_INCREMENTAL = _minhash_oracle_sql(
+    pair_pred="b.id % 10 = 0 AND a.id <> b.id AND (a.id % 10 <> 0 OR a.id < b.id)"
+)
+
+REGISTRY["dd_incremental"] = (q_dd_incremental, SQL_DD_INCREMENTAL)
 
 
 def q_j5_one_hop(spark, sf_dir):

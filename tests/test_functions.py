@@ -445,3 +445,36 @@ def test_dsir_prefers_target_distribution(spark):
     means = {r[0]: r["m"] for r in by_lang}
     assert means[True] > means[False]
     assert means[True] > 0 > means[False]
+
+
+def test_incremental_lsh_matches_full_candidates(spark, tmp_path):
+    """Incremental (index-probe) candidates must equal the full-corpus LSH
+    candidate set restricted to pairs touching the batch — no pair lost,
+    no corpus-only pair invented — and the index must be a banded parquet
+    partitioned by band_idx (no corpus text/signature in the artifact)."""
+    import os
+
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions import dedup as dd
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    path = str(tmp_path / "lsh_index")
+    dd.write_lsh_band_index(dd.minhash_signatures(corpus), path)
+    assert any(e.startswith("band_idx=") for e in os.listdir(path))
+    inc = dd.incremental_lsh_candidates(spark, path, dd.minhash_signatures(batch))
+    got = {
+        (min(r["id_a"], r["id_b"]), max(r["id_a"], r["id_b"]))
+        for r in inc.collect()
+    }
+    full = dd.minhash_lsh_candidates(dd.minhash_signatures(docs))
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in full.collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert got == want and got  # non-trivial on this corpus
+    # orientation: id_b is always the new (batch) id
+    assert all(r["id_b"] % 10 == 0 for r in inc.collect())
