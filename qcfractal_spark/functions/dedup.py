@@ -102,8 +102,20 @@ def _capped_shingles(df, text_col, id_col, k, max_doc_freq):
     stop-shingle document-frequency cap applied BEFORE the pair join when
     ``max_doc_freq`` is set.  Sizes always count the FULL shingle set so
     capping only ever under-estimates similarity (both callers rely on
-    that conservativeness — one definition, no drift)."""
-    sh = shingle_rows(df, text_col, id_col, k, distinct=True)
+    that conservativeness — one definition, no drift).
+
+    The shingle relation feeds up to five consumers (sizes, the df cap,
+    the semi-join, and both sides of the pair join); Catalyst does not
+    reuse the exchange across them, so without materialization the
+    scan+explode+dedup subplan executes once PER consumer (measured 6
+    scans, ~10x the steady-state wall time at sf0.1).  A lazy
+    localCheckpoint materializes it exactly once; blocks are freed by the
+    ContextCleaner when the query's RDDs are released.  At 100 TB this is
+    the same call: the shingle set is reused five times, so materializing
+    it (disk-backed) beats recomputing the corpus scan five times."""
+    sh = shingle_rows(df, text_col, id_col, k, distinct=True).localCheckpoint(
+        eager=False
+    )
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     join_sh = sh
     if max_doc_freq is not None:
@@ -362,6 +374,10 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
         )
     )
     signatures = signatures.withColumn("signature", checked)
+    # No checkpoint here: the signature agg sits under one exchange that
+    # Catalyst reuses across both sides of every caller's band join
+    # (verified: materializing the banding measured *slower* at sf0.1 —
+    # unlike the multi-consumer shingle relation in _capped_shingles).
     return signatures.select(
         "id",
         F.posexplode(
@@ -626,8 +642,9 @@ def winnow_pairs(
     the LSH band join, with winnowing's shared-substring guarantee instead
     of a probabilistic bound."""
     # Materialize the fingerprint set once — the self-join would otherwise
-    # re-run the explode+hash+window pipeline for both sides.
-    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=True)
+    # re-run the explode+hash+window pipeline for both sides.  Lazy: the
+    # first action both computes and persists it (no separate job).
+    fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(b, on="fp")
@@ -662,6 +679,8 @@ def simhash_candidate_pairs(
         )
     w = bits // bands
     mask = (1 << w) - 1
+    # No checkpoint: the signature agg's exchange is reused by Catalyst
+    # across both self-join sides (measured; see _banded note).
     banded = signatures.select(
         "id",
         "simhash",
