@@ -141,6 +141,43 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
 # ~32 MB shuffled — comfortably in-memory per task at any scale.
 _CC_ROWS_PER_PARTITION = 2_000_000
 
+# Edge-count ceiling for the exact driver-side union-find fast path: 2M
+# (long,long) rows ≈ 32 MB collected — far under driver memory, and the
+# O(E α(E)) solve beats even one distributed round.
+_CC_DRIVER_SOLVE_EDGES = 2_000_000
+
+
+def _driver_union_find(spark, und: DataFrame) -> DataFrame:
+    """Exact small-graph arm of :func:`connected_components`: collect the
+    (bounded) edge list, union-find with path compression + union-by-min,
+    return the same ``(id, component)`` relation the distributed loop
+    yields — every node labeled with its component's minimum node id."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for row in und.collect():
+        a, b = row[0], row[1]
+        if a is None or b is None:
+            continue
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min: the smaller root stays root, preserving the
+            # "component = min node id" label the distributed loop produces
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    labels = sorted((node, find(node)) for node in parent)
+    return spark.createDataFrame(labels or [], "id long, component long")
+
 
 def connected_components(
     edges: DataFrame,
@@ -176,10 +213,24 @@ def connected_components(
 
     Returns ``(id, component)`` for every node appearing in ``edges``;
     callers left-join and coalesce to assign singletons their own id.
+
+    Scale-adaptive strategy: when the (known) edge count fits trivially on
+    the driver (≤ ``_CC_DRIVER_SOLVE_EDGES``, ~32 MB of long pairs), the
+    component problem is solved exactly with one collect + union-find —
+    O(E α(E)), no iterative shuffle rounds at all.  The distributed
+    label-propagation loop below is the ≥driver-scale path; running its
+    serial rounds (each a full scheduling + shuffle cycle) on a 5k-edge
+    graph costs ~3 s where union-find costs ~0.1 s.  This is the same
+    runtime-adaptive physics AQE applies to join strategy, applied to an
+    iterative algorithm; the cutover needs an edge count, so it only
+    engages when callers pass ``approx_edges`` (callers that materialize
+    the pair table first have it for free).
     """
     und = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
     )
+    if approx_edges is not None and approx_edges <= _CC_DRIVER_SOLVE_EDGES:
+        return _driver_union_find(edges.sparkSession, und)
     und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     # Pre-partition the (persisted) edge table by the probe key: every
     # round's labels join then reuses the cached exchange instead of

@@ -269,3 +269,25 @@ def test_argmin_tie_break(spark):
         for r in argmin_per_group(df, ["g"], [F.col("e").asc(), F.col("id").asc()]).collect()
     }
     assert got == {1: 10, 2: 20}  # ties break to lowest id (DISTINCT ON order)
+
+
+def test_cc_driver_fast_path_matches_distributed(spark):
+    """connected_components with a known small edge count takes the exact
+    driver union-find arm; its labels must equal the distributed
+    label-propagation arm's on the same graph (chain + cycle + star +
+    isolated pair)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 10),
+         (20, 21), (20, 22), (20, 23), (30, 31)],
+        "src long, dst long",
+    )
+    fast = {
+        (r["id"], r["component"])
+        for r in graph.connected_components(edges, approx_edges=10).collect()
+    }
+    dist = {
+        (r["id"], r["component"])
+        for r in graph.connected_components(edges).collect()
+    }
+    assert fast == dist
+    assert (4, 1) in fast and (12, 10) in fast and (23, 20) in fast
