@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "t9_cohort_retention",  # weekly cohort retention triangle
     "a20_salted_agg",       # two-phase salted hot-key aggregation
     "j15_salted_join",      # salted fact-to-dim join
+    "j16_adaptive_salted",  # hot-key-only salting (measured skew)
     "a21_histogram",        # fixed-width histogram + per-type share window
     "a19_approx_distinct",  # HLL sketch cardinalities
     "j5_one_hop",           # direct-children broadcast-semi edge join

@@ -87,6 +87,63 @@ def salted_join(
     return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
 
 
+def hot_keys(df: DataFrame, key_cols: Sequence[str], min_count: int) -> DataFrame:
+    """Exact heavy-hitter detection: keys whose row count ≥ ``min_count``.
+
+    One map-combinable count — the shuffle carries one row per (task, key),
+    so cost is bounded by key cardinality, not row count.  The result is
+    hot-key-sized (tiny by definition: a key is hot because it owns a large
+    share of a bounded total), so callers broadcast it.  This is the
+    profiling step that feeds :func:`adaptive_salted_join` — measure the
+    skew, then pay salting costs only where it exists."""
+    return (
+        df.groupBy(*[F.col(c) for c in key_cols])
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") >= min_count)
+        .select(*key_cols)
+    )
+
+
+def adaptive_salted_join(
+    skewed: DataFrame,
+    dim: DataFrame,
+    on: str,
+    hot: DataFrame,
+    buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Salted join that salts ONLY the hot keys (from :func:`hot_keys`).
+
+    The uniform :func:`salted_join` replicates the whole dim side
+    ``buckets``-fold; here cold keys join unsalted (salt 0 on both sides)
+    and only hot-key dim rows replicate — replication cost is
+    O(|hot| x buckets) rows instead of O(|dim| x buckets).  The hot set is
+    broadcast to both sides as a flag join, so flagging adds no shuffle.
+    Result-invariant like uniform salting; same inner/left restriction and
+    for the same reason (replicated unmatched dim rows under right/full
+    outer)."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"adaptive_salted_join supports how='inner'|'left', got {how!r}: "
+            "the replicated dim side would duplicate unmatched rows under a "
+            "right/full outer join"
+        )
+    flag = F.broadcast(hot.select(F.col(on)).dropDuplicates([on]).withColumn("_hot", F.lit(True)))
+    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
+    left = skewed.join(flag, on=on, how="left").withColumn(
+        "_salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0))
+    ).drop("_hot")
+    salts = F.when(
+        F.col("_hot"), F.array(*[F.lit(i) for i in range(buckets)])
+    ).otherwise(F.array(F.lit(0)))
+    right = (
+        dim.join(flag, on=on, how="left")
+        .withColumn("_salt", F.explode(salts))
+        .drop("_hot")
+    )
+    return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
+
+
 def co_partition(
     left: DataFrame, right: DataFrame, on: str, partitions: int
 ) -> tuple[DataFrame, DataFrame]:

@@ -3221,6 +3221,39 @@ GROUP BY c.c_nationkey
 REGISTRY["j15_salted_join"] = (q_j15_salted_join, SQL_J15)
 
 
+def q_j16_adaptive_salted(spark, sf_dir):
+    """J16 (beyond-reference): skew-adaptive salted join — profile the fact
+    table's key distribution first (operators/skew.py:hot_keys, one
+    map-combinable count), then salt ONLY the hot keys
+    (adaptive_salted_join): cold keys join unsalted, hot-key dim rows
+    replicate ×buckets.  Replication cost is O(|hot| × buckets) instead of
+    uniform salting's O(|dim| × buckets) — the measured-skew version of
+    j15.  Result-invariant, so the oracle is the plain join + rollup."""
+    from .operators.skew import adaptive_salted_join, hot_keys
+
+    events = _t(spark, sf_dir, "events")
+    customer = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_nationkey"
+    )
+    hot = hot_keys(events, ["user_id"], min_count=10)
+    joined = adaptive_salted_join(events, customer, on="user_id", hot=hot, buckets=8)
+    return joined.groupBy("c_nationkey", "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("value").alias("v_min"),
+        F.max("value").alias("v_max"),
+    )
+
+
+SQL_J16 = """
+SELECT c.c_nationkey, e.event_type,
+       COUNT(*) AS n_events, MIN(e.value) AS v_min, MAX(e.value) AS v_max
+FROM events e JOIN customer c ON c.c_custkey = e.user_id
+GROUP BY c.c_nationkey, e.event_type
+"""
+
+REGISTRY["j16_adaptive_salted"] = (q_j16_adaptive_salted, SQL_J16)
+
+
 def q_a21_histogram(spark, sf_dir):
     """A21 (beyond-reference): fixed-width value histogram per event type —
     the distribution-profiling aggregate (data-quality dashboards, drift
