@@ -74,6 +74,7 @@ BENCH_QUERIES = [
     "j16_adaptive_salted",  # hot-key-only salting (measured skew)
     "a21_histogram",        # fixed-width histogram + per-type share window
     "a19_approx_distinct",  # HLL sketch cardinalities
+    "a22_approx_quantiles", # GK sketch quantile profile
     "j5_one_hop",           # direct-children broadcast-semi edge join
     "j6_membership",        # dataset-membership fact-to-record join
     "dd_jaccard_capped",    # rare-shingle candidates (df-capped pair join)

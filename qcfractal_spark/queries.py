@@ -3020,6 +3020,29 @@ def q_a19_approx_distinct(spark, sf_dir):
 REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, None)
 
 
+def q_a22_approx_quantiles(spark, sf_dir):
+    """A22 (beyond-reference): sketch-based quantile profile per event type
+    — approx_percentile (Greenwald-Khanna, relative error 0.001) for
+    p50/p95/p99 of the value distribution.  The sketch companion of f12's
+    exact percentiles: exact percentile_disc needs every group's values on
+    one reducer (sortable, but a full shuffle of the column), while the GK
+    sketch is a bounded-size, map-side-mergeable summary — the only shape
+    that profiles a 100 TB telemetry column per dashboard refresh.  No SQL
+    oracle by design (sketch internals are engine-specific; the driver
+    records a rows-only check); the error bound vs the exact percentile is
+    pinned by tests/test_round4.py."""
+    events = _t(spark, sf_dir, "events")
+    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(1000))
+    return events.groupBy("event_type").agg(
+        q.getItem(0).alias("p50"),
+        q.getItem(1).alias("p95"),
+        q.getItem(2).alias("p99"),
+    )
+
+
+REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
+
+
 def q_t8_funnel(spark, sf_dir):
     """T8 (beyond-reference): ordered funnel analysis — per user, the
     earliest strictly-ordered view → click → purchase chain and the funnel

@@ -248,3 +248,27 @@ def test_insert_dedup_classify_reports_dup_of(spark):
     _, classified = insert_dedup_classify(table, batch, ["name"])
     got = {(r["name"], r["_existing"], r["_dup_of"]) for r in classified.collect()}
     assert got == {("a", True, 0), ("b", False, 1)}
+
+
+def test_approx_quantiles_within_rank_error(spark):
+    """a22's GK sketch estimates must be actual data values whose true rank
+    sits within a conservative rank-error band around the target quantile
+    (accuracy=1000 → eps=0.001; band widened to 1% for tiny test groups)."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.queries import REGISTRY
+
+    fn, _ = REGISTRY["a22_approx_quantiles"]
+    sf = "/root/testdata/sf0.001"
+    got = {r["event_type"]: (r["p50"], r["p95"], r["p99"]) for r in fn(spark, sf).collect()}
+    events = load_table(spark, sf, "events")
+    vals = {}
+    for r in events.select("event_type", "value").collect():
+        vals.setdefault(r["event_type"], []).append(r["value"])
+    assert set(got) == set(vals)
+    for et, (p50, p95, p99) in got.items():
+        xs = sorted(vals[et])
+        n = len(xs)
+        for q, est in ((0.5, p50), (0.95, p95), (0.99, p99)):
+            assert est in vals[et], (et, q, est)  # GK returns real values
+            rank = sum(1 for x in xs if x <= est) / n
+            assert abs(rank - q) <= 0.01 + 1.0 / n, (et, q, est, rank)
