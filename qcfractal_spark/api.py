@@ -43,6 +43,7 @@ class RecordQueryFilters:
     creator_user: Sequence[int | str] | None = None
     parent_id: Sequence[int] | None = None
     child_id: Sequence[int] | None = None
+    dataset_id: Sequence[int] | None = None
     # spec-level filters (trigger the spec join)
     program: Sequence[str] | None = None
     driver: Sequence[str] | None = None
@@ -59,6 +60,7 @@ def query_records(
     specs: DataFrame | None = None,
     edges: DataFrame | None = None,
     users: DataFrame | None = None,
+    record_items: DataFrame | None = None,
 ) -> DataFrame:
     """The canonical query path (record_socket.py:238-368) as one plan:
     conditional joins, AND of present predicates, DISTINCT on id, keyset
@@ -147,6 +149,17 @@ def query_records(
             F.col("parent_id").alias("id")
         )
         df = df.join(F.broadcast(parents.dropDuplicates(["id"])), on="id", how="left_semi")
+    # dataset membership filter joins the record_items fact (J6,
+    # record_socket.py:317-320 joining DatasetDirectRecordsView)
+    if f.dataset_id is not None:
+        if record_items is None:
+            raise ValueError("dataset_id filter requires the record_items table")
+        members = record_items.where(
+            F.col("dataset_id").isin(list(f.dataset_id))
+        ).select(F.col("record_id").alias("id"))
+        df = df.join(
+            F.broadcast(members.dropDuplicates(["id"])), on="id", how="left_semi"
+        )
 
     for p in preds:
         df = df.where(p)

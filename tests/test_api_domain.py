@@ -136,3 +136,17 @@ def test_status_matrix_counts(domain):
     items, recs = domain["items"], domain["records"]
     mat = api.dataset_status_matrix(items, recs)
     assert mat.agg(F.sum("count")).first()[0] == items.count()
+
+
+def test_dataset_id_filter_joins_membership(domain):
+    recs, items = domain["records"], domain["items"]
+    f = api.RecordQueryFilters(dataset_id=[1])
+    got = api.query_records(recs, f, record_items=items).count()
+    member_ids = {r["record_id"] for r in items.select("record_id").collect()}
+    assert got == recs.where(F.col("id").isin(list(member_ids))).count()
+    # an absent dataset matches nothing; missing table raises
+    assert api.query_records(
+        recs, api.RecordQueryFilters(dataset_id=[999]), record_items=items
+    ).count() == 0
+    with pytest.raises(ValueError, match="record_items"):
+        api.query_records(recs, api.RecordQueryFilters(dataset_id=[1]))
