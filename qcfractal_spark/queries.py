@@ -1161,11 +1161,14 @@ ORDER BY score DESC, id_a, id_b LIMIT 20
 
 def _minhash_oracle_sql(
     pair_pred: str = "a.id < b.id",
+    source: str = "documents",
 ) -> str:
     """Generate the DuckDB mirror of minhash_signatures + lsh banding from
     the same deterministic parameter table the Spark plan uses.
     ``pair_pred`` is the pair-orientation predicate over aliases a/b
-    (default: the canonical ordered-pair form)."""
+    (default: the canonical ordered-pair form); ``source`` is the relation
+    supplying (doc_id, text) — a table or an outer CTE (outer CTEs stay
+    visible inside this statement's nested WITH)."""
     from .functions.dedup import _NUM_PERM_DEFAULT, _P, _minhash_params
 
     params = _minhash_params(_NUM_PERM_DEFAULT)
@@ -1181,7 +1184,7 @@ def _minhash_oracle_sql(
     return f"""
 WITH docs AS (
   SELECT doc_id AS id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
-  FROM documents
+  FROM {source}
 ),
 sh AS (
   SELECT id, substring(t, i, 5) AS sh
@@ -3041,6 +3044,111 @@ def q_a22_approx_quantiles(spark, sf_dir):
 
 
 REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
+
+
+def q_pipe_prepare(spark, sf_dir):
+    """PIPE (beyond-reference flagship): the end-to-end training-data prep
+    pipeline as ONE composed plan — language filter → quality filter →
+    near-dup cluster canonicalization → surviving docs with token counts.
+
+    Stages (each individually driver-gated elsewhere, here composed):
+    1. score every doc scan-side (tx.lang_id, tx.quality_score,
+       tx.token_count — pure codegen, zero shuffles);
+    2. keep lang_pred='en' AND quality ≥ 0.93;
+    3. MinHash → star-contracted LSH edges → connected components OVER THE
+       KEPT SUBSET ONLY (filters run before signatures, so the expensive
+       stage sees the post-filter corpus — the stage ordering that matters
+       at 100 TB);
+    4. keep each cluster's minimum doc_id (the canonical representative),
+       singletons keep themselves.
+
+    The scored/kept relation feeds both the signature pipeline and the
+    final join, so it is materialized once (lazy checkpoint, same
+    rationale as _capped_shingles).  The oracle replays all four stages —
+    scoring arithmetic, banding, and a recursive-CTE closure — in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    kept = (
+        docs.select(
+            "doc_id",
+            "source",
+            "text",
+            tx.lang_id(t).alias("lang_pred"),
+            tx.quality_score(t).alias("quality"),
+            tx.token_count(t).alias("n_tokens"),
+        )
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.93))
+        .localCheckpoint(eager=False)
+    )
+    sigs = dd.minhash_signatures(kept)
+    edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=False)
+    comp = graph.connected_components(edges, "id_a", "id_b", approx_edges=edges.count())
+    return (
+        kept.withColumnRenamed("doc_id", "id")
+        .join(comp, "id", "left")
+        .where(F.coalesce("component", F.col("id")) == F.col("id"))
+        .select(F.col("id").alias("doc_id"), "source", "n_tokens", "quality")
+    )
+
+
+def _pipe_oracle_sql() -> str:
+    pairs_sql = _minhash_oracle_sql(source="kept")
+    return f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, source, text,
+    CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+    {_sql_stop_hits(_EN)} AS en_h,
+    {_sql_stop_hits(_DE)} AS de_h,
+    {_sql_stop_hits(_FR)} AS fr_h,
+    {_sql_stop_hits(_ES)} AS es_h,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+  FROM documents
+),
+scored AS (
+  SELECT *, greatest(en_h, de_h, fr_h, es_h) AS mx,
+    alpha / greatest(n_chars, 1.0) AS ar,
+    punct / greatest(n_chars, 1.0) AS pr,
+    CASE WHEN n_tokens > 0 THEN n_chars / n_tokens ELSE 0.0 END AS mtl,
+    CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0
+         WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END AS lb
+  FROM base
+),
+labeled AS (
+  SELECT doc_id, source, text, n_tokens,
+    CASE WHEN mx = 0 THEN 'und'
+         WHEN de_h = mx THEN 'de'
+         WHEN en_h = mx THEN 'en'
+         WHEN es_h = mx THEN 'es'
+         ELSE 'fr' END AS lang_pred,
+    ROUND(ar * 0.4 + (1.0 - least(pr * 5.0, 1.0)) * 0.2 + lb * 0.2
+          + (CASE WHEN mtl >= 3.0 AND mtl <= 12.0 THEN 1.0 ELSE 0.5 END) * 0.2,
+          6) AS quality
+  FROM scored
+),
+kept AS (SELECT * FROM labeled WHERE lang_pred = 'en' AND quality >= 0.93),
+pairs AS (SELECT * FROM ({pairs_sql}) t),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(src, dst) AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+),
+lab AS (SELECT src AS id, MIN(dst) AS mn FROM reach GROUP BY src)
+SELECT k.doc_id, k.source, k.n_tokens, k.quality
+FROM kept k LEFT JOIN lab l ON l.id = k.doc_id
+WHERE COALESCE(LEAST(l.id, l.mn), k.doc_id) = k.doc_id
+"""
+
+
+SQL_PIPE = _pipe_oracle_sql()
+
+REGISTRY["pipe_prepare"] = (q_pipe_prepare, SQL_PIPE)
 
 
 def q_t8_funnel(spark, sf_dir):

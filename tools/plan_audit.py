@@ -52,6 +52,8 @@ SMJ_OK = {
     "dd_jaccard",  # shingle self-join: both sides are fact-sized
     "dd_minhash_lsh",  # band-bucket self-join: both sides fact-sized
     "dd_cluster",  # band join + component-label joins: fact-sized sides
+    "pipe_prepare",  # same band/star joins as dd_cluster, over the filtered
+                     # (checkpointed) subset whose stats Catalyst can't see
     "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
     "dd_winnow",  # fingerprint self-join: both sides fact-sized
     "dd_embed",  # LSH bucket self-join: both sides fact-sized
