@@ -3683,6 +3683,76 @@ WHERE NOT (s_suppkey % 7 = 0
 REGISTRY["s6_delete_survivors"] = (q_s6_delete_survivors, SQL_S6)
 
 
+def q_s8_snapshot_roundtrip(spark, sf_dir):
+    """S8 under the hash gate: snapshot-export a table subset and read the
+    exported parquet back — the returned rows come from the EXPORTED files,
+    so serialization, type mapping, and the one-job distributed write
+    (sources/parquet.py:snapshot_export; reference streams SQLite view
+    files in 20-record batches, dataset_processing/views.py:26-186) must
+    all round-trip losslessly to hash-match the plain SELECT oracle."""
+    import shutil
+
+    from .sources.parquet import snapshot_export
+
+    nation = _t(spark, sf_dir, "nation")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"
+    )
+    out_dir = _scratch_dir(sf_dir, "s8")
+    shutil.rmtree(out_dir, ignore_errors=True)
+    paths = snapshot_export({"nation": nation, "orders": orders}, out_dir)
+    back = spark.read.parquet(paths["orders"])
+    from .catalog import normalize_ntz
+
+    return normalize_ntz(back)
+
+
+SQL_S8 = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate
+FROM orders
+"""
+
+REGISTRY["s8_snapshot_roundtrip"] = (q_s8_snapshot_roundtrip, SQL_S8)
+
+
+def q_s3_insert_dedup_table(spark, sf_dir):
+    """S3 under the hash gate: query-first bulk insert on a scratch
+    MutableTable copy — batch rows whose natural key already exists are
+    skipped, new keys append (reference InsertMetadata flow,
+    db_socket/helpers.py:317-406).  Batch = existing suppliers with
+    s_suppkey % 3 = 0 (must dedup away) plus shifted copies
+    (s_suppkey + 1000000 for % 5 = 0, genuinely new).  The oracle is the
+    set the table must equal afterward: supplier ∪ the new rows."""
+    import shutil
+
+    from .sources.table import MutableTable
+
+    supplier = _t(spark, sf_dir, "supplier")
+    path = _scratch_dir(sf_dir, "s3")
+    shutil.rmtree(path, ignore_errors=True)
+    table = MutableTable(spark, path)
+    table.overwrite(supplier)
+    dupes = supplier.where(F.col("s_suppkey") % 3 == 0)
+    news = supplier.where(F.col("s_suppkey") % 5 == 0).select(
+        (F.col("s_suppkey") + 1_000_000).alias("s_suppkey"),
+        F.concat(F.lit("copy_"), F.col("s_name")).alias("s_name"),
+        "s_nationkey",
+        "s_acctbal",
+    )
+    table.insert_dedup(dupes.unionByName(news), search_cols=["s_suppkey"])
+    return table.read().select("s_suppkey", "s_name", "s_nationkey", "s_acctbal")
+
+
+SQL_S3 = """
+SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier
+UNION ALL
+SELECT s_suppkey + 1000000, 'copy_' || s_name, s_nationkey, s_acctbal
+FROM supplier WHERE s_suppkey % 5 = 0
+"""
+
+REGISTRY["s3_insert_dedup_table"] = (q_s3_insert_dedup_table, SQL_S3)
+
+
 def q_s7_retention_survivors(spark, sf_dir):
     """S7/T6 under the hash gate: retention sweep on a scratch MutableTable
     copy of events — drop everything before the cutoff, return survivors
@@ -3784,6 +3854,19 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #   w1_window_lag     lag window ⊂ pk_pack/pk_domain_cap cumsum (r1-r4)
 #   tx_text_stats     ⊂ tx_quality_clf (superset feature set) (r1-r4)
 #   dd_exact          hash-groupBy first-wins ⊂ dd_span_dedup/a9 (r1-r4)
+# …and step IN the five queries born this round (pipe_prepare end-to-end
+# pipeline, dd_incremental index-probe dedup, j16_adaptive_salted,
+# dd_jaccard_capped, a22_approx_quantiles rows-only) so their first round
+# has driver rows; step OUT five more multiply-green sibling-covered rows:
+#   a14_pivot         entry×spec pivot ⊂ a15_properties_df (r1-r4)
+#   t3_hourly_rollup  time-bucket rollup ⊂ f12_hour_percentiles +
+#                     t2_enrichment (r1-r4)
+#   a6_access_summary group+percentile_disc ⊂ f12 (same operator,
+#                     f12 adds continuous) (r1-r4)
+#   s4_upsert_classify classify join ⊂ s6_delete_survivors mutation gate +
+#                     j9 anti-join shape (r1-r4)
+#   dd_contamination  broadcast-shingle scan ⊂ dd_minhash_lsh family +
+#                     dd_common_ngrams (r1-r4)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -3793,26 +3876,31 @@ _DRIVER_WINDOW = [
     "s6_delete_survivors", "s7_retention_survivors",
     # joins + graph
     "j5_one_hop", "j6_membership", "j9_anti_join",
-    "j8_closure", "j13_asof", "j14_interval", "j15_salted_join",
+    "j8_closure", "j13_asof", "j14_interval",
+    "j15_salted_join", "j16_adaptive_salted",
     # aggregates / pivots
-    "a18_cube_counts", "a6_access_summary", "a7_json_rollup",
+    "a18_cube_counts", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "f12_hour_percentiles",
-    "a14_pivot", "a15_properties_df",
+    "a15_properties_df",
     "a19_approx_distinct", "a20_salted_agg", "a21_histogram",
+    "a22_approx_quantiles",
     # top-k / windows / temporal
-    "o2_priority_topk", "t3_hourly_rollup",
+    "o2_priority_topk",
     "st_sessionize", "t2_enrichment",
     "t8_funnel", "t9_cohort_retention",
-    # mutation-classify / UDF / formula
-    "s4_upsert_classify", "d1_value_call", "mol_identifiers",
+    # UDF / formula
+    "d1_value_call", "mol_identifiers",
     # text-pipeline operators
     "tx_bm25", "dd_span_dedup",
     "tx_pii", "pk_pack",
     "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite
     "dd_minhash_lsh", "dd_simhash_pairs",
-    "dd_contamination", "dd_cluster", "dd_embed",
+    "dd_cluster", "dd_embed",
     "dd_common_ngrams", "dd_lev_verify",
+    "dd_jaccard_capped", "dd_incremental",
+    # pipeline flagship
+    "pipe_prepare",
     # similarity suite
     "sim_topk", "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
     # multimodal
