@@ -343,6 +343,33 @@ def minhash_signatures(
     )
 
 
+def rowwise_minhash_signature(
+    text_col: Column, k: int = 5, num_perm: int = _NUM_PERM_DEFAULT
+) -> Column:
+    """Per-ROW MinHash signature as an array column — value-identical to
+    :func:`minhash_signatures` (same normalization, portable hash, and
+    permutation table; min over the shingle multiset equals min over the
+    set), but computed without any aggregation.
+
+    Why it exists: the groupBy form is a *streaming aggregation*, which
+    blocks append-mode stream-static probes; this form is a pure
+    projection, so a document stream can be banded and joined against a
+    persisted LSH index in one append-mode plan.  The array lambdas are
+    interpreted per element, so BATCH scans should keep using
+    minhash_signatures (codegen explode, ~5x faster) — this is the
+    ingest-rate path, bounded by arrival rate, not corpus size."""
+    sh = shingles(text_col, k)
+    h = F.transform(sh, lambda s: portable_hash64(s))
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(h, lambda x: (x * F.lit(a_i) + F.lit(b_i)) % F.lit(_P))
+            )
+            for a_i, b_i in _minhash_params(num_perm)
+        ]
+    )
+
+
 def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     """(id, band_idx, band_key) rows — the SINGLE banding projection shared
     by the clique pair generator and the star edge generator, so the two

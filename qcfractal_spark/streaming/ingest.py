@@ -135,6 +135,51 @@ def stream_span_dedup(
     return stream_dedup(spans, key_cols=("fingerprint",), ts_col=ts_col, watermark=watermark)
 
 
+def stream_incremental_dedup(
+    docs: DataFrame,
+    index: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """Streaming arm of incremental LSH dedup: band each arriving document
+    scan-side and stream-static join the persisted band index
+    (``dedup.write_lsh_band_index``) — new-vs-corpus candidate pairs flow
+    out per micro-batch while corpus text is never rescanned.
+
+    The signature comes from ``dedup.rowwise_minhash_signature`` (a pure
+    projection — the groupBy signature would be a streaming aggregation,
+    which append-mode stream-static joins reject), then the SHARED
+    ``_banded`` projection, so the stream can never band differently from
+    the batch probe (``dedup.incremental_lsh_candidates``).  Emits one row
+    per (corpus id_a, new id_b) band collision; collapse cross-band
+    duplicates downstream — per-micro-batch via foreachBatch
+    dropDuplicates, or with ``dropDuplicatesWithinWatermark`` keyed on the
+    pair for bounded cross-batch state.  Works on batch frames too, which
+    is how the parity test pins stream ≡ batch probe semantics.
+
+    Within-batch (new-vs-new) pairs are deliberately NOT produced here:
+    the micro-batch's internal dedup belongs to ``stream_dedup``/
+    ``stream_span_dedup``; this operator answers "which arrivals collide
+    with the corpus"."""
+    from ..functions.dedup import _banded, rowwise_minhash_signature
+
+    sigs = docs.select(
+        F.col(id_col).alias("id"),
+        rowwise_minhash_signature(F.col(text_col)).alias("signature"),
+    )
+    probe = _banded(sigs, bands, rows_per_band).withColumnRenamed("id", "id_b")
+    idx = index.select(
+        F.col("id").alias("id_a"), "band_idx", "band_key"
+    )
+    return (
+        probe.join(idx, on=["band_idx", "band_key"], how="inner")
+        .where(F.col("id_a") != F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
 def stream_interval_join(
     left: DataFrame,
     right: DataFrame,

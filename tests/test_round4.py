@@ -272,3 +272,69 @@ def test_approx_quantiles_within_rank_error(spark):
             assert est in vals[et], (et, q, est)  # GK returns real values
             rank = sum(1 for x in xs if x <= est) / n
             assert abs(rank - q) <= 0.01 + 1.0 / n, (et, q, est, rank)
+
+
+def test_rowwise_signature_matches_groupby_signature(spark):
+    """dedup.rowwise_minhash_signature (streaming-safe projection) must be
+    value-identical to minhash_signatures (codegen groupBy form)."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions import dedup as dd
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    agg = {r["id"]: r["signature"] for r in dd.minhash_signatures(docs).collect()}
+    row = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select(
+            "doc_id", dd.rowwise_minhash_signature(F.col("text")).alias("sig")
+        ).collect()
+    }
+    assert agg == row
+
+
+def test_stream_incremental_dedup_matches_batch_probe(spark):
+    """The streaming index probe must emit exactly the batch probe's
+    corpus-vs-batch candidate pairs (within-batch pairs are out of scope
+    by contract) when all arrivals fit one micro-batch."""
+    import os
+    import tempfile
+
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions import dedup as dd
+    from qcfractal_spark.streaming.ingest import stream_incremental_dedup
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+    with tempfile.TemporaryDirectory() as d:
+        idx_path = os.path.join(d, "index")
+        dd.write_lsh_band_index(dd.minhash_signatures(corpus), idx_path)
+        want = {
+            (r["id_a"], r["id_b"])
+            for r in dd.incremental_lsh_candidates(
+                spark, idx_path, dd.minhash_signatures(batch)
+            ).collect()
+            if r["id_a"] not in batch_ids  # cross pairs only
+        }
+        land = os.path.join(d, "landing")
+        batch.select("doc_id", "text").coalesce(1).write.parquet(land)
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        out = stream_incremental_dedup(stream, spark.read.parquet(idx_path))
+        qh = (
+            out.writeStream.format("memory")
+            .queryName("inc_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in spark.sql("SELECT DISTINCT id_a, id_b FROM inc_stream").collect()
+        }
+    assert got == want and got
