@@ -166,3 +166,106 @@ def test_span_dedup_matches_bruteforce(spark, docs, span):
             else:
                 seen.add(s)
         assert got[i] == (len(spans), dups), (i, got[i], spans)
+
+
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=30),
+            st.integers(min_value=0, max_value=30),
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_cc_driver_arm_matches_distributed_on_any_graph(spark, edges):
+    """The union-find fast path and the distributed label-propagation loop
+    must produce identical (id, component=min id) labelings on arbitrary
+    graphs (self-loops and duplicate/reversed edges included)."""
+    from qcfractal_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    fast = {
+        (r["id"], r["component"])
+        for r in connected_components(df, approx_edges=len(edges)).collect()
+    }
+    dist = {
+        (r["id"], r["component"]) for r in connected_components(df).collect()
+    }
+    assert fast == dist
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=6),
+            st.integers(min_value=0, max_value=99),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    hot=st.sets(st.integers(min_value=0, max_value=6), max_size=4),
+)
+@settings(**SETTINGS)
+def test_adaptive_salting_invariant_for_any_hot_set(spark, rows, hot):
+    """adaptive_salted_join must be result-identical to the plain join for
+    ANY hot-key set — including wrong, empty, or non-existent keys (the
+    profiling step tunes physics, never semantics)."""
+    from qcfractal_spark.operators.skew import adaptive_salted_join
+
+    fact = spark.createDataFrame(rows, "k long, v long")
+    dim = spark.createDataFrame([(k, k * 10) for k in range(5)], "k long, attr long")
+    hot_df = spark.createDataFrame([(k,) for k in sorted(hot)] or [(None,)], "k long")
+    plain = sorted(
+        (r["k"], r["v"], r["attr"]) for r in fact.join(dim, "k", "left").collect()
+    )
+    adaptive = sorted(
+        (r["k"], r["v"], r["attr"])
+        for r in adaptive_salted_join(fact, dim, "k", hot_df, buckets=4, how="left").collect()
+    )
+    assert adaptive == plain
+
+
+@given(
+    prev=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        max_size=8,
+    ),
+    cur=st.dictionaries(
+        st.integers(min_value=0, max_value=9),
+        st.integers(min_value=0, max_value=3),
+        max_size=8,
+    ),
+)
+@settings(**SETTINGS)
+def test_change_feed_classifies_any_version_pair(spark, prev, cur, tmp_path_factory):
+    """change_feed must classify exactly: keys only in cur are inserts,
+    only in prev deletes, value-changed keys updates, unchanged absent."""
+    from qcfractal_spark.sources.table import MutableTable
+
+    d = tmp_path_factory.mktemp("cdc")
+    t = MutableTable(spark, str(d / "t"))
+    t.overwrite(
+        spark.createDataFrame([(k, v) for k, v in prev.items()] or [(None, None)],
+                              "id long, val long")
+    )
+    t.overwrite(
+        spark.createDataFrame([(k, v) for k, v in cur.items()] or [(None, None)],
+                              "id long, val long")
+    )
+    feed = {r["id"]: r["_change"] for r in t.change_feed(["id"]).collect()}
+    want = {}
+    for k in cur:
+        if k not in prev:
+            want[k] = "insert"
+        elif prev[k] != cur[k]:
+            want[k] = "update"
+    for k in prev:
+        if k not in cur:
+            want[k] = "delete"
+    # the (None, None) placeholder row behaves like a key too; normalize
+    feed.pop(None, None)
+    want.pop(None, None)
+    assert feed == want
