@@ -3046,6 +3046,68 @@ def q_a22_approx_quantiles(spark, sf_dir):
 REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
 
 
+def q_t10_incremental_rollup(spark, sf_dir):
+    """T10 (beyond-reference): incremental rollup maintenance under the
+    hash gate — the reference recomputes its server-stats rollups over a
+    trailing window every 24 h (serverinfo/socket.py:645-708); this
+    maintains the rollup EXACTLY from the change feed instead, with work
+    proportional to the change volume (sources/rollup.py).
+
+    Script: scratch table at version v0 (events with event_id % 4 != 3),
+    full rollup of v0, then overwrite to v1 (events with event_id % 4 != 0,
+    value bumped by +1 where event_id % 5 == 0 — inserts, deletes, AND
+    updates all occur), and return the delta-merged rollup.  The oracle is
+    the plain GROUP BY over v1: if any retraction sign, pre/postimage, or
+    group birth/death rule were wrong, the hash would differ."""
+    import shutil
+
+    from .sources.rollup import apply_rollup_delta, full_rollup, rollup_delta
+    from .sources.table import MutableTable
+
+    events = _t(spark, sf_dir, "events")
+    v6 = F.round(F.col("value"), 6)
+    base = events.select(
+        "event_id",
+        "event_type",
+        F.when(F.col("event_id") % 5 == 0, v6 + 1).otherwise(v6).alias("v1_value"),
+        v6.alias("v0_value"),
+    )
+    v0 = base.where(F.col("event_id") % 4 != 3).select(
+        "event_id", "event_type", F.col("v0_value").alias("value")
+    )
+    v1 = base.where(F.col("event_id") % 4 != 0).select(
+        "event_id", "event_type", F.col("v1_value").alias("value")
+    )
+    path = _scratch_dir(sf_dir, "t10")
+    shutil.rmtree(path, ignore_errors=True)
+    table = MutableTable(spark, path)
+    table.overwrite(v0)
+    old = full_rollup(table.read(), ["event_type"], ["value"])
+    table.overwrite(v1)
+    cdf = table.change_feed(["event_id"], cdf_style=True)
+    refreshed = apply_rollup_delta(
+        old, rollup_delta(cdf, ["event_type"], ["value"]), ["event_type"], ["value"]
+    )
+    return refreshed.select(
+        "event_type",
+        "n",
+        F.col("cnt_value").alias("n_values"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_T10 = """
+SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_values,
+       CAST(SUM(CAST(CASE WHEN event_id % 5 = 0 THEN ROUND(value, 6) + 1
+                          ELSE ROUND(value, 6) END AS DECIMAL(20,6))) AS DOUBLE)
+         AS sum_value
+FROM events WHERE event_id % 4 <> 0
+GROUP BY event_type
+"""
+
+REGISTRY["t10_incremental_rollup"] = (q_t10_incremental_rollup, SQL_T10)
+
+
 def q_pipe_prepare(spark, sf_dir):
     """PIPE (beyond-reference flagship): the end-to-end training-data prep
     pipeline as ONE composed plan — language filter → quality filter →

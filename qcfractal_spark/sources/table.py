@@ -225,12 +225,19 @@ class MutableTable:
             self._commit(remaining)
         return {"deleted": n_deleted, "errors": blocked}
 
-    def change_feed(self, key_cols: Sequence[str]) -> DataFrame:
+    def change_feed(self, key_cols: Sequence[str], cdf_style: bool = False) -> DataFrame:
         """Change-data-feed between the previous and current version: one
         row per changed key with ``_change ∈ {insert, delete, update}``
         (Delta CDF shape, derived rather than logged).  Keys only in the
         current version are inserts, only in the previous are deletes, in
         both but with differing non-key columns are updates.
+
+        ``cdf_style=True`` emits Delta's full four-way form instead: each
+        update becomes TWO rows — ``update_preimage`` (the old values) and
+        ``update_postimage`` (the new) — which is what downstream
+        incremental aggregation needs (the preimage retracts the old
+        contribution, the postimage adds the new; see
+        ``sources/rollup.py``).
 
         Two anti-joins + one diff join, all keyed on ``key_cols`` — the
         downstream-sync primitive (incremental index refresh, cache
@@ -269,11 +276,17 @@ class MutableTable:
             )
         cur_s = cur.select(*keys, F.struct(*val_cols).alias("_new"))
         prev_s = prev.select(*keys, F.struct(*val_cols).alias("_old"))
-        updated = (
-            cur_s.join(prev_s, on=keys)
-            .where(F.col("_new") != F.col("_old"))
-            .select(*keys, "_new.*")
-            .withColumn("_change", F.lit("update"))
+        changed = cur_s.join(prev_s, on=keys).where(F.col("_new") != F.col("_old"))
+        if cdf_style:
+            pre = changed.select(*keys, "_old.*").withColumn(
+                "_change", F.lit("update_preimage")
+            )
+            post = changed.select(*keys, "_new.*").withColumn(
+                "_change", F.lit("update_postimage")
+            )
+            return inserted.unionByName(deleted).unionByName(pre).unionByName(post)
+        updated = changed.select(*keys, "_new.*").withColumn(
+            "_change", F.lit("update")
         )
         return inserted.unionByName(deleted).unionByName(updated)
 

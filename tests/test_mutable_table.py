@@ -250,3 +250,50 @@ def test_change_feed_all_key_columns_and_map_rejection(spark, tmp_path):
 
     with pytest.raises(ValueError, match="map-typed"):
         tm.change_feed(["id"])
+
+
+def test_cdf_style_emits_pre_and_postimages(spark, tmp_path):
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path / "cdf4"))
+    t.overwrite(spark.createDataFrame([(1, 10.0), (2, 20.0)], "id long, v double"))
+    t.overwrite(spark.createDataFrame([(2, 99.0), (3, 30.0)], "id long, v double"))
+    rows = {(r["id"], r["_change"]): r["v"] for r in t.change_feed(["id"], cdf_style=True).collect()}
+    assert rows == {
+        (1, "delete"): 10.0,
+        (2, "update_preimage"): 20.0,
+        (2, "update_postimage"): 99.0,
+        (3, "insert"): 30.0,
+    }
+
+
+def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
+    """apply_rollup_delta(old_rollup, rollup_delta(cdf)) must equal the
+    full recompute over the new version — including group birth (new key),
+    group death (count hits zero), and value updates."""
+    from qcfractal_spark.sources.rollup import (
+        apply_rollup_delta,
+        full_rollup,
+        rollup_delta,
+    )
+    from qcfractal_spark.sources.table import MutableTable
+
+    v0 = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 5.0), (3, "b", 7.0)], "id long, g string, v double"
+    )
+    v1 = spark.createDataFrame(
+        # group b dies (3 deleted), group c born (4), 2's value updates
+        [(1, "a", 10.0), (2, "a", 6.5), (4, "c", 1.0)], "id long, g string, v double"
+    )
+    t = MutableTable(spark, str(tmp_path / "ivm"))
+    t.overwrite(v0)
+    old = full_rollup(t.read(), ["g"], ["v"])
+    t.overwrite(v1)
+    cdf = t.change_feed(["id"], cdf_style=True)
+    refreshed = apply_rollup_delta(old, rollup_delta(cdf, ["g"], ["v"]), ["g"], ["v"])
+    want = {
+        (r["g"]): (r["n"], float(r["sum_v"]))
+        for r in full_rollup(t.read(), ["g"], ["v"]).collect()
+    }
+    got = {(r["g"]): (r["n"], float(r["sum_v"])) for r in refreshed.collect()}
+    assert got == want == {"a": (2, 16.5), "c": (1, 1.0)}

@@ -269,3 +269,50 @@ def test_change_feed_classifies_any_version_pair(spark, prev, cur, tmp_path_fact
     feed.pop(None, None)
     want.pop(None, None)
     assert feed == want
+
+
+@given(
+    prev=st.dictionaries(
+        st.integers(min_value=0, max_value=11),
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=-5, max_value=5)),
+        max_size=10,
+    ),
+    cur=st.dictionaries(
+        st.integers(min_value=0, max_value=11),
+        st.tuples(st.integers(min_value=0, max_value=2),
+                  st.integers(min_value=-5, max_value=5)),
+        max_size=10,
+    ),
+)
+@settings(**SETTINGS)
+def test_incremental_rollup_matches_recompute_on_any_mutation(
+    spark, prev, cur, tmp_path_factory
+):
+    """For ANY two versions, merging the change-feed delta into the old
+    rollup equals recomputing the rollup from scratch (group birth, death,
+    and updates included)."""
+    from qcfractal_spark.sources.rollup import (
+        apply_rollup_delta,
+        full_rollup,
+        rollup_delta,
+    )
+    from qcfractal_spark.sources.table import MutableTable
+
+    schema = "id long, g long, v long"
+    mk = lambda d: spark.createDataFrame(
+        [(k, gv[0], gv[1]) for k, gv in d.items()] or [(None, None, None)], schema
+    )
+    t = MutableTable(spark, str(tmp_path_factory.mktemp("ivm") / "t"))
+    t.overwrite(mk(prev))
+    old = full_rollup(t.read(), ["g"], ["v"])
+    t.overwrite(mk(cur))
+    refreshed = apply_rollup_delta(
+        old, rollup_delta(t.change_feed(["id"], cdf_style=True), ["g"], ["v"]),
+        ["g"], ["v"],
+    )
+    norm = lambda df: {
+        r["g"]: (r["n"], None if r["sum_v"] is None else float(r["sum_v"]))
+        for r in df.collect()
+    }
+    assert norm(refreshed) == norm(full_rollup(t.read(), ["g"], ["v"]))

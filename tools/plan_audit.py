@@ -54,6 +54,10 @@ SMJ_OK = {
     "dd_cluster",  # band join + component-label joins: fact-sized sides
     "pipe_prepare",  # same band/star joins as dd_cluster, over the filtered
                      # (checkpointed) subset whose stats Catalyst can't see
+    "t10_incremental_rollup",  # rollup-merge is a FULL OUTER join (group
+                               # birth via delta side, death via count=0),
+                               # which Spark cannot broadcast by rule; both
+                               # sides are group-cardinality-sized
     "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
     "dd_winnow",  # fingerprint self-join: both sides fact-sized
     "dd_embed",  # LSH bucket self-join: both sides fact-sized
