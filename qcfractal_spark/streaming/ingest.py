@@ -101,6 +101,48 @@ def incremental_enrichment_batch(
     return fresh.join(F.broadcast(lookup), on=key_col, how="left")
 
 
+def maintain_rollup_stream(
+    stream: DataFrame,
+    rollup_table,
+    group_cols,
+    sum_cols,
+    checkpoint_dir: str,
+):
+    """Maintain a persisted rollup (``sources/rollup.py``) from an
+    append-only document/event stream: each micro-batch's rows are pure
+    inserts, so the batch IS its own change feed (+1 contributions), and
+    ``apply_rollup_delta`` merges it into the rollup ``MutableTable`` —
+    the streaming continuous-aggregate pattern (at 100 TB/day the rollup
+    refresh costs one micro-batch-sized aggregate + one
+    group-cardinality-sized merge per trigger, never a window recompute).
+
+    foreachBatch (not a streaming aggregation) because the sink is a
+    versioned table the batch side also reads: Structured Streaming's own
+    agg state would duplicate what the table already stores.  Exactly-once
+    comes from the micro-batch epoch + the table's atomic version swap;
+    a replayed batch re-merges only if the swap never committed.
+
+    Returns the StreamingQuery handle."""
+    from ..sources.rollup import apply_rollup_delta, rollup_delta
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        cdf = batch_df.withColumn("_change", F.lit("insert"))
+        delta = rollup_delta(cdf, group_cols, sum_cols)
+        current = rollup_table.read()
+        rollup_table.overwrite(
+            apply_rollup_delta(current, delta, group_cols, sum_cols)
+        )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_span_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -338,3 +338,42 @@ def test_stream_incremental_dedup_matches_batch_probe(spark):
             for r in spark.sql("SELECT DISTINCT id_a, id_b FROM inc_stream").collect()
         }
     assert got == want and got
+
+
+def test_maintain_rollup_stream_matches_full_recompute(spark):
+    """Streaming rollup maintenance (foreachBatch delta-merge per
+    micro-batch) must equal the full groupBy over everything ingested,
+    across MULTIPLE micro-batches (maxFilesPerTrigger=1 over 3 files)."""
+    import os
+    import tempfile
+
+    from qcfractal_spark.sources.rollup import full_rollup
+    from qcfractal_spark.sources.table import MutableTable
+    from qcfractal_spark.streaming.ingest import maintain_rollup_stream
+
+    rows = [(i, f"g{i % 3}", float(i)) for i in range(30)]
+    schema = "id long, g string, v double"
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        src = spark.createDataFrame(rows, schema)
+        src.repartition(3).write.parquet(land)
+        rollup = MutableTable(spark, os.path.join(d, "rollup"))
+        rollup.overwrite(full_rollup(src.limit(0), ["g"], ["v"]))  # empty seed
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        qh = maintain_rollup_stream(
+            stream, rollup, ["g"], ["v"], os.path.join(d, "ckpt")
+        )
+        qh.awaitTermination(120)
+        got = {
+            r["g"]: (r["n"], r["cnt_v"], float(r["sum_v"]))
+            for r in rollup.read().collect()
+        }
+    want = {
+        r["g"]: (r["n"], r["cnt_v"], float(r["sum_v"]))
+        for r in full_rollup(src, ["g"], ["v"]).collect()
+    }
+    assert got == want and len(got) == 3
