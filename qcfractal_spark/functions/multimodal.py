@@ -164,6 +164,74 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     )
 
 
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("phash", LongType(), True),
+    ]
+)
+
+
+def _phash_fake(content: bytes, n_blocks: int = 9) -> int | None:
+    """dHash-style perceptual hash over the payload: ``n_blocks`` block
+    means → ``n_blocks - 1`` gradient bits (bit k = mean[k] > mean[k+1]).
+    A real deployment decodes + grayscale-resizes to 9×8 and compares
+    adjacent pixels (classic dHash); the fake kernel applies the identical
+    gradient rule to raw payload byte blocks, so the Spark-side plumbing
+    and the dedup semantics are exercised end-to-end without codecs.
+    Block membership is ``(j * n_blocks) // len`` — chosen because the
+    oracle re-derives it with the same integer floor division in SQL."""
+    if content is None or len(content) == 0:
+        return None
+    n = len(content)
+    sums = [0] * n_blocks
+    cnts = [0] * n_blocks
+    for j, byte in enumerate(content):
+        k = (j * n_blocks) // n
+        sums[k] += byte
+        cnts[k] += 1
+    means = [s / c for s, c in zip(sums, cnts)]
+    bits = 0
+    for k in range(n_blocks - 1):
+        bits = (bits << 1) | (1 if means[k] > means[k + 1] else 0)
+    return bits
+
+
+def perceptual_hash(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> DataFrame:
+    """Per-media perceptual hash via Arrow-batched mapInPandas (binary in,
+    one long out — the image analog of text fingerprinting)."""
+    if not fake:  # pragma: no cover
+        raise DecoderUnavailable(
+            "real perceptual hashing needs image codecs; use fake=True"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [
+                        _phash_fake(c, n_blocks) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return media.select("media_id", "content").mapInPandas(run, PHASH_SCHEMA)
+
+
+def phash_dedup(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> DataFrame:
+    """Exact dedup on the perceptual key: media sharing a hash form one
+    duplicate group; the lowest media_id survives (same keeper rule as
+    ``dedup.exact_dedup``).  One kernel scan + one map-combinable groupBy —
+    the image-dedup pipeline shape: at scale the hash is written at ingest
+    and this reduces to the group-by."""
+    hashes = perceptual_hash(media, fake=fake, n_blocks=n_blocks)
+    return hashes.groupBy("phash").agg(
+        F.min("media_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
 def make_fake_media(spark, n: int = 64) -> DataFrame:
     """Deterministic synthetic media table for tests (no codecs needed)."""
     rows = []

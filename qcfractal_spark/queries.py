@@ -3046,6 +3046,45 @@ def q_a22_approx_quantiles(spark, sf_dir):
 REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
 
 
+def q_mm_phash_dedup(spark, sf_dir):
+    """Multimodal dedup: perceptual-hash (dHash-style gradient bits over
+    payload blocks) per media row via Arrow mapInPandas, then exact dedup
+    on the hash — the image-dedup pipeline with the codec stubbed
+    deterministically (functions/multimodal.py:_phash_fake).  The oracle
+    re-derives payload bytes, block means, and the gradient bits in pure
+    SQL, so the kernel's arithmetic is hash-gated, not just its shape."""
+    from .functions import multimodal as mm
+
+    media = mm.make_fake_media(spark, n=64)
+    return mm.phash_dedup(media, fake=True)
+
+
+SQL_MM_PHASH = """
+WITH m AS (SELECT i AS media_id, 128 + (i % 5) * 64 AS plen
+           FROM generate_series(0, 63) t(i)),
+b AS (SELECT media_id, j, plen, (media_id * 31 + j * 7) % 256 AS byte
+      FROM m, generate_series(0, 383) g(j) WHERE j < plen),
+blocks AS (
+  SELECT media_id, (j * 9) // plen AS k, AVG(byte) AS mean
+  FROM b GROUP BY media_id, (j * 9) // plen
+),
+bits AS (
+  SELECT a.media_id, a.k,
+         CASE WHEN a.mean > c.mean THEN 1 ELSE 0 END AS bit
+  FROM blocks a JOIN blocks c ON c.media_id = a.media_id AND c.k = a.k + 1
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(bit * (1::BIGINT << (7 - k))) AS BIGINT) AS phash
+  FROM bits GROUP BY media_id
+)
+SELECT phash, MIN(media_id) AS keep_id, COUNT(*) AS dup_count
+FROM hashes GROUP BY phash
+"""
+
+REGISTRY["mm_phash_dedup"] = (q_mm_phash_dedup, SQL_MM_PHASH)
+
+
 def q_t10_incremental_rollup(spark, sf_dir):
     """T10 (beyond-reference): incremental rollup maintenance under the
     hash gate — the reference recomputes its server-stats rollups over a
@@ -3929,6 +3968,10 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #                     j9 anti-join shape (r1-r4)
 #   dd_contamination  broadcast-shingle scan ⊂ dd_minhash_lsh family +
 #                     dd_common_ngrams (r1-r4)
+# Round-6 rotation queue (registered late in round 5, in-repo oracle green,
+# no driver row yet): s3_insert_dedup_table, s8_snapshot_roundtrip,
+# t10_incremental_rollup, mm_phash_dedup.  Step them in next round for four
+# multiply-green sibling-covered rows.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
