@@ -19,12 +19,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from qcfractal_spark.queries import REGISTRY, q_h1_pricing_summary
+from qcfractal_spark.queries import REGISTRY, q_pipe_prepare
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_h1_pricing_summary(spark, "/root/testdata/sf0.001")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    The flagship is the end-to-end training-data prep pipeline
+    (q_pipe_prepare): scan-side language+quality scoring → filters →
+    MinHash star-edge near-dup clustering over the survivors →
+    cluster-canonical docs with token counts — one composed plan touching
+    scoring functions, dedup, graph components, and the checkpointing
+    strategy in a single smoke check."""
+    return q_pipe_prepare(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
