@@ -470,6 +470,7 @@ def incremental_lsh_candidates(
     new_signatures: DataFrame,
     bands: int = 4,
     rows_per_band: int = 4,
+    broadcast_probe: bool = True,
 ) -> DataFrame:
     """Candidate near-dup pairs of an ingest batch: batch×corpus pairs via
     a probe join against the persisted band index, plus batch×batch pairs
@@ -477,14 +478,19 @@ def incremental_lsh_candidates(
     text and signatures are never recomputed.
 
     Output orientation: ``id_a`` = the already-indexed (or smaller batch)
-    id, ``id_b`` = the new id.  The batch side is broadcast while small
-    (the common ingest shape: daily increment ≪ corpus); the index scan
-    then never shuffles."""
+    id, ``id_b`` = the new id.  With ``broadcast_probe`` (default) the
+    batch side is broadcast — the common ingest shape (daily increment ≪
+    corpus), leaving the index scan shuffle-free; pass False for a
+    backfill-sized batch that would not fit a broadcast, degrading to a
+    shuffled band join."""
     index = spark.read.parquet(index_path).select("id", "band_idx", "band_key")
     probe = _banded(new_signatures, bands, rows_per_band)
+    probe_b = probe.withColumnRenamed("id", "id_b")
+    if broadcast_probe:
+        probe_b = F.broadcast(probe_b)
     cross = (
         index.join(
-            F.broadcast(probe.withColumnRenamed("id", "id_b")),
+            probe_b,
             on=["band_idx", "band_key"],
         )
         .where(F.col("id") != F.col("id_b"))

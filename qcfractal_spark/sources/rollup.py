@@ -66,7 +66,13 @@ def rollup_delta(
     update postimages contribute +1/+value, deletes and update preimages
     −1/−value.  One map-combinable aggregate over the change set."""
     sign = F.col("_change")
-    sign_expr = sign
+    # Strict mapping: any other change type (e.g. the collapsed 'update' of
+    # a non-cdf_style feed, whose rows carry only postimages) must FAIL the
+    # job, not silently contribute nothing — an update without its
+    # preimage retraction would corrupt the rollup.
+    sign_expr = F.raise_error(
+        F.concat(F.lit("rollup_delta needs a cdf_style feed; got _change="), sign)
+    ).cast("int")
     for k, v in _SIGNS.items():
         sign_expr = F.when(sign == k, F.lit(v)).otherwise(sign_expr)
     signed = cdf.withColumn("_sign", sign_expr.cast("int"))
@@ -86,9 +92,23 @@ def apply_rollup_delta(
 ) -> DataFrame:
     """Merge signed partials into the existing rollup: full outer join on
     the group key (new groups appear via the delta side, dead groups drop
-    when their count reaches zero), coalesced additions per measure."""
+    when their count reaches zero), coalesced additions per measure.
+
+    The join is NULL-SAFE on every group column: GROUP BY collects NULL
+    keys into one group, so the merge must match them too — a plain
+    equi-join would ghost-duplicate the NULL group on both sides."""
     keys = list(group_cols)
-    joined = rollup.join(delta, on=keys, how="full")
+    r = rollup.alias("r")
+    d = delta.alias("d")
+    cond = None
+    for k in keys:
+        c = F.col(f"r.{k}").eqNullSafe(F.col(f"d.{k}"))
+        cond = c if cond is None else (cond & c)
+    joined = r.join(d, cond, "full").select(
+        *[F.coalesce(f"r.{k}", f"d.{k}").alias(k) for k in keys],
+        *[F.col(f"r.{c}") for c in rollup.columns if c not in keys],
+        *[F.col(f"d.{c}") for c in delta.columns if c not in keys],
+    )
     zero = F.lit(0).cast(_DEC)
     out_cols = [
         (F.coalesce("n", F.lit(0)) + F.coalesce("d_n", F.lit(0))).alias("n")

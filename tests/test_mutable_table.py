@@ -297,3 +297,19 @@ def test_incremental_rollup_matches_full_recompute(spark, tmp_path):
     }
     got = {(r["g"]): (r["n"], float(r["sum_v"])) for r in refreshed.collect()}
     assert got == want == {"a": (2, 16.5), "c": (1, 1.0)}
+
+
+def test_rollup_delta_rejects_non_cdf_feed(spark, tmp_path):
+    """A collapsed 'update' feed (cdf_style=False) carries only postimages;
+    rollup_delta must fail loudly rather than corrupt the rollup."""
+    import pytest
+
+    from qcfractal_spark.sources.rollup import rollup_delta
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path / "strict"))
+    t.overwrite(spark.createDataFrame([(1, "a", 1.0)], "id long, g string, v double"))
+    t.overwrite(spark.createDataFrame([(1, "a", 2.0)], "id long, g string, v double"))
+    bad = t.change_feed(["id"], cdf_style=False)
+    with pytest.raises(Exception, match="cdf_style"):
+        rollup_delta(bad, ["g"], ["v"]).collect()
