@@ -316,3 +316,112 @@ def test_incremental_rollup_matches_recompute_on_any_mutation(
         for r in df.collect()
     }
     assert norm(refreshed) == norm(full_rollup(t.read(), ["g"], ["v"]))
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50)), max_size=15
+    ),
+)
+@settings(**SETTINGS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    """asof_join_backward vs the O(L×R) model on arbitrary event sets:
+    match = the right row with max (ts, id) among ts <= left.ts per key."""
+    from datetime import datetime, timedelta
+
+    from qcfractal_spark.operators.joins import asof_join_backward
+
+    t0 = datetime(2024, 1, 1)
+    L = [(i, k, t0 + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)]
+    R = [
+        (100 + i, k, t0 + timedelta(seconds=s), float(i))
+        for i, (k, s) in enumerate(rights)
+    ]
+    ldf = spark.createDataFrame(L, "event_id long, user_id long, ts timestamp")
+    rdf = spark.createDataFrame(
+        R, "event_id long, user_id long, ts timestamp, value double"
+    )
+    got = {
+        r["event_id"]: (r["ref_event_id"], r["ref_value"])
+        for r in asof_join_backward(
+            ldf, rdf, key_col="user_id", ts_col="ts",
+            right_id_col="event_id", payload_cols=("value",),
+        ).collect()
+    }
+    want = {}
+    for lid, lk, lts in L:
+        cands = [(rts, rid, rv) for rid, rk, rts, rv in R if rk == lk and rts <= lts]
+        want[lid] = max(cands)[1:] if cands else (None, None)
+    want = {k: (a, b) for k, (a, b) in want.items()}
+    assert got == {k: (a, b if a is not None else None) for k, (a, b) in want.items()}
+
+
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), min_size=1, max_size=12
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 40)), max_size=12
+    ),
+    bucket=st.sampled_from([2.0, 5.0, 10.0]),
+)
+@settings(**SETTINGS)
+def test_interval_join_matches_bruteforce(spark, lefts, rights, bucket):
+    """Bucketized interval join vs the O(L×R) model: pair iff
+    left.ts + lower < right.ts <= left.ts + upper, any bucket width."""
+    from datetime import datetime, timedelta
+
+    from qcfractal_spark.operators.joins import interval_join
+
+    lower_s, upper_s = 0.0, 10.0
+    t0 = datetime(2024, 1, 1)
+    L = [(i, k, t0 + timedelta(seconds=s)) for i, (k, s) in enumerate(lefts)]
+    R = [(100 + i, k, t0 + timedelta(seconds=s)) for i, (k, s) in enumerate(rights)]
+    ldf = spark.createDataFrame(L, "l_id long, user_id long, l_ts timestamp")
+    rdf = spark.createDataFrame(R, "r_id long, user_id long, r_ts timestamp")
+    got = {
+        (r["l_id"], r["r_id"])
+        for r in interval_join(
+            ldf, rdf, key_col="user_id", left_ts="l_ts", right_ts="r_ts",
+            lower_s=lower_s, upper_s=upper_s, bucket_s=bucket,
+        ).collect()
+    }
+    want = {
+        (lid, rid)
+        for lid, lk, lts in L
+        for rid, rk, rts in R
+        if rk == lk and lts < rts <= lts + timedelta(seconds=upper_s)
+    }
+    assert got == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(-20, 20)), min_size=1, max_size=25
+    ),
+    k=st.integers(min_value=1, max_value=4),
+)
+@settings(**SETTINGS)
+def test_per_group_topk_matches_sorted_head(spark, rows, k):
+    from qcfractal_spark.operators.topk import per_group_topk
+
+    df = spark.createDataFrame(
+        [(i, g, v) for i, (g, v) in enumerate(rows)], "id long, g long, v long"
+    )
+    got = {
+        (r["g"], r["id"])
+        for r in per_group_topk(
+            df, ["g"], [F.col("v").desc(), F.col("id").asc()], k
+        ).collect()
+    }
+    want = set()
+    by_g = {}
+    for i, (g, v) in enumerate(rows):
+        by_g.setdefault(g, []).append((-v, i))
+    for g, items in by_g.items():
+        for _, i in sorted(items)[:k]:
+            want.add((g, i))
+    assert got == want
