@@ -425,3 +425,70 @@ def test_per_group_topk_matches_sorted_head(spark, rows, k):
         for _, i in sorted(items)[:k]:
             want.add((g, i))
     assert got == want
+
+
+@given(
+    ops=st.lists(
+        st.one_of(
+            st.tuples(st.just("upsert"),
+                      st.dictionaries(st.integers(0, 8), st.integers(0, 99),
+                                      min_size=1, max_size=4)),
+            st.tuples(st.just("insert_dedup"),
+                      st.dictionaries(st.integers(0, 8), st.integers(0, 99),
+                                      min_size=1, max_size=4)),
+            st.tuples(st.just("delete"),
+                      st.sets(st.integers(0, 8), min_size=1, max_size=4)),
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@settings(**SETTINGS)
+def test_mutable_table_mutation_sequences_match_dict_model(
+    spark, ops, tmp_path_factory
+):
+    """Any sequence of upsert / insert_dedup / delete_ids must leave the
+    table equal to the dict model: upsert replaces-or-adds, insert_dedup
+    adds only missing keys, delete removes."""
+    from qcfractal_spark.sources.table import MutableTable
+
+    t = MutableTable(spark, str(tmp_path_factory.mktemp("seq") / "t"))
+    t.overwrite(spark.createDataFrame([(0, -1)], "id long, v long"))
+    model = {0: -1}
+    for op, arg in ops:
+        if op == "upsert":
+            batch = spark.createDataFrame(list(arg.items()), "id long, v long")
+            t.upsert(batch, ["id"])
+            model.update(arg)
+        elif op == "insert_dedup":
+            batch = spark.createDataFrame(list(arg.items()), "id long, v long")
+            t.insert_dedup(batch, ["id"])
+            for k, v in arg.items():
+                model.setdefault(k, v)
+        else:
+            t.delete_ids(sorted(arg), "id")
+            for k in arg:
+                model.pop(k, None)
+    got = {r["id"]: r["v"] for r in t.read().collect()}
+    assert got == model
+
+
+@given(
+    a=st.text(alphabet="abcd ", min_size=20, max_size=60),
+    b=st.text(alphabet="abcd ", min_size=20, max_size=60),
+    shared=st.text(alphabet="abcd", min_size=12, max_size=20),
+)
+@settings(**SETTINGS)
+def test_winnowing_shared_substring_guarantee(spark, a, b, shared):
+    """The MOSS guarantee: any shared substring of length >= k + w - 1
+    (k=8, w=4 -> 11) contributes at least one common fingerprint, so two
+    docs sharing `shared` (len >= 12) must collide in winnow space."""
+    from qcfractal_spark.functions.dedup import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [(1, a + " " + shared), (2, shared + " " + b)], "doc_id long, text string"
+    )
+    fps = winnow_fingerprints(docs, k=8, w=4)
+    f1 = {r["fp"] for r in fps.where(F.col("id") == 1).collect()}
+    f2 = {r["fp"] for r in fps.where(F.col("id") == 2).collect()}
+    assert f1 & f2, "shared substring produced no common fingerprint"
