@@ -97,6 +97,32 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def is_regressed(now: float, baseline: float) -> bool:
+    """Regression rule, factored out for unit testing (tests/test_bench_guard.py):
+    flag only when BOTH the ratio (>2x) and an absolute floor (>0.5s delta)
+    are exceeded — sub-second queries jitter past 2x on a loaded machine
+    (p2_p3_filter_page false-flagged in round 4), and a 0.3s -> 0.7s blip is
+    measurement noise, not a plan regression."""
+    return baseline > 0.05 and now > 2.0 * baseline and (now - baseline) > 0.5
+
+
+def find_regressions(times: dict, base_queries: dict, rerun=None) -> dict:
+    """Candidates get one confirmation run (best-of-3 overall) via ``rerun``
+    before being reported, so a single slow sample cannot flag."""
+    for q in [q for q, t in times.items() if is_regressed(t, base_queries.get(q, 0.0))]:
+        if rerun is None:
+            continue
+        try:
+            times[q] = min(times[q], rerun(q))
+        except Exception:  # noqa: BLE001 — keep the 2-run time
+            pass
+    return {
+        q: {"now": t, "baseline": base_queries[q]}
+        for q, t in times.items()
+        if is_regressed(t, base_queries.get(q, 0.0))
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -161,29 +187,13 @@ def main() -> None:
             break
     regressions: dict[str, dict] = {}
     if base_name:
-        # Flag only when BOTH the ratio (>2x) and an absolute floor (>0.5s
-        # delta) are exceeded — sub-second queries jitter past 2x on a
-        # loaded machine (p2_p3_filter_page false-flagged in round 4) and
-        # a 0.3s -> 0.7s blip is measurement noise, not a plan regression.
-        # Each candidate gets one confirmation run (best-of-3 overall)
-        # before it is reported, so a single slow sample cannot flag.
-        def _regressed(q: str, t: float) -> bool:
-            b = base["queries"].get(q, 0.0)
-            return b > 0.05 and t > 2.0 * b and (t - b) > 0.5
-
-        for q in [q for q, t in times.items() if _regressed(q, t)]:
+        def rerun(q: str) -> float:
             fn, _ = REGISTRY[q]
-            try:
-                t0 = time.time()
-                force(fn(spark, sf_dir))
-                times[q] = min(times[q], round(time.time() - t0, 3))
-            except Exception:  # noqa: BLE001 — keep the 2-run time
-                pass
-        regressions = {
-            q: {"now": t, "baseline": base["queries"][q]}
-            for q, t in times.items()
-            if _regressed(q, t)
-        }
+            t0 = time.time()
+            force(fn(spark, sf_dir))
+            return round(time.time() - t0, 3)
+
+        regressions = find_regressions(times, base["queries"], rerun)
         if regressions:
             print(
                 f"WARNING: {len(regressions)} queries >2x slower than "
