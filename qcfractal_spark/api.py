@@ -157,9 +157,12 @@ def query_records(
         members = record_items.where(
             F.col("dataset_id").isin(list(f.dataset_id))
         ).select(F.col("record_id").alias("id"))
-        df = df.join(
-            F.broadcast(members.dropDuplicates(["id"])), on="id", how="left_semi"
-        )
+        # No broadcast hint: unlike parent_id/child_id (explicit
+        # user-supplied id lists), dataset membership is data-sized — one
+        # dataset can own tens of millions of records, and a forced
+        # broadcast of that set is a driver OOM.  AQE picks the strategy
+        # from the filtered size (same stance as membership_records).
+        df = df.join(members.dropDuplicates(["id"]), on="id", how="left_semi")
 
     for p in preds:
         df = df.where(p)

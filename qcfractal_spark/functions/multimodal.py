@@ -180,8 +180,10 @@ def _phash_fake(content: bytes, n_blocks: int = 9) -> int | None:
     gradient rule to raw payload byte blocks, so the Spark-side plumbing
     and the dedup semantics are exercised end-to-end without codecs.
     Block membership is ``(j * n_blocks) // len`` — chosen because the
-    oracle re-derives it with the same integer floor division in SQL."""
-    if content is None or len(content) == 0:
+    oracle re-derives it with the same integer floor division in SQL.
+    Payloads shorter than ``n_blocks`` bytes cannot fill every block (an
+    empty block has no mean) and hash to NULL, same as empty payloads."""
+    if content is None or len(content) < n_blocks:
         return None
     n = len(content)
     sums = [0] * n_blocks

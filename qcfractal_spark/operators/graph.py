@@ -226,9 +226,15 @@ def connected_components(
     engages when callers pass ``approx_edges`` (callers that materialize
     the pair table first have it for free).
     """
+    # NULL-endpoint edges are dropped BEFORE the strategy branch so both
+    # arms see the same relation (a node appearing only with NULL partners
+    # is a singleton, which callers already handle by coalescing absent
+    # labels to the node's own id).  Without the shared filter the two
+    # arms disagreed: the distributed groupBy registered the non-null
+    # endpoint while the driver arm skipped the row.
     und = edges.select(
         F.col(src_col).cast("long").alias("src"), F.col(dst_col).cast("long").alias("dst")
-    )
+    ).where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if approx_edges is not None and approx_edges <= _CC_DRIVER_SOLVE_EDGES:
         return _driver_union_find(edges.sparkSession, und)
     und = und.unionByName(und.select(F.col("dst").alias("src"), F.col("src").alias("dst")))

@@ -34,24 +34,21 @@ SESSION_CONTRACT_CONFS = {
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
-_contract_applied: set[int] = set()
-
-
 def ensure_session_contract(spark: SparkSession) -> None:
     """Apply the engine's session confs to an externally-built session.
 
-    Runs once per session object (not per table load, and independent of
-    table load order — round-4's per-load mutation set ``nanosAsLong`` only
+    Check-and-set on every call (no identity cache: an ``id()``-keyed memo
+    outlives garbage-collected sessions and can alias a NEW session at a
+    reused address, silently skipping the confs — and a memo would also
+    never re-assert the contract if user code flips a conf mid-session).
+    The check is two conf reads; set fires only on drift.  Load-order
+    independent — round-4's per-load mutation set ``nanosAsLong`` only
     when ``events`` happened to load first, so a later nanos-typed read of
-    another table silently typed as bigint or not depending on history).
+    another table silently typed as bigint or not depending on history.
     All ``spark.conf.set`` calls of the engine live here."""
-    key = id(spark)
-    if key in _contract_applied:
-        return
     for k, v in SESSION_CONTRACT_CONFS.items():
         if spark.conf.get(k, None) != v:
             spark.conf.set(k, v)
-    _contract_applied.add(key)
 
 
 def build_session(

@@ -49,10 +49,21 @@ class MutableTable:
         except FileNotFoundError:
             return None
 
+    def current_meta(self) -> dict:
+        """Caller-supplied metadata recorded atomically WITH the version
+        swap (same pointer file) — e.g. the streaming epoch id that
+        produced the version, which is what makes foreachBatch merges
+        idempotent under at-least-once replay."""
+        try:
+            with open(self._pointer) as fh:
+                return json.load(fh).get("meta", {})
+        except FileNotFoundError:
+            return {}
+
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v:06d}")
 
-    def _commit(self, df: DataFrame) -> int:
+    def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
         prev = self.current_version()
         v = 0 if prev is None else prev + 1
         writer = df.write.mode("overwrite")
@@ -61,7 +72,7 @@ class MutableTable:
         writer.parquet(self._version_dir(v))
         tmp = self._pointer + ".tmp"
         with open(tmp, "w") as fh:
-            json.dump({"version": v, "ts": time.time()}, fh)
+            json.dump({"version": v, "ts": time.time(), "meta": meta or {}}, fh)
         os.replace(tmp, self._pointer)  # atomic swap
         # keep only current + previous version (time-travel depth 1)
         for old in range(v - 1):
@@ -114,8 +125,8 @@ class MutableTable:
 
     # -- mutations (each = one serialized commit) ---------------------------
 
-    def overwrite(self, df: DataFrame) -> int:
-        return self._commit(df)
+    def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        return self._commit(df, meta=meta)
 
     def compact(
         self,

@@ -118,22 +118,23 @@ def maintain_rollup_stream(
 
     foreachBatch (not a streaming aggregation) because the sink is a
     versioned table the batch side also reads: Structured Streaming's own
-    agg state would duplicate what the table already stores.  Exactly-once
-    comes from the micro-batch epoch + the table's atomic version swap;
-    a replayed batch re-merges only if the swap never committed.
+    agg state would duplicate what the table already stores.  foreachBatch
+    delivery is AT-LEAST-ONCE (a crash between the table commit and the
+    streaming checkpoint's epoch commit re-delivers the batch), so the
+    merge records the epoch id in the SAME atomic pointer swap as the
+    version (``MutableTable.overwrite(meta=...)``) and skips any epoch it
+    has already applied — that check-then-commit pair is what upgrades
+    replay to exactly-once.  An unseeded rollup table is seeded from the
+    first batch (empty prior).
+
+    One checkpoint directory per rollup table for the table's lifetime:
+    epoch ids are scoped to the checkpoint, so pairing an old table with a
+    fresh checkpoint would wrongly skip the restarted epoch 0.
 
     Returns the StreamingQuery handle."""
-    from ..sources.rollup import apply_rollup_delta, rollup_delta
 
     def _merge(batch_df: DataFrame, epoch_id: int) -> None:
-        if not batch_df.head(1):
-            return
-        cdf = batch_df.withColumn("_change", F.lit("insert"))
-        delta = rollup_delta(cdf, group_cols, sum_cols)
-        current = rollup_table.read()
-        rollup_table.overwrite(
-            apply_rollup_delta(current, delta, group_cols, sum_cols)
-        )
+        merge_rollup_batch(rollup_table, batch_df, epoch_id, group_cols, sum_cols)
 
     return (
         stream.writeStream.foreachBatch(_merge)
@@ -141,6 +142,40 @@ def maintain_rollup_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def merge_rollup_batch(
+    rollup_table, batch_df: DataFrame, epoch_id: int, group_cols, sum_cols
+) -> bool:
+    """One idempotent micro-batch merge (the foreachBatch body of
+    :func:`maintain_rollup_stream`, exposed for direct use and testing).
+    Returns True if the batch was applied, False if skipped (empty, or an
+    epoch the table has already recorded)."""
+    from ..sources.rollup import apply_rollup_delta, rollup_delta
+
+    if not batch_df.head(1):
+        return False
+    last = rollup_table.current_meta().get("epoch")
+    if last is not None and epoch_id <= last:
+        return False  # replayed batch: its delta is already in the table
+    cdf = batch_df.withColumn("_change", F.lit("insert"))
+    delta = rollup_delta(cdf, group_cols, sum_cols)
+    try:
+        current = rollup_table.read()
+    except FileNotFoundError:
+        # first-ever batch on an unseeded table: empty prior rollup with
+        # the output schema (derived from the delta's own)
+        current = delta.limit(0).select(
+            *group_cols,
+            F.col("d_n").alias("n"),
+            *[F.col(f"d_cnt_{c}").alias(f"cnt_{c}") for c in sum_cols],
+            *[F.col(f"d_sum_{c}").alias(f"sum_{c}") for c in sum_cols],
+        )
+    rollup_table.overwrite(
+        apply_rollup_delta(current, delta, group_cols, sum_cols),
+        meta={"epoch": epoch_id},
+    )
+    return True
 
 
 def stream_span_dedup(

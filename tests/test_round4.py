@@ -357,8 +357,7 @@ def test_maintain_rollup_stream_matches_full_recompute(spark):
         land = os.path.join(d, "landing")
         src = spark.createDataFrame(rows, schema)
         src.repartition(3).write.parquet(land)
-        rollup = MutableTable(spark, os.path.join(d, "rollup"))
-        rollup.overwrite(full_rollup(src.limit(0), ["g"], ["v"]))  # empty seed
+        rollup = MutableTable(spark, os.path.join(d, "rollup"))  # unseeded
         stream = (
             spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", 1)
@@ -377,3 +376,47 @@ def test_maintain_rollup_stream_matches_full_recompute(spark):
         for r in full_rollup(src, ["g"], ["v"]).collect()
     }
     assert got == want and len(got) == 3
+
+
+def test_merge_rollup_batch_replay_is_idempotent(spark, tmp_path):
+    """At-least-once replay: re-delivering an epoch already recorded in the
+    table's commit meta must be a no-op (counts not doubled); short payloads
+    and a fresh (unseeded) table are handled."""
+    from qcfractal_spark.sources.table import MutableTable
+    from qcfractal_spark.streaming.ingest import merge_rollup_batch
+
+    t = MutableTable(spark, str(tmp_path / "r"))
+    b0 = spark.createDataFrame([(1, "a", 2.0), (2, "a", 3.0)], "id long, g string, v double")
+    assert merge_rollup_batch(t, b0, 0, ["g"], ["v"]) is True      # seeds
+    assert merge_rollup_batch(t, b0, 0, ["g"], ["v"]) is False     # replay
+    b1 = spark.createDataFrame([(3, "a", 5.0)], "id long, g string, v double")
+    assert merge_rollup_batch(t, b1, 1, ["g"], ["v"]) is True
+    assert merge_rollup_batch(t, b1, 1, ["g"], ["v"]) is False     # replay
+    row = t.read().collect()[0]
+    assert (row["g"], row["n"], float(row["sum_v"])) == ("a", 3, 10.0)
+
+
+def test_phash_short_and_empty_payloads_hash_null(spark):
+    from qcfractal_spark.functions.multimodal import _phash_fake, perceptual_hash
+
+    assert _phash_fake(b"") is None and _phash_fake(b"abc") is None
+    assert _phash_fake(bytes(range(16))) is not None
+    media = spark.createDataFrame(
+        [(1, b"abc"), (2, None), (3, bytes(range(64)))],
+        "media_id long, content binary",
+    )
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(media).collect()}
+    assert got[1] is None and got[2] is None and got[3] is not None
+
+
+def test_cc_null_endpoint_edges_dropped_on_both_arms(spark):
+    from qcfractal_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, None), (None, 2), (3, 4), (None, None)], "src long, dst long"
+    )
+    fast = {(r["id"], r["component"])
+            for r in connected_components(edges, approx_edges=4).collect()}
+    dist = {(r["id"], r["component"])
+            for r in connected_components(edges).collect()}
+    assert fast == dist == {(3, 3), (4, 3)}
