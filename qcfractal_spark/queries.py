@@ -3968,17 +3968,25 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #                     j9 anti-join shape (r1-r4)
 #   dd_contamination  broadcast-shingle scan ⊂ dd_minhash_lsh family +
 #                     dd_common_ngrams (r1-r4)
-# Round-6 rotation queue (registered late in round 5, in-repo oracle green,
-# no driver row yet): s3_insert_dedup_table, s8_snapshot_roundtrip,
-# t10_incremental_rollup, mm_phash_dedup.  Step them in next round for four
-# multiply-green sibling-covered rows.
+# Final round-5 rotation — the four late-registered queries step IN as well
+# (s3_insert_dedup_table, s8_snapshot_roundtrip, t10_incremental_rollup,
+# mm_phash_dedup — every oracle-bearing query in the repo now has a driver
+# row in some round once these stamp); four more multiply-green
+# sibling-covered rows step OUT:
+#   o2_priority_topk  per-group top-k ⊂ a9_argmin window family + the
+#                     standing WindowGroupLimit plan-audit gate (r1-r4)
+#   tx_pii            codegen regex scan ⊂ tx_quality_clf scan family (r2-r4)
+#   dd_embed          LSH-bucket cosine pairs ⊂ dd_semdedup (r2-r4)
+#   sim_topk          brute-force baseline ⊂ sim_ivf/sim_pq which verify
+#                     against it in tests (r1-r4)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
     # §2 core scans / filters / keyed access
     "p2_p3_filter_page", "s2_bulk_get",
-    # mutation surface under the hash gate (S6/S7)
-    "s6_delete_survivors", "s7_retention_survivors",
+    # mutation surface under the hash gate (S3/S6/S7/S8)
+    "s3_insert_dedup_table", "s6_delete_survivors",
+    "s7_retention_survivors", "s8_snapshot_roundtrip",
     # joins + graph
     "j5_one_hop", "j6_membership", "j9_anti_join",
     "j8_closure", "j13_asof", "j14_interval",
@@ -3989,27 +3997,26 @@ _DRIVER_WINDOW = [
     "a15_properties_df",
     "a19_approx_distinct", "a20_salted_agg", "a21_histogram",
     "a22_approx_quantiles",
-    # top-k / windows / temporal
-    "o2_priority_topk",
+    # windows / temporal
     "st_sessionize", "t2_enrichment",
-    "t8_funnel", "t9_cohort_retention",
+    "t8_funnel", "t9_cohort_retention", "t10_incremental_rollup",
     # UDF / formula
     "d1_value_call", "mol_identifiers",
     # text-pipeline operators
     "tx_bm25", "dd_span_dedup",
-    "tx_pii", "pk_pack",
+    "pk_pack",
     "tx_dsir", "tx_quality_clf", "pk_domain_cap",
     # dedup suite
     "dd_minhash_lsh", "dd_simhash_pairs",
-    "dd_cluster", "dd_embed",
+    "dd_cluster",
     "dd_common_ngrams", "dd_lev_verify",
     "dd_jaccard_capped", "dd_incremental",
     # pipeline flagship
     "pipe_prepare",
     # similarity suite
-    "sim_topk", "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
+    "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
     # multimodal
-    "mm_features",
+    "mm_features", "mm_phash_dedup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
