@@ -63,7 +63,35 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; zero vectors score 0.0, not NULL — each norm is
+    guarded to 1 when zero (the dot is then 0 anyway), matching the IVF
+    probe's ``or 1.0`` and exact_cosine_pairs_topk's phase-1 convention.
+    Unguarded, Spark's non-ANSI divide returns NULL and a zero embedding
+    (padding / failed-embed row) silently vanishes from every top-k and
+    threshold result."""
+    na, nb = norm(a), norm(b)
+    return dot(a, b) / (
+        F.when(na > F.lit(0.0), na).otherwise(F.lit(1.0))
+        * F.when(nb > F.lit(0.0), nb).otherwise(F.lit(1.0))
+    )
+
+
+def nearest_centroid_ids(
+    query_vec: Sequence[float], centroids: Sequence[Sequence[float]], n_probe: int
+) -> list[int]:
+    """Driver-side probe selection shared by the in-memory and persisted
+    IVF paths: the ``n_probe`` centroid ids nearest the query by cosine
+    (zero-norm centroids guarded to 1) — one definition, no drift."""
+    import math
+
+    qn = math.sqrt(sum(x * x for x in query_vec))
+    return sorted(
+        range(len(centroids)),
+        key=lambda i: -(
+            sum(a * b for a, b in zip(centroids[i], query_vec))
+            / ((qn or 1.0) * (math.sqrt(sum(x * x for x in centroids[i])) or 1.0))
+        ),
+    )[:n_probe]
 
 
 def brute_force_topk(
@@ -173,7 +201,12 @@ def exact_cosine_pairs_topk(
        per-batch pool ≥ k is lossless for the global top-k (any global
        winner ranks ≤ k within its own batch); the pool is 10×k to also
        absorb float divergence between BLAS and fold summation (~1e-13,
-       vs rounding at 1e-6).
+       vs rounding at 1e-6).  Caveat: losslessness assumes fewer than
+       ``candidate_pool`` pairs TIE at the pool boundary score — a corpus
+       of hundreds of identical vectors (score exactly 1.0) overflows the
+       pool and the kept subset of the tied pairs is arbitrary; raise
+       ``candidate_pool`` above the expected duplicate-pair count there,
+       or dedup exact duplicates first (``dedup.exact_dedup``).
     2. *Exact rescore* — the surviving ≤pool pairs re-score with the same
        index-ordered JVM left-fold the single-phase version used, so the
        emitted scores are bit-identical to an oracle's sequential
@@ -359,14 +392,7 @@ def ivf_topk(
 
     if assigned is None or centroids is None:
         assigned, centroids = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
-    qn = math.sqrt(sum(x * x for x in query_vec))
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: -(
-            sum(a * b for a, b in zip(centroids[i], query_vec))
-            / (qn * math.sqrt(sum(x * x for x in centroids[i])) or 1.0)
-        ),
-    )[:n_probe]
+    probe = nearest_centroid_ids(query_vec, centroids, n_probe)
     q = lit_array(query_vec)
     scored = assigned.where(F.col("_cid").isin(probe)).select(
         F.col(id_col),
@@ -548,14 +574,7 @@ def ivf_topk_indexed(
         for r in spark.read.parquet(f"{path}/centroids").collect()
     }
     centroids = [cent[i] for i in range(len(cent))]
-    qn = math.sqrt(sum(x * x for x in query_vec))
-    probe = sorted(
-        range(len(centroids)),
-        key=lambda i: -(
-            sum(a * b for a, b in zip(centroids[i], query_vec))
-            / (qn * math.sqrt(sum(x * x for x in centroids[i])) or 1.0)
-        ),
-    )[:n_probe]
+    probe = nearest_centroid_ids(query_vec, centroids, n_probe)
     vectors = spark.read.parquet(f"{path}/vectors")
     q = lit_array(query_vec)
     scored = vectors.where(F.col("_cid").isin(probe)).select(
@@ -601,6 +620,12 @@ def pq_train(
         F.col(vec_col).cast("array<double>")
     ).collect()
     dim = len(first[0][0])
+    if dim % m != 0:
+        raise ValueError(
+            f"PQ needs dim divisible by m: dim={dim}, m={m} — the trailing "
+            f"{dim % m} dimensions would be silently dropped from codes and "
+            "ADC distances (pad the vectors or pick a divisor m)"
+        )
     dsub = dim // m
     books = [
         [list(r[0])[j * dsub : (j + 1) * dsub] for r in first] for j in range(m)

@@ -50,8 +50,12 @@ def bulk_get_ordered(
     Beyond the threshold the id list is fact-sized, so it goes through a
     plain shuffled join on the key — the only strategy that survives there.
     """
+    # The id column's type comes from the table (string hashes and UUIDs
+    # are keys too — a hardcoded long crashed createDataFrame for them).
+    id_type = dict(table.dtypes)[id_col]
     ids_df = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(ids)], schema=f"_input_idx long, {id_col} long"
+        [(i, v) for i, v in enumerate(ids)],
+        schema=f"_input_idx long, {id_col} {id_type}",
     )
     how = "left" if missing_ok else "inner"
     if len(ids) <= max_pushdown_ids:
@@ -78,19 +82,39 @@ def insert_dedup_classify(
     """
     keys = list(search_cols)
     deduped = batch.dropDuplicates(keys)
-    to_insert = deduped.join(table.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
-    existing_flag = (
-        table.select(*keys).dropDuplicates(keys).withColumn("_existing", F.lit(True))
+    # ONE key projection feeds both the anti-join and the flag join, and
+    # both joins are NULL-SAFE: dropDuplicates treats NULL keys as equal,
+    # so the existence checks must too — with plain equi-joins a NULL-keyed
+    # row matching an identical table row classified as new and was
+    # re-appended on every insert_dedup call.
+    table_keys = table.select(*keys).dropDuplicates(keys)
+    to_insert = deduped.alias("b").join(
+        table_keys.alias("t"), _null_safe_cond(keys), "left_anti"
     )
     from pyspark.sql import Window
 
     dup_w = Window.partitionBy(*keys)
     classified = (
-        batch.join(existing_flag, on=keys, how="left")
+        batch.alias("b")
+        .join(
+            table_keys.withColumn("_existing", F.lit(True)).alias("t"),
+            _null_safe_cond(keys),
+            "left",
+        )
+        .select("b.*", "_existing")
         .withColumn("_existing", F.coalesce(F.col("_existing"), F.lit(False)))
         .withColumn("_dup_of", F.count(F.lit(1)).over(dup_w) - F.lit(1))
     )
     return to_insert, classified
+
+
+def _null_safe_cond(keys: Sequence[str]):
+    """AND of null-safe equalities over aliases b (batch) / t (table)."""
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"t.{k}"))
+        cond = c if cond is None else (cond & c)
+    return cond
 
 
 def insert_mixed_classify(
@@ -169,11 +193,16 @@ def upsert_classify(
     keys = list(key_cols)
     return (
         batch.dropDuplicates(keys)
+        .alias("b")
         .join(
-            table.select(*keys).dropDuplicates(keys).withColumn("_conflict", F.lit(True)),
-            on=keys,
-            how="left",
+            table.select(*keys)
+            .dropDuplicates(keys)
+            .withColumn("_conflict", F.lit(True))
+            .alias("t"),
+            _null_safe_cond(keys),  # NULL keys conflict with NULL keys
+            "left",
         )
+        .select("b.*", "_conflict")
         .withColumn("_inserted", F.col("_conflict").isNull())
         .drop("_conflict")
     )

@@ -47,6 +47,12 @@ class SingleWriterQueue:
     claimed: dict[int, str] = field(default_factory=dict)  # task_id -> manager
     managers: dict[str, _ManagerState] = field(default_factory=dict)
     statuses: dict[int, str] = field(default_factory=dict)  # record_id -> status
+    # task_id -> record_id for live claims (reaper needs it to reset status)
+    claim_records: dict[int, int] = field(default_factory=dict)
+    # terminally returned task ids — never claimable again (the reference
+    # DELETEs the task row on completion, tasks/socket.py update_completed;
+    # errored tasks stay out until an explicit user reset re-inserts them)
+    finished: set[int] = field(default_factory=set)
 
     def register_manager(
         self, name: str, programs: Sequence[str], tags: Sequence[str]
@@ -61,35 +67,55 @@ class SingleWriterQueue:
     def claim(self, manager: str, limit: int) -> list[dict]:
         """Claim up to ``limit`` tasks for ``manager`` (tasks/socket.py:303-358):
         eligibility + per-tag priority top-k run as a Spark plan; the
-        serialized section below only filters already-claimed ids and
-        records the new claims."""
+        serialized section below only filters already-claimed/finished ids
+        and records the new claims.
+
+        Tags are claimed SEQUENTIALLY in the manager's preference order —
+        the reference iterates the manager's tag list and fills the
+        remaining limit from each tag before moving on (tasks/socket.py:
+        303-358, "LIMIT remaining" per tag) — so a high-priority task in a
+        later tag never outranks an earlier tag.  ``*`` claims across all
+        tags in one globally priority-ordered pass."""
         st = self.managers[manager]
-        eligible = priority_claim_topk(
-            self.tasks, limit + len(self.claimed), tags=st.tags, available_programs=st.programs
-        )
-        # collect() returns rows in nondeterministic partition order; the
-        # reference claims strictly by priority DESC, sort_date ASC, id ASC
-        # (tasks/socket.py:303-358), so re-sort before taking the first
-        # `limit` unclaimed rows.
-        rows = sorted(
-            eligible.collect(),
-            key=lambda r: (-r["compute_priority"], r["sort_date"], r["id"]),
-        )
         out: list[dict] = []
-        for r in rows:
-            if len(out) >= limit:
+        tag_passes = ["*"] if "*" in st.tags else list(st.tags)
+        for tag in tag_passes:
+            remaining = limit - len(out)
+            if remaining <= 0:
                 break
-            if r["id"] in self.claimed:
-                continue
-            self.claimed[r["id"]] = manager
-            self.statuses[r["record_id"]] = "running"
-            out.append(r.asDict())
+            margin = remaining + len(self.claimed) + len(self.finished)
+            eligible = priority_claim_topk(
+                self.tasks, margin, tags=[tag], available_programs=st.programs
+            )
+            # collect() returns rows in nondeterministic partition order;
+            # the reference claims strictly by priority DESC, sort_date
+            # ASC, id ASC within the tag, so re-sort before taking the
+            # first `remaining` unclaimed rows.
+            rows = sorted(
+                eligible.collect(),
+                key=lambda r: (-r["compute_priority"], r["sort_date"], r["id"]),
+            )
+            for r in rows:
+                if len(out) >= limit:
+                    break
+                if r["id"] in self.claimed or r["id"] in self.finished:
+                    continue
+                self.claimed[r["id"]] = manager
+                self.claim_records[r["id"]] = r["record_id"]
+                self.statuses[r["record_id"]] = "running"
+                out.append(r.asDict())
         return out
 
     def return_task(self, manager: str, task_id: int, record_id: int, ok: bool) -> None:
         if self.claimed.get(task_id) != manager:
             raise ValueError(f"task {task_id} not claimed by {manager}")
         del self.claimed[task_id]
+        self.claim_records.pop(task_id, None)
+        # terminal: the task leaves the queue (reference deletes the task
+        # row on completion) — without this, the immutable snapshot's
+        # available=True made a returned task claimable AGAIN, overwriting
+        # its completed status with 'running' on the next claim.
+        self.finished.add(task_id)
         self.statuses[record_id] = "complete" if ok else "error"
 
     def reap_dead_managers(self, max_age: timedelta) -> list[int]:
@@ -103,6 +129,11 @@ class SingleWriterQueue:
             if mgr in dead:
                 del self.claimed[task_id]
                 released.append(task_id)
+                # the promise in this docstring: the record really does go
+                # back to waiting (it previously stayed 'running' forever)
+                rid = self.claim_records.pop(task_id, None)
+                if rid is not None:
+                    self.statuses[rid] = "waiting"
         for m in dead:
             del self.managers[m]
         return released

@@ -478,3 +478,34 @@ def test_incremental_lsh_matches_full_candidates(spark, tmp_path):
     assert got == want and got  # non-trivial on this corpus
     # orientation: id_b is always the new (batch) id
     assert all(r["id_b"] % 10 == 0 for r in inc.collect())
+
+
+def test_cosine_zero_vector_scores_zero_not_null(spark):
+    from qcfractal_spark.functions.similarity import brute_force_topk, cosine
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 0.0]), (2, [0.5, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    scores = {
+        r["vec_id"]: r["s"]
+        for r in df.select(
+            "vec_id", cosine(F.col("embedding"), F.lit(None).cast("array<double>").alias("x")).alias("_"),
+        ).select("vec_id", F.lit(0).alias("s")).collect()
+    }  # smoke shape only
+    out = {r["vec_id"]: r["score"] for r in brute_force_topk(df, [1.0, 0.0], k=3).collect()}
+    assert out[1] == 0.0  # zero vector present with score 0, not dropped
+    assert len(out) == 3
+
+
+def test_pq_train_rejects_indivisible_dim(spark):
+    import pytest
+
+    from qcfractal_spark.functions.similarity import pq_train
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1), float(i + 2)]) for i in range(8)],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="divisible"):
+        pq_train(df, m=2, ksub=4)

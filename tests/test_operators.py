@@ -291,3 +291,25 @@ def test_cc_driver_fast_path_matches_distributed(spark):
     }
     assert fast == dist
     assert (4, 1) in fast and (12, 10) in fast and (23, 20) in fast
+
+
+def test_insert_dedup_null_keys_match_null_keys(spark):
+    """dropDuplicates treats NULL keys as equal; the existence checks must
+    agree: a NULL-keyed batch row matching a NULL-keyed table row is
+    EXISTING, not re-inserted on every call."""
+    table = spark.createDataFrame([(None, 1), ("x", 2)], "k string, v int")
+    batch = spark.createDataFrame([(None, 10), ("y", 20)], "k string, v int")
+    to_insert, classified = keyed.insert_dedup_classify(table, batch, ["k"])
+    assert [r["k"] for r in to_insert.collect()] == ["y"]
+    flags = {r["k"]: r["_existing"] for r in classified.collect()}
+    assert flags[None] is True and flags["y"] is False
+    up = {r["k"]: r["_inserted"] for r in keyed.upsert_classify(table, batch, ["k"]).collect()}
+    assert up[None] is False and up["y"] is True
+
+
+def test_bulk_get_ordered_string_keys(spark):
+    table = spark.createDataFrame(
+        [("ab", 1), ("cd", 2)], "hash string, v int"
+    )
+    out = keyed.bulk_get_ordered(spark, table, ["cd", "zz", "ab"], id_col="hash")
+    assert [r["v"] for r in out.collect()] == [2, None, 1]

@@ -152,3 +152,51 @@ def test_stream_stream_interval_join_matches_batch(spark):
             for r in spark.sql("SELECT err_id, clk_id FROM ss_join").collect()
         }
     assert got == expected
+
+
+def test_queue_returned_task_never_reclaimed(spark):
+    """Terminal tasks leave the queue: a completed or errored return must
+    not be claimable again (the snapshot still says available=True)."""
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", ["p1"], ["*"])
+    first = q.claim("m1", 2)
+    tid, rid = first[0]["id"], first[0]["record_id"]
+    q.return_task("m1", tid, rid, ok=True)
+    tid2, rid2 = first[1]["id"], first[1]["record_id"]
+    q.return_task("m1", tid2, rid2, ok=False)
+    later = q.claim("m1", 20)
+    assert tid not in {t["id"] for t in later}
+    assert tid2 not in {t["id"] for t in later}
+    assert q.statuses[rid] == "complete" and q.statuses[rid2] == "error"
+
+
+def test_queue_reap_resets_records_to_waiting(spark):
+    from datetime import timedelta, timezone
+
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", ["p1"], ["*"])
+    claimed = q.claim("m1", 2)
+    q.managers["m1"].last_heartbeat -= timedelta(hours=2)
+    released = q.reap_dead_managers(timedelta(minutes=30))
+    assert set(released) == {t["id"] for t in claimed}
+    for t in claimed:
+        assert q.statuses[t["record_id"]] == "waiting"
+    # released tasks are claimable again by a live manager
+    q.register_manager("m2", ["p1"], ["*"])
+    again = {t["id"] for t in q.claim("m2", 20)}
+    assert set(released) <= again
+
+
+def test_queue_claims_tags_in_preference_order(spark):
+    """A manager registered with tags (t2, t1) must exhaust t2 before
+    touching t1, even though t1 holds higher-priority tasks (the
+    reference's per-tag sequential 'LIMIT remaining' claim)."""
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", ["p1"], ["t2", "t1"])
+    got = q.claim("m1", 12)  # 10 t2 tasks exist, then 2 from t1
+    tags = [t["compute_tag"] for t in got]
+    assert tags[:10] == ["t2"] * 10 and tags[10:] == ["t1"] * 2
+    # within the first tag, priority DESC then sort_date then id
+    t2 = got[:10]
+    keys = [(-t["compute_priority"], t["sort_date"], t["id"]) for t in t2]
+    assert keys == sorted(keys)
