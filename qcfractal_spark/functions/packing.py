@@ -41,15 +41,26 @@ def concat_chunk_layout(
     )
     n_tok = F.col(token_col).cast("long")
     cum = F.sum(n_tok).over(w)
-    start = (cum - n_tok).alias("start_offset")
-    first = F.floor((cum - n_tok) / budget).cast("long")
-    last = F.floor((F.greatest(cum - 1, cum - n_tok)) / budget).cast("long")
-    return df.select(
+    # TRUE integer division (`div`), not floor(double /): Spark's `/` on
+    # longs goes through double, which loses exactness past 2^53 cumulative
+    # tokens and can round a quotient across an integer boundary — the
+    # "integer math only, bit-exact in any engine" contract requires div.
+    staged = df.select(
         part_col,
         order_col,
         n_tok.alias("n_tokens"),
-        start,
-        first.alias("first_chunk"),
-        last.alias("last_chunk"),
-        (last - first + 1).alias("n_chunks"),
+        (cum - n_tok).alias("start_offset"),
+        F.greatest(cum - 1, cum - n_tok).alias("_last_off"),
+    )
+    b = int(budget)
+    return staged.select(
+        part_col,
+        order_col,
+        "n_tokens",
+        "start_offset",
+        F.expr(f"start_offset div {b}").alias("first_chunk"),
+        F.expr(f"_last_off div {b}").alias("last_chunk"),
+        (
+            F.expr(f"_last_off div {b}") - F.expr(f"start_offset div {b}") + 1
+        ).alias("n_chunks"),
     )

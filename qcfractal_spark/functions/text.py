@@ -195,7 +195,6 @@ def lang_id_table(
     when per-row token re-walks dominate (very long documents or many
     languages).  Both share the same oracle.
     """
-    from pyspark.sql import functions as F
 
     spark = df.sparkSession
     langs = sorted(STOPWORDS)

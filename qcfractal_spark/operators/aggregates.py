@@ -62,7 +62,9 @@ def access_summary(
         aggs.append(F.max(m).alias(f"{m}_max"))
         for q in quantiles:
             aggs.append(
-                percentile_disc(F.col(m), q).alias(f"{m}_p{int(q * 100)}")
+                # int() truncates binary-float error downward (0.57*100 ->
+                # 56.999... -> p56); round to label the right quantile.
+                percentile_disc(F.col(m), q).alias(f"{m}_p{int(round(q * 100))}")
             )
     return df.groupBy(key, *dims).agg(*aggs)
 
@@ -102,9 +104,15 @@ def group_map_agg(
 ) -> DataFrame:
     """jsonb_object_agg — fold rows to a per-group map (A10,
     torsiondrive/record_db_models.py:138-146).  Entries sorted by key so the
-    map is deterministic."""
+    map is deterministic.
+
+    Duplicate keys within a group keep the MAX value (a deterministic
+    stand-in for Postgres jsonb_object_agg's order-dependent last-wins);
+    without the pre-aggregation, Spark's default mapKeyDedupPolicy=EXCEPTION
+    fails the whole job on the first duplicate."""
+    deduped = df.groupBy(*group_cols, key_col).agg(F.max(value_col).alias(value_col))
     entries = F.sort_array(F.collect_list(F.struct(F.col(key_col), F.col(value_col))))
-    return df.groupBy(*group_cols).agg(F.map_from_entries(entries).alias("group_map"))
+    return deduped.groupBy(*group_cols).agg(F.map_from_entries(entries).alias("group_map"))
 
 
 def weighted_sum(

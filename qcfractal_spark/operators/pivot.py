@@ -76,10 +76,13 @@ def properties_df(
     if len(keys) == 1:
         # with a single aggregate Spark names columns by pivot value alone;
         # keep the {spec}_{key} contract regardless of key count
+        # out[c] (not F.col(c)) so pivot values containing dots — legal in
+        # user-provided spec names — resolve as column names, not struct
+        # field paths.
         out = out.select(
-            F.col(entry_col),
+            out[entry_col],
             *[
-                F.col(c).alias(f"{c}_{keys[0]}")
+                out[c].alias(f"{c}_{keys[0]}")
                 for c in out.columns
                 if c != entry_col
             ],
@@ -91,8 +94,12 @@ def drop_all_null_columns(df: DataFrame, keep: Sequence[str]) -> DataFrame:
     """Drop columns with zero non-null values (dataset_models.py:2304-2309)
     — one aggregate pass, then a select."""
     candidates = [c for c in df.columns if c not in set(keep)]
+    if not candidates:
+        return df  # df.agg() with zero expressions raises
+    # df[c] / indexed aliases: dotted column names (produced by pivots over
+    # dotted spec values) must resolve as names, not struct paths.
     counts = df.agg(
-        *[F.count(F.col(c)).alias(c) for c in candidates]
+        *[F.count(df[c]).alias(f"_c{i}") for i, c in enumerate(candidates)]
     ).first()
-    nonempty = [c for c in candidates if counts[c] > 0]
-    return df.select(*keep, *nonempty)
+    nonempty = [c for i, c in enumerate(candidates) if counts[f"_c{i}"] > 0]
+    return df.select(*[df[c] for c in (*keep, *nonempty)])

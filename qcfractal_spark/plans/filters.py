@@ -49,10 +49,14 @@ def _combined_predicate(filters: QueryFilters) -> Column | None:
     for col, values in filters.in_lists.items():
         if values is not None:
             preds.append(F.col(col).isin(list(values)))
+    # None bounds are skipped like None in_lists — `col <= lit(NULL)` is
+    # NULL for every row and silently empties the result set.
     for col, ts in filters.before.items():
-        preds.append(F.col(col) <= F.lit(ts))
+        if ts is not None:
+            preds.append(F.col(col) <= F.lit(ts))
     for col, ts in filters.after.items():
-        preds.append(F.col(col) >= F.lit(ts))
+        if ts is not None:
+            preds.append(F.col(col) >= F.lit(ts))
     if not preds:
         return None
     out = preds[0]

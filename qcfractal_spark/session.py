@@ -29,9 +29,15 @@ from pyspark.sql import SparkSession
 # Applied at build time below, and enforced idempotently by
 # ``ensure_session_contract`` for sessions this engine did not build (the
 # correctness driver passes its own SparkSession into ``entry``).
+# - session timezone UTC: the reference stores every timestamp UTC and the
+#   engine's day/hour bucketing (date_format / date_trunc) and epoch math
+#   are wall-clock operations — on a non-UTC externally-built session they
+#   would silently bucket against the local zone and disagree with the
+#   DuckDB oracle's naive-UTC comparison.
 SESSION_CONTRACT_CONFS = {
     "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    "spark.sql.session.timeZone": "UTC",
 }
 
 def ensure_session_contract(spark: SparkSession) -> None:

@@ -68,6 +68,14 @@ def zorder_column(
     (e.g. records by (created_on, record_type)): one re-cluster pays for
     every subsequent multi-dimension scan."""
     names = list(cols)
+    # The interleaved key must fit a signed 64-bit long: shiftleft wraps
+    # mod 64 past bit 63 (distinct columns would OR into the SAME bit
+    # positions) and bit 63 flips the sign (high-Z rows sorting first) —
+    # both silently destroy clustering.  Clamp per-column resolution so
+    # len(cols) * bits <= 63; 6 columns still get 10 bits (1024 buckets).
+    bits = min(bits, 63 // max(len(names), 1))
+    if bits < 1:
+        raise ValueError(f"zorder over {len(names)} columns cannot fit a 64-bit key")
     top = (1 << bits) - 1
     types = dict(df.dtypes)
     # Column → double expression per type family: numerics and

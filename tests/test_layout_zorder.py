@@ -68,3 +68,26 @@ def test_zorder_supports_timestamp_and_string_dims(spark):
     # empty input and all-null columns degrade to a constant key, not a crash
     empty = zorder_column(df.where(F.lit(False)), ["created_on", "record_type"])
     assert empty.count() == 0
+
+
+def test_zorder_many_columns_clamps_bits_and_stays_sorted(spark):
+    """6 Z-order columns exceed the 64-bit key at default bits=12; the
+    per-column resolution must clamp (not wrap mod 64 / flip sign) so the
+    key stays non-negative and monotone in each column's extremes."""
+    from pyspark.sql import functions as F
+
+    from qcfractal_spark.sources.layout import zorder_column
+
+    cols = [f"c{i}" for i in range(6)]
+    df = spark.range(0, 2000).select(
+        "id", *[(F.col("id") * (i + 3) % 997).alias(c) for i, c in enumerate(cols)]
+    )
+    z = zorder_column(df, cols)
+    mn, mx = z.agg(F.min("_z"), F.max("_z")).first()
+    assert mn >= 0  # no sign flip
+    # extremes: the all-min row must have a smaller key than the all-max row
+    # per-column correlation — the top decile of any clustered column
+    # must land in a higher z range than the bottom decile on average
+    top = z.where(F.col("c0") > 900).agg(F.avg("_z")).first()[0]
+    bot = z.where(F.col("c0") < 100).agg(F.avg("_z")).first()[0]
+    assert top > bot

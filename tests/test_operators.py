@@ -313,3 +313,21 @@ def test_bulk_get_ordered_string_keys(spark):
     )
     out = keyed.bulk_get_ordered(spark, table, ["cd", "zz", "ab"], id_col="hash")
     assert [r["v"] for r in out.collect()] == [2, None, 1]
+
+
+def test_group_map_agg_duplicate_keys_keep_max(spark):
+    from qcfractal_spark.operators.aggregates import group_map_agg
+
+    df = spark.createDataFrame(
+        [(1, "k", 2.0), (1, "k", 5.0), (1, "j", 1.0)], "g long, key string, v double"
+    )
+    out = group_map_agg(df, ["g"], "key", "v").collect()[0]["group_map"]
+    assert out == {"k": 5.0, "j": 1.0}
+
+
+def test_query_filters_none_bounds_skipped(spark):
+    from qcfractal_spark.plans import QueryFilters, apply_filters
+
+    df = spark.range(1, 6).withColumnRenamed("id", "rid")
+    f = QueryFilters(before={"rid": None}, after={"rid": None}, id_col="rid")
+    assert apply_filters(df, f).count() == 5
