@@ -158,5 +158,11 @@ def short_description(
 def content_hash(*cols: Column) -> Column:
     """Deterministic content hash over canonicalized fields (F9 — the
     molecule sha1 hash, qcfractal/qcfractal/components/molecules/db_models.py:83-115).
-    md5 over a '|'-joined canonical string; engine-portable (DuckDB has md5)."""
-    return F.md5(F.concat_ws("|", *cols))
+    md5 over a '|'-joined canonical string; engine-portable (DuckDB has md5).
+
+    NULL fields map to an explicit sentinel before joining: concat_ws
+    SKIPS NULLs, so ('a', NULL, 'b') and ('a', 'b', NULL) both hashed
+    'a|b' and distinct field vectors deduplicated as identical.  DuckDB
+    mirror: ``md5(concat_ws('|', coalesce(x, chr(0)), ...))``."""
+    guarded = [F.coalesce(c.cast("string"), F.lit("\x00")) for c in cols]
+    return F.md5(F.concat_ws("|", *guarded))

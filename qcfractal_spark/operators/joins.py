@@ -37,9 +37,26 @@ def semi_join_values(
     """
     if not values:
         return df.where(F.lit(False))
-    schema = ", ".join(f"{c} {t}" for c, t in zip(cols, _infer_types(values)))
-    vals_df = spark.createDataFrame(list(values), schema=schema)
-    return df.join(F.broadcast(vals_df), on=list(cols), how="left_semi")
+    types = _infer_types(values)
+    schema = ", ".join(f"{c} {t}" for c, t in zip(cols, types))
+    # coerce ints to float where the position promoted to double (mixed
+    # (1,) / (2.5,) inputs — DoubleType rejects raw ints at createDataFrame)
+    rows = [
+        tuple(
+            float(v) if t == "double" and isinstance(v, int) and not isinstance(v, bool) else v
+            for v, t in zip(row, types)
+        )
+        for row in values
+    ]
+    vals_df = spark.createDataFrame(rows, schema=schema)
+    # NULL-SAFE equality per position: the reference's OR-of-ANDs fallback
+    # renders `col == None` as IS NULL and matches it; a plain equi-key
+    # semi join would silently match nothing for tuples containing None.
+    cond = None
+    for c in cols:
+        eq = df[c].eqNullSafe(vals_df[c])
+        cond = eq if cond is None else (cond & eq)
+    return df.join(F.broadcast(vals_df), cond, "left_semi")
 
 
 def _infer_types(values: Sequence[tuple]) -> list[str]:
@@ -48,11 +65,18 @@ def _infer_types(values: Sequence[tuple]) -> list[str]:
     width = len(values[0])
     out = []
     for pos in range(width):
-        v = next((t[pos] for t in values if t[pos] is not None), None)
+        non_null = [t[pos] for t in values if t[pos] is not None]
+        v = non_null[0] if non_null else None
         if isinstance(v, bool):
             out.append("boolean")
         elif isinstance(v, int):
-            out.append("long")
+            # promote to double when ANY value at this position is a float
+            # (a long schema makes createDataFrame reject 2.5 at plan time)
+            out.append(
+                "double"
+                if any(isinstance(x, float) for x in non_null)
+                else "long"
+            )
         elif isinstance(v, float):
             out.append("double")
         else:
@@ -141,9 +165,15 @@ def asof_join_backward(
     pay = F.struct(*[F.col(c) for c in (right_id_col, *payload_cols)])
     # A NULL-ts right row would sort FIRST (asc puts NULLs first) and its
     # payload would carry forward as a bogus "match" for every early left
-    # row; a row with no timestamp can never satisfy ts <= left.ts, so
-    # drop it from the right side entirely.
-    r = right.where(F.col(ts_col).isNotNull()).select(
+    # row; a row with no timestamp can never satisfy ts <= left.ts.  A
+    # NULL-KEY right row can never equi-match any left row either, yet the
+    # window partition groups NULL keys together and would carry its
+    # payload onto NULL-key left rows — both are dropped from the right
+    # side so NULL-key lefts get ref_* NULL, exactly the equi-join (and
+    # oracle) semantics.
+    r = right.where(
+        F.col(ts_col).isNotNull() & F.col(key_col).isNotNull()
+    ).select(
         F.col(key_col), F.col(ts_col), pay.alias("_rpay"), F.lit(0).alias("_side")
     )
     l = left.withColumn("_side", F.lit(1))

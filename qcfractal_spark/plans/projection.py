@@ -32,7 +32,17 @@ def apply_projection(
         chosen = list(default)
     else:
         inc = set(include)
-        chosen = list(cols) if "*" in inc or "**" in inc else [c for c in cols if c in inc]
+        if "**" in inc:
+            chosen = list(cols)  # '**' = everything (helpers.py wildcard)
+        elif "*" in inc:
+            # '*' = the default column set, PLUS any extra names listed
+            # alongside it (helpers.py:135-231 collapses '*' to defaults;
+            # previously '*' wrongly selected every column, dragging in
+            # payload columns the default set exists to defer)
+            extras = [c for c in cols if c in inc]
+            chosen = list(dict.fromkeys([*default, *extras]))
+        else:
+            chosen = [c for c in cols if c in inc]
     if exclude:
         exc = set(exclude)
         chosen = [c for c in chosen if c not in exc]

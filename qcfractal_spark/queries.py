@@ -1088,7 +1088,9 @@ def q_f9_content_hash(spark, sf_dir):
 
 SQL_F9 = """
 SELECT p_partkey,
-       md5(concat_ws('|', p_name, CAST(p_size AS VARCHAR), p_type)) AS content_hash
+       md5(concat_ws('|', coalesce(p_name, chr(0)),
+                     coalesce(CAST(p_size AS VARCHAR), chr(0)),
+                     coalesce(p_type, chr(0)))) AS content_hash
 FROM part
 """
 

@@ -61,15 +61,22 @@ def sessionize(
     )
 
 
-SESSION_OUTPUT_SCHEMA = StructType(
-    [
-        StructField("user_id", LongType()),
-        StructField("session_start", TimestampType()),
-        StructField("last_event", TimestampType()),
-        StructField("n_events", LongType()),
-        StructField("total_value", DoubleType()),
-    ]
-)
+def session_output_schema(key_field: StructField) -> StructType:
+    """Output schema parameterized on the grouping key's actual name/type
+    (a hard-coded user_id:long silently broke any other key column)."""
+    return StructType(
+        [
+            key_field,
+            StructField("session_start", TimestampType()),
+            StructField("last_event", TimestampType()),
+            StructField("n_events", LongType()),
+            StructField("total_value", DoubleType()),
+        ]
+    )
+
+
+# default shape kept for callers/tests that reference it directly
+SESSION_OUTPUT_SCHEMA = session_output_schema(StructField("user_id", LongType()))
 
 _SESSION_STATE_SCHEMA = StructType(
     [
@@ -98,7 +105,14 @@ def stateful_session_stats(
     sharded by the groupBy key, Arrow-batched per group — the
     ``mapGroupsWithState`` execution shape that scales state linearly with
     executors."""
+    from datetime import timezone
+
     import pandas as pd
+
+    if "value" not in events.columns:
+        raise ValueError("stateful_session_stats needs a 'value' column to sum")
+    key_field = events.schema[key_col]
+    out_schema = session_output_schema(key_field)
 
     def update(key, pdf_iter, state):
         if state.hasTimedOut:
@@ -106,7 +120,7 @@ def stateful_session_stats(
             state.remove()
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "session_start": [start],
                     "last_event": [last],
                     "n_events": [n],
@@ -120,25 +134,44 @@ def stateful_session_stats(
         if state.exists:
             (start, last, n, total) = state.get
         closed: list[tuple] = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values(ts_col)
-            for t, v in zip(pdf[ts_col], pdf["value"]):
-                t = t.to_pydatetime()
-                if last is not None and (t - last).total_seconds() > gap_seconds:
-                    # in-batch gap exceeded: close the running session
-                    closed.append((start, last, n, total))
-                    start, n, total = t, 0, 0.0
-                if start is None:
-                    start = t
-                last = t
-                n += 1
-                total += float(v)
-        state.update((start, last, n, total))
-        # close the open session once the watermark passes last_event + gap
-        state.setTimeoutTimestamp(int(last.timestamp() * 1000) + gap_seconds * 1000)
+        # ONE global sort: Arrow may split a key's micro-batch into several
+        # chunks with no cross-chunk ordering — sorting each chunk alone let
+        # an earlier-timestamped later chunk move `last` backwards and emit
+        # sessions with session_start > last_event.  NULL event times are
+        # dropped (they can never satisfy a gap predicate, and NaT would
+        # poison the timeout arithmetic and kill the query).
+        pdf = pd.concat(list(pdf_iter), ignore_index=True).dropna(subset=[ts_col])
+        pdf = pdf.sort_values(ts_col)
+        for t, v in zip(pdf[ts_col], pdf["value"]):
+            t = t.to_pydatetime()
+            # >= gap closes the session, matching the built-in
+            # session_window ([start, start+gap) half-open — an event at
+            # exactly last+gap starts a NEW session); `>` made the two
+            # tiers disagree on boundary-spaced events.
+            if last is not None and (t - last).total_seconds() >= gap_seconds:
+                closed.append((start, last, n, total))
+                start, n, total = t, 0, 0.0
+            if start is None:
+                start = t
+            last = t
+            n += 1
+            total += float(v)
+        if last is not None:
+            state.update((start, last, n, total))
+            # close the open session once the watermark passes
+            # last_event + gap.  `last` is a NAIVE datetime carrying the
+            # session-timezone (UTC) wall clock; naive .timestamp() would
+            # re-interpret it in the executor's OS timezone, shifting the
+            # timeout by the UTC offset — pin UTC explicitly.
+            epoch_ms = int(last.replace(tzinfo=timezone.utc).timestamp() * 1000)
+            state.setTimeoutTimestamp(epoch_ms + gap_seconds * 1000)
+        elif not state.exists:
+            # batch contained only NULL-ts rows and no prior state: nothing
+            # to remember, nothing to time out
+            pass
         yield pd.DataFrame(
             {
-                "user_id": pd.Series([key[0]] * len(closed), dtype="int64"),
+                key_col: pd.Series([key[0]] * len(closed)),
                 "session_start": pd.Series([c[0] for c in closed], dtype="datetime64[ns]"),
                 "last_event": pd.Series([c[1] for c in closed], dtype="datetime64[ns]"),
                 "n_events": pd.Series([c[2] for c in closed], dtype="int64"),
@@ -154,7 +187,7 @@ def stateful_session_stats(
         .groupBy(key_col)
         .applyInPandasWithState(
             update,
-            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputStructType=out_schema,
             stateStructType=_SESSION_STATE_SCHEMA,
             outputMode="append",
             timeoutConf="EventTimeTimeout",

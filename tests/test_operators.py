@@ -331,3 +331,50 @@ def test_query_filters_none_bounds_skipped(spark):
     df = spark.range(1, 6).withColumnRenamed("id", "rid")
     f = QueryFilters(before={"rid": None}, after={"rid": None}, id_col="rid")
     assert apply_filters(df, f).count() == 5
+
+
+def test_semi_join_values_null_tuples_match_null_rows(spark):
+    from qcfractal_spark.operators.joins import semi_join_values
+
+    df = spark.createDataFrame(
+        [("hf", None, 1), ("hf", "dz", 2), ("b3lyp", None, 3)],
+        "method string, basis string, id long",
+    )
+    out = semi_join_values(spark, df, ["method", "basis"], [("hf", None)])
+    assert [r["id"] for r in out.collect()] == [1]
+    # mixed int/float position promotes to double instead of crashing
+    df2 = spark.createDataFrame([(1.0, 1), (2.5, 2)], "q double, id long")
+    got = {r["id"] for r in semi_join_values(spark, df2, ["q"], [(1,), (2.5,)]).collect()}
+    assert got == {1, 2}
+
+
+def test_asof_join_null_keys_get_no_match(spark):
+    from qcfractal_spark.operators.joins import asof_join_backward
+
+    left = spark.createDataFrame(
+        [(1, None, 10.0), (2, 7, 10.0)], "event_id long, user_id long, ts double"
+    )
+    right = spark.createDataFrame(
+        [(91, None, 5.0, 1.0), (92, 7, 5.0, 2.0)],
+        "event_id long, user_id long, ts double, value double",
+    )
+    out = {
+        r["event_id"]: r["ref_event_id"]
+        for r in asof_join_backward(
+            left, right, key_col="user_id", ts_col="ts",
+            right_id_col="event_id", payload_cols=("value",),
+        ).collect()
+    }
+    assert out == {1: None, 2: 92}  # NULL key never equi-matches
+
+
+def test_projection_star_means_defaults(spark):
+    from qcfractal_spark.plans import apply_projection
+
+    df = spark.createDataFrame([(1, "a", 2.0, b"x")], "id long, name string, v double, blob binary")
+    out = apply_projection(df, include=["*"], default_cols=["id", "name"])
+    assert out.columns == ["id", "name"]  # '*' = defaults, payload deferred
+    out2 = apply_projection(df, include=["*", "v"], default_cols=["id", "name"])
+    assert out2.columns == ["id", "name", "v"]
+    out3 = apply_projection(df, include=["**"], default_cols=["id", "name"])
+    assert out3.columns == ["id", "name", "v", "blob"]
