@@ -88,7 +88,12 @@ def query_records(
     if f.creator_user is not None:
         ids = [v for v in f.creator_user if isinstance(v, int)]
         names = [v for v in f.creator_user if isinstance(v, str)]
-        if names and users is not None:
+        if names and users is None:
+            # same contract as the spec/parent/child/dataset filters: a
+            # filter whose table is missing must raise, not silently drop
+            # the name predicates (records by 'alice' would simply vanish)
+            raise ValueError("creator_user name filters require the users table")
+        if names:
             # The reference ORs id and name matches (record_socket.py creator
             # filter).  Express the OR as one semi-join against the union of
             # the literal-id frame and the name-resolved ids — no driver-side
@@ -166,7 +171,10 @@ def query_records(
 
     for p in preds:
         df = df.where(p)
-    df = df.dropDuplicates(["id"])
+    # No DISTINCT: the reference's dedup undoes inner-join fan-out, but
+    # every join this builder adds is a left_semi (never row-multiplying)
+    # and record ids are unique by contract — a full-row dropDuplicates
+    # here was a pure wasted shuffle of every surviving record at scale.
     return keyset_page(df, "id", f.cursor, f.limit)
 
 

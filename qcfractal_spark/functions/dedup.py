@@ -64,7 +64,10 @@ def shingle_rows(
     measured at sf0.1).  ``distinct`` dedupes per document (needed for
     Jaccard set semantics; skippable for MinHash where min() over a
     multiset equals min() over the set)."""
-    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    # shared canonical form (text.normalize_ws) so every shingle producer
+    # normalizes identically — an inline copy would silently desynchronize
+    # if normalize_ws ever changes (unicode whitespace, etc.)
+    norm = normalize_ws(F.lower(F.col(text_col)))
     rows = (
         df.select(F.col(id_col).alias("id"), norm.alias("_t"))
         .select(
@@ -84,9 +87,14 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
 
     groupBy on the fingerprint — at scale this is one shuffle whose key
     cardinality ≈ distinct documents; no window needed (min-by beats
-    row_number here: map-side combinable)."""
+    row_number here: map-side combinable).
+
+    NULL-text docs are excluded: fingerprint(NULL) is NULL, and grouping
+    them would report every missing-text doc as a duplicate of the others
+    (the oracle mirrors the filter)."""
     return (
-        df.withColumn("_fp", fingerprint(F.col(text_col)))
+        df.where(F.col(text_col).isNotNull())
+        .withColumn("_fp", fingerprint(F.col(text_col)))
         .groupBy("_fp")
         .agg(
             F.min(id_col).alias("keep_id"),
@@ -357,10 +365,16 @@ def rowwise_minhash_signature(
     persisted LSH index in one append-mode plan.  The array lambdas are
     interpreted per element, so BATCH scans should keep using
     minhash_signatures (codegen explode, ~5x faster) — this is the
-    ingest-rate path, bounded by arrival rate, not corpus size."""
+    ingest-rate path, bounded by arrival rate, not corpus size.
+
+    NULL text yields a NULL signature (the batch groupBy form emits no row
+    for a NULL-text doc); probes must filter NULL signatures out before
+    banding — unguarded, the all-NULL signature passed the width check and
+    concat_ws collapsed every band key to "", clustering all NULL-text
+    docs as near-dups of each other."""
     sh = shingles(text_col, k)
     h = F.transform(sh, lambda s: portable_hash64(s))
-    return F.array(
+    sig = F.array(
         *[
             F.array_min(
                 F.transform(h, lambda x: (x * F.lit(a_i) + F.lit(b_i)) % F.lit(_P))
@@ -368,6 +382,7 @@ def rowwise_minhash_signature(
             for a_i, b_i in _minhash_params(num_perm)
         ]
     )
+    return F.when(text_col.isNotNull(), sig)
 
 
 def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
@@ -633,7 +648,7 @@ def winnow_fingerprints(
     hashed = (
         df.select(
             F.col(id_col).alias("id"),
-            F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " ")).alias("_t"),
+            normalize_ws(F.lower(F.col(text_col))).alias("_t"),
         )
         .select(
             "id",

@@ -152,13 +152,16 @@ def frame_sample_plan(media: DataFrame, every_s: float = 1.0) -> DataFrame:
     """Video frame-sampling *plan*: expands each video row into per-frame
     stub rows (timestamps) without decoding — the real frame extraction
     would run in the same mapInPandas kernel as extract_features."""
-    n_frames = F.greatest(
-        F.floor(F.coalesce(F.col("duration_s"), F.lit(0.0)) / F.lit(every_s)).cast("long"),
-        F.lit(0).cast("long"),
-    )
+    # frames at ts = 0, every_s, ... strictly BEFORE the duration: a seek
+    # to ts == duration lands past the last frame, and a NULL/0-duration
+    # video has no frames at all (sequence(0, n) was end-inclusive, so
+    # exact multiples emitted one frame too many and empty videos one).
+    n_frames = F.ceil(
+        F.coalesce(F.col("duration_s"), F.lit(0.0)) / F.lit(every_s)
+    ).cast("long")
     return (
-        media.where(F.col("kind") == "video")
-        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames)))
+        media.where((F.col("kind") == "video") & (F.coalesce("duration_s", F.lit(0.0)) > 0))
+        .withColumn("frame_idx", F.explode(F.sequence(F.lit(0), n_frames - 1)))
         .withColumn("frame_ts", F.col("frame_idx") * F.lit(every_s))
         .select("media_id", "frame_idx", "frame_ts")
     )
@@ -228,9 +231,16 @@ def phash_dedup(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> DataF
     the image-dedup pipeline shape: at scale the hash is written at ingest
     and this reduces to the group-by."""
     hashes = perceptual_hash(media, fake=fake, n_blocks=n_blocks)
-    return hashes.groupBy("phash").agg(
-        F.min("media_id").alias("keep_id"),
-        F.count(F.lit(1)).alias("dup_count"),
+    # NULL hashes (empty / too-short payloads) are unhashable, not
+    # duplicates of each other — grouping them would report distinct
+    # content as droppable copies.  They are excluded from the report.
+    return (
+        hashes.where(F.col("phash").isNotNull())
+        .groupBy("phash")
+        .agg(
+            F.min("media_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
     )
 
 

@@ -87,13 +87,32 @@ def _closure(
     return visited
 
 
+def _drop_unreached_seeds(
+    out: DataFrame, seeds: DataFrame, edges: DataFrame, from_col: str, to_col: str
+) -> DataFrame:
+    """include_self=False semantics: remove seeds NOT reachable via >= 1
+    hop — not every seed.  A seed that is a genuine descendant of another
+    seed (edges A->B with seeds {A, B}), or of itself through a cycle,
+    stays in the result; a blanket anti-join removed those too.  A seed is
+    hop-reachable iff some closure member (seeds included) has an edge to
+    it, which one semi-join over the edges table decides."""
+    dedup_seeds = seeds.select("id").dropDuplicates(["id"])
+    reached_targets = edges.join(
+        out.withColumnRenamed("id", from_col).select(from_col),
+        on=from_col,
+        how="left_semi",
+    ).select(F.col(to_col).alias("id"))
+    reachable_seeds = dedup_seeds.join(reached_targets, on="id", how="left_semi")
+    return out.join(dedup_seeds, on="id", how="left_anti").unionByName(reachable_seeds)
+
+
 def descendants(
     seeds: DataFrame, edges: DataFrame, max_depth: int | None = None, include_self: bool = False
 ) -> DataFrame:
     """All transitive children of ``seeds`` (record_socket.py:150-162)."""
     out = _closure(seeds, edges, "parent_id", "child_id", max_depth)
     if not include_self:
-        out = out.join(seeds.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
+        out = _drop_unreached_seeds(out, seeds, edges, "parent_id", "child_id")
     return out
 
 
@@ -103,7 +122,7 @@ def ancestors(
     """All transitive parents of ``seeds`` (record_socket.py:195-208)."""
     out = _closure(seeds, edges, "child_id", "parent_id", max_depth)
     if not include_self:
-        out = out.join(seeds.select("id").dropDuplicates(["id"]), on="id", how="left_anti")
+        out = _drop_unreached_seeds(out, seeds, edges, "child_id", "parent_id")
     return out
 
 
@@ -141,10 +160,13 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
 # ~32 MB shuffled — comfortably in-memory per task at any scale.
 _CC_ROWS_PER_PARTITION = 2_000_000
 
-# Edge-count ceiling for the exact driver-side union-find fast path: 2M
-# (long,long) rows ≈ 32 MB collected — far under driver memory, and the
-# O(E α(E)) solve beats even one distributed round.
-_CC_DRIVER_SOLVE_EDGES = 2_000_000
+# Edge-count ceiling for the exact driver-side union-find fast path.
+# Sizing is by PYTHON-side footprint, not raw bytes: the Arrow toPandas
+# transfer is ~16 B/edge, but the union-find parent dict boxes up to 2
+# ints per edge (~100 B/entry), so 500k edges ≈ ~100 MB peak on the
+# driver — comfortably safe where a 2M-edge Row-object collect measured
+# ~1 GB.  The O(E α(E)) solve still beats even one distributed round.
+_CC_DRIVER_SOLVE_EDGES = 500_000
 
 
 def _driver_union_find(spark, und: DataFrame) -> DataFrame:
@@ -162,8 +184,12 @@ def _driver_union_find(spark, und: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for row in und.collect():
-        a, b = row[0], row[1]
+    # Arrow-batched toPandas (not collect): 2 long columns transfer as
+    # ~16 B/edge instead of materializing per-row Row objects.
+    pdf = und.toPandas()
+    for a, b in zip(pdf["src"], pdf["dst"]):
+        a = None if a is None or a != a else int(a)
+        b = None if b is None or b != b else int(b)
         if a is None or b is None:
             continue
         parent.setdefault(a, a)

@@ -832,7 +832,7 @@ def q_dd_exact(spark, sf_dir):
 SQL_DD_EXACT = """
 SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fingerprint,
        MIN(doc_id) AS keep_id, COUNT(*) AS dup_count
-FROM documents GROUP BY 1
+FROM documents WHERE text IS NOT NULL GROUP BY 1
 """
 
 

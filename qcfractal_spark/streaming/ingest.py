@@ -242,10 +242,10 @@ def stream_incremental_dedup(
     with the corpus"."""
     from ..functions.dedup import _banded, rowwise_minhash_signature
 
-    sigs = docs.select(
+    sigs = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("id"),
         rowwise_minhash_signature(F.col(text_col)).alias("signature"),
-    )
+    )  # NULL text has no signature (matches the batch arm, which emits no row)
     probe = _banded(sigs, bands, rows_per_band).withColumnRenamed("id", "id_b")
     idx = index.select(
         F.col("id").alias("id_a"), "band_idx", "band_key"

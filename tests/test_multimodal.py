@@ -29,12 +29,20 @@ def test_real_decoder_reports_unavailable(spark):
 
 
 def test_frame_sample_plan(spark):
-    media = mm.make_fake_media(spark, n=12)
+    import math
+
+    media = mm.make_fake_media(spark, n=16)  # includes a 0-duration video
     frames = mm.frame_sample_plan(media, every_s=1.0)
     rows = frames.collect()
     assert all(r["frame_ts"] == r["frame_idx"] * 1.0 for r in rows)
-    videos = media.where("kind = 'video'").count()
-    assert frames.select("media_id").distinct().count() == videos
+    # per-video frame count = ceil(duration / every): strictly before the
+    # duration (no frame at ts == duration), none for 0-duration videos
+    from collections import Counter
+
+    per = Counter(r["media_id"] for r in rows)
+    for m in media.where("kind = 'video'").collect():
+        want = math.ceil(m["duration_s"]) if m["duration_s"] > 0 else 0
+        assert per.get(m["media_id"], 0) == want
 
 
 def test_resize_media_binary_roundtrip(spark):

@@ -378,3 +378,17 @@ def test_projection_star_means_defaults(spark):
     assert out2.columns == ["id", "name", "v"]
     out3 = apply_projection(df, include=["**"], default_cols=["id", "name"])
     assert out3.columns == ["id", "name", "v", "blob"]
+
+
+def test_descendants_keeps_seed_reachable_from_another_seed(spark):
+    """include_self=False must drop only UNREACHED seeds: a seed that is a
+    genuine descendant of another seed (or of itself via a cycle) stays."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10)], "parent_id long, child_id long"
+    )
+    seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    got = {r["id"] for r in graph.descendants(seeds, edges).collect()}
+    assert got == {2, 3}  # 2 is seed AND child of seed 1; 1 unreached
+    cyc = {r["id"] for r in graph.descendants(
+        spark.createDataFrame([(10,)], "id long"), edges).collect()}
+    assert cyc == {10, 11}  # 10 reaches itself through the cycle
