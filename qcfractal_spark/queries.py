@@ -338,7 +338,12 @@ rec AS (
   UNION
   SELECT e.child_id FROM rec r JOIN edges e ON e.parent_id = r.id
 )
-SELECT id FROM rec WHERE id NOT IN (SELECT id FROM seeds)
+-- descendants(include_self=False) = everything reachable via >= 1 hop:
+-- the hop-targets of closure members (seeds included), which keeps a seed
+-- that is itself a descendant of another seed — the operator's semantics
+-- (operators/graph.py:_drop_unreached_seeds), not a blanket seed removal.
+SELECT DISTINCT e.child_id AS id
+FROM rec r JOIN edges e ON e.parent_id = r.id
 """
 
 # --------------------------------------------------------------------------
@@ -590,8 +595,6 @@ def q_t3_hourly_rollup(spark, sf_dir):
     """T3: tumbling-window rollup (daily-stats upsert shape,
     serverinfo/socket.py:645-708) — batch form of the streaming aggregation."""
     events = _t(spark, sf_dir, "events")
-    from .streaming.ingest import windowed_event_counts
-
     win = F.window("ts", "1 hour")
     return events.groupBy(win.alias("w"), "event_type").agg(
         F.count(F.lit(1)).alias("count"), _dsum(F.col("value"), "value_sum")
@@ -786,7 +789,7 @@ _ES = "['el','la','los','de','y','es','que','un','una','por']"
 SQL_TX_STATS = f"""
 WITH base AS (
   SELECT doc_id, text,
-    CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT)
       AS n_bpe_tokens,
     {_sql_stop_hits(_EN)} AS en_h,
@@ -1767,7 +1770,15 @@ def q_a15_properties_df(spark, sf_dir):
         events.select(
             F.col("user_id").alias("entry"),
             F.col("event_type").alias("spec"),
-            F.from_json("props", "map<string,double>").alias("properties"),
+            # per-key extraction + cast, NOT from_json(map<string,double>):
+            # the typed-map parse nulls the ENTIRE map when any other key
+            # holds a non-double value, while the oracle's
+            # json_extract_string + CAST is per-key — mirror it exactly so
+            # a mixed-type props blob cannot diverge the two engines.
+            F.create_map(
+                F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
+                F.lit("zz"), F.get_json_object("props", "$.zz").cast("double"),
+            ).alias("properties"),
             "event_id",
         ),
         group_cols=["entry", "spec"],
@@ -3199,7 +3210,7 @@ def _pipe_oracle_sql() -> str:
     return f"""
 WITH RECURSIVE base AS (
   SELECT doc_id, source, text,
-    CAST(len(list_filter({_TOKS_SQL}, x -> x <> '')) AS BIGINT) AS n_tokens,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
     {_sql_stop_hits(_EN)} AS en_h,
     {_sql_stop_hits(_DE)} AS de_h,
     {_sql_stop_hits(_FR)} AS fr_h,
@@ -3498,8 +3509,6 @@ def q_a21_histogram(spark, sf_dir):
     binned = events.groupBy(
         "event_type", F.floor(F.col("value") / F.lit(50.0)).alias("bin")
     ).agg(F.count(F.lit(1)).alias("n"))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("event_type")
     return binned.select(
         "event_type",
