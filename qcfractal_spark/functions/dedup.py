@@ -403,15 +403,31 @@ def _banded(signatures: DataFrame, bands: int, rows_per_band: int) -> DataFrame:
     # This form costs one codegen comparison per row, validates every row,
     # and cannot be pruned away (its result IS the banded column source).
     expected = bands * rows_per_band
-    checked = F.when(F.size("signature") == expected, F.col("signature")).otherwise(
-        F.raise_error(
-            F.concat(
+    # Dedicated NULL branch first: rowwise_minhash_signature yields NULL for
+    # NULL text, and size(NULL) = -1 would otherwise produce a misleading
+    # "-1 width" failure when a caller forgets the documented NULL filter.
+    checked = (
+        F.when(
+            F.col("signature").isNull(),
+            F.raise_error(
                 F.lit(
-                    f"bands*rows_per_band = {expected} must equal the "
-                    "signature width "
-                ),
-                F.size("signature").cast("string"),
-                F.lit(" (pass matching num_perm to minhash_signatures)"),
+                    "NULL signature row reached banding: filter NULL-text "
+                    "rows before banding (rowwise_minhash_signature returns "
+                    "NULL for NULL text)"
+                )
+            ),
+        )
+        .when(F.size("signature") == expected, F.col("signature"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"bands*rows_per_band = {expected} must equal the "
+                        "signature width "
+                    ),
+                    F.size("signature").cast("string"),
+                    F.lit(" (pass matching num_perm to minhash_signatures)"),
+                )
             )
         )
     )

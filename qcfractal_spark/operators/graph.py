@@ -39,7 +39,15 @@ def _closure(
     # checkpoint blocks and returns the row count (eager=True would launch
     # a materialization job and then a second count job per level — two
     # driver round trips where one suffices; VERDICT r4 item 7).
-    visited = seeds.select(F.col("id")).dropDuplicates(["id"]).localCheckpoint(eager=False)
+    # ``depth`` is the BFS level a node was FIRST reached at (0 for seeds)
+    # — min-depth by construction, since visited nodes are never re-added.
+    # _drop_unreached_seeds needs it to honor max_depth (ADVICE r5).
+    visited = (
+        seeds.select(F.col("id"))
+        .dropDuplicates(["id"])
+        .withColumn("depth", F.lit(0))
+        .localCheckpoint(eager=False)
+    )
     frontier = visited
     visited_rows = visited.count()
     frontier_rows = visited_rows
@@ -58,6 +66,7 @@ def _closure(
                 probe.join(edges, probe["id"] == edges[from_col], "inner")
                 .select(F.col(to_col).alias("id"))
                 .dropDuplicates(["id"])
+                .withColumn("depth", F.lit(depth))
             )
             # Anti-join against visited; broadcast the visited side while its
             # (exactly tracked) row count is small so the step needs no extra
@@ -88,21 +97,34 @@ def _closure(
 
 
 def _drop_unreached_seeds(
-    out: DataFrame, seeds: DataFrame, edges: DataFrame, from_col: str, to_col: str
+    closure: DataFrame,
+    seeds: DataFrame,
+    edges: DataFrame,
+    from_col: str,
+    to_col: str,
+    max_depth: int | None,
 ) -> DataFrame:
     """include_self=False semantics: remove seeds NOT reachable via >= 1
-    hop — not every seed.  A seed that is a genuine descendant of another
-    seed (edges A->B with seeds {A, B}), or of itself through a cycle,
-    stays in the result; a blanket anti-join removed those too.  A seed is
-    hop-reachable iff some closure member (seeds included) has an edge to
-    it, which one semi-join over the edges table decides."""
+    hop *within the depth bound* — not every seed.  A seed that is a
+    genuine descendant of another seed (edges A->B with seeds {A, B}), or
+    of itself through a cycle, stays in the result; a blanket anti-join
+    removed those too.  A seed is hop-reachable within the bound iff some
+    closure member at min-depth < max_depth has an edge to it: that member
+    reaches the seed in depth+1 <= max_depth hops, and conversely any
+    qualifying path's final predecessor sits at min-depth <= max_depth-1.
+    Edges out of members at exactly max_depth land BEYOND the bound and
+    must not rescue a seed (ADVICE r5)."""
     dedup_seeds = seeds.select("id").dropDuplicates(["id"])
+    sources = (
+        closure if max_depth is None else closure.where(F.col("depth") < max_depth)
+    )
     reached_targets = edges.join(
-        out.withColumnRenamed("id", from_col).select(from_col),
+        sources.withColumnRenamed("id", from_col).select(from_col),
         on=from_col,
         how="left_semi",
     ).select(F.col(to_col).alias("id"))
     reachable_seeds = dedup_seeds.join(reached_targets, on="id", how="left_semi")
+    out = closure.select("id")
     return out.join(dedup_seeds, on="id", how="left_anti").unionByName(reachable_seeds)
 
 
@@ -110,20 +132,20 @@ def descendants(
     seeds: DataFrame, edges: DataFrame, max_depth: int | None = None, include_self: bool = False
 ) -> DataFrame:
     """All transitive children of ``seeds`` (record_socket.py:150-162)."""
-    out = _closure(seeds, edges, "parent_id", "child_id", max_depth)
-    if not include_self:
-        out = _drop_unreached_seeds(out, seeds, edges, "parent_id", "child_id")
-    return out
+    closure = _closure(seeds, edges, "parent_id", "child_id", max_depth)
+    if include_self:
+        return closure.select("id")
+    return _drop_unreached_seeds(closure, seeds, edges, "parent_id", "child_id", max_depth)
 
 
 def ancestors(
     seeds: DataFrame, edges: DataFrame, max_depth: int | None = None, include_self: bool = False
 ) -> DataFrame:
     """All transitive parents of ``seeds`` (record_socket.py:195-208)."""
-    out = _closure(seeds, edges, "child_id", "parent_id", max_depth)
-    if not include_self:
-        out = _drop_unreached_seeds(out, seeds, edges, "child_id", "parent_id")
-    return out
+    closure = _closure(seeds, edges, "child_id", "parent_id", max_depth)
+    if include_self:
+        return closure.select("id")
+    return _drop_unreached_seeds(closure, seeds, edges, "child_id", "parent_id", max_depth)
 
 
 def one_hop_children(seeds: DataFrame, edges: DataFrame) -> DataFrame:
@@ -153,7 +175,7 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
     undirected = edges.select(
         F.col("parent_id").alias("a"), F.col("child_id").alias("b")
     ).unionByName(edges.select(F.col("child_id").alias("a"), F.col("parent_id").alias("b")))
-    return _closure(seeds, undirected, "a", "b", None)
+    return _closure(seeds, undirected, "a", "b", None).select("id")
 
 
 # Target undirected-edge rows per CC partition: ~2M (long,long) pairs is

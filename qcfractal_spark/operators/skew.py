@@ -5,8 +5,10 @@ sort-merge joins at runtime; these helpers cover the cases AQE cannot:
 hot-key *aggregation* (one reducer owns one giant group) and deliberate
 co-partitioning to reuse one shuffle across stages.
 
-Salting is deterministic (hash-derived, no rand()) so repeated runs and
-oracle comparisons see identical results.
+Salting is rand()-free (row hash mixed with the input partition id — see
+``_row_salt``); results are salt-value-invariant by construction, so
+repeated runs and oracle comparisons see identical output even though the
+salt itself depends on input layout.
 """
 
 from __future__ import annotations
@@ -23,6 +25,24 @@ _MERGEABLE = {
     "min": (lambda c: F.min(c), F.min),
     "max": (lambda c: F.max(c), F.max),
 }
+
+
+def _row_salt(df: DataFrame, buckets: int):
+    """Salt in [0, buckets) that spreads even IDENTICAL duplicate rows.
+
+    A pure column hash sends byte-identical duplicates of a hot key to one
+    bucket (ADVICE r5), so duplicate-heavy hot keys stayed skewed; mixing
+    ``spark_partition_id`` spreads copies that arrive in different input
+    partitions (the common layout for a giant hot key).  Still rand()-free:
+    join/aggregate RESULTS are salt-value-invariant by construction (the dim
+    side carries every bucket; partial/merge aggregation is lossless), so
+    the partition-dependent salt never surfaces in output or oracle
+    comparisons.  Long arithmetic avoids int overflow under ANSI."""
+    return F.pmod(
+        F.hash(*[F.col(c) for c in df.columns]).cast("long")
+        + F.spark_partition_id().cast("long") * F.lit(2654435761),
+        F.lit(buckets),
+    ).cast("int")
 
 
 def salted_aggregate(
@@ -43,7 +63,7 @@ def salted_aggregate(
     reduction is effective; explicit salting matters when per-group state is
     large (collect_list-ish) or the hot group dominates a single reducer.
     """
-    salt = F.pmod(F.hash(*[F.col(c) for c in df.columns]), F.lit(buckets)).alias("_salt")
+    salt = _row_salt(df, buckets).alias("_salt")
     p1_aggs = []
     p2_aggs = []
     for out, (op, col) in aggs.items():
@@ -81,7 +101,7 @@ def salted_join(
             "replicated dim side would duplicate unmatched rows under a "
             "right/full outer join"
         )
-    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
+    salt = _row_salt(skewed, buckets)
     left = skewed.withColumn("_salt", salt)
     right = dim.withColumn("_salt", F.explode(F.array(*[F.lit(i) for i in range(buckets)])))
     return left.join(right, on=[on, "_salt"], how=how).drop("_salt")
@@ -129,7 +149,7 @@ def adaptive_salted_join(
             "right/full outer join"
         )
     flag = F.broadcast(hot.select(F.col(on)).dropDuplicates([on]).withColumn("_hot", F.lit(True)))
-    salt = F.pmod(F.hash(*[F.col(c) for c in skewed.columns]), F.lit(buckets))
+    salt = _row_salt(skewed, buckets)
     left = skewed.join(flag, on=on, how="left").withColumn(
         "_salt", F.when(F.col("_hot"), salt).otherwise(F.lit(0))
     ).drop("_hot")

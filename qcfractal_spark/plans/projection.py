@@ -36,9 +36,12 @@ def apply_projection(
             chosen = list(cols)  # '**' = everything (helpers.py wildcard)
         elif "*" in inc:
             # '*' = the default column set, PLUS any extra names listed
-            # alongside it (helpers.py:135-231 collapses '*' to defaults;
-            # previously '*' wrongly selected every column, dragging in
-            # payload columns the default set exists to defer)
+            # alongside it.  DELIBERATE superset of the reference:
+            # helpers.py:139 collapses include to defaults-only when '*'
+            # appears with no exclude, silently ignoring extras — here
+            # include=['*', 'payload_col'] means "defaults and also that
+            # payload column", so an explicit user request is never
+            # silently dropped.  Pure-'*' calls behave identically.
             extras = [c for c in cols if c in inc]
             chosen = list(dict.fromkeys([*default, *extras]))
         else:

@@ -1753,6 +1753,11 @@ REGISTRY["f12_hour_percentiles"] = (q_f12_hour_percentiles, SQL_F12)
 
 
 _A15_SPECS = ["click", "error", "purchase", "signup", "view"]
+# Fixture-bound probe keys for the properties pivot: the testdata props blob
+# carries only "k"; "zz" is deliberately absent from every row to exercise
+# the all-NaN column drop.  SQL_A15 mirrors the SURVIVING columns only (the
+# zz columns drop), so a fixture-schema change must update both in step.
+_A15_KEYS = ["k", "zz"]
 
 
 def q_a15_properties_df(spark, sf_dir):
@@ -1776,8 +1781,14 @@ def q_a15_properties_df(spark, sf_dir):
             # json_extract_string + CAST is per-key — mirror it exactly so
             # a mixed-type props blob cannot diverge the two engines.
             F.create_map(
-                F.lit("k"), F.get_json_object("props", "$.k").cast("double"),
-                F.lit("zz"), F.get_json_object("props", "$.zz").cast("double"),
+                *[
+                    part
+                    for key in _A15_KEYS
+                    for part in (
+                        F.lit(key),
+                        F.get_json_object("props", f"$.{key}").cast("double"),
+                    )
+                ]
             ).alias("properties"),
             "event_id",
         ),
@@ -1785,7 +1796,7 @@ def q_a15_properties_df(spark, sf_dir):
         order_cols=[F.col("event_id").asc()],
     )
     wide = pivot.properties_df(
-        uniq, "entry", "spec", "properties", keys=["k", "zz"], spec_values=_A15_SPECS
+        uniq, "entry", "spec", "properties", keys=_A15_KEYS, spec_values=_A15_SPECS
     )
     return pivot.drop_all_null_columns(wide, keep=["entry"])
 

@@ -52,6 +52,24 @@ def test_minhash_similar_docs_share_bands(spark):
     assert (1, 3) not in cands and (2, 3) not in cands
 
 
+def test_banding_guard_messages(spark):
+    """_banded's in-plan guard must name the actual problem: a NULL
+    signature row (caller forgot the documented NULL-text filter) gets the
+    dedicated NULL message, not a misleading size(NULL)=-1 width failure;
+    a real width mismatch still reports the width (ADVICE r5)."""
+    import pytest
+    from pyspark.errors import SparkRuntimeException
+
+    ok = spark.createDataFrame([(1, [1, 2, 3, 4])], "id long, signature array<bigint>")
+    assert dd._banded(ok, bands=2, rows_per_band=2).count() == 2
+    null_sig = spark.createDataFrame([(1, None)], "id long, signature array<bigint>")
+    with pytest.raises(SparkRuntimeException, match="NULL signature row"):
+        dd._banded(null_sig, bands=2, rows_per_band=2).collect()
+    short = spark.createDataFrame([(1, [1, 2, 3])], "id long, signature array<bigint>")
+    with pytest.raises(SparkRuntimeException, match="must equal the signature width"):
+        dd._banded(short, bands=2, rows_per_band=2).collect()
+
+
 def test_star_edges_same_components_as_clique_pairs(spark):
     # Star contraction (doc -> bucket-rep) must yield exactly the connected
     # components of the bucket-clique pair graph — near-dup chains included.

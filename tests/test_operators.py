@@ -392,3 +392,23 @@ def test_descendants_keeps_seed_reachable_from_another_seed(spark):
     cyc = {r["id"] for r in graph.descendants(
         spark.createDataFrame([(10,)], "id long"), edges).collect()}
     assert cyc == {10, 11}  # 10 reaches itself through the cycle
+
+
+def test_descendants_seed_rescue_respects_max_depth(spark):
+    """A seed whose only >=1-hop path arrives BEYOND max_depth must be
+    dropped under include_self=False: with edges A->X->B and seeds {A, B},
+    B is reachable only at depth 2, so max_depth=1 returns just {X}
+    (ADVICE r5: reached_targets must come from members at depth < bound)."""
+    edges = spark.createDataFrame([(1, 5), (5, 2)], "parent_id long, child_id long")
+    seeds = spark.createDataFrame([(1,), (2,)], "id long")
+    d1 = {r["id"] for r in graph.descendants(seeds, edges, max_depth=1).collect()}
+    assert d1 == {5}  # B (=2) is 2 hops away; must not be rescued
+    d2 = {r["id"] for r in graph.descendants(seeds, edges, max_depth=2).collect()}
+    assert d2 == {5, 2}  # at depth 2 the seed-to-seed path is in bound
+    # seed-to-seed 1-hop edge stays in bound at max_depth=1
+    e2 = spark.createDataFrame([(1, 2)], "parent_id long, child_id long")
+    assert {r["id"] for r in graph.descendants(seeds, e2, max_depth=1).collect()} == {2}
+    # ancestors mirror: B<-X<-A with seeds {A, B}, bound 1 keeps only X
+    a1 = {r["id"] for r in graph.ancestors(
+        spark.createDataFrame([(2,), (1,)], "id long"), edges, max_depth=1).collect()}
+    assert a1 == {5}
