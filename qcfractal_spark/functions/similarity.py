@@ -17,7 +17,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -482,11 +482,13 @@ def embed_neardup_pairs(
 
 
 def semdedup(
-    df: DataFrame,
+    df: DataFrame | None,
     threshold: float = 0.9,
     n_centroids: int = 16,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    assigned: DataFrame | None = None,
+    index_path: str | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
     2303.09540): k-means-cluster the embeddings, then within each cluster
@@ -503,9 +505,28 @@ def semdedup(
     retrieval share one index).  The threshold compares the 6-dp-rounded
     cosine so the decision is reproducible across engines.
 
+    Sharing the index (VERDICT r5 item 2): pass ``index_path`` (a
+    :func:`write_ivf_index` directory — its ``vectors`` table already
+    carries ``_cid``) or a precomputed ``assigned`` DataFrame
+    (``id_col``, ``vec_col``, ``_cid``), and the per-call k-means retrain
+    (2 extra full scans + driver centroid collects) disappears — the plan
+    is then pure JVM join/aggregate with no Python stages.  When the index
+    is supplied it IS the data: ``df`` is ignored (may be None).  The
+    inline quantizer remains the no-index fallback.
+
     Returns one row per vector: (id, cluster, keep 0/1).
     """
-    assigned, _ = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    if index_path is not None:
+        if assigned is not None:
+            raise ValueError("pass either assigned or index_path, not both")
+        spark = df.sparkSession if df is not None else SparkSession.getActiveSession()
+        if spark is None:
+            raise ValueError("index_path without df needs an active SparkSession")
+        assigned = spark.read.parquet(f"{index_path}/vectors")
+    if assigned is None:
+        assigned, _ = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
+    elif "_cid" not in assigned.columns:
+        raise ValueError("assigned must carry the quantizer's _cid column")
     sides = assigned.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"), "_cid"
     )

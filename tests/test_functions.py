@@ -237,6 +237,38 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
 
 
+def test_semdedup_consumes_persisted_index(spark, tmp_path):
+    """semdedup(index_path=...) must (a) return exactly the inline-quantizer
+    result and (b) run with ZERO Python stages — the k-means assign
+    pandas_udf is gone because the persisted ``_cid`` is reused (VERDICT r5
+    item 2: dedup and retrieval share one ingest-time index)."""
+    from qcfractal_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(emb, path, n_centroids=16)
+
+    indexed = sim.semdedup(None, threshold=0.25, index_path=path)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+    inline = sim.semdedup(emb, threshold=0.25, n_centroids=16)
+    key = lambda df: sorted((r["id"], r["cluster"], r["keep"]) for r in df.collect())
+    assert key(indexed) == key(inline)
+
+    # precomputed-assignment arm hits the same path
+    assigned = spark.read.parquet(f"{path}/vectors")
+    via_df = sim.semdedup(None, threshold=0.25, assigned=assigned)
+    assert key(via_df) == key(inline)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="not both"):
+        sim.semdedup(None, assigned=assigned, index_path=path)
+    with pytest.raises(ValueError, match="_cid"):
+        sim.semdedup(None, assigned=assigned.drop("_cid"))
+
+
 def test_ivf_persisted_index_prunes_partitions_and_matches(spark, tmp_path):
     """The persisted IVF index probes only its n_probe _cid= partitions
     (asserted on actual files read, not plan text) and returns exactly the
