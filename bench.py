@@ -80,6 +80,7 @@ BENCH_QUERIES = [
     "dd_jaccard_capped",    # rare-shingle candidates (df-capped pair join)
     "pipe_prepare",         # end-to-end prep: filter -> near-dup CC -> canon
     "dd_winnow",            # winnowing fingerprints + bucket-local pairs
+    "dd_substring",         # CDC arbitrary-offset duplicate substrings
     # s6_delete_survivors / s7_retention_survivors / dd_incremental are
     # gate-only: each times a scratch-table write (mutation/index IO) ahead
     # of the query plan; dd_minhash_lsh benches the banding/probe physics.

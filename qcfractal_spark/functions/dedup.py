@@ -719,6 +719,130 @@ def winnow_pairs(
     )
 
 
+def cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+) -> DataFrame:
+    """Content-defined chunking (CDC): variable-boundary substring chunks
+    whose cut points depend only on LOCAL content, never on document
+    offset.
+
+    The arbitrary-boundary complement to the fixed grids of
+    :func:`span_fingerprints` (20-token spans): Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", arXiv
+    2107.06499) remove duplicated substrings at ANY offset via a suffix
+    array; a fixed grid misses a duplicate whose copies sit at different
+    offsets modulo the grid.  CDC recovers the any-offset property the
+    Spark-honest way: position ``i`` is a cut point iff
+    ``hash(t[i:i+k]) % mod == 0``, so the cut points INSIDE a duplicated
+    passage are identical in every copy regardless of where the passage
+    starts, and every interior chunk is byte-identical across copies.
+    Expected chunk length is ``mod`` chars; a duplicated passage of length
+    L contributes ~L/mod interior chunks and is caught (no alignment
+    assumption) once it spans ≳ 2·mod + k chars.
+
+    Plan (100 TB story): the position explode + k-gram hash is the
+    winnowing kernel — pure codegen, O(total chars) generator rows,
+    scan-side; the anchor predicate keeps ~1/mod of positions BEFORE the
+    only wide operation (a groupBy on the doc id collecting the tiny
+    per-doc cut list, ~len/mod ints), so the shuffle carries anchor
+    positions, never text.  The text column crosses the cluster exactly
+    once, in the doc-keyed join that slices chunks; chunk slicing and
+    fingerprinting are map-side after that join.
+
+    Returns (id, start, length, chunk_fp) — one row per chunk of length ≥
+    ``min_len``; ``chunk_fp`` = md5 of the chunk text (collision-free for
+    dedup purposes, engine-portable).
+    """
+    t = df.select(
+        F.col(id_col).alias("id"),
+        normalize_ws(F.lower(F.col(text_col))).alias("_t"),
+    ).where(F.length("_t") >= F.lit(k))
+    # Candidate cut positions 2..n-k+1 (position 1 is always a cut — the
+    # doc start — appended below, so the sequence skips it).
+    anchors = (
+        t.select(
+            "id",
+            "_t",
+            F.explode(
+                # greatest(..., 2) keeps the sequence ascending for len==k
+                # docs (sequence(2,1) would DESCEND and emit position 1);
+                # the _i <= n-k+1 guard below drops the padding row.
+                F.sequence(F.lit(2), F.greatest(F.length("_t") - F.lit(k - 1), F.lit(2)))
+            ).alias("_i"),
+        )
+        .where(F.col("_i") <= F.length("_t") - F.lit(k - 1))
+        .where(
+            F.pmod(
+                portable_hash64(F.col("_t").substr(F.col("_i"), F.lit(k))), F.lit(mod)
+            )
+            == 0
+        )
+        .select("id", "_i")
+    )
+    cuts = anchors.groupBy("id").agg(F.sort_array(F.collect_list("_i")).alias("_c"))
+    with_cuts = t.join(cuts, on="id", how="left").select(
+        "id",
+        "_t",
+        F.concat(
+            F.array(F.lit(1)), F.coalesce(F.col("_c"), F.array().cast("array<int>"))
+        ).alias("_cuts"),
+    )
+    return (
+        with_cuts.select("id", "_t", "_cuts", F.posexplode("_cuts").alias("_j", "_s"))
+        .withColumn(
+            "_e",
+            F.when(
+                F.col("_j") + 2 <= F.size("_cuts"),
+                F.element_at("_cuts", F.col("_j") + 2),
+            ).otherwise(F.length("_t") + 1),
+        )
+        .select(
+            "id",
+            F.col("_s").alias("start"),
+            (F.col("_e") - F.col("_s")).alias("length"),
+            F.md5(
+                F.col("_t").substr(F.col("_s"), F.col("_e") - F.col("_s"))
+            ).alias("chunk_fp"),
+        )
+        .where(F.col("length") >= F.lit(min_len))
+    )
+
+
+def cdc_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+) -> DataFrame:
+    """Duplicated substrings at ARBITRARY offsets: every CDC chunk whose
+    fingerprint appears in ≥ 2 distinct documents — the removal-ready span
+    list of the Lee et al. 2022 exact-substring dedup family (see
+    :func:`cdc_chunks` for why the boundaries are offset-invariant).
+
+    One extra shuffle beyond chunking (partition by chunk fingerprint);
+    the per-fingerprint group is duplicate-occurrence-sized, processed by
+    a window (distinct-doc count via collect_set), never materialized as
+    pairs — the same skew bound as :func:`span_dedup_stats`.
+
+    Returns (id, start, length, chunk_fp, n_docs).
+    """
+    from pyspark.sql import Window
+
+    chunks = cdc_chunks(df, text_col, id_col, k, mod, min_len)
+    w = Window.partitionBy("chunk_fp")
+    return (
+        chunks.withColumn("n_docs", F.size(F.collect_set(F.col("id")).over(w)))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

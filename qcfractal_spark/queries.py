@@ -1874,6 +1874,79 @@ FROM sess GROUP BY user_id, sid
 REGISTRY["st_sessionize"] = (q_st_sessionize, SQL_ST_SESSION)
 
 
+def q_st_session_custom(spark, sf_dir):
+    """T-custom: the ``applyInPandasWithState`` session state machine
+    (streaming/state.py:stateful_session_stats) run END-TO-END as an
+    availableNow stream over the events table — the custom-state arm of
+    the sessionization surface under the driver hash gate (VERDICT r5
+    item 7; q_st_sessionize stamps only the built-in session_window arm).
+
+    A far-future sentinel event (user_id -1) pushes the watermark past
+    every real session's timeout, so the emitted session set is total and
+    deterministic; the stream runs twice against one checkpoint because
+    the watermark advances between runs, and EventTimeTimeout fires on the
+    second pass.  Scratch state is wiped per call (idempotent, like every
+    mutation query).  Output omits the float accumulator (pytest covers
+    it) — session boundaries + exact counts fully determine the state
+    machine's behavior and hash-match the same lag+cumsum oracle algebra
+    as st_sessionize."""
+    import os
+    import shutil
+
+    from .streaming.state import stateful_session_stats
+
+    base = _scratch_dir(sf_dir, "stc")
+    shutil.rmtree(base, ignore_errors=True)
+    land, sink, ckpt = (os.path.join(base, p) for p in ("land", "sink", "ckpt"))
+    os.makedirs(land, exist_ok=True)
+    schema = "ts timestamp, user_id long, value double"
+    ev = _t(spark, sf_dir, "events").select(
+        "ts", F.col("user_id").cast("long").alias("user_id"), F.col("value").cast("double").alias("value")
+    )
+    sentinel = spark.createDataFrame([(datetime(2030, 1, 1), -1, 0.0)], schema)
+    ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(land)
+    for _ in range(2):
+        q = (
+            stateful_session_stats(
+                spark.readStream.schema(schema).parquet(land), gap_seconds=1800
+            )
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        spark.read.parquet(sink)
+        .where(F.col("user_id") >= 0)
+        .select("user_id", "session_start", "last_event", "n_events")
+    )
+
+
+SQL_ST_SESSION_CUSTOM = """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), sess AS (
+  SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) AS last_event,
+       COUNT(*) AS n_events
+FROM sess GROUP BY user_id, sid
+"""
+
+REGISTRY["st_session_custom"] = (q_st_session_custom, SQL_ST_SESSION_CUSTOM)
+
+
 def q_t2_enrichment(spark, sf_dir):
     """T2: incremental high-watermark enrichment
     (serverinfo/socket.py:212-285) as a verifiable batch: rows newer than
@@ -2101,6 +2174,63 @@ HAVING COUNT(*) >= 2
 """
 
 REGISTRY["dd_winnow"] = (q_dd_winnow, SQL_DD_WINNOW)
+
+
+def q_dd_substring(spark, sf_dir):
+    """DD+ (beyond-reference): arbitrary-offset duplicated-substring spans
+    via content-defined chunking (functions/dedup.py:cdc_duplicate_spans)
+    — the Spark-honest arm of the Lee et al. 2022 exact-substring dedup
+    family (VERDICT r5 item 5).  Rolling-hash cut points (16-gram hash %
+    64 == 0) are offset-invariant, so a passage duplicated at DIFFERENT
+    offsets still yields byte-identical interior chunks; the fixed
+    20-token grid of dd_span_dedup misses exactly that case (fixture:
+    tests/test_functions.py::test_cdc_catches_offset_straddling_duplicate).
+    Output = removal-ready spans: every chunk (≥ 24 chars) whose md5
+    appears in ≥ 2 distinct docs, with its per-doc offset."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.cdc_duplicate_spans(docs, k=16, mod=64, min_len=24).select(
+        F.col("id").alias("doc_id"),
+        F.col("start").alias("chunk_start"),
+        F.col("length").alias("chunk_len"),
+        "chunk_fp",
+        "n_docs",
+    )
+
+
+SQL_DD_SUBSTRING = r"""
+WITH docs AS (
+  SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+  FROM documents
+),
+eligible AS (SELECT id, t, length(t) AS n FROM docs WHERE length(t) >= 16),
+anchors AS (
+  SELECT id, i
+  FROM eligible, unnest(generate_series(2, greatest(n - 15, 2))) u(i)
+  WHERE i <= n - 15
+    AND ('0x' || substr(md5(substring(t, i, 16)), 1, 8))::BIGINT % 64 = 0
+  UNION ALL
+  SELECT id, 1 FROM eligible
+),
+cuts AS (
+  SELECT id, i AS s, LEAD(i) OVER (PARTITION BY id ORDER BY i) AS nxt
+  FROM anchors
+),
+chunks AS (
+  SELECT c.id, c.s AS chunk_start,
+         COALESCE(c.nxt, e.n + 1) - c.s AS chunk_len,
+         md5(substring(e.t, c.s, COALESCE(c.nxt, e.n + 1) - c.s)) AS chunk_fp
+  FROM cuts c JOIN eligible e ON e.id = c.id
+),
+kept AS (SELECT * FROM chunks WHERE chunk_len >= 24),
+dup AS (
+  SELECT chunk_fp, COUNT(DISTINCT id) AS n_docs
+  FROM kept GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2
+)
+SELECT k.id AS doc_id, k.chunk_start, k.chunk_len, k.chunk_fp, d.n_docs
+FROM kept k JOIN dup d USING (chunk_fp)
+"""
+
+REGISTRY["dd_substring"] = (q_dd_substring, SQL_DD_SUBSTRING)
 
 
 def q_dd_embed(spark, sf_dir):

@@ -237,6 +237,52 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
 
 
+def test_cdc_catches_offset_straddling_duplicate(spark):
+    """VERDICT r5 item 5 fixture: a ~300-char passage duplicated at
+    DIFFERENT offsets (so its copies straddle the fixed 20-token grid)
+    must be caught by the CDC substring operator and missed by
+    span_dedup_stats — the offset-invariance the suffix-array family has
+    and a fixed grid lacks."""
+    passage = (
+        "the training corpus contains a verbatim duplicated passage that is "
+        "long enough to span several content defined chunks so the rolling "
+        "hash anchors inside it line up in every copy regardless of where "
+        "the passage begins in the surrounding document and that is exactly "
+        "the property a fixed grid lacks"
+    )
+    assert len(passage) >= 290
+    df = spark.createDataFrame(
+        [
+            (1, "unique preamble alpha beta gamma " + passage + " trailing words one"),
+            # different (non-grid-multiple) offset for the second copy
+            (2, "a different and much longer introduction with extra words "
+                "shifting offsets " + passage + " closing remark"),
+            (3, "completely unrelated content about spark catalyst optimizer "
+                "plans and shuffles"),
+        ],
+        "doc_id long, text string",
+    )
+    dup = dd.cdc_duplicate_spans(df).collect()
+    by_doc = {}
+    for r in dup:
+        by_doc.setdefault(r["id"], set()).add((r["chunk_fp"], r["length"]))
+    # both copies carry the SAME interior chunks (fp+len), at different starts
+    assert set(by_doc) == {1, 2}
+    assert by_doc[1] == by_doc[2] and len(by_doc[1]) >= 2
+    starts = {r["id"]: sorted(x["start"] for x in dup if x["id"] == r["id"]) for r in dup}
+    assert starts[1] != starts[2]
+    # the fixed-grid span dedup sees ZERO duplicated spans on the same docs
+    st = {r["doc_id"]: r["n_dup_spans"] for r in dd.span_dedup_stats(df).collect()}
+    assert st == {1: 0, 2: 0, 3: 0}
+    # chunk boundaries are content-defined: chunks tile [1, len+1) per doc
+    chunks = dd.cdc_chunks(df, min_len=1).collect()
+    for doc in (1, 2, 3):
+        spans = sorted((r["start"], r["length"]) for r in chunks if r["id"] == doc)
+        assert spans[0][0] == 1
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 == s2
+
+
 def test_semdedup_consumes_persisted_index(spark, tmp_path):
     """semdedup(index_path=...) must (a) return exactly the inline-quantizer
     result and (b) run with ZERO Python stages — the k-means assign
