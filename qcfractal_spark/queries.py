@@ -4149,44 +4149,40 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #   dd_embed          LSH-bucket cosine pairs ⊂ dd_semdedup (r2-r4)
 #   sim_topk          brute-force baseline ⊂ sim_ivf/sim_pq which verify
 #                     against it in tests (r1-r4)
+# Round-6 rotation (VERDICT r5 item 1) — staleness-ordered, computed from
+# the recorded CORRECTNESS_r0N.json artifacts: step IN every query whose
+# most recent driver-green row predates the round-4 timestamp contract and
+# the round-5 hardening passes — the 21 r01-latest + 7 r03-latest the
+# verdict lists — plus the full 20-query r04-latest cohort and the two
+# round-6 newcomers (dd_substring CDC substring dedup, st_session_custom
+# applyInPandasWithState arm).  That is exactly 50; the 48 r05-stamped
+# queries step OUT (every one freshly green last round), and the two
+# rows-only sketches (a19/a22) rest on their r05 rows + error-bound pytest
+# gates.  After this round every registry query's latest driver stamp is
+# r05+, closing the "cumulatively green" vs "currently green" gap.
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
-    # §2 core scans / filters / keyed access
-    "p2_p3_filter_page", "s2_bulk_get",
-    # mutation surface under the hash gate (S3/S6/S7/S8)
-    "s3_insert_dedup_table", "s6_delete_survivors",
-    "s7_retention_survivors", "s8_snapshot_roundtrip",
-    # joins + graph
-    "j5_one_hop", "j6_membership", "j9_anti_join",
-    "j8_closure", "j13_asof", "j14_interval",
-    "j15_salted_join", "j16_adaptive_salted",
-    # aggregates / pivots
-    "a18_cube_counts", "a7_json_rollup",
-    "a8_status_gate", "a9_argmin", "f12_hour_percentiles",
-    "a15_properties_df",
-    "a19_approx_distinct", "a20_salted_agg", "a21_histogram",
-    "a22_approx_quantiles",
-    # windows / temporal
-    "st_sessionize", "t2_enrichment",
-    "t8_funnel", "t9_cohort_retention", "t10_incremental_rollup",
-    # UDF / formula
-    "d1_value_call", "mol_identifiers",
-    # text-pipeline operators
-    "tx_bm25", "dd_span_dedup",
-    "pk_pack",
-    "tx_dsir", "tx_quality_clf", "pk_domain_cap",
-    # dedup suite
-    "dd_minhash_lsh", "dd_simhash_pairs",
-    "dd_cluster",
-    "dd_common_ngrams", "dd_lev_verify",
-    "dd_jaccard_capped", "dd_incremental",
-    # pipeline flagship
-    "pipe_prepare",
-    # similarity suite
-    "sim_pq_topk", "sim_ivf_topk", "dd_semdedup",
-    # multimodal
-    "mm_features", "mm_phash_dedup",
+    # --- r01-latest (21) ---
+    "a11_sample_keys", "a12_weighted_sum", "a16_dedup_batch",
+    "a2_status_counts", "a4_union_counts", "dd_simhash",
+    "ds_missing_cells", "f9_content_hash", "h1_pricing_summary",
+    "h3_top_revenue", "h6_forecast_revenue", "j10_count_join",
+    "j12_element_at", "p4_tuple_in", "p5_json_extract",
+    "p7_array_overlap", "p8_int_or_name", "sim_cosine_pairs",
+    "sim_lsh_topk", "u3_distinct", "u5_stratified_sample",
+    # --- r03-latest (7) ---
+    "a10_map_agg", "a5_two_col_counts", "dd_containment",
+    "dd_winnow", "sim_knn_join", "tx_repetition", "u6_mixture_sample",
+    # --- r04-latest (20) ---
+    "a13_manybody_levels", "a14_pivot", "a17_group_centroid",
+    "a6_access_summary", "dd_contamination", "dd_embed", "dd_exact",
+    "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
+    "s1_scan_project", "s4_upsert_classify", "sim_topk",
+    "t3_hourly_rollup", "tx_pii", "tx_text_stats", "tx_tfidf",
+    "tx_unigram_lm", "w1_window_lag",
+    # --- round-6 newcomers (2) ---
+    "dd_substring", "st_session_custom",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
