@@ -59,3 +59,110 @@ def test_resize_media_binary_roundtrip(spark):
     degraded = resize_media(media, width=2, height=2, fake=False).collect()
     assert all(r["resize_ok"] == "decoder_unavailable" for r in degraded)
     assert all(r["content"] is None for r in degraded)
+
+
+# ---------------------------------------------------------------------------
+# Real decoders (codec-free formats): hand-built fixtures, exact expectations
+# ---------------------------------------------------------------------------
+
+def _bmp_2x2() -> bytes:
+    """24-bit bottom-up BMP, 2x2: top row = red, green; bottom = blue, white."""
+    import struct
+
+    # pixel rows are bottom-up and BGR, padded to 4 bytes (2*3=6 -> pad 2)
+    bottom = bytes([255, 0, 0,  255, 255, 255]) + b"\x00\x00"  # blue, white
+    top = bytes([0, 0, 255,  0, 255, 0]) + b"\x00\x00"         # red, green
+    pixels = bottom + top
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixels), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0, len(pixels), 0, 0, 0, 0)
+    return header + info + pixels
+
+
+def _ppm_2x1() -> bytes:
+    # comment in header exercises the '#' skip; pixels: black, white
+    return b"P6\n# tiny\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 255])
+
+
+def _wav_mono() -> bytes:
+    """16-bit PCM mono, 4 samples: 0, max, 0, min."""
+    import struct
+
+    data = struct.pack("<4h", 0, 32767, 0, -32768)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    return (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+
+
+def test_real_image_decode_exact():
+    px = mm._decode_image_pixels(_bmp_2x2())
+    assert px.shape == (2, 2, 3)
+    assert px[0, 0].tolist() == [255, 0, 0]    # top-left red
+    assert px[0, 1].tolist() == [0, 255, 0]    # top-right green
+    assert px[1, 0].tolist() == [0, 0, 255]    # bottom-left blue
+    assert px[1, 1].tolist() == [255, 255, 255]
+    feats = mm._decode_real(_bmp_2x2(), "image")
+    assert feats[:2] == [2.0, 2.0]
+    assert feats[2:5] == [127.5, 127.5, 127.5]  # channel means over the 4 px
+    px2 = mm._decode_image_pixels(_ppm_2x1())
+    assert px2.shape == (1, 2, 3)
+    assert px2[0, 0].tolist() == [0, 0, 0] and px2[0, 1].tolist() == [255] * 3
+
+
+def test_real_wav_decode_exact():
+    f = mm._decode_real(_wav_mono(), "audio")
+    n, ch, rate, mean, rms, lo, hi, zc = f
+    assert (n, ch, rate) == (4.0, 1.0, 8000.0)
+    assert hi == 32767 / 32768.0 and lo == -1.0
+    assert abs(mean - (32767 / 32768.0 - 1.0) / 4.0) < 1e-12
+
+
+def test_real_kernels_through_spark(spark):
+    """fake=False is REAL end-to-end for codec-free payloads and degrades
+    per-row (not per-job) for payloads that need a codec."""
+    rows = [
+        (1, "image", _bmp_2x2(), "image/bmp", 2, 2, None),
+        (2, "image", _ppm_2x1(), "image/x-portable-pixmap", 2, 1, None),
+        (3, "audio", _wav_mono(), "audio/wav", None, None, 0.0005),
+        (4, "image", b"\x89PNG\r\n\x1a\nfake", "image/png", 8, 8, None),
+    ]
+    media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
+    assert out[1]["decode_ok"] == out[2]["decode_ok"] == out[3]["decode_ok"] == "ok"
+    assert out[4]["decode_ok"] == "decoder_unavailable" and out[4]["feature"] is None
+    assert out[1]["feature"][:2] == [2.0, 2.0]
+    assert out[3]["feature"][2] == 8000.0
+
+    # real resize: BMP 2x2 -> 4x4 P6, nearest-neighbor => quadrant colors
+    rs = {r["media_id"]: r for r in mm.resize_media(media, 4, 4, fake=False).collect()}
+    assert rs[1]["resize_ok"] == "ok"
+    px = mm._decode_image_pixels(bytes(rs[1]["content"]))
+    assert px.shape == (4, 4, 3)
+    assert px[0, 0].tolist() == [255, 0, 0] and px[3, 3].tolist() == [255, 255, 255]
+    assert rs[4]["resize_ok"] == "decoder_unavailable"
+
+    # real dHash: identical images hash equal, gradient image differs, and
+    # phash_dedup groups the real duplicates
+    # DECREASING left-to-right so dHash bits are 1 (an increasing gradient
+    # and the quadrant image both hash to 0 — all comparisons false)
+    grad = b"P6\n4 3\n255\n" + bytes(
+        v
+        for row in range(3)
+        for col in range(4)
+        for v in (180 - col * 60, 180 - col * 60, 180 - col * 60)
+    )
+    media2 = spark.createDataFrame(
+        [
+            (10, "image", _bmp_2x2(), "image/bmp", 2, 2, None),
+            (11, "image", _bmp_2x2(), "image/bmp", 2, 2, None),
+            (12, "image", grad, "image/x-portable-pixmap", 4, 3, None),
+            (13, "image", b"not an image", "image/jpeg", None, None, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    ph = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media2, fake=False).collect()}
+    assert ph[10] == ph[11] and ph[10] is not None
+    assert ph[12] is not None and ph[12] != ph[10]
+    assert ph[13] is None
+    groups = {r["phash"]: r for r in mm.phash_dedup(media2, fake=False).collect()}
+    assert groups[ph[10]]["dup_count"] == 2 and groups[ph[10]]["keep_id"] == 10
