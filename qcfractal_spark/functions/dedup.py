@@ -757,6 +757,11 @@ def cdc_chunks(
     Returns (id, start, length, chunk_fp) — one row per chunk of length ≥
     ``min_len``; ``chunk_fp`` = md5 of the chunk text (collision-free for
     dedup purposes, engine-portable).
+
+    Memory bound: the per-doc cut list is ~len/mod ints materialized in one
+    aggregation row — ~1.3 MB for a 10 MB doc at mod=64, comfortable for
+    any web/LLM corpus (docs are pre-chunked upstream); for pathological
+    GB-scale single documents raise ``mod`` or split the doc first.
     """
     t = df.select(
         F.col(id_col).alias("id"),

@@ -72,6 +72,27 @@ class DecoderUnavailable(NotImplementedError):
 # ---------------------------------------------------------------------------
 
 
+def _parse_errors_to_unavailable(fn):
+    """A malformed payload must degrade PER-ROW (decode_ok column), never
+    crash the whole job: the kernels catch only DecoderUnavailable, so
+    struct/index/value errors from truncated or lying headers are
+    re-raised as it."""
+    import functools
+    import struct
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kwargs):
+        try:
+            return fn(*args, **kwargs)
+        except DecoderUnavailable:
+            raise
+        except (ValueError, IndexError, ZeroDivisionError, struct.error) as exc:
+            raise DecoderUnavailable(f"malformed payload: {exc}") from exc
+
+    return wrapped
+
+
+@_parse_errors_to_unavailable
 def _decode_image_pixels(content: bytes):
     """(height, width, 3) uint8 array from uncompressed BMP or binary
     PPM/PGM bytes; raises DecoderUnavailable for anything else."""
@@ -133,6 +154,7 @@ def _decode_image_pixels(content: bytes):
     )
 
 
+@_parse_errors_to_unavailable
 def _decode_wav_samples(content: bytes):
     """(n_samples, channels) float array in [-1, 1] + sample rate from a
     PCM (8/16-bit) WAV; raises DecoderUnavailable otherwise."""

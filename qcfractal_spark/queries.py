@@ -1918,8 +1918,14 @@ def q_st_session_custom(spark, sf_dir):
             .start()
         )
         q.awaitTermination()
+    # explicit schema: with zero emitted rows (empty source) the sink has
+    # only a _spark_metadata dir and schema inference would fail
+    out_schema = (
+        "user_id long, session_start timestamp, last_event timestamp, "
+        "n_events long, total_value double"
+    )
     return (
-        spark.read.parquet(sink)
+        spark.read.schema(out_schema).parquet(sink)
         .where(F.col("user_id") >= 0)
         .select("user_id", "session_start", "last_event", "n_events")
     )
@@ -3031,20 +3037,30 @@ def q_dd_semdedup(spark, sf_dir):
     the IVF index is written once per sf_dir (the ingest-time build the
     docstring of semdedup pins) and every subsequent call probes it — the
     steady-state plan has zero k-means stages and zero Python stages.  The
-    cached index is validated by row count before reuse (a footer-stats
-    count) so a regenerated testdata dir rebuilds instead of diverging."""
+    cached index records a (size, mtime) marker of the SOURCE parquet at
+    build time and rebuilds on any mismatch, so a regenerated testdata dir
+    — even one with identical row counts — can never serve stale
+    assignments."""
     emb = _t(spark, sf_dir, "embeddings")
     path = _scratch_dir(sf_dir, "ivf_index")
     import os as _os
 
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    st = _os.stat(src)
+    marker = f"{st.st_size}:{st.st_mtime_ns}"
+    marker_path = _os.path.join(path, "source_marker")
     valid = _os.path.exists(_os.path.join(path, "vectors", "_SUCCESS"))
     if valid:
         try:
-            valid = spark.read.parquet(f"{path}/vectors").count() == emb.count()
-        except Exception:  # noqa: BLE001 — unreadable cache = rebuild
+            with open(marker_path) as fh:
+                valid = fh.read() == marker
+        except OSError:
             valid = False
     if not valid:
         sim.write_ivf_index(emb, path, n_centroids=16)
+        _os.makedirs(path, exist_ok=True)
+        with open(marker_path, "w") as fh:
+            fh.write(marker)
     return sim.semdedup(None, threshold=0.25, index_path=path)
 
 

@@ -125,11 +125,19 @@ def test_real_kernels_through_spark(spark):
         (2, "image", _ppm_2x1(), "image/x-portable-pixmap", 2, 1, None),
         (3, "audio", _wav_mono(), "audio/wav", None, None, 0.0005),
         (4, "image", b"\x89PNG\r\n\x1a\nfake", "image/png", 8, 8, None),
+        # MALFORMED payloads (lying/truncated headers) must degrade per-row,
+        # never crash the job: a BMP header claiming pixels it doesn't have,
+        # a PPM whose comment never terminates, a WAV with channels=0
+        (5, "image", _bmp_2x2()[:54], "image/bmp", 2, 2, None),
+        (6, "image", b"P6\n# endless comment", "image/x-portable-pixmap", 1, 1, None),
+        (7, "audio", _wav_mono().replace(b"\x01\x00\x01\x00", b"\x01\x00\x00\x00", 1),
+         "audio/wav", None, None, 0.0005),
     ]
     media = spark.createDataFrame(rows, mm.MEDIA_SCHEMA)
     out = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
     assert out[1]["decode_ok"] == out[2]["decode_ok"] == out[3]["decode_ok"] == "ok"
-    assert out[4]["decode_ok"] == "decoder_unavailable" and out[4]["feature"] is None
+    for bad in (4, 5, 6, 7):
+        assert out[bad]["decode_ok"] == "decoder_unavailable" and out[bad]["feature"] is None
     assert out[1]["feature"][:2] == [2.0, 2.0]
     assert out[3]["feature"][2] == 8000.0
 
