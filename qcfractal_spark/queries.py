@@ -943,10 +943,18 @@ def q_sim_ivf_topk(spark, sf_dir):
     """IVF-bucketed approximate top-10 (the second scale path beside LSH:
     deterministic k-means coarse quantizer, probe the 4 nearest of 16
     inverted lists; SQL_SIM_IVF replays the full k-means build in DuckDB
-    for an exact-hash check)."""
+    for an exact-hash check).
+
+    Probes the PERSISTED per-dataset index (shared with q_dd_semdedup via
+    _ivf_index_dir) through ivf_topk_indexed — the deployment shape: the
+    scan partition-prunes to the 4 probed ``_cid=`` directories and the
+    quantizer never re-runs at query time.  Identical results to the
+    in-query build (asserted in tests/test_functions.py)."""
     emb = _t(spark, sf_dir, "embeddings")
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    return sim.ivf_topk(emb, qvec, k=10)
+    return sim.ivf_topk_indexed(
+        spark, _ivf_index_dir(spark, sf_dir), qvec, k=10, n_probe=4
+    )
 
 
 def q_sim_knn_join(spark, sf_dir):
@@ -3037,14 +3045,22 @@ def q_dd_semdedup(spark, sf_dir):
     the IVF index is written once per sf_dir (the ingest-time build the
     docstring of semdedup pins) and every subsequent call probes it — the
     steady-state plan has zero k-means stages and zero Python stages.  The
-    cached index records a (size, mtime) marker of the SOURCE parquet at
-    build time and rebuilds on any mismatch, so a regenerated testdata dir
-    — even one with identical row counts — can never serve stale
-    assignments."""
-    emb = _t(spark, sf_dir, "embeddings")
-    path = _scratch_dir(sf_dir, "ivf_index")
+    index is the same one q_sim_ivf_topk probes — dedup and retrieval
+    genuinely share it (see _ivf_index_dir for the staleness contract)."""
+    return sim.semdedup(None, threshold=0.25, index_path=_ivf_index_dir(spark, sf_dir))
+
+
+def _ivf_index_dir(spark, sf_dir: str) -> str:
+    """The per-sf_dir persisted IVF index (write_ivf_index layout),
+    built on first use — the ingest-time artifact that BOTH the ANN probe
+    (q_sim_ivf_topk) and semantic dedup (q_dd_semdedup) consume, so the
+    quantizer runs once per dataset, not once per query.  A (size, mtime)
+    marker of the source parquet is recorded at build time and any
+    mismatch rebuilds, so a regenerated testdata dir — even one with
+    identical row counts — can never serve stale assignments."""
     import os as _os
 
+    path = _scratch_dir(sf_dir, "ivf_index")
     src = _os.path.join(sf_dir, "embeddings.parquet")
     st = _os.stat(src)
     marker = f"{st.st_size}:{st.st_mtime_ns}"
@@ -3057,11 +3073,11 @@ def q_dd_semdedup(spark, sf_dir):
         except OSError:
             valid = False
     if not valid:
-        sim.write_ivf_index(emb, path, n_centroids=16)
+        sim.write_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_centroids=16)
         _os.makedirs(path, exist_ok=True)
         with open(marker_path, "w") as fh:
             fh.write(marker)
-    return sim.semdedup(None, threshold=0.25, index_path=path)
+    return path
 
 
 def _semdedup_oracle_sql(threshold: float = 0.25, n_centroids: int = 16,
