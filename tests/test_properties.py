@@ -492,3 +492,40 @@ def test_winnowing_shared_substring_guarantee(spark, a, b, shared):
     f1 = {r["fp"] for r in fps.where(F.col("id") == 1).collect()}
     f2 = {r["fp"] for r in fps.where(F.col("id") == 2).collect()}
     assert f1 & f2, "shared substring produced no common fingerprint"
+
+
+@given(
+    t=st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=200),
+    p=st.text(alphabet="abcdefghijklmnop", min_size=1, max_size=60),
+)
+@settings(**SETTINGS)
+def test_cdc_cut_points_are_offset_invariant(spark, t, p):
+    """The CDC guarantee behind dd_substring: cut points depend only on
+    local content, so every content-defined cut of ``t`` reappears in
+    ``p + ' ' + t`` shifted by exactly len(p)+1 — for ANY prefix.  (The
+    whitespace-free alphabet keeps normalization the identity, so the
+    shift is exact.)  Also asserts the tiling invariant: chunks partition
+    [1, len+1) with no gaps or overlaps in both docs."""
+    from qcfractal_spark.functions.dedup import cdc_chunks
+
+    docs = spark.createDataFrame(
+        [(1, t), (2, p + " " + t)], "doc_id long, text string"
+    )
+    rows = cdc_chunks(docs, k=16, mod=8, min_len=1).collect()
+    starts = {doc: sorted(r["start"] for r in rows if r["id"] == doc) for doc in (1, 2)}
+    lens = {1: len(t), 2: len(p) + 1 + len(t)}
+    for doc in (1, 2):
+        if lens[doc] < 16:
+            assert starts.get(doc, []) == ([] if doc not in starts else starts[doc])
+            continue
+        spans = sorted((r["start"], r["length"]) for r in rows if r["id"] == doc)
+        assert spans and spans[0][0] == 1
+        for (s1, l1), (s2, _) in zip(spans, spans[1:]):
+            assert s1 + l1 == s2
+        assert spans[-1][0] + spans[-1][1] == lens[doc] + 1
+    if len(t) >= 16:
+        offset = len(p) + 1
+        shifted = {s + offset for s in starts[1] if s >= 2}
+        assert shifted <= set(starts[2]), (
+            "a content-defined cut point moved when the passage shifted"
+        )
