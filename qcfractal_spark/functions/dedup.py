@@ -848,6 +848,69 @@ def cdc_duplicate_spans(
     )
 
 
+def write_cdc_chunk_index(
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+) -> None:
+    """Persist the corpus chunk table — (id, start, length, chunk_fp) from
+    :func:`cdc_chunks` — the CDC analog of :func:`write_lsh_band_index`:
+    the corpus is chunked ONCE at ingest and every subsequent batch probes
+    fingerprints, never corpus text.  Stored flat (the probe join
+    broadcasts the batch side, so partition pruning buys nothing here);
+    column pruning reduces the probe scan to the ``chunk_fp`` column."""
+    cdc_chunks(df, text_col, id_col, k, mod, min_len).write.mode("overwrite").parquet(path)
+
+
+def incremental_cdc_duplicates(
+    spark,
+    index_path: str,
+    new_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+    broadcast_probe: bool = True,
+) -> DataFrame:
+    """Duplicated-substring spans of an ingest batch: every CDC chunk of
+    ``new_docs`` whose content already exists in the indexed corpus or in
+    a lower-id batch document — the incremental arm of
+    :func:`cdc_duplicate_spans` (same any-offset guarantee; the corpus is
+    never re-chunked, only its fingerprint column is read).
+
+    With ``broadcast_probe`` (default) the batch chunk table is broadcast
+    — the ingest shape (daily increment ≪ corpus), leaving the index scan
+    shuffle-free; pass False for a backfill-sized batch.  Returns
+    (id, start, length, chunk_fp) rows for the batch docs only.
+    """
+    probe = cdc_chunks(new_docs, text_col, id_col, k, mod, min_len).localCheckpoint(
+        eager=False
+    )
+    index_fp = spark.read.parquet(index_path).select("chunk_fp")
+    probe_b = F.broadcast(probe) if broadcast_probe else probe
+    vs_corpus = (
+        index_fp.join(probe_b, on="chunk_fp")
+        .select("id", "start", "length", "chunk_fp")
+    )
+    a, b = probe.alias("a"), probe.alias("b")
+    within = (
+        a.join(b, on="chunk_fp")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("b.id").alias("id"),
+            F.col("b.start").alias("start"),
+            F.col("b.length").alias("length"),
+            "chunk_fp",
+        )
+    )
+    return vs_corpus.unionByName(within).dropDuplicates(["id", "start"])
+
+
 def simhash_candidate_pairs(
     signatures: DataFrame,
     bands: int = 4,

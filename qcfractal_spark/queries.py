@@ -2211,7 +2211,10 @@ def q_dd_substring(spark, sf_dir):
     )
 
 
-SQL_DD_SUBSTRING = r"""
+# Shared DuckDB replay of the CDC chunking (k=16, mod=64, min_len=24) over
+# the documents table — `kept` = every chunk row; both the batch and the
+# incremental oracle build their final select on top of it.
+_CDC_KEPT_CTE = r"""
 WITH docs AS (
   SELECT doc_id AS id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
   FROM documents
@@ -2235,7 +2238,9 @@ chunks AS (
          md5(substring(e.t, c.s, COALESCE(c.nxt, e.n + 1) - c.s)) AS chunk_fp
   FROM cuts c JOIN eligible e ON e.id = c.id
 ),
-kept AS (SELECT * FROM chunks WHERE chunk_len >= 24),
+kept AS (SELECT * FROM chunks WHERE chunk_len >= 24)"""
+
+SQL_DD_SUBSTRING = _CDC_KEPT_CTE + r""",
 dup AS (
   SELECT chunk_fp, COUNT(DISTINCT id) AS n_docs
   FROM kept GROUP BY 1 HAVING COUNT(DISTINCT id) >= 2
@@ -2245,6 +2250,40 @@ FROM kept k JOIN dup d USING (chunk_fp)
 """
 
 REGISTRY["dd_substring"] = (q_dd_substring, SQL_DD_SUBSTRING)
+
+
+def q_dd_substring_incremental(spark, sf_dir):
+    """DD+ (beyond-reference): the incremental arm of CDC substring dedup
+    (functions/dedup.py:incremental_cdc_duplicates) — the corpus
+    (doc_id % 10 != 0, same split as dd_incremental) is chunked once into
+    a persisted index; the ingest batch (doc_id % 10 == 0) probes it with
+    a broadcast join plus a within-batch self-join.  Corpus text is never
+    re-chunked at probe time — only the index's fingerprint column is
+    read.  Output = removal-ready spans of the batch docs whose content
+    already exists in the corpus or in a lower-id batch doc."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.where(F.col("doc_id") % 10 == 0)
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    path = _scratch_dir(sf_dir, "cdc_index")
+    dd.write_cdc_chunk_index(corpus, path)
+    return dd.incremental_cdc_duplicates(spark, path, batch).select(
+        F.col("id").alias("doc_id"),
+        F.col("start").alias("chunk_start"),
+        F.col("length").alias("chunk_len"),
+        "chunk_fp",
+    )
+
+
+SQL_DD_SUBSTRING_INCR = _CDC_KEPT_CTE + r"""
+SELECT b.id AS doc_id, b.chunk_start, b.chunk_len, b.chunk_fp
+FROM kept b
+WHERE b.id % 10 = 0 AND EXISTS (
+  SELECT 1 FROM kept a
+  WHERE a.chunk_fp = b.chunk_fp
+    AND (a.id % 10 <> 0 OR a.id < b.id))
+"""
+
+REGISTRY["dd_substring_incremental"] = (q_dd_substring_incremental, SQL_DD_SUBSTRING_INCR)
 
 
 def q_dd_embed(spark, sf_dir):
@@ -4192,6 +4231,11 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 # rows-only sketches (a19/a22) rest on their r05 rows + error-bound pytest
 # gates.  After this round every registry query's latest driver stamp is
 # r05+, closing the "cumulatively green" vs "currently green" gap.
+# Late round-6 addition: dd_substring_incremental (the CDC index-probe arm,
+# born this round) steps IN so its first round has a driver row; dd_embed
+# steps OUT (r04-green; its LSH-bucket-local + exact-verify plan family is
+# carried in-window by sim_knn_join and by the freshly-r05-stamped
+# dd_semdedup).
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4208,13 +4252,13 @@ _DRIVER_WINDOW = [
     "dd_winnow", "sim_knn_join", "tx_repetition", "u6_mixture_sample",
     # --- r04-latest (20) ---
     "a13_manybody_levels", "a14_pivot", "a17_group_centroid",
-    "a6_access_summary", "dd_contamination", "dd_embed", "dd_exact",
+    "a6_access_summary", "dd_contamination", "dd_exact",
     "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
     "s1_scan_project", "s4_upsert_classify", "sim_topk",
     "t3_hourly_rollup", "tx_pii", "tx_text_stats", "tx_tfidf",
     "tx_unigram_lm", "w1_window_lag",
-    # --- round-6 newcomers (2) ---
-    "dd_substring", "st_session_custom",
+    # --- round-6 newcomers (3) ---
+    "dd_substring", "st_session_custom", "dd_substring_incremental",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -283,6 +283,52 @@ def test_cdc_catches_offset_straddling_duplicate(spark):
             assert s1 + l1 == s2
 
 
+def test_incremental_cdc_matches_first_occurrence_rule(spark, tmp_path):
+    """incremental_cdc_duplicates reports exactly the batch chunks with a
+    PRIOR occurrence (corpus, or lower-id batch doc): a passage shared
+    with the corpus flags every batch copy; a batch-only duplicate flags
+    only the later copy; a batch-unique passage flags nothing.  Corpus
+    text is never re-chunked — only the persisted index is read."""
+    passage = (
+        "the training corpus contains a verbatim duplicated passage that is "
+        "long enough to span several content defined chunks so the rolling "
+        "hash anchors inside it line up in every copy regardless of where "
+        "the passage begins in the surrounding document and that is exactly "
+        "the property a fixed grid lacks"
+    )
+    batch_only = (
+        "an entirely distinct but equally long duplicated segment appearing "
+        "twice within the ingest batch and never in the corpus so the first "
+        "occurrence rule keeps the earlier copy and flags only the later one "
+        "which is precisely what incremental deduplication must decide here"
+    )
+    corpus = spark.createDataFrame(
+        [(3, "corpus doc holds " + passage + " verbatim"),
+         (7, "another corpus document with unrelated content entirely")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "first batch copy " + passage + " plus " + batch_only),
+         (20, "second batch doc shifted " + passage + " and also " + batch_only),
+         (30, "a batch document with nothing duplicated anywhere at all")],
+        "doc_id long, text string",
+    )
+    path = str(tmp_path / "cdc_index")
+    dd.write_cdc_chunk_index(corpus, path)
+    out = dd.incremental_cdc_duplicates(spark, path, batch).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["id"], set()).add(r["chunk_fp"])
+    assert 30 not in by_doc  # nothing duplicated
+    # passage chunks (shared with corpus) flag BOTH batch copies
+    chunks3 = {r["chunk_fp"] for r in dd.cdc_chunks(corpus).collect() if r["id"] == 3}
+    assert by_doc[10] & chunks3 and by_doc[20] & chunks3
+    # batch_only chunks flag doc 20 (later copy) but NOT doc 10 (first)
+    only_fps = (by_doc[20] - chunks3)
+    assert only_fps, "batch-only duplicate produced no flagged chunk"
+    assert not (by_doc.get(10, set()) & only_fps)
+
+
 def test_semdedup_consumes_persisted_index(spark, tmp_path):
     """semdedup(index_path=...) must (a) return exactly the inline-quantizer
     result and (b) run with ZERO Python stages — the k-means assign
