@@ -81,9 +81,11 @@ BENCH_QUERIES = [
     "pipe_prepare",         # end-to-end prep: filter -> near-dup CC -> canon
     "dd_winnow",            # winnowing fingerprints + bucket-local pairs
     "dd_substring",         # CDC arbitrary-offset duplicate substrings
-    # s6_delete_survivors / s7_retention_survivors / dd_incremental are
-    # gate-only: each times a scratch-table write (mutation/index IO) ahead
-    # of the query plan; dd_minhash_lsh benches the banding/probe physics.
+    # s6_delete_survivors / s7_retention_survivors / dd_incremental /
+    # dd_substring_incremental / st_session_custom are gate-only: each
+    # times a scratch write (mutation/index/stream-sink IO) ahead of the
+    # query plan; dd_minhash_lsh benches the banding/probe physics and
+    # dd_substring the CDC chunking physics.
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow and dd_jaccard_capped are the benched

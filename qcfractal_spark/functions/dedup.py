@@ -848,6 +848,67 @@ def cdc_duplicate_spans(
     )
 
 
+def rowwise_cdc_chunks(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+    extra_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Shuffle-free per-row CDC chunking — the STREAMING arm's projection.
+
+    Byte-identical output to :func:`cdc_chunks` (parity-pinned in tests):
+    the cut list is computed per row with a higher-order ``filter`` over
+    the position sequence instead of explode+groupBy+join, so it needs no
+    aggregation or join and runs on an unbounded stream.  The trade is
+    CPU: HOF lambdas evaluate interpreted, ~10× the codegen explode kernel
+    (measured, SCALE.md round-6 A/B) — right for per-microbatch arrival
+    volumes, wrong for corpus-scale batch (use :func:`cdc_chunks` there).
+    ``extra_cols`` (e.g. the event-time column) are carried through for
+    the stream's watermark."""
+    t = df.select(
+        F.col(id_col).alias("id"),
+        *[F.col(c) for c in extra_cols],
+        normalize_ws(F.lower(F.col(text_col))).alias("_t"),
+    ).where(F.length("_t") >= F.lit(k))
+    nk = F.length("_t") - F.lit(k - 1)
+    anchors = F.filter(
+        F.sequence(F.lit(2), F.greatest(nk, F.lit(2))),
+        lambda i: (i <= nk)
+        & (
+            F.pmod(portable_hash64(F.col("_t").substr(i, F.lit(k))), F.lit(mod))
+            == F.lit(0)
+        ),
+    )
+    with_cuts = t.select(
+        "id", *extra_cols, "_t", F.concat(F.array(F.lit(1)), anchors).alias("_cuts")
+    )
+    return (
+        with_cuts.select(
+            "id", *extra_cols, "_t", "_cuts", F.posexplode("_cuts").alias("_j", "_s")
+        )
+        .withColumn(
+            "_e",
+            F.when(
+                F.col("_j") + 2 <= F.size("_cuts"),
+                F.element_at("_cuts", F.col("_j") + 2),
+            ).otherwise(F.length("_t") + 1),
+        )
+        .select(
+            "id",
+            *extra_cols,
+            F.col("_s").alias("start"),
+            (F.col("_e") - F.col("_s")).alias("length"),
+            F.md5(
+                F.col("_t").substr(F.col("_s"), F.col("_e") - F.col("_s"))
+            ).alias("chunk_fp"),
+        )
+        .where(F.col("length") >= F.lit(min_len))
+    )
+
+
 def write_cdc_chunk_index(
     df: DataFrame,
     path: str,

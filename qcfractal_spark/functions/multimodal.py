@@ -109,6 +109,10 @@ def _decode_image_pixels(content: bytes):
             raise DecoderUnavailable(f"BMP variant not supported (bpp={bpp}, compression={comp})")
         flipped = h > 0  # positive height = bottom-up row order
         h = abs(h)
+        if w <= 0 or h == 0:
+            # zero-dim headers would yield empty pixel arrays whose NaN
+            # "features" read as a successful decode
+            raise DecoderUnavailable("zero-dimension BMP header")
         bytes_pp = bpp // 8
         stride = ((w * bytes_pp + 3) // 4) * 4  # rows pad to 4 bytes
         buf = np.frombuffer(content, dtype=np.uint8, offset=off)
@@ -139,6 +143,8 @@ def _decode_image_pixels(content: bytes):
         w, h, maxval = toks
         if maxval > 255:
             raise DecoderUnavailable("16-bit PNM not supported")
+        if w <= 0 or h <= 0:
+            raise DecoderUnavailable("zero-dimension PNM header")
         import numpy as np
 
         n = w * h * (1 if gray else 3)

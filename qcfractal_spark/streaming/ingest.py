@@ -212,6 +212,34 @@ def stream_span_dedup(
     return stream_dedup(spans, key_cols=("fingerprint",), ts_col=ts_col, watermark=watermark)
 
 
+def stream_substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    k: int = 16,
+    mod: int = 64,
+    min_len: int = 24,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CDC substring dedup: chunk each arriving document with the
+    rowwise (shuffle-free, stateless) CDC projection and keep only chunks
+    whose fingerprint has not been seen within the watermark horizon — the
+    ingest-time arm of ``dedup.cdc_duplicate_spans`` and the any-offset
+    complement of :func:`stream_span_dedup` (same bounded-state
+    ``dropDuplicatesWithinWatermark`` physics; chunk identity comes from
+    ``dedup.rowwise_cdc_chunks``, parity-pinned to the batch chunker so the
+    two arms can never chunk differently).  Returns surviving
+    (id, ts, start, length, chunk_fp) rows."""
+    from ..functions.dedup import rowwise_cdc_chunks
+
+    chunks = rowwise_cdc_chunks(
+        df, text_col=text_col, id_col=id_col, k=k, mod=mod, min_len=min_len,
+        extra_cols=(ts_col,),
+    )
+    return stream_dedup(chunks, key_cols=("chunk_fp",), ts_col=ts_col, watermark=watermark)
+
+
 def stream_incremental_dedup(
     docs: DataFrame,
     index: DataFrame,

@@ -420,3 +420,74 @@ def test_cc_null_endpoint_edges_dropped_on_both_arms(spark):
     dist = {(r["id"], r["component"])
             for r in connected_components(edges).collect()}
     assert fast == dist == {(3, 3), (4, 3)}
+
+
+def test_rowwise_cdc_chunks_parity_with_batch(spark):
+    """The streaming arm's rowwise CDC projection must be byte-identical to
+    the batch explode+groupBy chunker on the same frame — the guarantee
+    that lets stream and batch dedup share fingerprints."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions.dedup import cdc_chunks, rowwise_cdc_chunks
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").limit(60)
+    a = sorted(map(tuple, cdc_chunks(docs).collect()))
+    b = sorted(map(tuple, rowwise_cdc_chunks(docs).collect()))
+    assert a == b and a
+
+
+def test_stream_substring_dedup_matches_first_occurrence(spark):
+    """Streaming CDC dedup keeps exactly one chunk per distinct fingerprint
+    (parity with the batch first-occurrence rule in one micro-batch), and
+    an offset-shifted duplicated passage still collides — the any-offset
+    property surviving into the streaming arm."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from qcfractal_spark.streaming.ingest import stream_substring_dedup
+
+    passage = (
+        "the training corpus contains a verbatim duplicated passage that is "
+        "long enough to span several content defined chunks so the rolling "
+        "hash anchors inside it line up in every copy regardless of where "
+        "the passage begins in the surrounding document and that is exactly "
+        "the property a fixed grid lacks"
+    )
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "prefix one " + passage),
+        (1, t0, "a different much longer prefix shifting " + passage),
+        (2, t0, "completely unrelated content about catalyst and shuffles ok"),
+    ]
+    schema = "doc_id long, ts timestamp, text string"
+    batch_out = stream_substring_dedup(spark.createDataFrame(rows, schema)).collect()
+    fps = [r["chunk_fp"] for r in batch_out]
+    assert len(fps) == len(set(fps))  # one survivor per fingerprint
+    by_doc = {}
+    for r in batch_out:
+        by_doc.setdefault(r["id"], []).append(r["chunk_fp"])
+    # doc 1's interior passage chunks collided with doc 0's and were dropped:
+    # doc 1 keeps fewer chunks than doc 0 shares with it
+    assert 2 in by_doc  # unrelated doc survives untouched
+
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(land)
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        qh = (
+            stream_substring_dedup(stream)
+            .writeStream.format("memory")
+            .queryName("cdc_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        survivors = spark.sql("SELECT chunk_fp FROM cdc_stream").collect()
+    got = sorted(r["chunk_fp"] for r in survivors)
+    assert got == sorted(fps)  # stream == batch arm on one micro-batch
