@@ -2756,15 +2756,12 @@ def q_sim_pq_topk(spark, sf_dir):
     return sim.pq_adc_topk(codes, books, qvec, k=10)
 
 
-def _pq_oracle_sql(m: int = 2, ksub: int = 8, dim: int = 64, k: int = 10) -> str:
-    """DuckDB replay of the PQ build + ADC query (mirrors _ivf_oracle_sql's
-    strategy): init codebooks = subvectors of the ksub lowest-id vectors,
-    one Lloyd step (argmin by -2·s·c + |c|², ties to the lowest code; means
-    with empty-cluster carry), final codebooks ROUNDed to 6 dp (the same
-    discretization pq_train applies), ADC tables from the identical
-    |q|² − 2·q·c + |c|² decomposition, distances as the 2-term rounded sum."""
+def _pq_build_parts(m: int = 2, ksub: int = 8, dim: int = 64) -> list[str]:
+    """WITH-parts of the PQ build replay (codebooks, per-vector codes, ADC
+    tables), assuming a CTE ``e(vec_id, v)`` already exists — shared by the
+    pure-PQ oracle and the composed IVF-PQ oracle."""
     dsub = dim // m
-    parts = ["WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    parts: list[str] = []
     for j in range(m):
         lo, hi = j * dsub + 1, (j + 1) * dsub
         parts.append(f"s{j} AS (SELECT vec_id, v[{lo}:{hi}] AS s FROM e)")
@@ -2808,23 +2805,95 @@ def _pq_oracle_sql(m: int = 2, ksub: int = 8, dim: int = 64, k: int = 10) -> str
                + list_dot_product(c.c, c.c), 6) AS val
   FROM cb1_{j} c, q{j} q
 )""")
-    body = ",\n".join(parts)
+    return parts
+
+
+def _pq_final_select(m: int, k: int, where: str = "") -> str:
+    """Final ADC top-k select over the _pq_build_parts CTEs; ``where`` adds
+    an extra predicate (the IVF-PQ oracle filters to the probed lists)."""
     joins = " ".join(
-        f"JOIN afin_{j} a{j} ON a{j}.vec_id = a0.vec_id "
-        f"JOIN t_{j} t{j} ON t{j}.cid = a{j}.cid"
+        f"JOIN afin_{j} p{j} ON p{j}.vec_id = p0.vec_id "
+        f"JOIN t_{j} t{j} ON t{j}.cid = p{j}.cid"
         for j in range(1, m)
     )
     adist = " + ".join(f"t{j}.val" for j in range(m))
-    return f"""{body}
-SELECT a0.vec_id, ROUND({adist}, 6) AS adist
-FROM afin_0 a0 JOIN t_0 t0 ON t0.cid = a0.cid {joins}
-ORDER BY adist ASC, a0.vec_id ASC LIMIT {k}
+    return f"""
+SELECT p0.vec_id, ROUND({adist}, 6) AS adist
+FROM afin_0 p0 JOIN t_0 t0 ON t0.cid = p0.cid {joins} {where}
+ORDER BY adist ASC, p0.vec_id ASC LIMIT {k}
 """
+
+
+def _pq_oracle_sql(m: int = 2, ksub: int = 8, dim: int = 64, k: int = 10) -> str:
+    """DuckDB replay of the PQ build + ADC query (mirrors _ivf_oracle_sql's
+    strategy): init codebooks = subvectors of the ksub lowest-id vectors,
+    one Lloyd step (argmin by -2·s·c + |c|², ties to the lowest code; means
+    with empty-cluster carry), final codebooks ROUNDed to 6 dp (the same
+    discretization pq_train applies), ADC tables from the identical
+    |q|² − 2·q·c + |c|² decomposition, distances as the 2-term rounded sum."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+    ] + _pq_build_parts(m, ksub, dim)
+    return ",\n".join(parts) + _pq_final_select(m, k)
 
 
 SQL_SIM_PQ = _pq_oracle_sql()
 
 REGISTRY["sim_pq_topk"] = (q_sim_pq_topk, SQL_SIM_PQ)
+
+
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ composed ANN — the FAISS deployment shape at 100 TB: the
+    coarse quantizer partition-prunes to the ``n_probe`` nearest inverted
+    lists (from the PERSISTED per-dataset index, shared with sim_ivf_topk
+    and dd_semdedup), then only the surviving vectors are scored in the
+    COMPRESSED domain via PQ asymmetric-distance tables — the scan touches
+    n_probe/n_centroids of the data and reads m-byte codes, never raw
+    vectors.  Same demo geometry as the component queries (16 lists /
+    probe 4; m=2, ksub=8) so the composed oracle replays both builds."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = [
+        float(x)
+        for x in emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    ]
+    path = _ivf_index_dir(spark, sf_dir)
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    probe = sim.nearest_centroid_ids(qvec, centroids, n_probe=4)
+    survivors = spark.read.parquet(f"{path}/vectors").where(F.col("_cid").isin(probe))
+    books = sim.pq_train(emb, m=2, ksub=8, n_iter=1)
+    codes = sim.pq_codes(survivors, books)
+    return sim.pq_adc_topk(codes, books, qvec, k=10)
+
+
+def _ivfpq_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
+                      m: int = 2, ksub: int = 8, dim: int = 64, k: int = 10) -> str:
+    """Composed replay: the IVF build (shared _ivf_build_parts, byte-
+    identical quantizer to the persisted index) selects the probed lists;
+    the PQ build (shared _pq_build_parts) supplies codes + ADC tables; the
+    final ADC top-k ranks only vectors whose coarse cell is probed."""
+    cf = f"c{n_iter}"
+    parts = _ivf_build_parts(n_centroids, n_iter, dim)
+    parts.append("qv AS (SELECT v FROM e WHERE vec_id = 0)")
+    parts.append(f"""pr AS (
+  SELECT cid FROM {cf} c, qv q
+  ORDER BY list_dot_product(c.v, q.v)
+           / (sqrt(list_dot_product(q.v, q.v))
+              * sqrt(list_dot_product(c.v, c.v))) DESC, cid ASC
+  LIMIT {n_probe}
+)""")
+    parts += _pq_build_parts(m, ksub, dim)
+    where = ("WHERE p0.vec_id IN "
+             "(SELECT vec_id FROM afin WHERE cid IN (SELECT cid FROM pr))")
+    return ",\n".join(parts) + _pq_final_select(m, k, where)
+
+
+SQL_SIM_IVFPQ = _ivfpq_oracle_sql()
+
+REGISTRY["sim_ivfpq_topk"] = (q_sim_ivfpq_topk, SQL_SIM_IVFPQ)
 
 
 # DuckDB mirror of functions.text.ngram_features over a token-list column
@@ -4231,11 +4300,14 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 # rows-only sketches (a19/a22) rest on their r05 rows + error-bound pytest
 # gates.  After this round every registry query's latest driver stamp is
 # r05+, closing the "cumulatively green" vs "currently green" gap.
-# Late round-6 addition: dd_substring_incremental (the CDC index-probe arm,
-# born this round) steps IN so its first round has a driver row; dd_embed
-# steps OUT (r04-green; its LSH-bucket-local + exact-verify plan family is
-# carried in-window by sim_knn_join and by the freshly-r05-stamped
-# dd_semdedup).
+# Late round-6 additions: dd_substring_incremental (the CDC index-probe arm)
+# and sim_ivfpq_topk (the composed FAISS-shape ANN), both born this round,
+# step IN so their first round has driver rows; stepping OUT:
+#   dd_embed   r04-green; its LSH-bucket-local + exact-verify plan family is
+#              carried in-window by sim_knn_join and by the freshly-
+#              r05-stamped dd_semdedup
+#   sim_topk   r04-green brute baseline; sim_ivf/sim_pq verify against it
+#              in tests every run (the same rationale the r05 rotation used)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4254,11 +4326,12 @@ _DRIVER_WINDOW = [
     "a13_manybody_levels", "a14_pivot", "a17_group_centroid",
     "a6_access_summary", "dd_contamination", "dd_exact",
     "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
-    "s1_scan_project", "s4_upsert_classify", "sim_topk",
+    "s1_scan_project", "s4_upsert_classify",
     "t3_hourly_rollup", "tx_pii", "tx_text_stats", "tx_tfidf",
     "tx_unigram_lm", "w1_window_lag",
-    # --- round-6 newcomers (3) ---
+    # --- round-6 newcomers (4) ---
     "dd_substring", "st_session_custom", "dd_substring_incremental",
+    "sim_ivfpq_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
