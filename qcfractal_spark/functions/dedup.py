@@ -481,6 +481,7 @@ def write_lsh_band_index(
     path: str,
     bands: int = 4,
     rows_per_band: int = 4,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the banded LSH index — ``(id, band_key)`` rows partitioned
     by ``band_idx`` — the corpus-side artifact of incremental dedup.
@@ -490,9 +491,14 @@ def write_lsh_band_index(
     analog of the reference's query-first insert dedup,
     db_socket/helpers.py:317-406: "look up what exists, insert what's
     new").  Partitioning by band_idx keeps each band's bucket space in its
-    own directory, so a probe join reads band files, never corpus text."""
+    own directory, so a probe join reads band files, never corpus text.
+
+    ``mode="append"`` closes the ingest loop: probe the batch against the
+    index (:func:`incremental_lsh_candidates`), then append the batch's own
+    band rows so the NEXT batch dedups against it too — the index grows by
+    batch size per ingest, the corpus is never re-signatured."""
     banded = _banded(signatures, bands, rows_per_band)
-    banded.write.mode("overwrite").partitionBy("band_idx").parquet(path)
+    banded.write.mode(mode).partitionBy("band_idx").parquet(path)
 
 
 def incremental_lsh_candidates(
@@ -917,14 +923,20 @@ def write_cdc_chunk_index(
     k: int = 16,
     mod: int = 64,
     min_len: int = 24,
+    mode: str = "overwrite",
 ) -> None:
     """Persist the corpus chunk table — (id, start, length, chunk_fp) from
     :func:`cdc_chunks` — the CDC analog of :func:`write_lsh_band_index`:
     the corpus is chunked ONCE at ingest and every subsequent batch probes
     fingerprints, never corpus text.  Stored flat (the probe join
     broadcasts the batch side, so partition pruning buys nothing here);
-    column pruning reduces the probe scan to the ``chunk_fp`` column."""
-    cdc_chunks(df, text_col, id_col, k, mod, min_len).write.mode("overwrite").parquet(path)
+    column pruning reduces the probe scan to the ``chunk_fp`` column.
+
+    ``mode="append"`` closes the ingest loop: probe the batch
+    (:func:`incremental_cdc_duplicates`), then append the batch's chunks so
+    the next batch dedups against them — first-occurrence-wins extends
+    across ingests without ever re-chunking history."""
+    cdc_chunks(df, text_col, id_col, k, mod, min_len).write.mode(mode).parquet(path)
 
 
 def incremental_cdc_duplicates(

@@ -328,6 +328,17 @@ def test_incremental_cdc_matches_first_occurrence_rule(spark, tmp_path):
     assert only_fps, "batch-only duplicate produced no flagged chunk"
     assert not (by_doc.get(10, set()) & only_fps)
 
+    # ingest loop: append this batch's chunks to the index, and the NEXT
+    # batch (a fresh copy of the batch-only passage) now collides with it
+    dd.write_cdc_chunk_index(batch, path, mode="append")
+    nxt = spark.createDataFrame(
+        [(40, "third ingest repeating " + batch_only + " once more")],
+        "doc_id long, text string",
+    )
+    out2 = dd.incremental_cdc_duplicates(spark, path, nxt).collect()
+    assert out2 and all(r["id"] == 40 for r in out2)
+    assert {r["chunk_fp"] for r in out2} & only_fps
+
 
 def test_semdedup_consumes_persisted_index(spark, tmp_path):
     """semdedup(index_path=...) must (a) return exactly the inline-quantizer
@@ -620,6 +631,17 @@ def test_incremental_lsh_matches_full_candidates(spark, tmp_path):
     assert got == want and got  # non-trivial on this corpus
     # orientation: id_b is always the new (batch) id
     assert all(r["id_b"] % 10 == 0 for r in inc.collect())
+
+    # ingest loop: append the batch's band rows, and a fresh ingest that
+    # near-dups a BATCH doc (not a corpus doc) now finds it in the index
+    dd.write_lsh_band_index(dd.minhash_signatures(batch), path, mode="append")
+    some_batch_doc = batch.orderBy("doc_id").limit(1)
+    nxt = some_batch_doc.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    inc2 = dd.incremental_lsh_candidates(spark, path, dd.minhash_signatures(nxt))
+    hit_ids = {r["id_a"] for r in inc2.collect()}
+    assert some_batch_doc.first()["doc_id"] in hit_ids
 
 
 def test_cosine_zero_vector_scores_zero_not_null(spark):
