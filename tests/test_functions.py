@@ -283,6 +283,29 @@ def test_cdc_catches_offset_straddling_duplicate(spark):
             assert s1 + l1 == s2
 
 
+def test_ivf_index_dir_cache_validity(spark):
+    """The shared per-dataset IVF index must (a) NOT rebuild while its
+    source marker matches, and (b) rebuild when the marker mismatches —
+    the staleness contract that lets sim_ivf_topk/sim_ivfpq_topk/
+    dd_semdedup trust one another's cache."""
+    import os
+
+    from qcfractal_spark.queries import _ivf_index_dir
+
+    p = _ivf_index_dir(spark, "/root/testdata/sf0.001")
+    success = os.path.join(p, "vectors", "_SUCCESS")
+    marker_path = os.path.join(p, "source_marker")
+    good_marker = open(marker_path).read()
+    m1 = os.path.getmtime(success)
+    _ivf_index_dir(spark, "/root/testdata/sf0.001")
+    assert os.path.getmtime(success) == m1  # warm cache: no rebuild
+    with open(marker_path, "w") as fh:
+        fh.write("stale")
+    _ivf_index_dir(spark, "/root/testdata/sf0.001")
+    assert open(marker_path).read() == good_marker  # marker restored
+    assert os.path.getmtime(success) != m1  # index actually rebuilt
+
+
 def test_incremental_cdc_matches_first_occurrence_rule(spark, tmp_path):
     """incremental_cdc_duplicates reports exactly the batch chunks with a
     PRIOR occurrence (corpus, or lower-id batch doc): a passage shared
