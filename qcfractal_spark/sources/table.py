@@ -254,7 +254,15 @@ class MutableTable:
         downstream-sync primitive (incremental index refresh, cache
         invalidation, derived-table maintenance) that otherwise forces a
         full-table compare.  Time-travel depth is 1, matching the version
-        retention above."""
+        retention above.
+
+        NULL-key rows: the equi-joins never match a NULL key, so an
+        unchanged NULL-key row surfaces as a delete+insert pair each diff
+        instead of silence.  That is *correct* for every consumer (the
+        pair nets to zero in rollup deltas; delete-then-insert is an
+        idempotent refresh for index/cache sync) but wasteful churn —
+        tables whose natural key can be NULL should surrogate it at
+        ingest."""
         cur_v = self.current_version()
         if cur_v is None or cur_v == 0:
             raise ValueError("change_feed needs a previous version to diff against")
@@ -305,13 +313,21 @@ class MutableTable:
         """S7/T6: drop rows older than the cutoff.  On a partitioned table
         only partitions containing expired rows are touched: fully-expired
         partitions drop without a rewrite, straddling ones rewrite their
-        survivors, current ones are hardlinked untouched."""
+        survivors, current ones are hardlinked untouched.
+
+        A NULL timestamp is never expired — the reference's sweep deletes
+        ``WHERE ts < cutoff`` (serverinfo/socket.py:601-643), which a NULL
+        cannot satisfy.  (``keep = ts >= cutoff`` alone silently deleted
+        NULL-ts rows in the unpartitioned arm while the partitioned arm
+        kept those sitting in untouched partitions — arm-dependent
+        semantics; the explicit isNull branch makes both arms keep them.)"""
         current = self.read()
-        keep = F.col(ts_col) >= F.lit(cutoff)
+        expired = F.col(ts_col) < F.lit(cutoff)
+        keep = F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff))
         if len(self.partition_by) == 1:
             pcol = self.partition_by[0]
             touched = [
-                r[0] for r in current.where(~keep).select(pcol).distinct().collect()
+                r[0] for r in current.where(expired).select(pcol).distinct().collect()
             ]
             scoped = current.where(F.col(pcol).isin(touched))
             remaining = scoped.where(keep)

@@ -67,6 +67,29 @@ def test_retention_and_time_travel(tmp_table):
     assert {r["id"] for r in t.read(version=v_before).collect()} == {1, 2}
 
 
+def test_retention_never_expires_null_ts(spark):
+    """A NULL timestamp cannot satisfy `ts < cutoff`, so retention keeps it
+    — in BOTH arms (the unpartitioned arm used to delete NULL-ts rows while
+    the partitioned arm kept those in untouched partitions)."""
+    rows = [
+        (1, "old", datetime(2024, 1, 1), "2024-01"),
+        (2, "new", datetime(2024, 2, 5), "2024-02"),
+        (3, "nots", None, "2024-01"),   # NULL ts in a TOUCHED partition
+        (4, "nots2", None, "2024-02"),  # NULL ts in an untouched partition
+    ]
+    schema = "id long, v string, ts timestamp, month string"
+    with tempfile.TemporaryDirectory() as d:
+        flat = MutableTable(spark, d + "/flat")
+        flat.overwrite(spark.createDataFrame(rows, schema))
+        assert flat.retention_delete("ts", datetime(2024, 2, 1)) == 1
+        assert {r["id"] for r in flat.read().collect()} == {2, 3, 4}
+
+        part = MutableTable(spark, d + "/part", partition_by=["month"])
+        part.overwrite(spark.createDataFrame(rows, schema))
+        assert part.retention_delete("ts", datetime(2024, 2, 1)) == 1
+        assert {r["id"] for r in part.read().collect()} == {2, 3, 4}
+
+
 def test_snapshot_export_roundtrip(spark):
     """S8: dataset-view snapshot = one parquet dataset per table, readable
     back with identical schema and contents (views.py:26-186 analog — one
