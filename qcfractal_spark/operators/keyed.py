@@ -79,6 +79,13 @@ def insert_dedup_classify(
     batch annotated with ``_existing: boolean`` (the reference's
     InsertMetadata inserted_idx/existing_idx split) and ``_dup_of`` count for
     in-batch duplicates (helpers.py:234-254 ``map_duplicates``).
+
+    In-batch duplicate keys whose NON-key columns differ resolve
+    arbitrarily (``dropDuplicates`` keeps an unspecified row — a DataFrame
+    has no input order for "first" to mean anything, unlike the
+    reference's ordered lists).  Callers that care which copy wins should
+    pre-deduplicate with an explicit ordering column (the
+    ``insert_mixed_classify`` path does exactly that via ``_input_idx``).
     """
     keys = list(search_cols)
     deduped = batch.dropDuplicates(keys)
