@@ -88,6 +88,12 @@ BROADCAST_MUST_BE_FILTERED = {"s2_bulk_get"}
 # each input partition keeps only its own top-k before the shuffle).
 GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin"}
 
+# Queries whose steady-state plan must contain ZERO Python stages: they
+# consume the persisted IVF index, so the k-means assign pandas_udf must
+# never reappear (a regression here re-pays two full scans per call —
+# VERDICT r5 item 2).
+NO_PYTHON = {"dd_semdedup", "sim_ivf_topk"}
+
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
 # step of a loop (closure levels are checkpointed RDD scans) — plan text is
 # not representative, audit is covered by operator tests.
@@ -152,6 +158,9 @@ def audit_one(name: str, df) -> list[str]:
 
     if name in GROUP_TOPK and "WindowGroupLimit" not in plan:
         problems.append("per-group top-k without map-side WindowGroupLimit")
+
+    if name in NO_PYTHON and ("ArrowEvalPython" in plan or "BatchEvalPython" in plan):
+        problems.append("Python stage in an index-backed plan (quantizer retrain?)")
 
     if name in BROADCAST_MUST_BE_FILTERED:
         splan = simple_plan(df)
