@@ -1,0 +1,50 @@
+"""tools/bench_ratio.py — the ledger math must be reproducible from the
+artifacts, including the driver's tail-wrapped BENCH format."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from tools.bench_ratio import like_for_like, load_bench
+
+
+def test_load_bench_raw_and_tail_wrapped(tmp_path):
+    raw = {"metric": "m", "queries": {"a": 1.0, "b": 2.0}, "sf": 0.1}
+    p1 = tmp_path / "BENCH_r01.json"
+    p1.write_text(json.dumps(raw))
+    got = load_bench(str(p1))
+    assert got["queries"] == {"a": 1.0, "b": 2.0}
+
+    wrapped = {"rc": 0, "tail": "noise...\n" + json.dumps(raw)}
+    p2 = tmp_path / "BENCH_r02.json"
+    p2.write_text(json.dumps(wrapped))
+    got2 = load_bench(str(p2))
+    assert got2["queries"] == {"a": 1.0, "b": 2.0}
+
+    p3 = tmp_path / "BENCH_r03.json"
+    p3.write_text("{not json")
+    assert load_bench(str(p3)) is None
+    p4 = tmp_path / "BENCH_r04.json"
+    p4.write_text(json.dumps({"rc": 1, "tail": "crashed, no json line"}))
+    assert load_bench(str(p4)) is None
+
+
+def test_like_for_like_common_subset_only():
+    base = {"queries": {"a": 2.0, "b": 4.0, "gone": 9.0}}
+    now = {"queries": {"a": 1.0, "b": 2.0, "new": 50.0}}
+    n, s_now, s_base = like_for_like(now, base)
+    assert (n, s_now, s_base) == (2, 3.0, 6.0)  # 'gone'/'new' excluded
+
+
+def test_recorded_artifacts_reproduce_verdict_ratios():
+    """The judge-checked numbers: r05 vs r01 = 0.80x on the 31 common
+    queries (computed from the checked-in artifacts, not a local run)."""
+    r01 = load_bench("/root/repo/BENCH_r01.json")
+    r05 = load_bench("/root/repo/BENCH_r05.json")
+    assert r01 and r05
+    n, s_now, s_base = like_for_like(r05, r01)
+    assert n == 31
+    assert round(s_now / s_base, 2) == 0.80
