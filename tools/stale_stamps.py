@@ -1,0 +1,74 @@
+"""Driver-stamp staleness ledger — which registry queries most need a slot
+in the next 50-query driver window.
+
+Reads every ``CORRECTNESS_r{N}.json`` artifact, records the most recent
+round in which each registry query had a driver row (green hash/rows match,
+or a rows-only record for the declared no-oracle sketches), and prints the
+registry ordered stalest-first together with the current window membership.
+The round-6 rotation was computed exactly this way by hand (VERDICT r5
+item 1); this tool makes the next one a one-command decision.
+
+Usage: python tools/stale_stamps.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def stamps() -> dict[str, tuple[int, str]]:
+    """query → (latest round with a driver record, kind) where kind is
+    'green' (hash or rows match) or 'rows-only' (declared no-oracle)."""
+    out: dict[str, tuple[int, str]] = {}
+    for f in sorted(os.listdir(REPO)):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            with open(os.path.join(REPO, f)) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, rec in rows.items():
+            if not isinstance(rec, dict):
+                continue
+            if rec.get("hash_match") or rec.get("rows_match"):
+                out[name] = (rnd, "green")
+            elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
+                out[name] = (rnd, "rows-only")
+    return out
+
+
+def main() -> None:
+    from qcfractal_spark.queries import REGISTRY
+
+    seen = stamps()
+    window = set(list(REGISTRY)[:50])
+    ranked = sorted(
+        REGISTRY,
+        key=lambda q: (seen.get(q, (0, ""))[0], q),
+    )
+    print(f"{'query':32s} {'latest stamp':>14s} {'in window':>10s}")
+    for q in ranked:
+        rnd, kind = seen.get(q, (None, "NEVER"))
+        stamp = f"r{rnd:02d} {kind}" if rnd is not None else "never"
+        print(f"{q:32s} {stamp:>14s} {'yes' if q in window else '':>10s}")
+    stale = [q for q in ranked if q not in window][: max(0, 50 - 0)]
+    uncovered = [q for q in ranked if seen.get(q, (0, ""))[0] == 0 and q not in window]
+    if uncovered:
+        print(f"\nWARNING: never-stamped queries OUTSIDE the window: {uncovered}")
+    else:
+        print("\nevery never-stamped query is in the current window")
+
+
+if __name__ == "__main__":
+    main()
