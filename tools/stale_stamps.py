@@ -62,7 +62,6 @@ def main() -> None:
         rnd, kind = seen.get(q, (None, "NEVER"))
         stamp = f"r{rnd:02d} {kind}" if rnd is not None else "never"
         print(f"{q:32s} {stamp:>14s} {'yes' if q in window else '':>10s}")
-    stale = [q for q in ranked if q not in window][: max(0, 50 - 0)]
     uncovered = [q for q in ranked if seen.get(q, (0, ""))[0] == 0 and q not in window]
     if uncovered:
         print(f"\nWARNING: never-stamped queries OUTSIDE the window: {uncovered}")
