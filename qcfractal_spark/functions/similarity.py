@@ -401,6 +401,77 @@ def ivf_topk(
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
 
 
+def ivf_topk_batch(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF top-k for a whole BATCH of queries in one plan — the serving
+    shape: per-query probe selection and scoring as joins, never a
+    driver-side loop of single-query jobs.
+
+    Plan: queries × the (tiny, broadcast) centroid table → per-query
+    top-``n_probe`` probe lists via a window (same cosine + tie-break as
+    :func:`nearest_centroid_ids`, so single-query and batch paths agree);
+    the probe table (|queries| × n_probe rows, each carrying its query
+    vector) broadcasts into ONE equi-join with the assigned vectors on
+    ``_cid`` — the fact side never shuffles, and against a persisted index
+    partitioned by ``_cid`` the scan prunes to the union of probed lists.
+    Final per-query top-k is a window with map-side WindowGroupLimit.
+
+    ``assigned`` is the quantizer output (``vec_col``, ``id_col``,
+    ``_cid``) — pass the persisted index's vectors table to skip any
+    build."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    ranked = (
+        q.join(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "_qv",
+            "cid",
+            cosine(F.col("_qv"), F.col("centroid")).alias("_cs"),
+        )
+        .withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cs").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .where(F.col("_rn") <= n_probe)
+        .select("query_id", "_qv", F.col("cid").alias("_cid"))
+    )
+    scored = assigned.join(F.broadcast(ranked), on="_cid").select(
+        "query_id",
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), round_to).alias("score"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
 def knn_join_bucketed(
     left: DataFrame,
     right: DataFrame,

@@ -2896,6 +2896,77 @@ SQL_SIM_IVFPQ = _ivfpq_oracle_sql()
 REGISTRY["sim_ivfpq_topk"] = (q_sim_ivfpq_topk, SQL_SIM_IVFPQ)
 
 
+def q_sim_ivf_batch_topk(spark, sf_dir):
+    """Batched ANN serving: top-10 per query for a SET of 8 query vectors
+    in ONE plan (functions/similarity.py:ivf_topk_batch) — per-query probe
+    lists via a broadcast join against the centroid table, candidate
+    scoring via one equi-join on the coarse cell, per-query top-k via a
+    map-side-limited window.  The fact side never shuffles and the probe
+    table carries |queries| x n_probe rows — the shape that serves a
+    million queries the same way it serves eight.  Consumes the shared
+    persisted IVF index (same quantizer as sim_ivf_topk / sim_ivfpq_topk /
+    dd_semdedup)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_index_dir(spark, sf_dir)
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    assigned = spark.read.parquet(f"{path}/vectors")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_topk_batch(queries, assigned, centroids, k=10, n_probe=4)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    """DuckDB mirror of similarity.cosine: both norms guarded to 1 when
+    zero (the dot is then 0), sequential list_dot_product = the same
+    index-ordered fold."""
+    na = f"sqrt(list_dot_product({a}, {a}))"
+    nb = f"sqrt(list_dot_product({b}, {b}))"
+    return (
+        f"list_dot_product({a}, {b}) / "
+        f"((CASE WHEN {na} > 0 THEN {na} ELSE 1.0 END) * "
+        f"(CASE WHEN {nb} > 0 THEN {nb} ELSE 1.0 END))"
+    )
+
+
+def _ivf_batch_oracle_sql(n_centroids: int = 16, n_iter: int = 2, n_probe: int = 4,
+                          n_queries: int = 8, dim: int = 64, k: int = 10) -> str:
+    parts = _ivf_build_parts(n_centroids, n_iter, dim)
+    cf = f"c{n_iter}"
+    parts.append(
+        f"qs AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < {n_queries})"
+    )
+    parts.append(f"""pr AS (
+  SELECT query_id, qv, cid FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY {_cos_sql('q.qv', 'c.v')} DESC,
+                                       c.cid ASC) AS rn
+    FROM qs q, {cf} c) WHERE rn <= {n_probe}
+)""")
+    parts.append(f"""sc AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({_cos_sql('a.v', 'p.qv')}, 6) AS score
+  FROM afin a JOIN pr p ON a.cid = p.cid
+)""")
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT query_id, vec_id, score FROM (
+  SELECT sc.*, row_number() OVER (PARTITION BY query_id
+                                  ORDER BY score DESC, vec_id ASC) AS rk
+  FROM sc) WHERE rk <= {k}
+"""
+
+
+SQL_SIM_IVF_BATCH = _ivf_batch_oracle_sql()
+
+REGISTRY["sim_ivf_batch_topk"] = (q_sim_ivf_batch_topk, SQL_SIM_IVF_BATCH)
+
+
 # DuckDB mirror of functions.text.ngram_features over a token-list column
 # ``tk`` (keep in sync): unigrams ++ space-joined word bigrams.
 _FEATS_SQL = (
@@ -4308,6 +4379,9 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #              r05-stamped dd_semdedup
 #   sim_topk   r04-green brute baseline; sim_ivf/sim_pq verify against it
 #              in tests every run (the same rationale the r05 rotation used)
+#   tx_unigram_lm  r04-green; ⊂ tx_dsir (LM log-ratio family, r05-stamped) —
+#              the same rationale the r05 rotation already applied to it;
+#              steps out for sim_ivf_batch_topk (batched ANN, born round 6)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4328,10 +4402,10 @@ _DRIVER_WINDOW = [
     "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
     "s1_scan_project", "s4_upsert_classify",
     "t3_hourly_rollup", "tx_pii", "tx_text_stats", "tx_tfidf",
-    "tx_unigram_lm", "w1_window_lag",
-    # --- round-6 newcomers (4) ---
+    "w1_window_lag",
+    # --- round-6 newcomers (5) ---
     "dd_substring", "st_session_custom", "dd_substring_incremental",
-    "sim_ivfpq_topk",
+    "sim_ivfpq_topk", "sim_ivf_batch_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -44,7 +44,11 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 # audit still verifies no CartesianProduct and that every OTHER join keeps
 # its strategy.
 SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir",
-                       "tx_bm25"}
+                       "tx_bm25",
+                       # queries × centroid-table fan-out: the BNLJ build side
+                       # is the n_centroids-row centroid table (16 rows) — the
+                       # per-query probe ranking, constant-size by design
+                       "sim_ivf_batch_topk"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
