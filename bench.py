@@ -62,6 +62,7 @@ BENCH_QUERIES = [
     "tx_quality_clf",       # hashing-trick linear classifier (scan-speed)
     "sim_pq_topk",          # product-quantization ADC top-k
     "sim_ivfpq_topk",       # composed IVF-prune + PQ compressed scoring
+    "sim_ivf_batch_topk",   # batched multi-query ANN (one-plan serving)
     "pk_domain_cap",        # per-domain token-budget caps (window cumsum)
     "dd_common_ngrams",     # corpus-wide boilerplate n-gram stats
     "dd_span_dedup",        # C4 span dedup (one fingerprint shuffle)
