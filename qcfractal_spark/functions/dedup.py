@@ -854,6 +854,35 @@ def cdc_duplicate_spans(
     )
 
 
+def cross_corpus_lsh_pairs(
+    left_sigs: DataFrame,
+    right_sigs: DataFrame,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    broadcast_right: bool = True,
+) -> DataFrame:
+    """LSH band collisions BETWEEN two corpora — (id_a from left, id_b from
+    right) pairs sharing ≥ 1 band, with no within-corpus pairs generated at
+    all (the cross-only variant of :func:`minhash_lsh_candidates`).
+
+    The near-dup arm of benchmark decontamination: exact n-gram leak scans
+    (:func:`contamination_report`) miss paraphrase-level leakage — an eval
+    item with small edits shares MinHash bands but not 13-grams.  The right
+    side (benchmark/eval suite) is broadcast by construction — orders of
+    magnitude smaller than the corpus — so the corpus-side band projection
+    never shuffles; pass ``broadcast_right=False`` for corpus-vs-corpus
+    sweeps where both sides are fact-sized."""
+    lb = _banded(left_sigs, bands, rows_per_band)
+    rb = _banded(right_sigs, bands, rows_per_band).withColumnRenamed("id", "id_b")
+    if broadcast_right:
+        rb = F.broadcast(rb)
+    return (
+        lb.join(rb, on=["band_idx", "band_key"])
+        .select(F.col("id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 def rowwise_cdc_chunks(
     df: DataFrame,
     text_col: str = "text",

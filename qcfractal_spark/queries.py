@@ -1222,6 +1222,37 @@ JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
 SQL_DD_MINHASH = _minhash_oracle_sql()
 
 
+def q_dd_contamination_neardup(spark, sf_dir):
+    """DD+ (beyond-reference): NEAR-DUP benchmark decontamination — the
+    MinHash-band arm beside dd_contamination's exact 13-gram scan
+    (functions/dedup.py:cross_corpus_lsh_pairs).  Every 100th document
+    plays the benchmark (same split); each corpus document reports how
+    many distinct benchmark docs it shares >= 1 LSH band with — catching
+    paraphrase-level leakage (small edits break every 13-gram but not the
+    signature).  The benchmark band table broadcasts (1% of docs), so the
+    corpus-side banding never shuffles; cross-only pair generation — no
+    corpus x corpus pairs exist anywhere in the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % 100 == 0)
+    corpus = docs.where(F.col("doc_id") % 100 != 0)
+    pairs = dd.cross_corpus_lsh_pairs(
+        dd.minhash_signatures(corpus), dd.minhash_signatures(bench)
+    )
+    return pairs.groupBy(F.col("id_a").alias("doc_id")).agg(
+        F.countDistinct("id_b").alias("n_bench_neardups")
+    )
+
+
+SQL_DD_CONTAM_ND = (
+    "WITH pairs AS ("
+    + _minhash_oracle_sql(pair_pred="a.id % 100 <> 0 AND b.id % 100 = 0")
+    + ")\nSELECT id_a AS doc_id, COUNT(DISTINCT id_b) AS n_bench_neardups\n"
+    + "FROM pairs GROUP BY 1"
+)
+
+REGISTRY["dd_contamination_neardup"] = (q_dd_contamination_neardup, SQL_DD_CONTAM_ND)
+
+
 def _lsh_topk_oracle_sql() -> str:
     """DuckDB mirror of the hyperplane-LSH bucketed top-k: same
     deterministic hyperplanes, same sequential-order dot products."""
@@ -4382,6 +4413,9 @@ REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 #   tx_unigram_lm  r04-green; ⊂ tx_dsir (LM log-ratio family, r05-stamped) —
 #              the same rationale the r05 rotation already applied to it;
 #              steps out for sim_ivf_batch_topk (batched ANN, born round 6)
+#   tx_tfidf   r04-green; ⊂ tx_bm25 (superset ranking formula, r05-stamped)
+#              — the r05 rotation's own rationale; steps out for
+#              dd_contamination_neardup (near-dup decontamination, born r6)
 # --------------------------------------------------------------------------
 
 _DRIVER_WINDOW = [
@@ -4401,11 +4435,11 @@ _DRIVER_WINDOW = [
     "a6_access_summary", "dd_contamination", "dd_exact",
     "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
     "s1_scan_project", "s4_upsert_classify",
-    "t3_hourly_rollup", "tx_pii", "tx_text_stats", "tx_tfidf",
+    "t3_hourly_rollup", "tx_pii", "tx_text_stats",
     "w1_window_lag",
-    # --- round-6 newcomers (5) ---
+    # --- round-6 newcomers (6) ---
     "dd_substring", "st_session_custom", "dd_substring_incremental",
-    "sim_ivfpq_topk", "sim_ivf_batch_topk",
+    "sim_ivfpq_topk", "sim_ivf_batch_topk", "dd_contamination_neardup",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
