@@ -667,6 +667,37 @@ def test_incremental_lsh_matches_full_candidates(spark, tmp_path):
     assert some_batch_doc.first()["doc_id"] in hit_ids
 
 
+def test_cross_corpus_lsh_pairs_cross_only_and_catches_edits(spark):
+    """The near-dup decontamination arm: a lightly edited copy of a
+    benchmark doc collides (paraphrase leak the exact 13-gram scan would
+    miss on the edited span), unrelated corpus docs don't, and NO
+    within-corpus pair is ever emitted."""
+    base = ("the quick brown fox jumps over the lazy dog while the "
+            "benchmark sentence keeps flowing with enough shingles to "
+            "fill every minhash band consistently across the whole text")
+    corpus = spark.createDataFrame(
+        [
+            (1, base + " plus one small edit at the very end"),  # leak
+            (2, base.replace("quick", "rapid") + " slightly reworded"),  # leak
+            (3, "completely unrelated corpus document about spark shuffles"),
+            (4, "completely unrelated corpus document about spark shuffles"),  # dup of 3, but corpus-side
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, base)], "doc_id long, text string")
+    from qcfractal_spark.functions.dedup import cross_corpus_lsh_pairs, minhash_signatures
+
+    pairs = cross_corpus_lsh_pairs(
+        minhash_signatures(corpus), minhash_signatures(bench)
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 100) in got and (2, 100) in got
+    assert all(b == 100 for _, b in got)  # right side only from benchmark
+    assert not any(a in (3, 4) for a, _ in got)  # unrelated docs clean
+    # the corpus-side duplicate pair (3,4) must NOT appear — cross-only
+    assert (3, 4) not in got and (4, 3) not in got
+
+
 def test_cosine_zero_vector_scores_zero_not_null(spark):
     from qcfractal_spark.functions.similarity import brute_force_topk, cosine
 
