@@ -87,7 +87,9 @@ BENCH_QUERIES = [
     # dd_substring_incremental / st_session_custom are gate-only: each
     # times a scratch write (mutation/index/stream-sink IO) ahead of the
     # query plan; dd_minhash_lsh benches the banding/probe physics and
-    # dd_substring the CDC chunking physics.
+    # dd_substring the CDC chunking physics.  dd_contamination_neardup is
+    # gate-only too: its signature+banding compute is exactly the
+    # dd_minhash_lsh kernel over a split corpus.
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow and dd_jaccard_capped are the benched
