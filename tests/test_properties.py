@@ -318,6 +318,42 @@ def test_incremental_rollup_matches_recompute_on_any_mutation(
     assert norm(refreshed) == norm(full_rollup(t.read(), ["g"], ["v"]))
 
 
+def test_rollup_ivm_with_null_keys_and_null_groups(spark, tmp_path):
+    """NULLs everywhere must not break IVM: an unchanged NULL-id row
+    surfaces from change_feed as a delete+insert pair each diff (equi-joins
+    never match a NULL key — documented churn), whose contributions must
+    net to ZERO in the rollup delta; NULL GROUP keys must land in one
+    group (the null-safe merge join).  IVM == recompute regardless."""
+    from qcfractal_spark.sources.rollup import (
+        apply_rollup_delta,
+        full_rollup,
+        rollup_delta,
+    )
+    from qcfractal_spark.sources.table import MutableTable
+
+    schema = "id long, g long, v long"
+    prev_rows = [(1, 0, 5), (None, None, 7), (2, None, 3), (4, 1, None)]
+    cur_rows = [(1, 0, 6), (None, None, 7), (2, None, 3), (3, 0, 1)]
+    t = MutableTable(spark, str(tmp_path / "t"))
+    t.overwrite(spark.createDataFrame(prev_rows, schema))
+    old = full_rollup(t.read(), ["g"], ["v"])
+    t.overwrite(spark.createDataFrame(cur_rows, schema))
+    refreshed = apply_rollup_delta(
+        old,
+        rollup_delta(t.change_feed(["id"], cdf_style=True), ["g"], ["v"]),
+        ["g"],
+        ["v"],
+    )
+    norm = lambda df: {
+        r["g"]: (r["n"], r["cnt_v"], None if r["sum_v"] is None else float(r["sum_v"]))
+        for r in df.collect()
+    }
+    want = norm(full_rollup(t.read(), ["g"], ["v"]))
+    assert norm(refreshed) == want
+    # the NULL group exists exactly once with both rows merged
+    assert want[None] == (2, 2, 10.0)
+
+
 @given(
     lefts=st.lists(
         st.tuples(st.integers(0, 2), st.integers(0, 50)), min_size=1, max_size=15
