@@ -237,6 +237,32 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
 
 
+def test_cdc_unicode_parity_with_duckdb_replay(spark, duck):
+    """The CDC oracle must agree with the operator beyond ASCII: Spark
+    length/substr and DuckDB length/substring both count CHARACTERS, and
+    md5 hashes the UTF-8 bytes of the same string — pinned here so a
+    future non-ASCII testdata refresh cannot silently diverge the pair."""
+    import duckdb as _duckdb
+
+    from qcfractal_spark.queries import _CDC_KEPT_CTE
+
+    text = ("héllo wörld — größe straße ünïcode çhärs, 東京 data ünd mörę "
+            "text ") * 8
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = sorted(
+        (r["start"], r["length"], r["chunk_fp"])
+        for r in dd.cdc_chunks(df, min_len=1).collect()
+    )
+    con = _duckdb.connect()
+    con.execute("CREATE TABLE documents AS SELECT 1::BIGINT AS doc_id, ? AS text", [text])
+    oracle = con.execute(
+        _CDC_KEPT_CTE.replace("chunk_len >= 24", "chunk_len >= 1")
+        + "\nSELECT id, chunk_start, chunk_len, chunk_fp FROM kept"
+    ).fetchall()
+    want = sorted((r[1], r[2], r[3]) for r in oracle)
+    assert got == want and len(got) > 10
+
+
 def test_cdc_catches_offset_straddling_duplicate(spark):
     """VERDICT r5 item 5 fixture: a ~300-char passage duplicated at
     DIFFERENT offsets (so its copies straddle the fixed 20-token grid)
