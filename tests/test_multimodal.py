@@ -174,3 +174,21 @@ def test_real_kernels_through_spark(spark):
     assert ph[13] is None
     groups = {r["phash"]: r for r in mm.phash_dedup(media2, fake=False).collect()}
     assert groups[ph[10]]["dup_count"] == 2 and groups[ph[10]]["keep_id"] == 10
+
+
+def test_real_resize_composes(spark):
+    """P6 output of a real resize is itself decodable, so resize chains
+    compose: 2x2 BMP -> 8x8 -> 4x4 equals the direct 2x2 -> 4x4 result
+    (nearest-neighbor on exact quadrants)."""
+    media = spark.createDataFrame(
+        [(1, "image", _bmp_2x2(), "image/bmp", 2, 2, None)], mm.MEDIA_SCHEMA
+    )
+    once = mm.resize_media(media, 8, 8, fake=False).collect()[0]
+    assert once["resize_ok"] == "ok"
+    mid = spark.createDataFrame(
+        [(1, "image", bytes(once["content"]), "image/x-portable-pixmap", 8, 8, None)],
+        mm.MEDIA_SCHEMA,
+    )
+    twice = mm.resize_media(mid, 4, 4, fake=False).collect()[0]
+    direct = mm.resize_media(media, 4, 4, fake=False).collect()[0]
+    assert bytes(twice["content"]) == bytes(direct["content"])

@@ -412,3 +412,18 @@ def test_descendants_seed_rescue_respects_max_depth(spark):
     a1 = {r["id"] for r in graph.ancestors(
         spark.createDataFrame([(2,), (1,)], "id long"), edges, max_depth=1).collect()}
     assert a1 == {5}
+
+
+def test_descendants_include_self_with_depth_bound(spark):
+    """include_self=True returns seeds + closure truncated at max_depth,
+    with the internal depth column never leaking into the public schema."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "parent_id long, child_id long"
+    )
+    seeds = spark.createDataFrame([(1,)], "id long")
+    out = graph.descendants(seeds, edges, max_depth=2, include_self=True)
+    assert out.columns == ["id"]
+    assert {r["id"] for r in out.collect()} == {1, 2, 3}
+    rel = graph.relatives(spark.createDataFrame([(3,)], "id long"), edges)
+    assert rel.columns == ["id"]
+    assert {r["id"] for r in rel.collect()} == {1, 2, 3, 4}
