@@ -190,10 +190,23 @@ class MutableTable:
 
     def upsert(self, batch: DataFrame, key_cols: Sequence[str]) -> dict:
         """S4 ON CONFLICT DO UPDATE: replace matching keys, append the rest
-        (Delta MERGE semantics)."""
+        (Delta MERGE semantics).
+
+        NULL keys match NULL keys, consistent with ``upsert_classify``'s
+        null-safe conflict rule and with ``dropDuplicates`` treating NULL
+        keys as equal (a plain equi-join left the table's NULL-key row in
+        place AND appended the batch's — one upsert, two survivors — while
+        the classifier reported the same row as a conflict).  In-batch
+        duplicate keys resolve arbitrarily, as documented on
+        ``insert_dedup_classify``."""
+        from ..operators.keyed import _null_safe_cond
+
         current = self.read()
         keys = list(key_cols)
-        kept = current.join(batch.select(*keys).dropDuplicates(keys), on=keys, how="left_anti")
+        batch_keys = batch.select(*keys).dropDuplicates(keys)
+        kept = current.alias("b").join(
+            batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
+        )
         updated = current.count() - kept.count()
         self._commit(kept.unionByName(batch.dropDuplicates(keys), allowMissingColumns=True))
         return {"updated": updated, "inserted": batch.dropDuplicates(keys).count() - updated}

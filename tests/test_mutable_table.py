@@ -67,6 +67,26 @@ def test_retention_and_time_travel(tmp_table):
     assert {r["id"] for r in t.read(version=v_before).collect()} == {1, 2}
 
 
+def test_upsert_null_key_replaces_not_duplicates(spark):
+    """A NULL-key batch row must REPLACE the table's NULL-key row (the
+    null-safe conflict rule upsert_classify already applies), not append a
+    second survivor."""
+    with tempfile.TemporaryDirectory() as d:
+        t = MutableTable(spark, d + "/tbl")
+        t.overwrite(
+            spark.createDataFrame(
+                [(1, "a"), (None, "old-null")], "id long, v string"
+            )
+        )
+        meta = t.upsert(
+            spark.createDataFrame([(None, "new-null"), (2, "b")], "id long, v string"),
+            ["id"],
+        )
+        assert meta == {"updated": 1, "inserted": 1}
+        rows = {r["id"]: r["v"] for r in t.read().collect()}
+        assert rows == {1: "a", None: "new-null", 2: "b"}
+
+
 def test_retention_never_expires_null_ts(spark):
     """A NULL timestamp cannot satisfy `ts < cutoff`, so retention keeps it
     — in BOTH arms (the unpartitioned arm used to delete NULL-ts rows while
