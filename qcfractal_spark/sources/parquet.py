@@ -42,7 +42,12 @@ def retention_delete(df: DataFrame, ts_col: str, cutoff) -> DataFrame:
     """Retention as a rewrite plan (S7/T6, serverinfo/socket.py:601-643):
     with plain parquet, TTL = filter-and-rewrite (or partition drop when the
     table is date-partitioned — the 100 TB path); with Delta it would be a
-    metadata-only DELETE.  Returns the surviving rows."""
+    metadata-only DELETE.  Returns the surviving rows.
+
+    NULL timestamps are never expired — the reference deletes
+    ``WHERE ts < cutoff``, which a NULL cannot satisfy (same rule as
+    ``MutableTable.retention_delete``; a bare ``ts >= cutoff`` silently
+    dropped NULL-ts rows)."""
     from pyspark.sql import functions as F
 
-    return df.where(F.col(ts_col) >= F.lit(cutoff))
+    return df.where(F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff)))
