@@ -20,8 +20,12 @@ from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
+import os
+
+# Default 8 examples keeps the suite fast (every example runs Spark jobs);
+# SPARK_GRAFT_HYPO_EXAMPLES=40 is the periodic deep-fuzz mode.
 SETTINGS = dict(
-    max_examples=8,
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "8")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
