@@ -769,15 +769,25 @@ def cdc_chunks(
     any web/LLM corpus (docs are pre-chunked upstream); for pathological
     GB-scale single documents raise ``mod`` or split the doc first.
     """
+    # The anchor aggregation is keyed by (id, md5(text)), not id alone: an
+    # input with duplicate doc_id rows carrying DIFFERENT text must get one
+    # cut list per distinct text, or the combined list would slice each copy
+    # at the other's anchors (wrong fingerprints, out-of-range substr
+    # starts) and silently break byte parity with rowwise_cdc_chunks, which
+    # chunks per ROW.  md5 is a deterministic surrogate, so the key is
+    # stable across the two scans of `t` (a monotonically_increasing_id
+    # would not be under retries/AQE).  Duplicate (id, text) pairs join to
+    # one shared cut list and each copy emits its own (correct) chunk rows.
     t = df.select(
         F.col(id_col).alias("id"),
         normalize_ws(F.lower(F.col(text_col))).alias("_t"),
-    ).where(F.length("_t") >= F.lit(k))
+    ).where(F.length("_t") >= F.lit(k)).withColumn("_th", F.md5(F.col("_t")))
     # Candidate cut positions 2..n-k+1 (position 1 is always a cut — the
     # doc start — appended below, so the sequence skips it).
     anchors = (
         t.select(
             "id",
+            "_th",
             "_t",
             F.explode(
                 # greatest(..., 2) keeps the sequence ascending for len==k
@@ -793,10 +803,15 @@ def cdc_chunks(
             )
             == 0
         )
-        .select("id", "_i")
+        .select("id", "_th", "_i")
     )
-    cuts = anchors.groupBy("id").agg(F.sort_array(F.collect_list("_i")).alias("_c"))
-    with_cuts = t.join(cuts, on="id", how="left").select(
+    # collect_set, not collect_list: duplicate (id, text) input rows explode
+    # identical anchor positions once per copy; the set keeps the shared cut
+    # list duplicate-free.  Bounded by construction (~len/mod ints).
+    cuts = anchors.groupBy("id", "_th").agg(
+        F.sort_array(F.collect_set("_i")).alias("_c")
+    )
+    with_cuts = t.join(cuts, on=["id", "_th"], how="left").select(
         "id",
         "_t",
         F.concat(
@@ -837,20 +852,34 @@ def cdc_duplicate_spans(
     list of the Lee et al. 2022 exact-substring dedup family (see
     :func:`cdc_chunks` for why the boundaries are offset-invariant).
 
-    One extra shuffle beyond chunking (partition by chunk fingerprint);
-    the per-fingerprint group is duplicate-occurrence-sized, processed by
-    a window (distinct-doc count via collect_set), never materialized as
-    pairs — the same skew bound as :func:`span_dedup_stats`.
+    Two extra shuffles beyond chunking, BOTH map-combinable: doc frequency
+    is ``distinct(chunk_fp, id)`` → ``count per chunk_fp`` (partial
+    aggregation collapses each fingerprint to one row per map task before
+    the exchange), then the ≥2 survivors join back to the chunk rows on
+    ``chunk_fp``.  Nothing ever materializes a per-fingerprint set: a
+    boilerplate chunk shared by 10⁸ documents contributes 10⁸ count-1 rows
+    that combine map-side, not one 10⁸-element array in a single window
+    task — the same rank-only/combiner discipline as
+    :func:`span_dedup_stats` (which the previous ``collect_set`` window
+    here violated).
 
     Returns (id, start, length, chunk_fp, n_docs).
     """
-    from pyspark.sql import Window
-
-    chunks = cdc_chunks(df, text_col, id_col, k, mod, min_len)
-    w = Window.partitionBy("chunk_fp")
-    return (
-        chunks.withColumn("n_docs", F.size(F.collect_set(F.col("id")).over(w)))
+    # Lazy checkpoint: the chunk relation feeds both the frequency
+    # aggregation and the join-back; without it the position-explode
+    # chunking pipeline would run twice (same rationale as winnow_pairs).
+    chunks = cdc_chunks(df, text_col, id_col, k, mod, min_len).localCheckpoint(
+        eager=False
+    )
+    freq = (
+        chunks.select("chunk_fp", "id")
+        .distinct()
+        .groupBy("chunk_fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .where(F.col("n_docs") >= 2)
+    )
+    return chunks.join(freq, on="chunk_fp").select(
+        "id", "start", "length", "chunk_fp", "n_docs"
     )
 
 

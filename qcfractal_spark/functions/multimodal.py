@@ -86,7 +86,7 @@ def _parse_errors_to_unavailable(fn):
             return fn(*args, **kwargs)
         except DecoderUnavailable:
             raise
-        except (ValueError, IndexError, ZeroDivisionError, struct.error) as exc:
+        except (ValueError, IndexError, ZeroDivisionError, TypeError, struct.error) as exc:
             raise DecoderUnavailable(f"malformed payload: {exc}") from exc
 
     return wrapped
@@ -95,9 +95,16 @@ def _parse_errors_to_unavailable(fn):
 @_parse_errors_to_unavailable
 def _decode_image_pixels(content: bytes):
     """(height, width, 3) uint8 array from uncompressed BMP or binary
-    PPM/PGM bytes; raises DecoderUnavailable for anything else."""
+    PPM/PGM bytes; raises DecoderUnavailable for anything else.
+
+    NULL/empty content degrades per-row like every other undecodable
+    payload (MEDIA_SCHEMA.content is nullable): without this guard a single
+    NULL row would TypeError out of the per-row except clauses and fail the
+    whole job."""
     import numpy as np
 
+    if not content:
+        raise DecoderUnavailable("empty payload")
     if content[:2] == b"BM" and len(content) >= 54:
         import struct
 
@@ -166,6 +173,8 @@ def _decode_wav_samples(content: bytes):
     PCM (8/16-bit) WAV; raises DecoderUnavailable otherwise."""
     import numpy as np
 
+    if not content:
+        raise DecoderUnavailable("empty payload")
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise DecoderUnavailable("not a RIFF/WAVE container")
     import struct
@@ -391,7 +400,18 @@ def _phash_real(content: bytes, n_blocks: int = 9) -> int | None:
     resample to n_blocks × (n_blocks-1) → one bit per horizontally adjacent
     pixel pair ((n_blocks-1)² bits; 64 at the default 9).  NULL for formats
     that need a codec — unhashable, same contract as short payloads in the
-    fake kernel."""
+    fake kernel.
+
+    Width asymmetry vs the fake kernel: the fake kernel emits ``n_blocks-1``
+    bits (always < 64) while the real one emits ``(n_blocks-1)²``, so
+    ``n_blocks > 9`` would overflow the signed-64 ``phash`` LongType at
+    Arrow conversion — rejected up front rather than failing mid-job."""
+    if n_blocks > 9:
+        raise ValueError(
+            f"n_blocks={n_blocks} yields {(n_blocks - 1) ** 2} dHash bits; the "
+            "phash column is a signed 64-bit long, so the real kernel "
+            "requires n_blocks <= 9"
+        )
     try:
         px = _decode_image_pixels(content)
     except DecoderUnavailable:
@@ -413,8 +433,15 @@ def perceptual_hash(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> D
     """Per-media perceptual hash via Arrow-batched mapInPandas (binary in,
     one long out — the image analog of text fingerprinting).  ``fake=False``
     computes REAL dHash for the codec-free formats (BMP/PPM/PGM); rows
-    needing a codec hash to NULL."""
+    needing a codec hash to NULL.  The real kernel caps ``n_blocks`` at 9
+    (64 hash bits) — validated here, driver-side, before any job runs."""
     kernel = _phash_fake if fake else _phash_real
+    if not fake and n_blocks > 9:
+        raise ValueError(
+            f"n_blocks={n_blocks} yields {(n_blocks - 1) ** 2} dHash bits; the "
+            "phash column is a signed 64-bit long, so fake=False requires "
+            "n_blocks <= 9"
+        )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

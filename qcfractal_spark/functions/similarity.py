@@ -595,6 +595,10 @@ def semdedup(
             raise ValueError("index_path without df needs an active SparkSession")
         assigned = spark.read.parquet(f"{index_path}/vectors")
     if assigned is None:
+        if df is None:
+            raise ValueError(
+                "df is required when neither assigned nor index_path is given"
+            )
         assigned, _ = ivf_assignments(df, n_centroids, vec_col=vec_col, id_col=id_col)
     elif "_cid" not in assigned.columns:
         raise ValueError("assigned must carry the quantizer's _cid column")

@@ -10,9 +10,12 @@ parquet scan reads only the surviving columns (check ``ReadSchema`` in
 
 from __future__ import annotations
 
+import logging
 from typing import Iterable
 
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
 
 
 def apply_projection(
@@ -43,6 +46,14 @@ def apply_projection(
             # payload column", so an explicit user request is never
             # silently dropped.  Pure-'*' calls behave identically.
             extras = [c for c in cols if c in inc]
+            if extras:
+                # Make the divergence observable for reference-parity
+                # consumers: the reference would have ignored these names.
+                logger.warning(
+                    "include=['*', ...] adds %s beyond the default column set "
+                    "(the reference's '*' handling silently ignores extras)",
+                    extras,
+                )
             chosen = list(dict.fromkeys([*default, *extras]))
         else:
             chosen = [c for c in cols if c in inc]

@@ -753,3 +753,44 @@ def test_pq_train_rejects_indivisible_dim(spark):
     )
     with pytest.raises(ValueError, match="divisible"):
         pq_train(df, m=2, ksub=4)
+
+
+def test_cdc_chunks_duplicate_ids_chunk_per_row(spark):
+    """ADVICE r6: duplicate doc_id rows carrying DIFFERENT text must each be
+    chunked against their OWN cut list (the anchor aggregation keys on
+    (id, md5(text)), not id alone) — previously the combined cut list was
+    applied to both copies, breaking byte parity with the per-row streaming
+    chunker.  Duplicate (id, SAME text) pairs chunk identically per copy."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india juliett "
+            "kilo lima mike november oscar papa quebec romeo sierra tango ") * 4
+    other = ("zulu yankee xray whiskey victor uniform tango sierra romeo "
+             "quebec papa oscar november mike lima kilo juliett india ") * 5
+    rows = [(1, base), (1, other), (2, base), (2, base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = sorted(
+        (r["id"], r["start"], r["length"], r["chunk_fp"])
+        for r in dd.cdc_chunks(df, min_len=1).collect()
+    )
+    # parity oracle: the shuffle-free streaming chunker computes cuts per ROW
+    want = sorted(
+        (r["id"], r["start"], r["length"], r["chunk_fp"])
+        for r in dd.rowwise_cdc_chunks(df, min_len=1).collect()
+    )
+    assert got == want and len(got) > 4
+    # id=1's two texts produced DIFFERENT chunk sets; id=2's two identical
+    # copies produced the same chunk rows twice
+    one = [(s, l, f) for (i, s, l, f) in got if i == 1]
+    two = [(s, l, f) for (i, s, l, f) in got if i == 2]
+    assert len(set(one)) == len(one)          # distinct texts: no repeats
+    assert len(two) == 2 * len(set(two))      # same text twice: exact pairs
+
+
+def test_semdedup_requires_some_input():
+    """ADVICE r6: df=None with neither assigned nor index_path must raise a
+    clear ValueError, not an AttributeError from inside ivf_assignments."""
+    import pytest
+
+    from qcfractal_spark.functions import similarity as sim
+
+    with pytest.raises(ValueError, match="df is required"):
+        sim.semdedup(None, threshold=0.9)

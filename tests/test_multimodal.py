@@ -192,3 +192,44 @@ def test_real_resize_composes(spark):
     twice = mm.resize_media(mid, 4, 4, fake=False).collect()[0]
     direct = mm.resize_media(media, 4, 4, fake=False).collect()[0]
     assert bytes(twice["content"]) == bytes(direct["content"])
+
+
+def test_null_content_degrades_per_row_in_real_kernels(spark):
+    """ADVICE r6: MEDIA_SCHEMA.content is nullable, so a NULL-content row
+    must degrade per-row in every fake=False path (features, resize, phash)
+    exactly like an undecodable payload — one NULL row previously
+    TypeError'd past the per-row handlers and failed the whole job."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", _bmp_2x2(), "image/bmp", 2, 2, None),
+            (2, "image", None, "image/bmp", None, None, None),
+            (3, "audio", None, "audio/wav", None, None, None),
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {r["media_id"]: r for r in mm.extract_features(media, fake=False).collect()}
+    assert feats[1]["decode_ok"] == "ok"
+    for null_row in (2, 3):
+        assert feats[null_row]["decode_ok"] == "decoder_unavailable"
+        assert feats[null_row]["feature"] is None
+    rs = {r["media_id"]: r for r in mm.resize_media(media, 4, 4, fake=False).collect()}
+    assert rs[1]["resize_ok"] == "ok" and rs[2]["resize_ok"] == "decoder_unavailable"
+    ph = {r["media_id"]: r["phash"] for r in mm.perceptual_hash(media, fake=False).collect()}
+    assert ph[1] is not None and ph[2] is None and ph[3] is None
+
+
+def test_real_phash_rejects_wide_n_blocks(spark):
+    """ADVICE r6: the real dHash kernel emits (n_blocks-1)^2 bits, so
+    n_blocks=10 (81 bits) would overflow the signed-64 phash column at
+    Arrow conversion — rejected driver-side with a clear error; the fake
+    kernel (n_blocks-1 bits) still accepts wide n_blocks."""
+    import pytest
+
+    media = spark.createDataFrame(
+        [(1, "image", _bmp_2x2(), "image/bmp", 2, 2, None)], mm.MEDIA_SCHEMA
+    )
+    with pytest.raises(ValueError, match="n_blocks"):
+        mm.perceptual_hash(media, fake=False, n_blocks=10)
+    with pytest.raises(ValueError, match="n_blocks"):
+        mm._phash_real(_bmp_2x2(), n_blocks=10)
+    assert mm.perceptual_hash(media, fake=True, n_blocks=10).collect()[0]["phash"] is not None

@@ -66,6 +66,9 @@ SMJ_OK = {
     "dd_winnow",  # fingerprint self-join: both sides fact-sized
     "dd_embed",  # LSH bucket self-join: both sides fact-sized
     "dd_semdedup",  # cluster-local self-join: both sides fact-sized
+    "dd_substring",  # chunk rows ⋈ duplicated-fingerprint frequencies on
+                     # chunk_fp: both sides fact-sized (the map-combinable
+                     # replacement for the collect_set window, VERDICT r6)
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
@@ -162,6 +165,18 @@ def audit_one(name: str, df) -> list[str]:
 
     if name in GROUP_TOPK and "WindowGroupLimit" not in plan:
         problems.append("per-group top-k without map-side WindowGroupLimit")
+
+    # No query may buffer a per-group SET in a window function: a
+    # collect_set/collect_list over a window materializes every distinct
+    # value of the group inside ONE task — unbounded on exactly the hot
+    # keys dedup hunts (VERDICT r6 item 1, the cdc_duplicate_spans OOM).
+    # Doc frequencies must be computed map-combinably (groupBy + count).
+    for ln in plan.splitlines():
+        if "windowspecdefinition" in ln and (
+            "collect_set" in ln or "collect_list" in ln
+        ):
+            problems.append("set-materializing window (collect over window)")
+            break
 
     if name in NO_PYTHON and ("ArrowEvalPython" in plan or "BatchEvalPython" in plan):
         problems.append("Python stage in an index-backed plan (quantizer retrain?)")
