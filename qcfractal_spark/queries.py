@@ -4299,6 +4299,222 @@ FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
 REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 
 
+def _stream_gate_run(spark, land_df, land_schema, build_stream, base):
+    """Shared scaffold for the streaming-arm hash gates (VERDICT r6 item 3,
+    same pattern st_session_custom proved): wipe scratch, land the source
+    as several parquet files, run the streaming operator availableNow into
+    a parquet sink, and return (sink_path, out-schema-less reader helper).
+    ``build_stream`` maps the readStream DataFrame to the output stream."""
+    import os
+    import shutil
+
+    shutil.rmtree(base, ignore_errors=True)
+    land, sink, ckpt = (os.path.join(base, p) for p in ("land", "sink", "ckpt"))
+    # several files => several micro-batches (maxFilesPerTrigger=1), so the
+    # cross-batch state path is actually exercised, not just batch one
+    land_df.coalesce(4).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema(land_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        build_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return sink
+
+
+def q_st_stream_span(spark, sf_dir):
+    """T1+DD: the streaming C4 span-dedup arm
+    (streaming/ingest.py:stream_span_dedup) END-TO-END under the driver
+    hash gate — documents land as 4 parquet files, stream through
+    ``dropDuplicatesWithinWatermark`` keyed on the span fingerprint across
+    4 micro-batches, and the sink is re-aggregated per fingerprint.
+
+    Which document survives per fingerprint depends on arrival order
+    (nondeterministic across partitions), so the gated output is the
+    order-insensitive invariant: every distinct span fingerprint appears
+    EXACTLY once (n_out = 1).  A broken chunker changes the fingerprint
+    set; broken dedup state (re-emission within or across batches) makes
+    n_out 2 — both hash-mismatch.  The watermark horizon (10 years) spans
+    the synthetic event times, so state never expires mid-run and the
+    semantics are exact first-occurrence, matching the oracle."""
+    from .streaming.ingest import stream_span_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    sink = _stream_gate_run(
+        spark,
+        docs,
+        "doc_id long, text string, ts timestamp",
+        lambda s: stream_span_dedup(s, watermark="3650 days"),
+        _scratch_dir(sf_dir, "stspan"),
+    )
+    out_schema = "doc_id long, ts timestamp, span_idx int, fingerprint string"
+    return (
+        spark.read.schema(out_schema).parquet(sink)
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+    )
+
+
+SQL_ST_STREAM_SPAN = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS j
+  FROM t
+),
+s AS (
+  SELECT md5(array_to_string(list_slice(toks, j * 20 + 1, j * 20 + 20), ' ')) AS h
+  FROM x
+)
+SELECT h AS fingerprint, CAST(1 AS BIGINT) AS n_out FROM s GROUP BY h
+"""
+
+REGISTRY["st_stream_span"] = (q_st_stream_span, SQL_ST_STREAM_SPAN)
+
+
+def q_st_stream_substring(spark, sf_dir):
+    """T1+DD+: the streaming CDC substring-dedup arm
+    (streaming/ingest.py:stream_substring_dedup) under the driver hash
+    gate — the rowwise (shuffle-free) CDC chunker runs inside the stream
+    and ``dropDuplicatesWithinWatermark`` keys on the chunk fingerprint.
+    Same order-insensitive gate as st_stream_span: each distinct chunk
+    fingerprint survives exactly once (n_out = 1) and carries its
+    fp-determined chunk length, so chunker parity (vs the DuckDB CDC
+    replay) and dedup-state correctness are both hashed."""
+    from .streaming.ingest import stream_substring_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    sink = _stream_gate_run(
+        spark,
+        docs,
+        "doc_id long, text string, ts timestamp",
+        lambda s: stream_substring_dedup(s, watermark="3650 days"),
+        _scratch_dir(sf_dir, "stcdc"),
+    )
+    out_schema = (
+        "doc_id long, ts timestamp, start int, length int, chunk_fp string"
+    )
+    return (
+        spark.read.schema(out_schema).parquet(sink)
+        .groupBy("chunk_fp")
+        .agg(
+            F.min("length").alias("chunk_len"),
+            F.count(F.lit(1)).alias("n_out"),
+        )
+    )
+
+
+SQL_ST_STREAM_SUBSTRING = _CDC_KEPT_CTE + """
+SELECT chunk_fp, MIN(chunk_len) AS chunk_len, CAST(1 AS BIGINT) AS n_out
+FROM kept GROUP BY chunk_fp
+"""
+
+REGISTRY["st_stream_substring"] = (q_st_stream_substring, SQL_ST_STREAM_SUBSTRING)
+
+
+def q_st_stream_incremental(spark, sf_dir):
+    """T1+DD: the streaming incremental-LSH arm
+    (streaming/ingest.py:stream_incremental_dedup) under the driver hash
+    gate — the corpus (doc_id % 10 != 0) is banded once into the persisted
+    index, the ingest batch (doc_id % 10 == 0) lands as 4 files and
+    STREAMS against it (stream-static inner join; corpus text never
+    rescanned), and the sink's cross-band duplicate pairs collapse to the
+    distinct (corpus id_a, new id_b) candidate set — the same output
+    contract as the batch probe (dd_incremental), which the oracle replays
+    with the corpus-vs-batch pair predicate."""
+    from .streaming.ingest import stream_incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    batch = docs.where(F.col("doc_id") % 10 == 0).select("doc_id", "text")
+    path = _scratch_dir(sf_dir, "sti_index")
+    dd.write_lsh_band_index(dd.minhash_signatures(corpus), path)
+    index = spark.read.parquet(path)
+    sink = _stream_gate_run(
+        spark,
+        batch,
+        "doc_id long, text string",
+        lambda s: stream_incremental_dedup(s, index),
+        _scratch_dir(sf_dir, "sti"),
+    )
+    return (
+        spark.read.schema("id_a long, id_b long").parquet(sink)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+SQL_ST_STREAM_INCR = _minhash_oracle_sql(
+    pair_pred="a.id % 10 <> 0 AND b.id % 10 = 0"
+)
+
+REGISTRY["st_stream_incremental"] = (q_st_stream_incremental, SQL_ST_STREAM_INCR)
+
+
+def q_st_rollup_stream(spark, sf_dir):
+    """T3 streaming: maintain_rollup_stream
+    (streaming/ingest.py:104) under the driver hash gate — events land as
+    4 files and stream through foreachBatch into a persisted rollup
+    MutableTable, one exactly-once epoch-guarded merge per micro-batch
+    (work per trigger ∝ batch size + group cardinality, never a window
+    recompute).  The returned rollup must equal the plain GROUP BY over
+    all events: any wrong delta sign, epoch double-apply, or seed error
+    hash-mismatches.  Sums are decimal-exact, so the result is independent
+    of how rows split across the 4 batches."""
+    import os
+    import shutil
+
+    from .sources.table import MutableTable
+    from .streaming.ingest import maintain_rollup_stream
+
+    base = _scratch_dir(sf_dir, "strr")
+    shutil.rmtree(base, ignore_errors=True)
+    events = _t(spark, sf_dir, "events").select(
+        "event_id", "event_type", F.round("value", 6).alias("value")
+    )
+    table = MutableTable(spark, os.path.join(base, "rollup"))
+    land, ckpt = os.path.join(base, "land"), os.path.join(base, "ckpt")
+    events.coalesce(4).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("event_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = maintain_rollup_stream(stream, table, ["event_type"], ["value"], ckpt)
+    q.awaitTermination()
+    return table.read().select(
+        "event_type",
+        "n",
+        F.col("cnt_value").alias("n_values"),
+        F.col("sum_value").cast("double").alias("sum_value"),
+    )
+
+
+SQL_ST_ROLLUP = """
+SELECT event_type, COUNT(*) AS n, COUNT(value) AS n_values,
+       CAST(SUM(CAST(ROUND(value, 6) AS DECIMAL(20,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY event_type
+"""
+
+REGISTRY["st_rollup_stream"] = (q_st_rollup_stream, SQL_ST_ROLLUP)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
