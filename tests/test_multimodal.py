@@ -233,3 +233,87 @@ def test_real_phash_rejects_wide_n_blocks(spark):
     with pytest.raises(ValueError, match="n_blocks"):
         mm._phash_real(_bmp_2x2(), n_blocks=10)
     assert mm.perceptual_hash(media, fake=True, n_blocks=10).collect()[0]["phash"] is not None
+
+
+def test_external_decode_fn_hook(spark):
+    """VERDICT r6 item 6: a user-supplied decode_fn plugs real codecs into
+    the fake=False paths without touching the built-in decoder — built-in
+    formats still decode built-in, hook formats decode via the hook, rows
+    neither handles (and rows where the HOOK ITSELF raises) still degrade
+    per-row.  Hooks are defined inside the test so cloudpickle ships them
+    by value, exactly as a user-supplied closure would ship."""
+
+    def _xdecode(content):
+        # fake 'external codec': b'XIMG' + w + h + raw RGB bytes — a format
+        # the built-in decoder rejects, standing in for Pillow/ffmpeg
+        import numpy as np
+
+        if not content or content[:4] != b"XIMG":
+            raise ValueError("not an XIMG payload")
+        w, h = content[4], content[5]
+        return np.frombuffer(content[6 : 6 + w * h * 3], dtype=np.uint8).reshape(h, w, 3)
+
+    # XIMG 2x2 with the same quadrant colors as the BMP fixture
+    xpx = bytes([255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255])
+    ximg = b"XIMG" + bytes([2, 2]) + xpx
+    media = spark.createDataFrame(
+        [
+            (1, "image", _bmp_2x2(), "image/bmp", 2, 2, None),     # built-in
+            (2, "image", ximg, "image/x-test", 2, 2, None),        # hook
+            (3, "image", b"\x89PNG\r\n\x1a\nzz", "image/png", 4, 4, None),  # neither
+            (4, "image", None, "image/png", None, None, None),     # NULL
+        ],
+        mm.MEDIA_SCHEMA,
+    )
+    feats = {
+        r["media_id"]: r
+        for r in mm.extract_features(media, fake=False, decode_fn=_xdecode).collect()
+    }
+    assert feats[1]["decode_ok"] == feats[2]["decode_ok"] == "ok"
+    assert feats[3]["decode_ok"] == feats[4]["decode_ok"] == "decoder_unavailable"
+    # the hook-decoded XIMG has the same pixels as the BMP -> same features
+    assert feats[2]["feature"] == feats[1]["feature"]
+
+    # phash: hook-decoded pixels hash identically to the same built-in image
+    ph = {
+        r["media_id"]: r["phash"]
+        for r in mm.perceptual_hash(media, fake=False, decode_fn=_xdecode).collect()
+    }
+    assert ph[2] == ph[1] and ph[1] is not None and ph[3] is None
+    # ...so phash_dedup groups the cross-codec duplicates
+    groups = {
+        r["phash"]: r
+        for r in mm.phash_dedup(media, fake=False, decode_fn=_xdecode).collect()
+    }
+    assert groups[ph[1]]["dup_count"] == 2 and groups[ph[1]]["keep_id"] == 1
+
+    # resize through the hook; output is P6, decodable, quadrant-correct
+    rs = {
+        r["media_id"]: r
+        for r in mm.resize_media(media, 4, 4, fake=False, decode_fn=_xdecode).collect()
+    }
+    assert rs[2]["resize_ok"] == "ok" and rs[3]["resize_ok"] == "decoder_unavailable"
+    assert bytes(rs[2]["content"]) == bytes(rs[1]["content"])
+
+    # a hook that raises mid-batch degrades ONLY its own row
+    def bad_hook(content):
+        raise RuntimeError("codec exploded")
+
+    feats_bad = {
+        r["media_id"]: r["decode_ok"]
+        for r in mm.extract_features(media, fake=False, decode_fn=bad_hook).collect()
+    }
+    assert feats_bad == {
+        1: "ok", 2: "decoder_unavailable", 3: "decoder_unavailable",
+        4: "decoder_unavailable",
+    }
+
+    # no hook: unchanged honest degradation (the built-in path untouched)
+    feats_none = {
+        r["media_id"]: r["decode_ok"]
+        for r in mm.extract_features(media, fake=False).collect()
+    }
+    assert feats_none == {
+        1: "ok", 2: "decoder_unavailable", 3: "decoder_unavailable",
+        4: "decoder_unavailable",
+    }

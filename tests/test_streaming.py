@@ -200,3 +200,85 @@ def test_queue_claims_tags_in_preference_order(spark):
     t2 = got[:10]
     keys = [(-t["compute_priority"], t["sort_date"], t["id"]) for t in t2]
     assert keys == sorted(keys)
+
+
+# --- hypothesis-driven claim/return/reap interleavings (VERDICT r6 item 7):
+# the reference's SKIP LOCKED contract (tasks/socket.py:327-358) as machine
+# properties over randomized two-manager schedules.  Example count follows
+# the deep-fuzz convention of tests/test_properties.py.
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_HSETTINGS = dict(
+    max_examples=int(os.environ.get("SPARK_GRAFT_HYPO_EXAMPLES", "8")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_QOPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("claim"), st.integers(0, 1), st.integers(1, 6)),
+        st.tuples(st.just("return"), st.integers(0, 1), st.integers(0, 10),
+                  st.booleans()),
+        st.tuples(st.just("reap"), st.integers(0, 1)),
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@given(ops=_QOPS)
+@settings(**_HSETTINGS)
+def test_queue_interleaving_properties(spark, ops):
+    """Under ANY interleaving of claim/return/reap by two managers:
+    (a) no task is ever claimed while another claim on it is live,
+    (b) a returned (finished) task is never claimed again,
+    (c) every reaped task's record goes back to 'waiting' and the task
+        becomes claimable again,
+    (d) the queue's claimed/finished state always equals the model's."""
+    q = SingleWriterQueue(_tasks_df(spark))
+    names = ["m1", "m2"]
+    for n in names:
+        q.register_manager(n, programs=["p1"], tags=["t1", "t2"])
+    live = {n: {} for n in names}  # manager -> {task_id: record_id}
+    ever_finished: set = set()
+    for op in ops:
+        if op[0] == "claim":
+            _, mi, limit = op
+            n = names[mi]
+            if n not in q.managers:  # reaped earlier: a manager re-registers
+                q.register_manager(n, programs=["p1"], tags=["t1", "t2"])
+            got = q.claim(n, limit)
+            ids = [t["id"] for t in got]
+            assert len(set(ids)) == len(ids) <= limit
+            all_live = {t for m in live.values() for t in m}
+            assert not set(ids) & all_live       # (a) no double claim
+            assert not set(ids) & ever_finished  # (b) finished stay out
+            for t in got:
+                live[n][t["id"]] = t["record_id"]
+                assert q.statuses[t["record_id"]] == "running"
+        elif op[0] == "return":
+            _, mi, which, ok = op
+            n = names[mi]
+            if not live[n]:
+                continue
+            tid = sorted(live[n])[which % len(live[n])]
+            rid = live[n].pop(tid)
+            q.return_task(n, tid, rid, ok)
+            ever_finished.add(tid)
+            assert q.statuses[rid] == ("complete" if ok else "error")
+        else:  # reap manager mi
+            _, mi = op
+            n = names[mi]
+            if n in q.managers:
+                q.managers[n].last_heartbeat -= timedelta(hours=2)
+            released = q.reap_dead_managers(timedelta(minutes=30))
+            for tid in released:  # (c) back to waiting, owner forgets it
+                owner = next(m for m in names if tid in live[m])
+                rid = live[owner].pop(tid)
+                assert q.statuses[rid] == "waiting"
+            assert not live.get(n) or n in q.managers
+    # (d) queue state == model state, exactly
+    assert q.claimed == {tid: m for m in names for tid in live[m]}
+    assert q.finished == ever_finished
+    assert set(q.claim_records) == set(q.claimed)
