@@ -4515,6 +4515,47 @@ FROM events GROUP BY event_type
 REGISTRY["st_rollup_stream"] = (q_st_rollup_stream, SQL_ST_ROLLUP)
 
 
+def q_v1_variant_rollup(spark, sf_dir):
+    """P5/F4 via Spark 4 VARIANT (SURVEY §7 hard-part 5, VERDICT r6 item
+    8): the JSON properties payload is parsed ONCE into a VARIANT column
+    (functions/variantprops.py) and every access is a typed binary-path
+    extraction — numbers keep their native type end-to-end (BIGINT here),
+    no stringly ``get_json_object``+cast detour, and the per-group rollup
+    aggregates the extracted long exactly.  Filter + extraction + sum all
+    run in one codegen stage over the variant binary; at scale the parquet
+    writer shreds ``$.k`` into a typed subcolumn the scan prunes on."""
+    from .functions.variantprops import parse_properties, prop
+
+    ev = _t(spark, sf_dir, "events").withColumn("_v", parse_properties(F.col("props")))
+    k = prop(F.col("_v"), "k", "long")
+    return (
+        ev.where(k.isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+            F.sum(F.when(k > 80, 1).otherwise(0)).alias("n_high"),
+        )
+    )
+
+
+SQL_V1 = """
+SELECT event_type, COUNT(*) AS n,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+                THEN 1 ELSE 0 END) AS n_high
+FROM events
+WHERE json_extract_string(props, '$.k') IS NOT NULL
+GROUP BY event_type
+"""
+
+REGISTRY["v1_variant_rollup"] = (q_v1_variant_rollup, SQL_V1)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship

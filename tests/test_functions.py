@@ -794,3 +794,65 @@ def test_semdedup_requires_some_input():
 
     with pytest.raises(ValueError, match="df is required"):
         sim.semdedup(None, threshold=0.9)
+
+
+def test_variant_properties_preserve_types(spark):
+    """SURVEY §7 hard-part 5 closure: VARIANT keeps each property's native
+    JSON type through extraction (long stays long, double stays double,
+    bool stays bool) where the MapType(String,String) model would have
+    stringified all three; missing keys and NULL payloads extract NULL
+    per-row."""
+    from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+    from qcfractal_spark.functions.variantprops import (
+        parse_properties,
+        prop,
+        properties_df_variant,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, '{"energy": -76.42, "iters": 12, "converged": true}'),
+            (2, '{"energy": -75.0, "iters": 3, "converged": false}'),
+            (3, '{"iters": 9}'),
+            (4, None),
+        ],
+        "id long, props string",
+    )
+    v = df.withColumn("_v", parse_properties(F.col("props")))
+    out = v.select(
+        "id",
+        prop(F.col("_v"), "energy", "double").alias("energy"),
+        prop(F.col("_v"), "iters", "long").alias("iters"),
+        prop(F.col("_v"), "converged", "boolean").alias("converged"),
+    )
+    types = dict(zip(out.columns, [f.dataType for f in out.schema.fields]))
+    assert isinstance(types["energy"], DoubleType)
+    assert isinstance(types["iters"], LongType)
+    assert isinstance(types["converged"], BooleanType)
+    rows = {r["id"]: r for r in out.collect()}
+    assert rows[1]["energy"] == -76.42 and rows[1]["iters"] == 12
+    assert rows[1]["converged"] is True and rows[2]["converged"] is False
+    assert rows[3]["energy"] is None and rows[3]["iters"] == 9
+    assert rows[4]["energy"] is None and rows[4]["iters"] is None
+
+    # the wide matrix twin: same single-shuffle pivot as the map version,
+    # per-key native types
+    recs = spark.createDataFrame(
+        [
+            ("e1", "hf", '{"energy": -1.5, "iters": 4}'),
+            ("e1", "mp2", '{"energy": -1.7}'),
+            ("e2", "hf", '{"energy": -2.5, "iters": 8}'),
+        ],
+        "entry string, spec string, props string",
+    ).withColumn("_v", parse_properties(F.col("props")))
+    wide = properties_df_variant(
+        recs, "entry", "spec", "_v", {"energy": "double", "iters": "long"}
+    )
+    w = {r["entry"]: r for r in wide.collect()}
+    assert w["e1"]["hf_energy"] == -1.5 and w["e1"]["hf_iters"] == 4
+    assert w["e1"]["mp2_energy"] == -1.7 and w["e1"]["mp2_iters"] is None
+    assert w["e2"]["hf_energy"] == -2.5
+    wtypes = dict(zip(wide.columns, [f.dataType for f in wide.schema.fields]))
+    assert isinstance(wtypes["hf_energy"], DoubleType)
+    assert isinstance(wtypes["hf_iters"], LongType)

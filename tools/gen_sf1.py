@@ -1,0 +1,83 @@
+"""Generate a local sf1 decade-scaling dataset from sf0.1 (VERDICT r6
+item 5): 10 deterministic copies of documents (word-shuffled per copy so
+copies are NOT near-duplicates of each other — duplicate DENSITY stays at
+the sf0.1 level instead of exploding into 10-cliques) and 10 copies of
+embeddings (vector rolled by the copy index — random vectors stay random,
+norms preserved).  Other tables are symlinked from sf0.1: the scaling
+targets (dd_substring, dd_minhash_lsh, dd_cluster, pipe_prepare,
+sim_ivf_batch_topk) read only documents/embeddings.
+
+Output: /root/repo/scratch/sf1/*.parquet (git-ignored scratch).
+Usage: python tools/gen_sf1.py
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/scratch/sf1"
+COPIES = 10
+ID_STRIDE = 1_000_000
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+
+    docs = pq.read_table(os.path.join(SRC, "documents.parquet")).to_pandas()
+    out = []
+    for c in range(COPIES):
+        d = docs.copy()
+        d["doc_id"] = d["doc_id"] + c * ID_STRIDE
+        if c > 0:
+            rng = np.random.RandomState(1000 + c)
+            d["text"] = [
+                " ".join(np.array(t.split(" "))[rng.permutation(len(t.split(" ")))])
+                if isinstance(t, str) and t
+                else t
+                for t in d["text"]
+            ]
+        out.append(d)
+    big = pd.concat(out, ignore_index=True)
+    pq.write_table(
+        pa.Table.from_pandas(big, preserve_index=False),
+        os.path.join(DST, "documents.parquet"),
+    )
+    print(f"documents: {len(big)} rows")
+
+    emb = pq.read_table(os.path.join(SRC, "embeddings.parquet")).to_pandas()
+    out = []
+    for c in range(COPIES):
+        e = emb.copy()
+        e["vec_id"] = e["vec_id"] + c * ID_STRIDE
+        if c > 0:
+            e["embedding"] = [
+                np.roll(np.asarray(v, dtype=np.float32), c).tolist()
+                for v in e["embedding"]
+            ]
+        out.append(e)
+    bige = pd.concat(out, ignore_index=True)
+    schema = pq.read_schema(os.path.join(SRC, "embeddings.parquet"))
+    pq.write_table(
+        pa.Table.from_pandas(bige, preserve_index=False).cast(
+            pa.schema([schema.field(i) for i in range(len(schema.names))])
+        ),
+        os.path.join(DST, "embeddings.parquet"),
+    )
+    print(f"embeddings: {len(bige)} rows")
+
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events"):
+        dst = os.path.join(DST, f"{t}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
+    print("done:", DST)
+
+
+if __name__ == "__main__":
+    main()
