@@ -83,8 +83,11 @@ BENCH_QUERIES = [
     "pipe_prepare",         # end-to-end prep: filter -> near-dup CC -> canon
     "dd_winnow",            # winnowing fingerprints + bucket-local pairs
     "dd_substring",         # CDC arbitrary-offset duplicate substrings
+    "v1_variant_rollup",    # VARIANT typed-property extraction + rollup
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
-    # dd_substring_incremental / st_session_custom are gate-only: each
+    # dd_substring_incremental / st_session_custom — and the round-7
+    # streaming gates st_stream_span / st_stream_substring /
+    # st_stream_incremental / st_rollup_stream — are gate-only: each
     # times a scratch write (mutation/index/stream-sink IO) ahead of the
     # query plan; dd_minhash_lsh benches the banding/probe physics and
     # dd_substring the CDC chunking physics.  dd_contamination_neardup is

@@ -306,6 +306,28 @@ def exact_cosine_pairs_topk(
     return rescored.orderBy(F.col("score").desc(), "id_a", "id_b").limit(k)
 
 
+def assign_to_centroids(centers: Sequence[Sequence[float]], vec_col: str) -> Column:
+    """Nearest-centroid assignment (cosine) against a FIXED centroid table:
+    one (batch × dim) @ (dim × C) BLAS matmul per Arrow batch instead of
+    C×dim interpreted lambda evaluations per row — the only Python in the
+    IVF path.  Shared by the quantizer's Lloyd iterations and by
+    :func:`append_to_ivf_index` (which must assign with the index's stored
+    centroids, never a retrain)."""
+    from pyspark.sql.functions import pandas_udf
+
+    cmat = np.asarray([list(c) for c in centers], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0.0] = 1.0
+    cn = (cmat / cnorm[:, None]).T  # dim × C
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy())  # batch × dim
+        return pd.Series(np.argmax(m @ cn, axis=1).astype("int32"))
+
+    return _assign(F.col(vec_col).cast("array<double>"))
+
+
 def ivf_assignments(
     df: DataFrame,
     n_centroids: int = 16,
@@ -327,8 +349,6 @@ def ivf_assignments(
 
     Returns (df + ``_cid`` column, centroids).
     """
-    from pyspark.sql.functions import pandas_udf
-
     init = (
         df.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -338,20 +358,7 @@ def ivf_assignments(
     centroids = [list(r[0]) for r in init]
 
     def assign(centers: list[list[float]]) -> Column:
-        # Vectorized Arrow-batched kernel: one (batch × dim) @ (dim × C)
-        # matmul per batch instead of C×dim interpreted lambda evaluations
-        # per row — the only Python in the IVF path, and it's BLAS.
-        cmat = np.asarray(centers, dtype=np.float64)
-        cnorm = np.linalg.norm(cmat, axis=1)
-        cnorm[cnorm == 0.0] = 1.0
-        cn = (cmat / cnorm[:, None]).T  # dim × C
-
-        @pandas_udf("int")
-        def _assign(vecs: pd.Series) -> pd.Series:
-            m = np.stack(vecs.to_numpy())  # batch × dim
-            return pd.Series(np.argmax(m @ cn, axis=1).astype("int32"))
-
-        return _assign(F.col(vec_col).cast("array<double>"))
+        return assign_to_centroids(centers, vec_col)
 
     for _ in range(n_iter):
         assigned = df.withColumn("_cid", assign(centroids))
@@ -647,6 +654,36 @@ def write_ivf_index(
     spark.createDataFrame(cent_rows, "cid int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def append_to_ivf_index(
+    spark,
+    new_df: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Append new vectors to a persisted IVF index WITHOUT retraining —
+    the ANN ingest loop at 100 TB: a daily arrival batch costs one
+    assignment scan (BLAS kernel against the index's stored centroids, a
+    driver-size read) plus an append write into only the affected
+    ``_cid=`` partitions.  The quantizer is never touched per batch —
+    probes over the updated index see old and new vectors identically,
+    and periodic offline retrain (:func:`write_ivf_index`, full rebuild)
+    remains the recentering mechanism when drift accumulates, exactly the
+    FAISS ``add`` vs ``train`` split.
+
+    ``new_df`` must carry the same columns the index was built from
+    (``id_col``, ``vec_col``); uniqueness of ids across batches is the
+    caller's contract, as with any append-only ingest."""
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    new_df.withColumn("_cid", assign_to_centroids(centroids, vec_col)).write.mode(
+        "append"
+    ).partitionBy("_cid").parquet(f"{path}/vectors")
 
 
 def ivf_topk_indexed(

@@ -4675,28 +4675,60 @@ REGISTRY["v1_variant_rollup"] = (q_v1_variant_rollup, SQL_V1)
 #              dd_contamination_neardup (near-dup decontamination, born r6)
 # --------------------------------------------------------------------------
 
+# Round-7 rotation (VERDICT r6 item 2 + the round's additions), computed
+# from tools/stale_stamps.py over the recorded artifacts.  Step IN:
+#   - the four r04-latest stamps (dd_embed, sim_topk, tx_tfidf,
+#     tx_unigram_lm) — the only pre-r05 residue;
+#   - the queries whose implementation changed AFTER their latest stamp:
+#     dd_semdedup + sim_ivf_topk (rewired onto the persisted IVF index in
+#     r6, stamped r05 under the old plan), dd_substring (r7: collect_set
+#     window → map-combinable doc-frequency agg; stamp must re-hash the
+#     new plan), mm_features + mm_phash_dedup (r7: NULL-content guards +
+#     decode_fn hook threaded through the kernels);
+#   - the five round-7 newcomers, never driver-stamped: the streaming-arm
+#     gates st_stream_span / st_stream_substring / st_stream_incremental /
+#     st_rollup_stream and the VARIANT-properties gate v1_variant_rollup;
+#   - 36 of the remaining r05-stamped cohort (all equally stale).
+# Step OUT (all 50 r06-stamped queries — freshly green last round — plus):
+#   a19/a22            rows-only sketches by design; error-bound pytest
+#                      gates carry them (same rationale as r06)
+#   j15_salted_join    uniform salting ⊂ j16_adaptive_salted (in-window,
+#                      same join+rollup oracle family)
+#   a18_cube_counts    grouping sets ⊂ a5_two_col_counts (r06-fresh) +
+#                      a21_histogram (in-window)
+#   dd_simhash_pairs   banded Hamming pairs ⊂ dd_simhash (r06-fresh) +
+#                      the band-bucket pair family in dd_winnow (r06)
+#   dd_span_dedup      fixed-grid span family ⊂ st_stream_span (in-window,
+#                      same fingerprint projection) + dd_substring
+#   st_sessionize      built-in session_window arm ⊂ st_session_custom
+#                      (r06-fresh, same lag+cumsum oracle algebra)
+#   s8_snapshot_roundtrip  export/import ⊂ the in-window mutation family
+#                      (s3/s6/s7) + s4 (r06-fresh)
+#   mol_identifiers    scalar map/array filters ⊂ f9_content_hash +
+#                      j12_element_at (both r06-fresh)
+#   f12_hour_percentiles  continuous-percentile twin of a6_access_summary
+#                      (r06-fresh percentile_disc family)
 _DRIVER_WINDOW = [
-    # --- r01-latest (21) ---
-    "a11_sample_keys", "a12_weighted_sum", "a16_dedup_batch",
-    "a2_status_counts", "a4_union_counts", "dd_simhash",
-    "ds_missing_cells", "f9_content_hash", "h1_pricing_summary",
-    "h3_top_revenue", "h6_forecast_revenue", "j10_count_join",
-    "j12_element_at", "p4_tuple_in", "p5_json_extract",
-    "p7_array_overlap", "p8_int_or_name", "sim_cosine_pairs",
-    "sim_lsh_topk", "u3_distinct", "u5_stratified_sample",
-    # --- r03-latest (7) ---
-    "a10_map_agg", "a5_two_col_counts", "dd_containment",
-    "dd_winnow", "sim_knn_join", "tx_repetition", "u6_mixture_sample",
-    # --- r04-latest (20) ---
-    "a13_manybody_levels", "a14_pivot", "a17_group_centroid",
-    "a6_access_summary", "dd_contamination", "dd_exact",
-    "dd_jaccard", "j1_dim_join", "j4_semi_join", "o2_priority_topk",
-    "s1_scan_project", "s4_upsert_classify",
-    "t3_hourly_rollup", "tx_pii", "tx_text_stats",
-    "w1_window_lag",
-    # --- round-6 newcomers (6) ---
-    "dd_substring", "st_session_custom", "dd_substring_incremental",
-    "sim_ivfpq_topk", "sim_ivf_batch_topk", "dd_contamination_neardup",
+    # --- r04-latest (4) ---
+    "dd_embed", "sim_topk", "tx_tfidf", "tx_unigram_lm",
+    # --- code changed after latest stamp (5) ---
+    "dd_semdedup", "sim_ivf_topk", "dd_substring",
+    "mm_features", "mm_phash_dedup",
+    # --- round-7 newcomers (5) ---
+    "st_stream_span", "st_stream_substring", "st_stream_incremental",
+    "st_rollup_stream", "v1_variant_rollup",
+    # --- r05-latest cohort (36) ---
+    "a15_properties_df", "a20_salted_agg", "a21_histogram",
+    "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
+    "dd_cluster", "dd_common_ngrams", "dd_incremental",
+    "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
+    "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",
+    "j6_membership", "j8_closure", "j9_anti_join", "p2_p3_filter_page",
+    "pipe_prepare", "pk_domain_cap", "pk_pack", "s2_bulk_get",
+    "s3_insert_dedup_table", "s6_delete_survivors",
+    "s7_retention_survivors", "sim_pq_topk", "t10_incremental_rollup",
+    "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
+    "tx_dsir", "tx_quality_clf",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

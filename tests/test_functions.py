@@ -856,3 +856,44 @@ def test_variant_properties_preserve_types(spark):
     wtypes = dict(zip(wide.columns, [f.dataType for f in wide.schema.fields]))
     assert isinstance(wtypes["hf_energy"], DoubleType)
     assert isinstance(wtypes["hf_iters"], LongType)
+
+
+def test_ivf_index_append_without_retrain(spark, tmp_path):
+    """append_to_ivf_index: new vectors are assigned with the index's
+    STORED centroids (no retrain) and land in their _cid partitions;
+    probes over the updated index see them.  The ANN ingest loop: index
+    build once, append per batch, retrain offline."""
+    import numpy as np
+
+    from qcfractal_spark.functions import similarity as sim
+
+    rng = np.random.RandomState(7)
+    base = [(i, rng.randn(8).round(3).tolist()) for i in range(40)]
+    newb = [(100 + i, rng.randn(8).round(3).tolist()) for i in range(10)]
+    schema = "vec_id long, embedding array<double>"
+    path = str(tmp_path / "ivf")
+    sim.write_ivf_index(spark.createDataFrame(base, schema), path, n_centroids=4)
+    sim.append_to_ivf_index(spark, spark.createDataFrame(newb, schema), path)
+
+    vectors = spark.read.parquet(f"{path}/vectors")
+    got = {r["vec_id"]: r["_cid"] for r in vectors.collect()}
+    assert set(got) == {i for i, _ in base} | {i for i, _ in newb}
+
+    # appended assignments == argmax cosine against the STORED centroids
+    cents = {r["cid"]: np.array(r["centroid"])
+             for r in spark.read.parquet(f"{path}/centroids").collect()}
+    cmat = np.stack([cents[i] for i in range(len(cents))])
+    cn = cmat / np.linalg.norm(cmat, axis=1)[:, None]
+    for vid, vec in newb:
+        assert got[vid] == int(np.argmax(cn @ np.array(vec)))
+
+    # a probe with an appended vector finds it (all-probe => exhaustive)
+    top = sim.ivf_topk_indexed(spark, path, newb[0][1], k=1, n_probe=4).collect()
+    assert top[0]["vec_id"] == newb[0][0]
+
+    # base assignments are untouched by the append (append-only partitions)
+    rebuilt = {r["vec_id"]: r["_cid"] for r in vectors.where("vec_id < 100").collect()}
+    fresh, _ = sim.ivf_assignments(
+        spark.createDataFrame(base, schema), n_centroids=4
+    )
+    assert rebuilt == {r["vec_id"]: r["_cid"] for r in fresh.collect()}
