@@ -64,3 +64,42 @@ def concat_chunk_layout(
             F.expr(f"_last_off div {b}") - F.expr(f"start_offset div {b}") + 1
         ).alias("n_chunks"),
     )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    epoch: int = 0,
+    n_shards: int = 8,
+) -> DataFrame:
+    """Deterministic sharded epoch shuffle — the training-loader's
+    "different random order every epoch, same order on every re-run" op.
+
+    The permutation key is ``md5(epoch ':' id)``: seeded by the epoch, so
+    each epoch is an independent pseudo-random order; derived from the id,
+    so resubmissions and stragglers reproduce it exactly (no RNG state to
+    checkpoint).  Shard = the portable 32-bit prefix of the same digest
+    mod ``n_shards``; position = rank of the key within the shard.
+
+    100 TB story: training readers consume SHARDS, so no global total
+    order is ever needed — the plan is one hash exchange on the shard id
+    plus an in-partition sort, never a global range sort.  The rank window
+    is rank-only (row_number streams, no buffering), and shard populations
+    are uniform by construction (hash prefix), so the sort is balanced.
+    ``n_shards`` scales with corpus size to keep per-shard sorts
+    memory-resident (the same knob as any external sort).
+
+    Returns (id, shard, pos) — pos is 1-based within the shard.
+    """
+    from .text import portable_hash64
+
+    seed = F.concat_ws(":", F.lit(str(epoch)), F.col(id_col).cast("string"))
+    out = df.select(
+        F.col(id_col),
+        F.pmod(portable_hash64(seed), F.lit(n_shards)).alias("shard"),
+        F.md5(seed).alias("_key"),
+    )
+    w = Window.partitionBy("shard").orderBy(F.col("_key").asc(), F.col(id_col).asc())
+    return out.select(
+        id_col, "shard", F.row_number().over(w).alias("pos")
+    )

@@ -4556,6 +4556,36 @@ GROUP BY event_type
 REGISTRY["v1_variant_rollup"] = (q_v1_variant_rollup, SQL_V1)
 
 
+def q_u7_epoch_shuffle(spark, sf_dir):
+    """U+ (beyond-reference): deterministic sharded epoch shuffle
+    (functions/packing.py:epoch_shuffle) — every epoch a different
+    pseudo-random order, every re-run the identical one, and no global
+    sort: readers consume shards, so the plan is one hash exchange + an
+    in-partition rank-only sort.  The oracle replays the md5 permutation
+    key, the 32-bit-prefix shard id, and the within-shard rank."""
+    from .functions.packing import epoch_shuffle
+
+    docs = _t(spark, sf_dir, "documents")
+    return epoch_shuffle(docs, id_col="doc_id", epoch=1, n_shards=8)
+
+
+SQL_U7 = """
+WITH k AS (
+  SELECT doc_id,
+         md5('1:' || CAST(doc_id AS VARCHAR)) AS key,
+         ('0x' || substr(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 8
+           AS shard
+  FROM documents
+)
+SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY key, doc_id) AS INT)
+         AS pos
+FROM k
+"""
+
+REGISTRY["u7_epoch_shuffle"] = (q_u7_epoch_shuffle, SQL_U7)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4714,13 +4744,15 @@ _DRIVER_WINDOW = [
     # --- code changed after latest stamp (5) ---
     "dd_semdedup", "sim_ivf_topk", "dd_substring",
     "mm_features", "mm_phash_dedup",
-    # --- round-7 newcomers (5) ---
+    # --- round-7 newcomers (6) ---
     "st_stream_span", "st_stream_substring", "st_stream_incremental",
-    "st_rollup_stream", "v1_variant_rollup",
-    # --- r05-latest cohort (36) ---
+    "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
+    # --- r05-latest cohort (35; dd_common_ngrams steps out for
+    # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
+    # r06-fresh, the same rationale the r02 rotation used) ---
     "a15_properties_df", "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
-    "dd_cluster", "dd_common_ngrams", "dd_incremental",
+    "dd_cluster", "dd_incremental",
     "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
     "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",
     "j6_membership", "j8_closure", "j9_anti_join", "p2_p3_filter_page",

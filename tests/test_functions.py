@@ -897,3 +897,27 @@ def test_ivf_index_append_without_retrain(spark, tmp_path):
         spark.createDataFrame(base, schema), n_centroids=4
     )
     assert rebuilt == {r["vec_id"]: r["_cid"] for r in fresh.collect()}
+
+
+def test_epoch_shuffle_properties(spark):
+    """epoch_shuffle: (a) each shard's positions are a contiguous 1..n
+    ranking, (b) the same epoch reproduces the identical permutation,
+    (c) different epochs produce different within-shard orders, (d) shard
+    assignment is epoch-dependent too (the whole permutation reseeds)."""
+    from qcfractal_spark.functions.packing import epoch_shuffle
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    e1 = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    e1b = epoch_shuffle(docs, epoch=1, n_shards=4).collect()
+    e2 = epoch_shuffle(docs, epoch=2, n_shards=4).collect()
+    key = lambda rows: sorted((r["doc_id"], r["shard"], r["pos"]) for r in rows)
+    assert key(e1) == key(e1b)          # (b) deterministic
+    assert key(e1) != key(e2)           # (c)/(d) epochs differ
+    by_shard = {}
+    for r in e1:
+        by_shard.setdefault(r["shard"], []).append(r["pos"])
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1))  # (a)
+    assert {r["doc_id"] for r in e1} == set(range(200))
