@@ -103,3 +103,38 @@ def epoch_shuffle(
     return out.select(
         id_col, "shard", F.row_number().over(w).alias("pos")
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic exact-k sample per group — the "cap every source at K
+    documents" mixing op, the count-exact complement of rate-based
+    stratified sampling (``q_u5``): rank rows within each group by a
+    seeded portable hash and keep the ``k`` lowest.  Reseeding ``seed``
+    draws an independent sample; re-running reproduces it exactly.
+
+    100 TB story: the rank is a rank-only window filtered on
+    ``row_number <= k``, which Spark rewrites with a map-side
+    ``WindowGroupLimit`` — every input partition keeps at most k rows per
+    group BEFORE the exchange, so the shuffle carries O(partitions × k ×
+    groups-per-partition) rows, never the corpus (asserted by the plan
+    audit's GROUP_TOPK gate).
+
+    Returns the input rows of the sample plus ``sample_rank`` (1..k
+    within the group).
+    """
+    from .text import portable_hash64
+
+    key = portable_hash64(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(group_col).orderBy(key.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= k)
+    )

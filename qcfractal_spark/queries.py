@@ -4586,6 +4586,34 @@ FROM k
 REGISTRY["u7_epoch_shuffle"] = (q_u7_epoch_shuffle, SQL_U7)
 
 
+def q_u8_group_sample_k(spark, sf_dir):
+    """U+ (beyond-reference): deterministic exact-k per-group sampling
+    (functions/packing.py:sample_k_per_group) — cap every source at k=50
+    docs by seeded-hash rank.  The row_number<=k filter compiles to a
+    map-side WindowGroupLimit (plan-audited), so the exchange carries
+    per-partition top-k, never the corpus; the oracle replays the hash
+    rank in SQL."""
+    from .functions.packing import sample_k_per_group
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_k_per_group(docs, group_col="source", id_col="doc_id", k=50)
+
+
+SQL_U8 = """
+WITH r AS (
+  SELECT doc_id, source,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+                    doc_id) AS rk
+  FROM documents
+)
+SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r WHERE rk <= 50
+"""
+
+REGISTRY["u8_group_sample_k"] = (q_u8_group_sample_k, SQL_U8)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4744,14 +4772,17 @@ _DRIVER_WINDOW = [
     # --- code changed after latest stamp (5) ---
     "dd_semdedup", "sim_ivf_topk", "dd_substring",
     "mm_features", "mm_phash_dedup",
-    # --- round-7 newcomers (6) ---
+    # --- round-7 newcomers (7) ---
     "st_stream_span", "st_stream_substring", "st_stream_incremental",
     "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
-    # --- r05-latest cohort (35; dd_common_ngrams steps out for
+    "u8_group_sample_k",
+    # --- r05-latest cohort (34; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
-    # r06-fresh, the same rationale the r02 rotation used) ---
+    # r06-fresh, the same rationale the r02 rotation used — and
+    # d1_value_call steps out for u8_group_sample_k: its Arrow
+    # pandas-UDF extraction family is carried in-window by mm_features) ---
     "a15_properties_df", "a20_salted_agg", "a21_histogram",
-    "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
+    "a7_json_rollup", "a8_status_gate", "a9_argmin",
     "dd_cluster", "dd_incremental",
     "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
     "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",

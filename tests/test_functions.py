@@ -921,3 +921,27 @@ def test_epoch_shuffle_properties(spark):
     for shard, poss in by_shard.items():
         assert sorted(poss) == list(range(1, len(poss) + 1))  # (a)
     assert {r["doc_id"] for r in e1} == set(range(200))
+
+
+def test_sample_k_per_group_exact_counts(spark):
+    """sample_k_per_group: exactly min(k, group size) rows per group,
+    deterministic across runs, a different deterministic subset per seed,
+    and sample_rank is contiguous 1..n within each group."""
+    from qcfractal_spark.functions.packing import sample_k_per_group
+
+    rows = [(i, f"s{i % 3}") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    got = sample_k_per_group(df, "source", "doc_id", k=10).collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r["source"], []).append((r["sample_rank"], r["doc_id"]))
+    assert set(by_src) == {"s0", "s1", "s2"}
+    for src, pairs in by_src.items():
+        assert sorted(p[0] for p in pairs) == list(range(1, 11))
+    again = sample_k_per_group(df, "source", "doc_id", k=10).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+    other = sample_k_per_group(df, "source", "doc_id", k=10, seed=1).collect()
+    assert {r["doc_id"] for r in other} != {r["doc_id"] for r in got}
+    # k >= group size: the whole group survives
+    small = sample_k_per_group(df, "source", "doc_id", k=99).collect()
+    assert len(small) == 100

@@ -93,7 +93,7 @@ BROADCAST_MUST_BE_FILTERED = {"s2_bulk_get"}
 
 # Per-group top-k queries must show map-side WindowGroupLimit (rank pushdown:
 # each input partition keeps only its own top-k before the shuffle).
-GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin"}
+GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin", "u8_group_sample_k"}
 
 # Queries whose steady-state plan must contain ZERO Python stages: they
 # consume the persisted IVF index, so the k-means assign pandas_udf must
