@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "v1_variant_rollup",    # VARIANT typed-property extraction + rollup
     "u7_epoch_shuffle",     # sharded deterministic epoch shuffle
     "u8_group_sample_k",    # exact-k per-group sample (WindowGroupLimit)
+    "dd_source_overlap",    # cross-source duplicate overlap matrix
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -1102,3 +1102,68 @@ def simhash_candidate_pairs(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+def source_overlap_matrix(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-source exact-duplicate overlap matrix — the curation question
+    "how much of source A is already in source B" (CommonCrawl vs
+    Wikipedia vs books is the canonical instance) answered with one tiny
+    join: per (source_a, source_b), the number of shared content
+    fingerprints, both sources' distinct-fingerprint counts, and the
+    fingerprint-set Jaccard.
+
+    Scale shape: ``distinct(fingerprint, source)`` is one map-combinable
+    shuffle whose cardinality is ≤ corpus; the self-join on the
+    fingerprint is bucket-local with per-fingerprint work bounded by
+    (#sources carrying it)² — #sources is a small dimension, so no
+    fingerprint group can blow up regardless of how duplicated the
+    content is.  The per-source size table is #sources rows and
+    broadcast; the output enumerates EVERY source pair (zero-overlap
+    pairs included, shared_fps = 0) — a matrix with holes is not a
+    matrix, and the pair skeleton is a broadcast self-pairing of the
+    #sources-row dimension, constant-size by construction.  Uses the same
+    canonical :func:`fingerprint` as :func:`exact_dedup`, so "duplicate"
+    means exactly what the dedup pass means by it.
+    """
+    fps = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.col(source_col).alias("source"),
+        )
+        .distinct()
+    )
+    sizes = fps.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, on="fp")
+        .where(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )
+    sa = F.broadcast(sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a")))
+    sb = F.broadcast(sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b")))
+    skeleton = sa.join(sb, F.col("source_a") < F.col("source_b"))
+    return (
+        skeleton.join(pairs, on=["source_a", "source_b"], how="left")
+        .select(
+            "source_a",
+            "source_b",
+            F.coalesce(F.col("shared_fps"), F.lit(0)).alias("shared_fps"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.coalesce(F.col("shared_fps"), F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("shared_fps"), F.lit(0))),
+                6,
+            ).alias("jaccard"),
+        )
+    )

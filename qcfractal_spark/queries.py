@@ -4614,6 +4614,42 @@ SELECT doc_id, source, CAST(rk AS INT) AS sample_rank FROM r WHERE rk <= 50
 REGISTRY["u8_group_sample_k"] = (q_u8_group_sample_k, SQL_U8)
 
 
+def q_dd_source_overlap(spark, sf_dir):
+    """DD+ (beyond-reference): cross-source exact-duplicate overlap matrix
+    (functions/dedup.py:source_overlap_matrix) — shared content
+    fingerprints, per-source distinct counts, and fingerprint-set Jaccard
+    for every source pair; per-fingerprint join work is bounded by
+    (#sources)², so no hot fingerprint can blow up the plan."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.source_overlap_matrix(docs)
+
+
+SQL_DD_SOURCE_OVERLAP = r"""
+WITH fps AS (
+  SELECT DISTINCT
+         md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) AS fp,
+         source
+  FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT source, COUNT(*) AS n FROM fps GROUP BY source),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS shared_fps
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT sa.source AS source_a, sb.source AS source_b,
+       COALESCE(p.shared_fps, 0) AS shared_fps,
+       sa.n AS n_a, sb.n AS n_b,
+       ROUND(COALESCE(p.shared_fps, 0) * 1.0
+             / (sa.n + sb.n - COALESCE(p.shared_fps, 0)), 6) AS jaccard
+FROM sizes sa
+JOIN sizes sb ON sa.source < sb.source
+LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
+"""
+
+REGISTRY["dd_source_overlap"] = (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4775,12 +4811,15 @@ _DRIVER_WINDOW = [
     # --- round-7 newcomers (7) ---
     "st_stream_span", "st_stream_substring", "st_stream_incremental",
     "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
-    "u8_group_sample_k",
-    # --- r05-latest cohort (34; dd_common_ngrams steps out for
+    "u8_group_sample_k", "dd_source_overlap",
+    # --- r05-latest cohort (33; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
-    # r06-fresh, the same rationale the r02 rotation used — and
+    # r06-fresh, the same rationale the r02 rotation used;
     # d1_value_call steps out for u8_group_sample_k: its Arrow
-    # pandas-UDF extraction family is carried in-window by mm_features) ---
+    # pandas-UDF extraction family is carried in-window by mm_features;
+    # t2_enrichment steps out for dd_source_overlap: its broadcast
+    # dim-lookup join ⊂ j1_dim_join (r06-fresh) and its high-watermark
+    # filter is pinned by the watermark pytest) ---
     "a15_properties_df", "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin",
     "dd_cluster", "dd_incremental",
@@ -4790,7 +4829,7 @@ _DRIVER_WINDOW = [
     "pipe_prepare", "pk_domain_cap", "pk_pack", "s2_bulk_get",
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "sim_pq_topk", "t10_incremental_rollup",
-    "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
+    "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
 ]
 

@@ -945,3 +945,26 @@ def test_sample_k_per_group_exact_counts(spark):
     # k >= group size: the whole group survives
     small = sample_k_per_group(df, "source", "doc_id", k=99).collect()
     assert len(small) == 100
+
+
+def test_source_overlap_matrix_counts(spark):
+    """source_overlap_matrix: shared_fps counts distinct shared
+    fingerprints (not doc pairs), zero-overlap pairs appear with
+    shared_fps=0, and Jaccard uses distinct-fingerprint set sizes."""
+    rows = [
+        (1, "a", "dup one"), (2, "a", "dup two"), (3, "a", "only in a"),
+        (4, "b", "dup one"), (5, "b", "dup two"), (6, "b", "dup one"),
+        (7, "c", "only in c"), (8, "c", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    got = {
+        (r["source_a"], r["source_b"]): r
+        for r in dd.source_overlap_matrix(df).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # 'dup one' counted once despite two copies in b; sizes are distinct fps
+    assert ab["shared_fps"] == 2 and ab["n_a"] == 3 and ab["n_b"] == 2
+    assert ab["jaccard"] == round(2 / (3 + 2 - 2), 6)
+    assert got[("a", "c")]["shared_fps"] == 0 and got[("a", "c")]["jaccard"] == 0.0
+    assert got[("b", "c")]["n_b"] == 1  # NULL text excluded from c's size

@@ -48,7 +48,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # queries × centroid-table fan-out: the BNLJ build side
                        # is the n_centroids-row centroid table (16 rows) — the
                        # per-query probe ranking, constant-size by design
-                       "sim_ivf_batch_topk"}
+                       "sim_ivf_batch_topk",
+                       # source-pair skeleton: non-equi (a < b) self-pairing of
+                       # the broadcast #sources-row dimension — constant-size
+                       "dd_source_overlap"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -69,6 +72,11 @@ SMJ_OK = {
     "dd_substring",  # chunk rows ⋈ duplicated-fingerprint frequencies on
                      # chunk_fp: both sides fact-sized (the map-combinable
                      # replacement for the collect_set window, VERDICT r6)
+    "dd_source_overlap",  # (fp, source) self-join: both sides fact-sized;
+                          # the matrix-assembly left join's build side is the
+                          # post-agg sources²-row pair table whose stats the
+                          # static planner can't see — AQE broadcasts it at
+                          # runtime (the audit runs AQE-off by design)
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
