@@ -87,6 +87,7 @@ BENCH_QUERIES = [
     "u7_epoch_shuffle",     # sharded deterministic epoch shuffle
     "u8_group_sample_k",    # exact-k per-group sample (WindowGroupLimit)
     "dd_source_overlap",    # cross-source duplicate overlap matrix
+    "dd_minhash_estimate",  # signature-agreement Jaccard triage
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -1167,3 +1167,53 @@ def source_overlap_matrix(
             ).alias("jaccard"),
         )
     )
+
+
+def minhash_estimate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bands: int = 4,
+    rows_per_band: int = 4,
+    num_perm: int = _NUM_PERM_DEFAULT,
+) -> DataFrame:
+    """Signature-agreement Jaccard ESTIMATES for the LSH candidate pairs —
+    (id_a, id_b, est_jaccard) where the estimate is the fraction of the
+    ``num_perm`` MinHash components the two signatures share (the unbiased
+    MinHash estimator, Broder 1997).
+
+    The pipeline role: candidates come out of banding in volume; ranking
+    or thresholding them on the ESTIMATE costs a zip over two
+    num_perm-int arrays per pair — no text hydration, no shingle
+    re-explode — and only the survivors go to an exact verify pass
+    (:func:`ngram_jaccard_pairs` for set truth, ``q_dd_lev_verify`` for
+    edit distance).  At 100 TB that ordering is the difference between
+    verifying every band collision and verifying the few percent that
+    matter.
+
+    Plan: signatures are computed ONCE (lazy checkpoint) and feed both the
+    banding and the two pair-side signature joins; the component
+    comparison is a JVM higher-order zip over 16-int arrays (interpreted,
+    but per-pair constant work — no shuffle beyond the id-keyed signature
+    joins, both map-combinable equi-joins).
+    """
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_perm=num_perm
+    ).localCheckpoint(eager=False)
+    cand = minhash_lsh_candidates(sigs, bands, rows_per_band)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("signature").alias("_sa"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("signature").alias("_sb"))
+    matches = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        cand.join(sa, on="id_a")
+        .join(sb, on="id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
+        )
+    )

@@ -1175,13 +1175,17 @@ ORDER BY score DESC, id_a, id_b LIMIT 20
 def _minhash_oracle_sql(
     pair_pred: str = "a.id < b.id",
     source: str = "documents",
+    final_select: str | None = None,
 ) -> str:
     """Generate the DuckDB mirror of minhash_signatures + lsh banding from
     the same deterministic parameter table the Spark plan uses.
     ``pair_pred`` is the pair-orientation predicate over aliases a/b
     (default: the canonical ordered-pair form); ``source`` is the relation
     supplying (doc_id, text) — a table or an outer CTE (outer CTEs stay
-    visible inside this statement's nested WITH)."""
+    visible inside this statement's nested WITH).  ``final_select``
+    replaces the default distinct-pair projection while keeping every CTE
+    (``sig`` with mh_0..mh_15 and ``bands`` are in scope) — the signature
+    replay has ONE definition however many oracles build on it."""
     from .functions.dedup import _NUM_PERM_DEFAULT, _P, _minhash_params
 
     params = _minhash_params(_NUM_PERM_DEFAULT)
@@ -1194,6 +1198,12 @@ def _minhash_oracle_sql(
         + ") AS band_key FROM sig"
         for bi in range(4)
     )
+    if final_select is None:
+        final_select = f"""
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM bands a
+JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+            AND ({pair_pred})"""
     return f"""
 WITH docs AS (
   SELECT doc_id AS id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
@@ -1212,10 +1222,7 @@ sig AS (
 bands AS (
 {bands}
 )
-SELECT DISTINCT a.id AS id_a, b.id AS id_b
-FROM bands a
-JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-            AND ({pair_pred})
+{final_select}
 """
 
 
@@ -4650,6 +4657,43 @@ LEFT JOIN pairs p ON p.source_a = sa.source AND p.source_b = sb.source
 REGISTRY["dd_source_overlap"] = (q_dd_source_overlap, SQL_DD_SOURCE_OVERLAP)
 
 
+def q_dd_minhash_estimate(spark, sf_dir):
+    """DD+ (beyond-reference): signature-agreement Jaccard estimates for
+    the LSH candidate pairs (functions/dedup.py:minhash_estimate_pairs) —
+    the triage stage between candidate generation and exact verification:
+    ranking candidates costs a zip over two 16-int signatures per pair,
+    no text hydration, so only estimate-survivors pay the exact pass.
+    The oracle replays the shared signature CTE and counts agreeing
+    components per pair."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.minhash_estimate_pairs(docs)
+
+
+SQL_DD_MINHASH_EST = _minhash_oracle_sql(
+    final_select="""
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              AND a.id < b.id
+)
+SELECT c.id_a, c.id_b,
+       ROUND(("""
+    + " + ".join(
+        f"(CASE WHEN x.mh_{i} = y.mh_{i} THEN 1 ELSE 0 END)" for i in range(16)
+    )
+    + """) / 16.0, 6) AS est_jaccard
+FROM cand c
+JOIN sig x ON x.id = c.id_a
+JOIN sig y ON y.id = c.id_b"""
+)
+# final_select opens with "cand AS (...)": splice it into the generated
+# WITH chain by turning the closing "bands AS (...)\n" into a comma'd CTE.
+SQL_DD_MINHASH_EST = SQL_DD_MINHASH_EST.replace(")\n\ncand AS (", "),\ncand AS (", 1)
+
+REGISTRY["dd_minhash_estimate"] = (q_dd_minhash_estimate, SQL_DD_MINHASH_EST)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4811,7 +4855,7 @@ _DRIVER_WINDOW = [
     # --- round-7 newcomers (7) ---
     "st_stream_span", "st_stream_substring", "st_stream_incremental",
     "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
-    "u8_group_sample_k", "dd_source_overlap",
+    "u8_group_sample_k", "dd_source_overlap", "dd_minhash_estimate",
     # --- r05-latest cohort (33; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -4819,7 +4863,9 @@ _DRIVER_WINDOW = [
     # pandas-UDF extraction family is carried in-window by mm_features;
     # t2_enrichment steps out for dd_source_overlap: its broadcast
     # dim-lookup join ⊂ j1_dim_join (r06-fresh) and its high-watermark
-    # filter is pinned by the watermark pytest) ---
+    # filter is pinned by the watermark pytest;
+    # tx_quality_clf steps out for dd_minhash_estimate: its hashed-ngram
+    # broadcast-scalar scan family is carried in-window by tx_dsir) ---
     "a15_properties_df", "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin",
     "dd_cluster", "dd_incremental",
@@ -4830,7 +4876,7 @@ _DRIVER_WINDOW = [
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "sim_pq_topk", "t10_incremental_rollup",
     "t8_funnel", "t9_cohort_retention", "tx_bm25",
-    "tx_dsir", "tx_quality_clf",
+    "tx_dsir",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

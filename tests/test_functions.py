@@ -968,3 +968,25 @@ def test_source_overlap_matrix_counts(spark):
     assert ab["jaccard"] == round(2 / (3 + 2 - 2), 6)
     assert got[("a", "c")]["shared_fps"] == 0 and got[("a", "c")]["jaccard"] == 0.0
     assert got[("b", "c")]["n_b"] == 1  # NULL text excluded from c's size
+
+
+def test_minhash_estimate_pairs_semantics(spark):
+    """minhash_estimate_pairs: exact duplicates estimate 1.0, the estimate
+    is the agreeing-component fraction in [0, 1] with 1/16 granularity,
+    and the pair set is exactly the LSH candidate set."""
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),
+        (3, "a completely different document about spark catalyst plans"),
+        (4, "the quick brown fox jumps over the lazy dog again and AGAIN"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in dd.minhash_estimate_pairs(df).collect()}
+    assert got[(1, 2)] == 1.0
+    cand = {(r["id_a"], r["id_b"]) for r in
+            dd.minhash_lsh_candidates(dd.minhash_signatures(df)).collect()}
+    assert set(got) == cand
+    for est in got.values():
+        assert 0.0 <= est <= 1.0
+        assert round(est * 16) / 16 == round(est, 6) or abs(est * 16 - round(est * 16)) < 1e-6

@@ -72,6 +72,8 @@ SMJ_OK = {
     "dd_substring",  # chunk rows ⋈ duplicated-fingerprint frequencies on
                      # chunk_fp: both sides fact-sized (the map-combinable
                      # replacement for the collect_set window, VERDICT r6)
+    "dd_minhash_estimate",  # band self-join + two id-keyed signature joins:
+                            # every side fact-sized
     "dd_source_overlap",  # (fp, source) self-join: both sides fact-sized;
                           # the matrix-assembly left join's build side is the
                           # post-agg sources²-row pair table whose stats the
