@@ -91,7 +91,8 @@ BENCH_QUERIES = [
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /
-    # st_stream_incremental / st_rollup_stream — are gate-only: each
+    # st_stream_incremental / st_rollup_stream / st_ann_serve — are
+    # gate-only: each
     # times a scratch write (mutation/index/stream-sink IO) ahead of the
     # query plan; dd_minhash_lsh benches the banding/probe physics and
     # dd_substring the CDC chunking physics.  dd_contamination_neardup is

@@ -4694,6 +4694,41 @@ SQL_DD_MINHASH_EST = SQL_DD_MINHASH_EST.replace(")\n\ncand AS (", "),\ncand AS (
 REGISTRY["dd_minhash_estimate"] = (q_dd_minhash_estimate, SQL_DD_MINHASH_EST)
 
 
+def q_st_ann_serve(spark, sf_dir):
+    """T1+SIM: streaming ANN serving under the driver hash gate
+    (streaming/ingest.py:stream_ann_serve) — the 8 query vectors of
+    sim_ivf_batch_topk land as 4 files and STREAM against the shared
+    persisted IVF index via foreachBatch(ivf_topk_batch); the sink must
+    hash-equal the one-shot batch plan's output (same oracle SQL), which
+    pins stream ≡ batch serving parity at the driver gate.  Micro-batch
+    boundaries cannot matter: each query's top-k depends only on its own
+    vector and the static index."""
+    import os
+    import shutil
+
+    from .streaming.ingest import stream_ann_serve
+
+    emb = _t(spark, sf_dir, "embeddings")
+    index_path = _ivf_index_dir(spark, sf_dir)
+    base = _scratch_dir(sf_dir, "stann")
+    shutil.rmtree(base, ignore_errors=True)
+    land, sink, ckpt = (os.path.join(base, p) for p in ("land", "sink", "ckpt"))
+    emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    ).coalesce(4).write.mode("overwrite").parquet(land)
+    stream = (
+        spark.readStream.schema("query_id long, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = stream_ann_serve(stream, index_path, sink, ckpt, k=10, n_probe=4)
+    q.awaitTermination()
+    return spark.read.schema("query_id long, vec_id long, score double").parquet(sink)
+
+
+REGISTRY["st_ann_serve"] = (q_st_ann_serve, SQL_SIM_IVF_BATCH)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4856,6 +4891,7 @@ _DRIVER_WINDOW = [
     "st_stream_span", "st_stream_substring", "st_stream_incremental",
     "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
     "u8_group_sample_k", "dd_source_overlap", "dd_minhash_estimate",
+    "st_ann_serve",
     # --- r05-latest cohort (33; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -4865,7 +4901,10 @@ _DRIVER_WINDOW = [
     # dim-lookup join ⊂ j1_dim_join (r06-fresh) and its high-watermark
     # filter is pinned by the watermark pytest;
     # tx_quality_clf steps out for dd_minhash_estimate: its hashed-ngram
-    # broadcast-scalar scan family is carried in-window by tx_dsir) ---
+    # broadcast-scalar scan family is carried in-window by tx_dsir;
+    # sim_pq_topk steps out for st_ann_serve: its ADC compressed-domain
+    # scoring is carried by sim_ivfpq_topk, the r06-fresh composed
+    # superset) ---
     "a15_properties_df", "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin",
     "dd_cluster", "dd_incremental",
@@ -4874,7 +4913,7 @@ _DRIVER_WINDOW = [
     "j6_membership", "j8_closure", "j9_anti_join", "p2_p3_filter_page",
     "pipe_prepare", "pk_domain_cap", "pk_pack", "s2_bulk_get",
     "s3_insert_dedup_table", "s6_delete_survivors",
-    "s7_retention_survivors", "sim_pq_topk", "t10_incremental_rollup",
+    "s7_retention_survivors", "t10_incremental_rollup",
     "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir",
 ]

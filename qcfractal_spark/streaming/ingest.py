@@ -319,3 +319,63 @@ def stream_interval_join(
         & (epoch_seconds(right_ts) <= epoch_seconds(left_ts) + F.lit(float(upper_s)))
     )
     return l.join(r, cond, "inner").drop(r[key_col])
+
+
+def stream_ann_serve(
+    query_stream: DataFrame,
+    index_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    k: int = 10,
+    n_probe: int = 4,
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+):
+    """Streaming ANN serving: arriving query vectors probe the persisted
+    IVF index (``similarity.write_ivf_index``) per micro-batch — the
+    online-retrieval twin of ``similarity.ivf_topk_batch`` (whose plan
+    each micro-batch runs VERBATIM: broadcast centroid join → per-query
+    probe lists → one `_cid` equi-join with the probe table broadcast →
+    map-side-limited per-query top-k; the index side never shuffles and
+    partition-prunes to the probed lists).
+
+    foreachBatch, not a streaming aggregation: per-query top-k is a rank
+    window, which append-mode streaming rejects — and batching queries
+    per trigger is exactly how a serving tier amortizes probe cost.
+    Because the batch plan is reused unchanged, stream ≡ batch parity is
+    structural, not re-implemented.  Delivery is at-least-once: a replay
+    re-emits the same (query_id, vec_id, score) rows, so readers dedup on
+    (query_id, vec_id) or the sink is swapped for an epoch-guarded merge
+    (see ``merge_rollup_batch``) when exactly-once is required.
+
+    Returns the StreamingQuery handle."""
+    from ..functions.similarity import ivf_topk_batch
+
+    spark = query_stream.sparkSession
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{index_path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    assigned = spark.read.parquet(f"{index_path}/vectors")
+
+    def _serve(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        out = ivf_topk_batch(
+            batch_df,
+            assigned,
+            centroids,
+            k=k,
+            n_probe=n_probe,
+            query_id_col=query_id_col,
+            query_vec_col=query_vec_col,
+        )
+        out.write.mode("append").parquet(sink_path)
+
+    return (
+        query_stream.writeStream.foreachBatch(_serve)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
