@@ -88,6 +88,11 @@ BENCH_QUERIES = [
     "u8_group_sample_k",    # exact-k per-group sample (WindowGroupLimit)
     "dd_source_overlap",    # cross-source duplicate overlap matrix
     "dd_minhash_estimate",  # signature-agreement Jaccard triage
+    "pk_length_buckets",    # length-bucket padding-waste report
+    "tx_doc_freq",          # document-frequency vocabulary head
+    "dd_cluster_rep",       # quality-aware cluster representatives
+    "u9_leak_split",        # leakage-safe cluster-keyed split
+    "sim_outliers",         # per-label centroid-distance outliers
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -1217,3 +1217,85 @@ def minhash_estimate_pairs(
             F.round(matches / F.lit(float(num_perm)), 6).alias("est_jaccard"),
         )
     )
+
+
+def cluster_representatives(
+    labeled: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    score_col: str = "score",
+) -> DataFrame:
+    """Quality-aware representative per near-dup cluster — the "which copy
+    do we keep" step that follows clustering in a training-data dedup
+    pipeline.  ``dd_cluster`` keeps ``id == cluster_id`` (smallest id);
+    this keeps the HIGHEST-QUALITY member instead (ties → smallest id),
+    so boilerplate-mangled copies lose to the clean original.
+
+    Input: one row per document with its cluster label and a quality
+    score.  Output: one row per cluster — (cluster_id, rep_id,
+    rep_score, n_members).
+
+    100 TB story: ONE map-combinable hash aggregate on the cluster key.
+    The argmax is ``max_by`` over a (score, -id) struct, which combines
+    map-side like any max — no window, no sort, and the exchange carries
+    one candidate row per cluster per input partition.  Compare the
+    window-rank formulation, which would shuffle every member row to its
+    cluster's reducer; a mega-cluster (the boilerplate blob every real
+    corpus has) makes that reducer the straggler, while max_by keeps it
+    O(partitions) rows.
+    """
+    ordkey = F.struct(
+        F.col(score_col).alias("s"), (-F.col(id_col)).alias("negid")
+    )
+    return labeled.groupBy(F.col(cluster_col).alias("cluster_id")).agg(
+        F.max_by(F.col(id_col), ordkey).alias("rep_id"),
+        F.max(F.col(score_col)).alias("rep_score"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
+
+
+def leakproof_split(
+    labeled: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster_id",
+    train_pct: int = 80,
+    valid_pct: int = 10,
+    seed: int = 0,
+) -> DataFrame:
+    """Leakage-safe train/valid/test assignment: the split is a
+    deterministic hash of the near-dup CLUSTER label, not of the document
+    id — so a document and all its near-duplicates always land in the
+    same split, and the eval set can never contain a paraphrase of a
+    training row (the classic benchmark-leak failure a random per-doc
+    split invites).
+
+    Buckets: ``portable_hash64('split:' seed ':' cluster_id) % 100`` —
+    < train_pct → train, < train_pct+valid_pct → valid, else test.
+    Reseeding redraws the assignment; re-running reproduces it exactly.
+
+    100 TB story: pure scan-side arithmetic — after the cluster labels
+    exist the split adds ZERO shuffles (no sampling pass, no global
+    count), and the proportions hold by the uniformity of the hash over
+    clusters.  Singleton clusters dominate real corpora, so per-split
+    row shares stay close to the nominal percentages even though the
+    unit of assignment is the cluster.
+    """
+    bucket = F.pmod(
+        portable_hash64(
+            F.concat_ws(
+                ":",
+                F.lit("split"),
+                F.lit(str(seed)),
+                F.col(cluster_col).cast("string"),
+            )
+        ),
+        F.lit(100),
+    )
+    split = (
+        F.when(bucket < train_pct, F.lit("train"))
+        .when(bucket < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    return labeled.select(
+        F.col(id_col), F.col(cluster_col), split.alias("split")
+    )

@@ -138,3 +138,52 @@ def sample_k_per_group(
         df.withColumn("sample_rank", F.row_number().over(w))
         .where(F.col("sample_rank") <= k)
     )
+
+
+def length_bucket_stats(
+    df: DataFrame,
+    token_col: str,
+    group_col: str,
+    bucket_width: int = 64,
+) -> DataFrame:
+    """Padding-efficiency report for length-bucketed batching — the op a
+    training scheduler runs before choosing bucket boundaries: group
+    sequences into fixed-width token-length buckets and measure, per
+    (group, bucket), how much compute padding-to-the-bucket-cap would
+    waste.
+
+    For each row the bucket is ``floor(n_tokens / width)`` and the cap is
+    ``(bucket + 1) * width`` (the batch's padded length).  Per (group,
+    bucket) we emit the doc count, token sum, observed max, the absolute
+    padded-token waste ``n_docs * cap - sum_tokens``, and the fill
+    efficiency ``sum_tokens / (n_docs * cap)``.
+
+    100 TB story: one map-combinable hash aggregate on a low-cardinality
+    composite key (sources × buckets) — counts/sums/max all combine
+    map-side, so the exchange carries one row per (group, bucket) per
+    input partition.  Integer math end to end; the single division is
+    performed once per output row and rounded to 6 dp.
+    """
+    bucket = F.floor(F.col(token_col) / F.lit(bucket_width)).cast("long")
+    cap = (bucket + 1) * F.lit(bucket_width)
+    return (
+        df.select(F.col(group_col), F.col(token_col).cast("long").alias("_n"),
+                  bucket.alias("bucket"), cap.alias("bucket_cap"))
+        .groupBy(group_col, "bucket", "bucket_cap")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_n").alias("sum_tokens"),
+            F.max("_n").alias("max_tokens"),
+        )
+        .select(
+            group_col, "bucket", "bucket_cap", "n_docs", "sum_tokens",
+            "max_tokens",
+            (F.col("n_docs") * F.col("bucket_cap") - F.col("sum_tokens"))
+            .alias("padding_waste"),
+            F.round(
+                F.col("sum_tokens")
+                / (F.col("n_docs") * F.col("bucket_cap")).cast("double"),
+                6,
+            ).alias("fill_efficiency"),
+        )
+    )

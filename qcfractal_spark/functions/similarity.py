@@ -884,3 +884,74 @@ def pq_adc_topk(
         )
     scored = codes.select(F.col(id_col), F.round(dist, 6).alias("adist"))
     return scored.orderBy(F.col("adist").asc(), F.col(id_col).asc()).limit(k)
+
+
+def label_centroid_outliers(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    k: int = 20,
+) -> DataFrame:
+    """Embedding-space outlier detection, per class: the ``k`` vectors of
+    each label FARTHEST (lowest cosine) from their label's mean vector —
+    the mislabeled-example / noisy-cluster triage op a curation pipeline
+    runs before training a filter model.
+
+    Float discipline (the ``a17_group_centroid`` contract): components are
+    rounded to 6 dp and decimal-cast before every sum, so centroids, dot
+    products, and norms are exact under any aggregation order and an
+    engine summing in index order reproduces them bit-for-bit.  Centroid
+    components are re-rounded to 6 dp before the distance pass so both
+    engines score against the identical centroid.
+
+    100 TB story: three map-combinable aggregates and zero wide joins —
+    (1) centroid sum keyed by (label, dim): exchange carries one partial
+    per key per partition; (2) the tiny centroid table (labels × dim
+    rows) broadcast-joins back onto the exploded scan; (3) per-vector
+    dot/norm sums keyed by the vector id (64 rows in, 1 out, combined
+    map-side).  The final per-label bottom-k is a rank-only window that
+    compiles to a map-side WindowGroupLimit, so the last exchange carries
+    at most k rows per label per partition.
+    """
+    from pyspark.sql import Window
+
+    base = emb.where(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("_vid"),
+        F.col(label_col).alias("_lbl"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("_j", "_x"),
+    )
+    xdec = F.round(F.col("_x"), 6).cast("decimal(20,10)")
+    cent = (
+        base.groupBy("_lbl", "_j")
+        .agg(
+            F.round(
+                F.sum(xdec).cast("double") / F.count(F.lit(1)), 6
+            ).alias("_c")
+        )
+    )
+    joined = base.join(F.broadcast(cent), on=["_lbl", "_j"])
+    xr = F.round(F.col("_x"), 6)
+    prod = F.round(xr * F.col("_c"), 12).cast("decimal(30,15)")
+    xx = F.round(xr * xr, 12).cast("decimal(30,15)")
+    cc = F.round(F.col("_c") * F.col("_c"), 12).cast("decimal(30,15)")
+    per_vec = joined.groupBy("_vid", "_lbl").agg(
+        F.sum(prod).cast("double").alias("_sxc"),
+        F.sum(xx).cast("double").alias("_sxx"),
+        F.sum(cc).cast("double").alias("_scc"),
+    )
+    cos = F.round(
+        F.col("_sxc") / (F.sqrt(F.col("_sxx")) * F.sqrt(F.col("_scc"))), 6
+    )
+    w = Window.partitionBy(label_col).orderBy(
+        F.col("cos_centroid").asc(), F.col(id_col).asc()
+    )
+    return (
+        per_vec.select(
+            F.col("_lbl").alias(label_col),
+            F.col("_vid").alias(id_col),
+            cos.alias("cos_centroid"),
+        )
+        .withColumn("outlier_rank", F.row_number().over(w))
+        .where(F.col("outlier_rank") <= k)
+    )

@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # Minimal per-language stopword lists for the n-gram/stopword language-ID
@@ -224,3 +224,37 @@ def lang_id_table(
     return df.join(
         counts, on=df[id_col] == counts["_id"], how="left"
     ).drop("_id").fillna({out_col: "und"})
+
+
+def doc_frequency_topk(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 100,
+) -> DataFrame:
+    """Corpus document-frequency head: the top-``k`` tokens by the number
+    of distinct documents containing them — the vocabulary/stop-list
+    builder that also feeds the stop-shingle caps used by the Jaccard
+    dedup family (``dedup.shingle_doc_freq_cap``).
+
+    Per doc the token list is de-duplicated scan-side
+    (``array_distinct``), so each (doc, token) contributes once and the
+    aggregate is a plain COUNT — map-combinable, never a COUNT(DISTINCT).
+
+    100 TB story: explode of per-doc distinct tokens (no shuffle), ONE
+    hash aggregate on the token key with map-side combine flattening the
+    Zipf head before the exchange, then a global top-k that compiles to
+    ``TakeOrderedAndProject`` (per-partition heaps of k rows, never a
+    global sort).  Ties break lexicographically so the result is total-
+    order deterministic.
+    """
+    tok = (
+        df.select(
+            F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("token")
+        )
+    )
+    return (
+        tok.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
+        .limit(k)
+    )

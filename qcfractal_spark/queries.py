@@ -4729,6 +4729,239 @@ def q_st_ann_serve(spark, sf_dir):
 REGISTRY["st_ann_serve"] = (q_st_ann_serve, SQL_SIM_IVF_BATCH)
 
 
+def q_pk_length_buckets(spark, sf_dir):
+    """PK+ (beyond-reference): padding-efficiency report for
+    length-bucketed batching (functions/packing.py:length_bucket_stats) —
+    per (source, 64-token bucket): doc count, token sum/max, absolute
+    padded-token waste and fill efficiency.  One map-combinable hash
+    aggregate on a low-cardinality key; integer math end to end."""
+    from .functions.packing import length_bucket_stats
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", tx.token_count(F.col("text")).alias("_n_tokens"))
+    )
+    return length_bucket_stats(
+        docs, token_col="_n_tokens", group_col="source", bucket_width=64
+    )
+
+
+SQL_PK_BUCKETS = f"""
+WITH b AS (
+  SELECT source, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+g AS (
+  SELECT source, CAST(floor(n / 64.0) AS BIGINT) AS bucket,
+         COUNT(*) AS n_docs, SUM(n) AS sum_tokens, MAX(n) AS max_tokens
+  FROM b GROUP BY 1, 2
+)
+SELECT source, bucket, (bucket + 1) * 64 AS bucket_cap, n_docs,
+       sum_tokens, max_tokens,
+       n_docs * ((bucket + 1) * 64) - sum_tokens AS padding_waste,
+       ROUND(sum_tokens / CAST(n_docs * ((bucket + 1) * 64) AS DOUBLE), 6)
+         AS fill_efficiency
+FROM g
+"""
+
+REGISTRY["pk_length_buckets"] = (q_pk_length_buckets, SQL_PK_BUCKETS)
+
+
+def q_tx_doc_freq(spark, sf_dir):
+    """TX+ (beyond-reference): corpus document-frequency head
+    (functions/text.py:doc_frequency_topk) — top-100 tokens by distinct-
+    document count, the vocabulary/stop-list builder feeding the
+    stop-shingle caps of the Jaccard dedup family.  Per-doc distinct
+    scan-side, ONE count aggregate, global top-k via
+    TakeOrderedAndProject."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.doc_frequency_topk(docs, text_col="text", k=100)
+
+
+SQL_TX_DOC_FREQ = f"""
+SELECT token, COUNT(*) AS doc_freq
+FROM (
+  SELECT unnest(list_distinct({_TOKS_SQL})) AS token
+  FROM documents WHERE text IS NOT NULL
+)
+GROUP BY 1 ORDER BY doc_freq DESC, token ASC LIMIT 100
+"""
+
+REGISTRY["tx_doc_freq"] = (q_tx_doc_freq, SQL_TX_DOC_FREQ)
+
+
+# Quality replay (doc_id, quality) — the SQL twin of tx.quality_score,
+# the same algebra SQL_TX_STATS inlines (kept in sync with both).
+_SQL_QUALITY_CTES = f"""
+qbase AS (
+  SELECT doc_id,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
+  FROM documents
+),
+quality AS (
+  SELECT doc_id,
+    ROUND((alpha / greatest(n_chars, 1.0)) * 0.4
+      + (1.0 - least((punct / greatest(n_chars, 1.0)) * 5.0, 1.0)) * 0.2
+      + (CASE WHEN n_tokens >= 10 AND n_tokens <= 5000 THEN 1.0
+              WHEN n_tokens > 0 THEN 0.5 ELSE 0.0 END) * 0.2
+      + (CASE WHEN n_tokens > 0 AND n_chars / n_tokens >= 3.0
+                   AND n_chars / n_tokens <= 12.0
+              THEN 1.0 ELSE 0.5 END) * 0.2, 6) AS quality
+  FROM qbase
+)
+"""
+
+
+def _cluster_labeled(spark, sf_dir):
+    """Shared near-dup cluster labeling (the dd_cluster pipeline): every
+    doc → (id, cluster_id), singletons labeling themselves."""
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
+    edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=True)
+    comp = connected_components(edges, "id_a", "id_b", approx_edges=edges.count())
+    return (
+        docs.select(F.col("doc_id").alias("id"))
+        .join(comp, "id", "left")
+        .select("id", F.coalesce("component", F.col("id")).alias("cluster_id"))
+    )
+
+
+def q_dd_cluster_rep(spark, sf_dir):
+    """DD+ (beyond-reference): quality-aware cluster representatives
+    (functions/dedup.py:cluster_representatives) — after MinHash-LSH
+    clustering, keep the HIGHEST-quality member of each near-dup cluster
+    (ties → smallest id) instead of dd_cluster's smallest-id rule.  The
+    argmax is a map-combinable max_by aggregate, so a hot boilerplate
+    mega-cluster contributes one candidate row per partition, never a
+    window sort."""
+    docs = _t(spark, sf_dir, "documents")
+    qual = docs.select(
+        F.col("doc_id").alias("id"),
+        F.coalesce(tx.quality_score(F.col("text")), F.lit(-1.0)).alias("q"),
+    )
+    labeled = _cluster_labeled(spark, sf_dir).join(qual, "id")
+    return dd.cluster_representatives(
+        labeled, id_col="id", cluster_col="cluster_id", score_col="q"
+    )
+
+
+def _cluster_rep_oracle_sql() -> str:
+    cluster_sql = _cluster_oracle_sql()
+    return f"""
+WITH clusters AS ({cluster_sql}),
+{_SQL_QUALITY_CTES.strip()},
+lab AS (
+  SELECT c.id, c.cluster_id, COALESCE(q.quality, -1.0) AS q
+  FROM clusters c JOIN quality q ON q.doc_id = c.id
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                               ORDER BY q DESC, id ASC) AS rk
+  FROM lab
+),
+n AS (SELECT cluster_id, COUNT(*) AS n_members FROM lab GROUP BY 1)
+SELECT r.cluster_id, r.id AS rep_id, r.q AS rep_score, n.n_members
+FROM r JOIN n ON n.cluster_id = r.cluster_id
+WHERE r.rk = 1
+"""
+
+
+SQL_DD_CLUSTER_REP = _cluster_rep_oracle_sql()
+
+REGISTRY["dd_cluster_rep"] = (q_dd_cluster_rep, SQL_DD_CLUSTER_REP)
+
+
+def q_u9_leak_split(spark, sf_dir):
+    """U+ (beyond-reference): leakage-safe train/valid/test split
+    (functions/dedup.py:leakproof_split) — the split key is the near-dup
+    CLUSTER label, not the doc id, so no near-duplicate ever straddles
+    train and eval.  After labeling, the split is pure scan-side hash
+    arithmetic: zero additional shuffles."""
+    labeled = _cluster_labeled(spark, sf_dir)
+    return dd.leakproof_split(
+        labeled, id_col="id", cluster_col="cluster_id",
+        train_pct=80, valid_pct=10, seed=0,
+    )
+
+
+def _leak_split_oracle_sql() -> str:
+    cluster_sql = _cluster_oracle_sql()
+    return f"""
+WITH clusters AS ({cluster_sql})
+SELECT id, cluster_id,
+  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'valid'
+       ELSE 'test' END AS split
+FROM (
+  SELECT id, cluster_id,
+    ('0x' || substr(md5('split:0:' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT
+      % 100 AS b
+  FROM clusters
+)
+"""
+
+
+SQL_U9_LEAK_SPLIT = _leak_split_oracle_sql()
+
+REGISTRY["u9_leak_split"] = (q_u9_leak_split, SQL_U9_LEAK_SPLIT)
+
+
+def q_sim_outliers(spark, sf_dir):
+    """SIM+ (beyond-reference): per-label embedding outliers
+    (functions/similarity.py:label_centroid_outliers) — the 20 vectors of
+    each label farthest (lowest cosine) from their label centroid, the
+    mislabeled-example triage op.  Decimal-exact centroid and distance
+    sums (the a17 float contract); bottom-k via map-side
+    WindowGroupLimit."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sim.label_centroid_outliers(emb, k=20)
+
+
+SQL_SIM_OUTLIERS = """
+WITH ex AS (
+  SELECT vec_id, label, j - 1 AS j, v[j] AS x
+  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE label IS NOT NULL) e,
+       generate_series(1, 64) t(j)
+),
+cent AS (
+  SELECT label, j,
+    ROUND(CAST(SUM(CAST(ROUND(x, 6) AS DECIMAL(20,10))) AS DOUBLE)
+          / COUNT(*), 6) AS c
+  FROM ex GROUP BY 1, 2
+),
+pv AS (
+  SELECT e.vec_id, e.label,
+    CAST(SUM(CAST(ROUND(ROUND(e.x, 6) * c.c, 12) AS DECIMAL(30,15))) AS DOUBLE)
+      AS sxc,
+    CAST(SUM(CAST(ROUND(ROUND(e.x, 6) * ROUND(e.x, 6), 12) AS DECIMAL(30,15)))
+         AS DOUBLE) AS sxx,
+    CAST(SUM(CAST(ROUND(c.c * c.c, 12) AS DECIMAL(30,15))) AS DOUBLE) AS scc
+  FROM ex e JOIN cent c ON c.label = e.label AND c.j = e.j
+  GROUP BY 1, 2
+),
+r AS (
+  SELECT label, vec_id,
+    ROUND(sxc / (sqrt(sxx) * sqrt(scc)), 6) AS cos_centroid
+  FROM pv
+)
+SELECT label, vec_id, cos_centroid, CAST(rk AS INT) AS outlier_rank
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY label
+                               ORDER BY cos_centroid ASC, vec_id ASC) AS rk
+  FROM r
+)
+WHERE rk <= 20
+"""
+
+REGISTRY["sim_outliers"] = (q_sim_outliers, SQL_SIM_OUTLIERS)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -4892,7 +5125,21 @@ _DRIVER_WINDOW = [
     "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
     "u8_group_sample_k", "dd_source_overlap", "dd_minhash_estimate",
     "st_ann_serve",
-    # --- r05-latest cohort (33; dd_common_ngrams steps out for
+    # --- mid-round-7 newcomers (5), never driver-stamped; the five
+    # r05-stamped rows they displace are shape-covered in-window:
+    #   a21_histogram    width-bucket counts ⊂ pk_length_buckets (superset:
+    #                    bucketed agg + waste metrics, in-window newcomer)
+    #   a9_argmin        per-group argmin ⊂ dd_cluster_rep (same max_by/
+    #                    argmax aggregate family, in-window newcomer)
+    #   tx_bm25          ranking superset of tx_tfidf — tfidf is IN-window
+    #                    this round (r04 refresh), carrying the family
+    #   tx_dsir          LM log-ratio family carried by tx_unigram_lm,
+    #                    in-window this round (r04 refresh)
+    #   a20_salted_agg   salting family ⊂ j16_adaptive_salted (in-window,
+    #                    adaptive salted join + identical rollup oracle) ---
+    "pk_length_buckets", "tx_doc_freq", "dd_cluster_rep",
+    "u9_leak_split", "sim_outliers",
+    # --- r05-latest cohort (28; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
     # d1_value_call steps out for u8_group_sample_k: its Arrow
@@ -4905,8 +5152,8 @@ _DRIVER_WINDOW = [
     # sim_pq_topk steps out for st_ann_serve: its ADC compressed-domain
     # scoring is carried by sim_ivfpq_topk, the r06-fresh composed
     # superset) ---
-    "a15_properties_df", "a20_salted_agg", "a21_histogram",
-    "a7_json_rollup", "a8_status_gate", "a9_argmin",
+    "a15_properties_df",
+    "a7_json_rollup", "a8_status_gate",
     "dd_cluster", "dd_incremental",
     "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
     "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",
@@ -4914,8 +5161,7 @@ _DRIVER_WINDOW = [
     "pipe_prepare", "pk_domain_cap", "pk_pack", "s2_bulk_get",
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "t10_incremental_rollup",
-    "t8_funnel", "t9_cohort_retention", "tx_bm25",
-    "tx_dsir",
+    "t8_funnel", "t9_cohort_retention",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -990,3 +990,116 @@ def test_minhash_estimate_pairs_semantics(spark):
     for est in got.values():
         assert 0.0 <= est <= 1.0
         assert round(est * 16) / 16 == round(est, 6) or abs(est * 16 - round(est * 16)) < 1e-6
+
+
+def test_cluster_representatives_argmax_and_ties(spark):
+    from qcfractal_spark.functions.dedup import cluster_representatives
+
+    labeled = spark.createDataFrame(
+        [
+            # cluster 1: clear quality winner (id 3)
+            (1, 1, 0.2), (2, 1, 0.9), (3, 1, 0.95),
+            # cluster 10: exact tie -> smallest id wins
+            (10, 10, 0.5), (11, 10, 0.5), (12, 10, 0.5),
+            # singleton
+            (20, 20, 0.1),
+        ],
+        "id long, cluster_id long, score double",
+    )
+    out = {
+        r["cluster_id"]: r
+        for r in cluster_representatives(
+            labeled, id_col="id", cluster_col="cluster_id", score_col="score"
+        ).collect()
+    }
+    assert out[1]["rep_id"] == 3 and out[1]["rep_score"] == 0.95
+    assert out[1]["n_members"] == 3
+    assert out[10]["rep_id"] == 10  # tie broken toward the smallest id
+    assert out[20]["rep_id"] == 20 and out[20]["n_members"] == 1
+
+
+def test_leakproof_split_co_assigns_clusters(spark):
+    from qcfractal_spark.functions.dedup import leakproof_split
+
+    # 200 docs in 100 clusters of 2 — every pair must share a split.
+    rows = [(i, i // 2) for i in range(200)]
+    labeled = spark.createDataFrame(rows, "id long, cluster_id long")
+    out = leakproof_split(labeled, id_col="id", cluster_col="cluster_id")
+    pdf = out.toPandas()
+    assert set(pdf["split"].unique()) <= {"train", "valid", "test"}
+    per_cluster = pdf.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all(), "a cluster straddles splits"
+    # deterministic across invocations
+    pdf2 = leakproof_split(labeled, id_col="id", cluster_col="cluster_id").toPandas()
+    assert pdf.sort_values("id").reset_index(drop=True).equals(
+        pdf2.sort_values("id").reset_index(drop=True)
+    )
+    # a different seed redraws at least one cluster's assignment
+    pdf3 = leakproof_split(
+        labeled, id_col="id", cluster_col="cluster_id", seed=1
+    ).toPandas()
+    merged = pdf.merge(pdf3, on="id", suffixes=("_a", "_b"))
+    assert (merged["split_a"] != merged["split_b"]).any()
+    # nominal proportions hold loosely over 100 uniform-hashed clusters
+    shares = pdf["split"].value_counts(normalize=True)
+    assert shares.get("train", 0) > 0.6
+
+
+def test_label_centroid_outliers_flags_flipped_vector(spark):
+    from qcfractal_spark.functions.similarity import label_centroid_outliers
+
+    dim = 64
+    base = [1.0] + [0.0] * (dim - 1)
+    flipped = [-1.0] + [0.0] * (dim - 1)
+    rows = [(i, base, 7) for i in range(5)] + [(99, flipped, 7)]
+    rows += [(200, base, None)]  # NULL label drops out
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    out = label_centroid_outliers(emb, k=2).collect()
+    assert all(r["label"] == 7 for r in out)
+    assert out[0]["vec_id"] != 200 and len(out) == 2
+    top = min(out, key=lambda r: r["outlier_rank"])
+    assert top["vec_id"] == 99  # the flipped vector is the #1 outlier
+    assert top["cos_centroid"] < 0
+
+
+def test_length_bucket_stats_exact_arithmetic(spark):
+    from qcfractal_spark.functions.packing import length_bucket_stats
+
+    df = spark.createDataFrame(
+        [("a", 10), ("a", 63), ("a", 64), ("b", 100)],
+        "source string, n long",
+    )
+    out = {
+        (r["source"], r["bucket"]): r
+        for r in length_bucket_stats(
+            df, token_col="n", group_col="source", bucket_width=64
+        ).collect()
+    }
+    r = out[("a", 0)]  # 10 and 63 -> bucket 0, cap 64
+    assert r["n_docs"] == 2 and r["sum_tokens"] == 73 and r["max_tokens"] == 63
+    assert r["padding_waste"] == 2 * 64 - 73
+    # 73/128 = 0.5703125 exactly; Spark ROUND is HALF_UP -> 0.570313
+    assert abs(r["fill_efficiency"] - 0.570313) < 1e-9
+    assert out[("a", 1)]["bucket_cap"] == 128  # 64 -> bucket 1
+    assert out[("b", 1)]["padding_waste"] == 128 - 100
+
+
+def test_doc_frequency_counts_docs_not_occurrences(spark):
+    from qcfractal_spark.functions.text import doc_frequency_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark unique"),
+            (2, "spark flink"),
+            (3, None),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["token"]: r["doc_freq"] for r in doc_frequency_topk(docs).collect()}
+    assert out["spark"] == 2  # two docs, not four occurrences
+    assert out["flink"] == 1 and out["unique"] == 1
+    # k cut is honored with the (df desc, token asc) total order
+    top1 = doc_frequency_topk(docs, k=1).collect()
+    assert len(top1) == 1 and top1[0]["token"] == "spark"

@@ -79,6 +79,10 @@ SMJ_OK = {
                           # post-agg sources²-row pair table whose stats the
                           # static planner can't see — AQE broadcasts it at
                           # runtime (the audit runs AQE-off by design)
+    "dd_cluster_rep",  # the dd_cluster band/label joins plus an id-keyed
+                       # quality join: every side fact-sized
+    "u9_leak_split",  # the dd_cluster band/label joins; the split itself
+                      # adds zero joins (scan-side hash arithmetic)
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
