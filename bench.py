@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "dd_cluster_rep",       # quality-aware cluster representatives
     "u9_leak_split",        # leakage-safe cluster-keyed split
     "sim_outliers",         # per-label centroid-distance outliers
+    "h4_order_priority",    # TPC-H Q4 shape: EXISTS semi-join histogram
+    "u10_weighted_sample",  # A-Res weighted sampling (TakeOrdered race)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

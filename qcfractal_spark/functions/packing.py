@@ -187,3 +187,47 @@ def length_bucket_stats(
             ).alias("fill_efficiency"),
         )
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str,
+    k: int,
+    seed: int = 0,
+) -> DataFrame:
+    """Weighted sampling without replacement, A-Res style (Efraimidis &
+    Spirakis 2006): each row draws a deterministic pseudo-uniform
+    ``u ∈ (0, 1]`` from a seeded hash of its id and competes with the key
+    ``-ln(u) / w`` — the ``k`` SMALLEST keys are a weight-proportional
+    sample without replacement.  The op behind "sample 1M docs
+    proportional to quality" in a curation pipeline: reseeding redraws,
+    re-running reproduces bit-for-bit (no RNG state, no rejection loop).
+
+    Weights are floored at 1e-6 so zero/negative-quality rows keep a
+    (vanishing) chance instead of dividing by zero.
+
+    100 TB story: the key is scan-side arithmetic (hash + ln, whole-stage
+    codegen) and the global top-k compiles to ``TakeOrderedAndProject`` —
+    per-partition k-row heaps, ONE k-row exchange, never a global sort.
+    That is the streaming-reservoir property of A-Res expressed as a
+    Spark plan: each partition maintains its own reservoir and the driver
+    merges k-row summaries.  Selection orders by the ROUNDED key with an
+    id tie-break so the boundary is engine-portable (ln differs across
+    libms only below the 6 dp round).
+    """
+    from .text import portable_hash64
+
+    u = (
+        portable_hash64(
+            F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+        )
+        + F.lit(1)
+    ) / F.lit(4294967297.0)  # (0, 1]: hash is uniform on [0, 2^32-1]
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-6))
+    skey = F.round(-F.log(u) / w, 6)
+    return (
+        df.select(F.col(id_col), F.col(weight_col), skey.alias("sample_key"))
+        .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
+        .limit(k)
+    )

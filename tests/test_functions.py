@@ -1103,3 +1103,31 @@ def test_doc_frequency_counts_docs_not_occurrences(spark):
     # k cut is honored with the (df desc, token asc) total order
     top1 = doc_frequency_topk(docs, k=1).collect()
     assert len(top1) == 1 and top1[0]["token"] == "spark"
+
+
+def test_weighted_sample_topk_prefers_heavy_rows(spark):
+    from qcfractal_spark.functions.packing import weighted_sample_topk
+
+    # 10 heavy rows (w=50) among 500 light rows (w=0.01): with k=10 the
+    # expected heavy share is overwhelming (key ~ Exp(rate=w)).
+    rows = [(i, 50.0 if i < 10 else 0.01) for i in range(510)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    out = weighted_sample_topk(df, weight_col="w", id_col="id", k=10)
+    got = out.collect()
+    assert len(got) == 10
+    heavy = sum(1 for r in got if r["id"] < 10)
+    assert heavy >= 8, f"heavy rows underrepresented: {heavy}/10"
+    # exact-k, no replacement, deterministic
+    ids = [r["id"] for r in got]
+    assert len(set(ids)) == 10
+    again = [r["id"] for r in weighted_sample_topk(
+        df, weight_col="w", id_col="id", k=10).collect()]
+    assert ids == again
+    # reseeding redraws (at least the light tail changes)
+    reseed = [r["id"] for r in weighted_sample_topk(
+        df, weight_col="w", id_col="id", k=10, seed=7).collect()]
+    assert set(ids) != set(reseed) or ids != reseed
+    # zero weight never divides by zero and still competes (floored)
+    z = spark.createDataFrame([(1, 0.0), (2, 1.0)], "id long, w double")
+    zz = weighted_sample_topk(z, weight_col="w", id_col="id", k=2).collect()
+    assert {r["id"] for r in zz} == {1, 2}
