@@ -95,6 +95,8 @@ BENCH_QUERIES = [
     "sim_outliers",         # per-label centroid-distance outliers
     "h4_order_priority",    # TPC-H Q4 shape: EXISTS semi-join histogram
     "u10_weighted_sample",  # A-Res weighted sampling (TakeOrdered race)
+    "s9_snapshot_diff",     # content-addressed snapshot diff (hash-only join)
+    "pk_sliding_windows",   # overlapping window layout (sequence+explode)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -231,3 +231,45 @@ def weighted_sample_topk(
         .orderBy(F.col("sample_key").asc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def sliding_window_layout(
+    df: DataFrame,
+    token_col: str,
+    id_col: str,
+    window: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Overlapping sliding-window layout for long-document training — the
+    "split every doc into windows of W tokens with stride S" op that
+    complements :func:`concat_chunk_layout` (which packs SHORT docs; this
+    slices LONG ones).  Windows start at 0, S, 2S, … while the start is
+    inside the document, so every token is covered and only the last
+    window may be short.
+
+    Pure integer layout math from the token count — the text itself never
+    moves: downstream slicing joins this layout back to the tokens (or
+    feeds a reader that seeks).  Emits (id, win_idx, win_start, win_len).
+
+    100 TB story: ``sequence()`` + ``explode`` generate window indices
+    scan-side with zero shuffles — the fan-out is ~n_tokens/S per doc and
+    stays inside whole-stage codegen.  No window function, no state:
+    each output row is pure arithmetic on (n_tokens, win_idx).
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("window and stride must be positive")
+    n = F.col(token_col).cast("long")
+    last_k = F.floor((n - 1) / F.lit(stride)).cast("long")
+    ks = F.sequence(F.lit(0).cast("long"), last_k)
+    out = df.where(n > 0).select(
+        F.col(id_col),
+        n.alias("_n"),
+        F.explode(ks).alias("win_idx"),
+    )
+    start = F.col("win_idx") * F.lit(stride)
+    return out.select(
+        id_col,
+        "win_idx",
+        start.alias("win_start"),
+        F.least(F.lit(window).cast("long"), F.col("_n") - start).alias("win_len"),
+    )

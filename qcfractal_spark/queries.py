@@ -5033,6 +5033,90 @@ FROM drawn ORDER BY sample_key ASC, doc_id ASC LIMIT 100
 REGISTRY["u10_weighted_sample"] = (q_u10_weighted_sample, SQL_U10)
 
 
+def q_s9_snapshot_diff(spark, sf_dir):
+    """S+ (beyond-reference): content-addressed snapshot diff
+    (operators/dataset.py:snapshot_diff) — classify every key as added /
+    removed / changed / unchanged between two dataset versions.  The two
+    versions are carved deterministically from orders (mod-11 vs mod-13
+    membership, mod-5 price perturbation) so the oracle can rebuild them;
+    the join exchange carries (key, 32-byte hash), never the payload."""
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_orderstatus", "o_totalprice", "o_orderpriority"]
+    old = orders.where(F.col("o_orderkey") % 11 != 0).select("o_orderkey", *cols)
+    new = orders.where(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.col("o_orderstatus"),
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.col("o_totalprice") + 1.0
+        ).otherwise(F.col("o_totalprice")).alias("o_totalprice"),
+        F.col("o_orderpriority"),
+    )
+    return ds.snapshot_diff(old, new, key_cols=["o_orderkey"], compare_cols=cols)
+
+
+# The Spark side compares md5 row-hashes of length-prefixed string casts
+# (hash-equal ⟺ value-equal; Double.toString is injective), so the oracle
+# may compare raw values directly.
+SQL_S9_DIFF = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders WHERE o_orderkey % 11 <> 0
+),
+n AS (
+  SELECT o_orderkey, o_orderstatus,
+    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+         ELSE o_totalprice END AS o_totalprice,
+    o_orderpriority
+  FROM orders WHERE o_orderkey % 13 <> 0
+)
+SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+       WHEN n.o_orderkey IS NULL THEN 'removed'
+       WHEN o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus
+        AND o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice
+        AND o.o_orderpriority IS NOT DISTINCT FROM n.o_orderpriority
+       THEN 'unchanged' ELSE 'changed' END AS diff_status
+FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+"""
+
+REGISTRY["s9_snapshot_diff"] = (q_s9_snapshot_diff, SQL_S9_DIFF)
+
+
+def q_pk_sliding_windows(spark, sf_dir):
+    """PK+ (beyond-reference): overlapping sliding-window layout for long
+    documents (functions/packing.py:sliding_window_layout) — W=128 tokens,
+    stride 64.  Pure integer layout math generated scan-side
+    (sequence+explode, zero shuffles); the text never moves."""
+    from .functions.packing import sliding_window_layout
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", tx.token_count(F.col("text")).alias("_nt"))
+    )
+    return sliding_window_layout(
+        docs, token_col="_nt", id_col="doc_id", window=128, stride=64
+    )
+
+
+SQL_PK_WINDOWS = f"""
+WITH b AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+k AS (
+  SELECT doc_id, n,
+    unnest(range(0, CAST(floor((n - 1) / 64.0) AS BIGINT) + 1)) AS win_idx
+  FROM b WHERE n > 0
+)
+SELECT doc_id, win_idx, win_idx * 64 AS win_start,
+       least(128, n - win_idx * 64) AS win_len
+FROM k
+"""
+
+REGISTRY["pk_sliding_windows"] = (q_pk_sliding_windows, SQL_PK_WINDOWS)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5218,7 +5302,15 @@ _DRIVER_WINDOW = [
     #                      t8_funnel (in-window, chained filtered
     #                      min-aggs) + a5_two_col_counts (r06-fresh) ---
     "h4_order_priority", "u10_weighted_sample",
-    # --- r05-latest cohort (26; dd_common_ngrams steps out for
+    # --- and two more (snapshot diff + sliding windows); displaced, both
+    # shape-covered in-window:
+    #   pk_domain_cap   per-stream window cumsum ⊂ pk_pack (in-window,
+    #                   identical running-offset algebra)
+    #   j9_anti_join    set-difference ⊂ s9_snapshot_diff (in-window
+    #                   newcomer: full-outer add/remove classify is the
+    #                   superset) + j6_membership (in-window) ---
+    "s9_snapshot_diff", "pk_sliding_windows",
+    # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
     # d1_value_call steps out for u8_group_sample_k: its Arrow
@@ -5235,8 +5327,8 @@ _DRIVER_WINDOW = [
     "dd_cluster", "dd_incremental",
     "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
     "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",
-    "j6_membership", "j8_closure", "j9_anti_join", "p2_p3_filter_page",
-    "pipe_prepare", "pk_domain_cap", "pk_pack", "s2_bulk_get",
+    "j6_membership", "j8_closure", "p2_p3_filter_page",
+    "pipe_prepare", "pk_pack", "s2_bulk_get",
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "t10_incremental_rollup",
     "t8_funnel",

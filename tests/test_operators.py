@@ -427,3 +427,74 @@ def test_descendants_include_self_with_depth_bound(spark):
     rel = graph.relatives(spark.createDataFrame([(3,)], "id long"), edges)
     assert rel.columns == ["id"]
     assert {r["id"] for r in rel.collect()} == {1, 2, 3, 4}
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from qcfractal_spark.operators.dataset import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, None, 40.0)],
+        "k long, s string, v double",
+    )
+    new = spark.createDataFrame(
+        [(2, "b", 20.0), (3, "c", 31.0), (4, None, 40.0), (5, "e", 50.0)],
+        "k long, s string, v double",
+    )
+    out = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["k"], ["s", "v"]).collect()
+    }
+    assert out == {
+        1: "removed", 2: "unchanged", 3: "changed", 4: "unchanged", 5: "added"
+    }
+
+
+def test_snapshot_diff_null_vs_literal_null_string(spark):
+    from qcfractal_spark.operators.dataset import snapshot_diff
+
+    # A NULL and the literal string 'NULL' must NOT hash equal (the
+    # length-prefix tagging), nor concatenation-straddling values.
+    old = spark.createDataFrame([(1, None, "ab"), (2, "x", "y")],
+                                "k long, a string, b string")
+    new = spark.createDataFrame([(1, "NULL", "ab"), (2, "xy", "")],
+                                "k long, a string, b string")
+    out = {
+        r["k"]: r["diff_status"]
+        for r in snapshot_diff(old, new, ["k"], ["a", "b"]).collect()
+    }
+    assert out == {1: "changed", 2: "changed"}
+
+
+def test_sliding_window_layout_covers_every_token(spark):
+    from qcfractal_spark.functions.packing import sliding_window_layout
+
+    df = spark.createDataFrame(
+        [(1, 300), (2, 128), (3, 64), (4, 1), (5, 0)],
+        "id long, n long",
+    )
+    rows = sliding_window_layout(
+        df, token_col="n", id_col="id", window=128, stride=64
+    ).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["id"], []).append(r)
+    # doc 5 (n=0) emits nothing
+    assert 5 not in by_doc
+    # n=300: starts 0,64,128,192,256 -> lens 128,128,128,108,44
+    w1 = sorted(by_doc[1], key=lambda r: r["win_idx"])
+    assert [r["win_start"] for r in w1] == [0, 64, 128, 192, 256]
+    assert [r["win_len"] for r in w1] == [128, 128, 128, 108, 44]
+    # n=128: starts 0,64 (last window short) — every token covered
+    w2 = sorted(by_doc[2], key=lambda r: r["win_idx"])
+    assert [(r["win_start"], r["win_len"]) for r in w2] == [(0, 128), (64, 64)]
+    # n=64 and n=1: single window
+    assert [(r["win_start"], r["win_len"]) for r in by_doc[3]] == [(0, 64)]
+    assert [(r["win_start"], r["win_len"]) for r in by_doc[4]] == [(0, 1)]
+    # coverage invariant: max(start+len) == n for every doc
+    for doc, rs in by_doc.items():
+        n = {1: 300, 2: 128, 3: 64, 4: 1}[doc]
+        assert max(r["win_start"] + r["win_len"] for r in rs) == n
+        assert min(r["win_start"] for r in rs) == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        sliding_window_layout(df, token_col="n", id_col="id", stride=0)

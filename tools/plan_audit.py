@@ -81,6 +81,10 @@ SMJ_OK = {
                           # runtime (the audit runs AQE-off by design)
     "dd_cluster_rep",  # the dd_cluster band/label joins plus an id-keyed
                        # quality join: every side fact-sized
+    "s9_snapshot_diff",  # snapshot diff is a FULL OUTER join (added needs
+                         # the new side, removed the old), which Spark
+                         # cannot broadcast by rule; both sides are
+                         # snapshot-sized (key + 32-byte hash rows only)
     "u9_leak_split",  # the dd_cluster band/label joins; the split itself
                       # adds zero joins (scan-side hash arithmetic)
 }
