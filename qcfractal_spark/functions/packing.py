@@ -258,6 +258,11 @@ def sliding_window_layout(
     """
     if stride <= 0 or window <= 0:
         raise ValueError("window and stride must be positive")
+    if stride > window:
+        # With S > W the layout would subsample with gaps AND could leave
+        # the tail uncovered — not a sliding window.  Refuse rather than
+        # silently break the every-token-covered contract above.
+        raise ValueError("stride must be <= window (overlapping layout)")
     n = F.col(token_col).cast("long")
     last_k = F.floor((n - 1) / F.lit(stride)).cast("long")
     ks = F.sequence(F.lit(0).cast("long"), last_k)

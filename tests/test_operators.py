@@ -498,3 +498,13 @@ def test_sliding_window_layout_covers_every_token(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         sliding_window_layout(df, token_col="n", id_col="id", stride=0)
+
+
+def test_sliding_window_rejects_stride_over_window(spark):
+    from qcfractal_spark.functions.packing import sliding_window_layout
+
+    df = spark.createDataFrame([(1, 10)], "id long, n long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="stride must be <= window"):
+        sliding_window_layout(df, token_col="n", id_col="id",
+                              window=64, stride=65)

@@ -569,3 +569,122 @@ def test_cdc_cut_points_are_offset_invariant(spark, t, p):
         assert shifted <= set(starts[2]), (
             "a content-defined cut point moved when the passage shifted"
         )
+
+
+@given(
+    members=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=200),   # id
+            st.integers(min_value=0, max_value=8),     # cluster
+            st.integers(min_value=0, max_value=1000),  # score*1e3
+        ),
+        min_size=1, max_size=60,
+    ),
+)
+@settings(**SETTINGS)
+def test_cluster_representative_is_argmax_member(spark, members):
+    """The representative is always a MEMBER of its cluster carrying the
+    cluster-max score, tie-broken to the smallest id; n_members is the
+    exact member count (duplicate ids collapse first, like real labels)."""
+    from qcfractal_spark.functions.dedup import cluster_representatives
+
+    seen = {}
+    for i, c, s in members:
+        seen[i] = (c, s / 1000.0)
+    rows = [(i, c, s) for i, (c, s) in seen.items()]
+    df = spark.createDataFrame(rows, "id long, cluster_id long, score double")
+    out = cluster_representatives(df).collect()
+    by_cluster: dict[int, list[tuple[int, float]]] = {}
+    for i, (c, s) in seen.items():
+        by_cluster.setdefault(c, []).append((i, s))
+    assert {r["cluster_id"] for r in out} == set(by_cluster)
+    for r in out:
+        mem = by_cluster[r["cluster_id"]]
+        mx = max(s for _, s in mem)
+        want_id = min(i for i, s in mem if s == mx)
+        assert (r["rep_id"], r["rep_score"], r["n_members"]) == (
+            want_id, mx, len(mem)
+        )
+
+
+@given(
+    n_tokens=st.lists(st.integers(min_value=0, max_value=700), min_size=1, max_size=40),
+    window=st.integers(min_value=1, max_value=200),
+    stride_frac=st.integers(min_value=1, max_value=100),
+)
+@settings(**SETTINGS)
+def test_sliding_windows_cover_exactly_for_any_geometry(spark, n_tokens, window, stride_frac):
+    """For any (W, S): windows start at multiples of S, the first covers
+    token 0, the last ends exactly at n, every token is inside >=1 window,
+    and no window is empty or overruns the document."""
+    from qcfractal_spark.functions.packing import sliding_window_layout
+
+    stride = max(1, window * stride_frac // 100)  # contract: stride <= window
+    rows = [(i, n) for i, n in enumerate(n_tokens)]
+    df = spark.createDataFrame(rows, "id long, n long")
+    out = sliding_window_layout(
+        df, token_col="n", id_col="id", window=window, stride=stride
+    ).collect()
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r["id"], []).append(r)
+    for i, n in rows:
+        if n == 0:
+            assert i not in by_doc
+            continue
+        ws = sorted(by_doc[i], key=lambda r: r["win_idx"])
+        assert ws[0]["win_start"] == 0
+        for r in ws:
+            assert r["win_start"] == r["win_idx"] * stride
+            assert 1 <= r["win_len"] <= window
+            assert r["win_start"] + r["win_len"] <= n
+        # union of [start, start+len) covers [0, n): stride <= window is
+        # enforced by the operator, so coverage is contiguous and exact.
+        assert max(r["win_start"] + r["win_len"] for r in ws) == n
+        ends = [r["win_start"] + r["win_len"] for r in ws]
+        starts = [r["win_start"] for r in ws]
+        for nxt, prev_end in zip(starts[1:], ends[:-1]):
+            assert nxt <= prev_end  # no gap
+
+
+@given(
+    old=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=5),
+        max_size=30,
+    ),
+    new=st.dictionaries(
+        st.integers(min_value=0, max_value=40),
+        st.integers(min_value=0, max_value=5),
+        max_size=30,
+    ),
+)
+@settings(**SETTINGS)
+def test_snapshot_diff_matches_dict_semantics(spark, old, new):
+    """diff(old, new) equals plain dict comparison for any pair of
+    snapshots, and the added/removed counts are antisymmetric."""
+    from qcfractal_spark.operators.dataset import snapshot_diff
+
+    if not old and not new:
+        return
+    schema = "k long, v long"
+    o = spark.createDataFrame([(k, v) for k, v in old.items()] or None, schema) \
+        if old else spark.createDataFrame([], schema)
+    n = spark.createDataFrame([(k, v) for k, v in new.items()] or None, schema) \
+        if new else spark.createDataFrame([], schema)
+    out = {r["k"]: r["diff_status"] for r in snapshot_diff(o, n, ["k"], ["v"]).collect()}
+    want = {}
+    for k in set(old) | set(new):
+        if k not in old:
+            want[k] = "added"
+        elif k not in new:
+            want[k] = "removed"
+        elif old[k] != new[k]:
+            want[k] = "changed"
+        else:
+            want[k] = "unchanged"
+    assert out == want
+    rev = {r["k"]: r["diff_status"] for r in snapshot_diff(n, o, ["k"], ["v"]).collect()}
+    assert sum(1 for v in out.values() if v == "added") == sum(
+        1 for v in rev.values() if v == "removed"
+    )
