@@ -111,6 +111,12 @@ BENCH_QUERIES = [
     # exact shingle join is quadratic by construction (see q_dd_containment
     # docstring); dd_winnow and dd_jaccard_capped are the benched
     # substring-dup scale paths.
+    # dd_prefix_filter is gate-only for the same reason: it returns ALL
+    # >=0.8-Jaccard pairs EXACTLY, and on this template corpus that truth
+    # is itself quadratic in near-dup cluster size (32k pairs from 500
+    # docs) — prefix filtering prunes candidates vs naive all-pairs, it
+    # cannot compress the answer.  dd_minhash_lsh benches the candidate
+    # physics at scale.
     # dd_lev_verify is gate-only too: the exact edit-distance DP over LSH
     # candidates is the deliberately-expensive verify pass (~19s at sf0.1
     # on this template corpus's ~3KB docs) — run rarely by design.

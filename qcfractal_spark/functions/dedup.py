@@ -1299,3 +1299,105 @@ def leakproof_split(
     return labeled.select(
         F.col(id_col), F.col(cluster_col), split.alias("split")
     )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+) -> DataFrame:
+    """ALL pairs with token-set Jaccard ≥ ``threshold``, via prefix
+    filtering (the AllPairs/PPJoin candidate rule, Bayardo et al. 2007 /
+    Xiao et al. 2008) — the third candidate-generation strategy beside
+    MinHash-LSH (probabilistic) and the df-capped shingle join
+    (conservative): prefix filtering is EXACT, no recall loss and no cap
+    tuning.
+
+    Rule: order each doc's distinct tokens globally by (document
+    frequency asc, token asc) and keep only the first
+    ``n - ceil(t*n) + 1`` — two sets with Jaccard ≥ t MUST share at least
+    one prefix token (if all prefix tokens differ, the overlap is
+    confined to the suffixes, too small by counting).  Candidates =
+    pairs sharing ≥ 1 prefix token; each is verified with the exact
+    intersection count, so the output is exactly the ≥ t pairs.
+
+    100 TB story: the candidate join is bucket-local on the PREFIX token,
+    and df-ordering puts every hot token (stopwords, boilerplate) at the
+    END of its documents' orderings — outside most prefixes — so bucket
+    fan-out concentrates on RARE tokens with tiny document lists: the f²
+    blowup the capped join must cut by hand is avoided by construction.
+    Shuffles: token-df aggregate (map-combinable), a doc-keyed rank-only
+    window, the prefix self-join, and one exact-verify count — all keyed,
+    no window buffers any set.
+    """
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError("threshold must be in (0, 1]")
+    tok = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                F.array_distinct(
+                    F.filter(
+                        F.split(
+                            F.lower(
+                                F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
+                            ),
+                            " ",
+                        ),
+                        lambda t: t != F.lit(""),
+                    )
+                )
+            ).alias("token"),
+        )
+    )
+    sizes = tok.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    docfreq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    ranked = (
+        tok.join(docfreq, "token")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("id").orderBy(
+                    F.col("df").asc(), F.col("token").asc()
+                )
+            ),
+        )
+        .join(sizes, "id")
+    )
+    prefix_len = (
+        F.col("n") - F.ceil(F.lit(float(threshold)) * F.col("n")) + 1
+    ).cast("long")
+    prefix = ranked.where(F.col("rk") <= prefix_len).select("id", "token")
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="token")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ta = tok.select(F.col("id").alias("id_a"), "token")
+    tb = tok.select(F.col("id").alias("id_b"), "token")
+    common = (
+        cand.join(ta, "id_a")
+        .join(tb, ["id_b", "token"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("common")
+                / (F.col("n_a") + F.col("n_b") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -5117,6 +5117,58 @@ FROM k
 REGISTRY["pk_sliding_windows"] = (q_pk_sliding_windows, SQL_PK_WINDOWS)
 
 
+def q_dd_prefix_filter(spark, sf_dir):
+    """DD+ (beyond-reference): exact set-similarity join via prefix
+    filtering (functions/dedup.py:prefix_filter_jaccard_pairs — the
+    AllPairs/PPJoin candidate rule).  ALL token-set pairs with Jaccard ≥
+    0.8, zero recall loss: df-ordering pushes hot tokens outside every
+    prefix, so candidate fan-out concentrates on rare tokens by
+    construction instead of by a hand-tuned cap."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.prefix_filter_jaccard_pairs(docs, threshold=0.8)
+
+
+SQL_DD_PREFIX = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest(list_distinct({_TOKS_SQL})) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+sizes AS (SELECT id, COUNT(*) AS n FROM tok GROUP BY 1),
+docfreq AS (SELECT token, COUNT(*) AS df FROM tok GROUP BY 1),
+ranked AS (
+  SELECT t.id, t.token, s.n,
+         ROW_NUMBER() OVER (PARTITION BY t.id
+                            ORDER BY d.df ASC, t.token ASC) AS rk
+  FROM tok t
+  JOIN docfreq d ON d.token = t.token
+  JOIN sizes s ON s.id = t.id
+),
+prefix AS (
+  SELECT id, token FROM ranked
+  WHERE rk <= n - CAST(ceil(0.8 * n) AS BIGINT) + 1
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM prefix a JOIN prefix b ON a.token = b.token AND a.id < b.id
+),
+common AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS common
+  FROM cand c
+  JOIN tok ta ON ta.id = c.id_a
+  JOIN tok tb ON tb.id = c.id_b AND tb.token = ta.token
+  GROUP BY 1, 2
+)
+SELECT c.id_a, c.id_b,
+  ROUND(c.common / CAST(sa.n + sb.n - c.common AS DOUBLE), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.id = c.id_a
+JOIN sizes sb ON sb.id = c.id_b
+WHERE ROUND(c.common / CAST(sa.n + sb.n - c.common AS DOUBLE), 6) >= 0.8
+"""
+
+REGISTRY["dd_prefix_filter"] = (q_dd_prefix_filter, SQL_DD_PREFIX)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5310,6 +5362,12 @@ _DRIVER_WINDOW = [
     #                   newcomer: full-outer add/remove classify is the
     #                   superset) + j6_membership (in-window) ---
     "s9_snapshot_diff", "pk_sliding_windows",
+    # --- and the prefix-filtering similarity join; displaced:
+    #   dd_jaccard_capped  capped shingle-pair family ⊂ dd_prefix_filter
+    #                      (in-window newcomer: the EXACT member of the
+    #                      same candidate-generation family) +
+    #                      dd_minhash_lsh (in-window) ---
+    "dd_prefix_filter",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5325,7 +5383,7 @@ _DRIVER_WINDOW = [
     # superset) ---
     "a7_json_rollup", "a8_status_gate",
     "dd_cluster", "dd_incremental",
-    "dd_jaccard_capped", "dd_lev_verify", "dd_minhash_lsh",
+    "dd_lev_verify", "dd_minhash_lsh",
     "j13_asof", "j14_interval", "j16_adaptive_salted", "j5_one_hop",
     "j6_membership", "j8_closure", "p2_p3_filter_page",
     "pipe_prepare", "pk_pack", "s2_bulk_get",

@@ -1131,3 +1131,39 @@ def test_weighted_sample_topk_prefers_heavy_rows(spark):
     z = spark.createDataFrame([(1, 0.0), (2, 1.0)], "id long, w double")
     zz = weighted_sample_topk(z, weight_col="w", id_col="id", k=2).collect()
     assert {r["id"] for r in zz} == {1, 2}
+
+
+def test_prefix_filter_returns_exactly_the_threshold_pairs(spark):
+    """Prefix filtering must be EXACT (the AllPairs guarantee): compare
+    against brute-force token-set Jaccard over all pairs."""
+    import itertools
+
+    from qcfractal_spark.functions.dedup import prefix_filter_jaccard_pairs
+
+    corpus = {
+        1: "alpha beta gamma delta epsilon",
+        2: "alpha beta gamma delta zeta",       # J(1,2)=4/6
+        3: "alpha beta gamma delta epsilon",    # J(1,3)=1.0
+        4: "one two three four five six",
+        5: "one two three four five seven",     # J(4,5)=5/7
+        6: "totally unrelated words here now",
+        7: "alpha beta",                        # small vs 1: 2/5
+    }
+    docs = spark.createDataFrame(
+        list(corpus.items()), "doc_id long, text string"
+    )
+    for t in (0.5, 0.7, 0.9):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
+        }
+        want = set()
+        for a, b in itertools.combinations(sorted(corpus), 2):
+            sa, sb = set(corpus[a].split()), set(corpus[b].split())
+            j = len(sa & sb) / len(sa | sb)
+            if round(j, 6) >= t:
+                want.add((a, b))
+        assert got == want, f"threshold {t}: {got ^ want}"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        prefix_filter_jaccard_pairs(docs, threshold=0.0)

@@ -81,6 +81,8 @@ SMJ_OK = {
                           # runtime (the audit runs AQE-off by design)
     "dd_cluster_rep",  # the dd_cluster band/label joins plus an id-keyed
                        # quality join: every side fact-sized
+    "dd_prefix_filter",  # prefix-token self-join + verify joins: every
+                         # side fact-sized (the AllPairs candidate rule)
     "s9_snapshot_diff",  # snapshot diff is a FULL OUTER join (added needs
                          # the new side, removed the old), which Spark
                          # cannot broadcast by rule; both sides are
