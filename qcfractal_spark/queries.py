@@ -4144,15 +4144,22 @@ REGISTRY["j6_membership"] = (q_j6_membership, SQL_J6)
 
 
 def _scratch_dir(sf_dir: str, tag: str) -> str:
-    """Deterministic per-(sf_dir, query) scratch path for mutation queries;
-    rebuilt from the source table on every call, so the query is
-    idempotent and the files outlive the (lazy) returned DataFrame."""
+    """Deterministic per-(sf_dir, query, PROCESS) scratch path for
+    mutation/index queries; rebuilt from the source table on first use per
+    process, so the query is idempotent and the files outlive the (lazy)
+    returned DataFrame.  The pid suffix keeps the steady-state reuse of
+    persisted indexes WITHIN a process (bench/driver see warm indexes)
+    while making concurrent processes collision-free — two suites sharing
+    a dir race rmtree-vs-read otherwise (observed as a one-off
+    st_stream_substring flake when pytest and preflight overlapped)."""
     import hashlib
     import os
     import tempfile
 
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(tempfile.gettempdir(), f"qcfractal_spark_{tag}_{h}")
+    return os.path.join(
+        tempfile.gettempdir(), f"qcfractal_spark_{tag}_{h}_{os.getpid()}"
+    )
 
 
 def q_s6_delete_survivors(spark, sf_dir):
