@@ -97,6 +97,8 @@ BENCH_QUERIES = [
     "u10_weighted_sample",  # A-Res weighted sampling (TakeOrdered race)
     "s9_snapshot_diff",     # content-addressed snapshot diff (hash-only join)
     "pk_sliding_windows",   # overlapping window layout (sequence+explode)
+    "t11_scd2",             # SCD2 interval build (per-entity lead window)
+    "a23_corr",             # decimal-exact correlation matrix (one scan)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /
