@@ -122,6 +122,10 @@ BENCH_QUERIES = [
     # dd_lev_verify is gate-only too: the exact edit-distance DP over LSH
     # candidates is the deliberately-expensive verify pass (~19s at sf0.1
     # on this template corpus's ~3KB docs) — run rarely by design.
+    # g1_pagerank is gate-only: 10 inherently-serial damped iterations
+    # (~24s at sf0.1 = ~2.4s/round of join+sum+materialize); j8_closure
+    # benches the per-round join/checkpoint physics of the same driver
+    # loop family.
 ]
 
 

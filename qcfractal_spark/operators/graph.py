@@ -352,3 +352,77 @@ def connected_components(
     finally:
         und.unpersist()
     return labels
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str,
+    dst: str,
+    iterations: int = 10,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list — the iterative
+    numeric sibling of :func:`connected_components` (which converges a
+    label; this converges a score).  Reference parallel: the closure walks
+    of record_socket.py generalize to "importance over the record DAG".
+
+    Engine-portable float discipline: every iteration ROUNDS the
+    per-edge contribution to 9 dp and sums it as ``decimal(28,12)`` —
+    order-independent — then rounds the damped update to 9 dp, so N
+    iterations produce bit-identical ranks in any engine (the oracle
+    unrolls the same N steps as chained CTEs).  Dangling-node mass is
+    dropped (not redistributed) in both, the common simplification.
+
+    100 TB story: per iteration ONE equi-join of ranks onto the
+    out-degree-annotated edges (both keyed on the source — co-partitioned
+    after the first shuffle) and ONE map-combinable sum keyed by
+    destination.  Lineage is cut with a lazy localCheckpoint whose
+    materializing count doubles as the driver's progress check, exactly
+    the j8 loop contract; iterations are inherently serial, work per
+    iteration is linear in edges.
+    """
+    nodes = (
+        edges.select(F.col(src).alias("id"))
+        .unionByName(edges.select(F.col(dst).alias("id")))
+        .dropDuplicates(["id"])
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    base = (1.0 - damping) / n
+    deg = edges.groupBy(F.col(src).alias("id")).agg(
+        F.count(F.lit(1)).alias("_deg")
+    )
+    ed = (
+        edges.select(F.col(src).alias("id"), F.col(dst).alias("_dst"))
+        .join(deg, "id")
+        .localCheckpoint(eager=True)
+    )
+    # JVM HALF_UP round (matches SQL ROUND on doubles; Python's banker's
+    # round would diverge on exact .5 boundaries)
+    ranks = nodes.withColumn("pagerank", F.round(F.lit(1.0 / n), 9))
+    for _ in range(iterations):
+        contrib = (
+            ranks.join(ed, "id")
+            .select(
+                F.col("_dst").alias("id"),
+                F.round(F.col("pagerank") / F.col("_deg"), 9)
+                .cast("decimal(28,12)")
+                .alias("_c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("_c").cast("double").alias("_in"))
+        )
+        ranks = (
+            nodes.join(contrib, "id", "left")
+            .select(
+                "id",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    9,
+                ).alias("pagerank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        ranks.count()  # materialize + cut lineage, one job per iteration
+    return ranks

@@ -5294,6 +5294,54 @@ SQL_A23 = _corr_oracle_sql()
 REGISTRY["a23_corr"] = (q_a23_corr, SQL_A23)
 
 
+def q_g1_pagerank(spark, sf_dir):
+    """G+ (beyond-reference): fixed-iteration PageRank over the record
+    hierarchy edges (operators/graph.py:pagerank) — the iterative numeric
+    sibling of j8's closure (label → score).  10 damped iterations, one
+    join+combinable-sum per iteration, lineage cut per step; per-edge
+    contributions rounded to 9 dp and decimal-summed so the oracle's
+    unrolled 10-step CTE chain reproduces every rank bit-for-bit."""
+    from .operators.graph import pagerank
+
+    edges = build_edges(spark, sf_dir)
+    return pagerank(edges, "parent_id", "child_id", iterations=10, damping=0.85)
+
+
+def _pagerank_oracle_sql(iterations: int = 10) -> str:
+    ctes = [
+        f"edges0 AS ({_EDGES_SQL})",
+        "nodes AS (SELECT DISTINCT id FROM (SELECT parent_id AS id FROM edges0"
+        " UNION ALL SELECT child_id FROM edges0))",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes)",
+        "deg AS (SELECT parent_id AS id, COUNT(*) AS deg FROM edges0 GROUP BY 1)",
+        "ed AS (SELECT e.parent_id AS id, e.child_id AS dst, d.deg"
+        " FROM edges0 e JOIN deg d ON d.id = e.parent_id)",
+        "r0 AS (SELECT nodes.id, ROUND(1.0 / nn.n, 9) AS pagerank"
+        " FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"c{i} AS (SELECT ed.dst AS id,"
+            f" SUM(CAST(ROUND(r.pagerank / ed.deg, 9) AS DECIMAL(28,12))) AS s"
+            f" FROM r{i-1} r JOIN ed ON ed.id = r.id GROUP BY 1)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT nodes.id,"
+            f" ROUND((1.0 - 0.85) / nn.n"
+            f" + 0.85 * COALESCE(CAST(c.s AS DOUBLE), 0.0), 9) AS pagerank"
+            f" FROM nodes CROSS JOIN nn LEFT JOIN c{i} c ON c.id = nodes.id)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT id, pagerank FROM r{iterations}"
+    )
+
+
+SQL_G1_PAGERANK = _pagerank_oracle_sql(10)
+
+REGISTRY["g1_pagerank"] = (q_g1_pagerank, SQL_G1_PAGERANK)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5501,6 +5549,11 @@ _DRIVER_WINDOW = [
     #   a7_json_rollup  JSON-derived sums ⊂ v1_variant_rollup (in-window,
     #                   typed extraction + identical rollup oracle) ---
     "t11_scd2", "a23_corr",
+    # --- and PageRank; displaced:
+    #   s3_insert_dedup_table  query-first insert dedup ⊂ a16_dedup_batch
+    #                   (r06-fresh, the same fingerprint groupBy report)
+    #                   + the in-window mutation family (s2/s6/s7) ---
+    "g1_pagerank",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5520,7 +5573,7 @@ _DRIVER_WINDOW = [
     "j14_interval", "j16_adaptive_salted", "j5_one_hop",
     "j6_membership", "j8_closure", "p2_p3_filter_page",
     "pipe_prepare", "pk_pack", "s2_bulk_get",
-    "s3_insert_dedup_table", "s6_delete_survivors",
+    "s6_delete_survivors",
     "s7_retention_survivors", "t10_incremental_rollup",
     "t8_funnel",
 ]

@@ -508,3 +508,25 @@ def test_sliding_window_rejects_stride_over_window(spark):
     with _pytest.raises(ValueError, match="stride must be <= window"):
         sliding_window_layout(df, token_col="n", id_col="id",
                               window=64, stride=65)
+
+
+def test_pagerank_mass_and_ordering(spark):
+    from qcfractal_spark.operators.graph import pagerank
+
+    # star: hub 1 -> {2,3,4}; chain: 2 -> 5.  5 receives from a
+    # single-out-degree node, {3,4} split the hub's mass with 2.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 5)], "s long, d long"
+    )
+    out = {r["id"]: r["pagerank"] for r in pagerank(edges, "s", "d").collect()}
+    assert set(out) == {1, 2, 3, 4, 5}
+    # source-only node keeps just the teleport share
+    assert out[1] == min(out.values())
+    assert out[2] == out[3] == out[4]  # equal shares of the hub's mass
+    # 2 feeds 5: 5's rank reflects 2's full out-mass, so 5 > 3
+    assert out[5] > out[3]
+    # all ranks positive and bounded by 1
+    assert all(0 < v < 1 for v in out.values())
+    # deterministic across runs
+    again = {r["id"]: r["pagerank"] for r in pagerank(edges, "s", "d").collect()}
+    assert out == again

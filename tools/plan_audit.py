@@ -124,7 +124,8 @@ NO_PYTHON = {"dd_semdedup", "sim_ivf_topk"}
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
 # step of a loop (closure levels are checkpointed RDD scans) — plan text is
 # not representative, audit is covered by operator tests.
-SKIP = {"j8_closure"}
+SKIP = {"j8_closure", "g1_pagerank"}  # iterative driver loops: the
+# returned DataFrame is the last loop step over checkpointed scans
 
 
 def executed_plan(df) -> str:
