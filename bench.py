@@ -99,6 +99,7 @@ BENCH_QUERIES = [
     "pk_sliding_windows",   # overlapping window layout (sequence+explode)
     "t11_scd2",             # SCD2 interval build (per-entity lead window)
     "a23_corr",             # decimal-exact correlation matrix (one scan)
+    "tx_source_kl",         # per-source KL drift (counts-derived rollups)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -258,3 +258,59 @@ def doc_frequency_topk(
         .orderBy(F.col("doc_freq").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+def source_kl_divergence(
+    df: DataFrame,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Distribution drift per corpus slice: KL(P_g ‖ Q) between each
+    group's unigram distribution P_g and the whole-corpus distribution Q
+    — the monitoring op behind "which source shifted" in a continuously
+    ingested training corpus (large KL = the slice reads differently
+    from the mix it feeds).
+
+    KL = Σ_t (c_gt/n_g) · ln((c_gt·n) / (c_t·n_g)) over tokens the group
+    actually uses (c_gt > 0, and c_t ≥ c_gt keeps the log finite).  Terms
+    are computed in double from INTEGER counts (identical in any engine),
+    rounded to 12 dp, decimal-summed (order-independent), final round to
+    6 dp — the u10/a17 float discipline applied to information theory.
+
+    100 TB story: token occurrences aggregate ONCE into (group, token)
+    counts — map-side combine flattens the Zipf head — and everything
+    downstream derives from that counts relation: per-group totals (rows
+    = #groups), corpus per-token counts (one combinable re-agg), the
+    corpus total (1-row broadcast scalar).  The only non-tiny join keys
+    the counts back to the vocab-sized per-token relation — equi-join on
+    the token, both sides already aggregated.
+    """
+    tok = (
+        df.where(F.col(text_col).isNotNull())
+        .select(
+            F.col(group_col).alias("grp"),
+            F.explode(tokens(F.col(text_col))).alias("token"),
+        )
+    )
+    counts = tok.groupBy("grp", "token").agg(F.count(F.lit(1)).alias("c_gt"))
+    n_g = counts.groupBy("grp").agg(F.sum("c_gt").alias("n_g"))
+    c_t = counts.groupBy("token").agg(F.sum("c_gt").alias("c_t"))
+    n = counts.agg(F.sum("c_gt").alias("n"))
+    term = F.round(
+        (F.col("c_gt") / F.col("n_g"))
+        * F.log(
+            (F.col("c_gt") * F.col("n")).cast("double")
+            / (F.col("c_t") * F.col("n_g")).cast("double")
+        ),
+        12,
+    ).cast("decimal(28,14)")
+    return (
+        counts.join(c_t, "token")
+        .join(F.broadcast(n_g), "grp")
+        .crossJoin(F.broadcast(n))
+        .groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.round(F.sum(term).cast("double"), 6).alias("kl_divergence"),
+            F.max("n_g").alias("n_tokens"),
+        )
+    )

@@ -5342,6 +5342,41 @@ SQL_G1_PAGERANK = _pagerank_oracle_sql(10)
 REGISTRY["g1_pagerank"] = (q_g1_pagerank, SQL_G1_PAGERANK)
 
 
+def q_tx_source_kl(spark, sf_dir):
+    """TX+ (beyond-reference): per-source distribution drift
+    (functions/text.py:source_kl_divergence) — KL(P_source ‖ P_corpus)
+    over unigram distributions, the monitoring op behind "which ingest
+    slice shifted".  Integer-count ratios, 12-dp-rounded double terms,
+    order-independent decimal sums."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.source_kl_divergence(docs, text_col="text", group_col="source")
+
+
+SQL_TX_SOURCE_KL = f"""
+WITH tok AS (
+  SELECT source AS grp, unnest({_TOKS_SQL}) AS token
+  FROM documents WHERE text IS NOT NULL
+),
+counts AS (SELECT grp, token, COUNT(*) AS c_gt FROM tok GROUP BY 1, 2),
+ng AS (SELECT grp, SUM(c_gt) AS n_g FROM counts GROUP BY 1),
+ct AS (SELECT token, SUM(c_gt) AS c_t FROM counts GROUP BY 1),
+nn AS (SELECT SUM(c_gt) AS n FROM counts)
+SELECT c.grp AS source,
+  ROUND(CAST(SUM(CAST(ROUND(
+      (c.c_gt / CAST(g.n_g AS DOUBLE))
+      * ln(CAST(c.c_gt * nn.n AS DOUBLE) / CAST(ct.c_t * g.n_g AS DOUBLE)),
+      12) AS DECIMAL(28,14))) AS DOUBLE), 6) AS kl_divergence,
+  CAST(MAX(g.n_g) AS BIGINT) AS n_tokens
+FROM counts c
+JOIN ct ON ct.token = c.token
+JOIN ng g ON g.grp = c.grp
+CROSS JOIN nn
+GROUP BY 1
+"""
+
+REGISTRY["tx_source_kl"] = (q_tx_source_kl, SQL_TX_SOURCE_KL)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5554,6 +5589,11 @@ _DRIVER_WINDOW = [
     #                   (r06-fresh, the same fingerprint groupBy report)
     #                   + the in-window mutation family (s2/s6/s7) ---
     "g1_pagerank",
+    # --- and the KL drift monitor; displaced:
+    #   j5_one_hop      depth-1 edge semi join ⊂ j8_closure (in-window,
+    #                   the same edge view walked to a fixpoint) +
+    #                   j6_membership (in-window) ---
+    "tx_source_kl",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5570,7 +5610,7 @@ _DRIVER_WINDOW = [
     "a8_status_gate",
     "dd_cluster", "dd_incremental",
     "dd_lev_verify", "dd_minhash_lsh",
-    "j14_interval", "j16_adaptive_salted", "j5_one_hop",
+    "j14_interval", "j16_adaptive_salted",
     "j6_membership", "j8_closure", "p2_p3_filter_page",
     "pipe_prepare", "pk_pack", "s2_bulk_get",
     "s6_delete_survivors",

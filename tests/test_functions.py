@@ -1167,3 +1167,27 @@ def test_prefix_filter_returns_exactly_the_threshold_pairs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         prefix_filter_jaccard_pairs(docs, threshold=0.0)
+
+
+def test_source_kl_zero_for_identical_slices_positive_for_shifted(spark):
+    from qcfractal_spark.functions.text import source_kl_divergence
+
+    # Two groups with IDENTICAL token distributions -> the corpus equals
+    # each slice -> KL exactly 0 for both.  A third, shifted group gets a
+    # strictly positive divergence (and shifts the others' too).
+    same = [(1, "a b c d", "x"), (2, "a b c d", "y")]
+    out = {
+        r["source"]: r["kl_divergence"]
+        for r in source_kl_divergence(
+            spark.createDataFrame(same, "doc_id long, text string, source string")
+        ).collect()
+    }
+    assert out == {"x": 0.0, "y": 0.0}
+    shifted = same + [(3, "zz zz zz zz", "z")]
+    out2 = source_kl_divergence(
+        spark.createDataFrame(shifted, "doc_id long, text string, source string")
+    ).collect()
+    vals = {r["source"]: r for r in out2}
+    assert vals["z"]["kl_divergence"] > 0
+    assert vals["x"]["kl_divergence"] > 0  # corpus moved away from x too
+    assert vals["z"]["n_tokens"] == 4

@@ -45,6 +45,9 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 # its strategy.
 SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir",
                        "tx_bm25",
+                       # corpus-total token count (1-row scalar) crossed
+                       # onto the per-(group,token) counts relation
+                       "tx_source_kl",
                        # queries × centroid-table fan-out: the BNLJ build side
                        # is the n_centroids-row centroid table (16 rows) — the
                        # per-query probe ranking, constant-size by design
