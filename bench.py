@@ -100,6 +100,7 @@ BENCH_QUERIES = [
     "t11_scd2",             # SCD2 interval build (per-entity lead window)
     "a23_corr",             # decimal-exact correlation matrix (one scan)
     "tx_source_kl",         # per-source KL drift (counts-derived rollups)
+    "a24_heavy_hitters",    # Misra-Gries mergeable sketch (Arrow mapInPandas)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

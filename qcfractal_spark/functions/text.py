@@ -314,3 +314,61 @@ def source_kl_divergence(
             F.max("n_g").alias("n_tokens"),
         )
     )
+
+
+def heavy_hitters_mg(
+    df: DataFrame,
+    text_col: str = "text",
+    k: int = 50,
+) -> DataFrame:
+    """Misra–Gries heavy hitters over the token stream — the mergeable-
+    summary sketch (Agarwal et al. 2012) beside the built-in HLL (a19)
+    and GK (a22): every token occurring more than N/(k+1) times is
+    GUARANTEED present, with its count underestimated by at most
+    N/(k+1).  The frequent-token monitor that needs no full vocabulary
+    aggregation — summaries are k-row, whatever the corpus size.
+
+    Per partition an Arrow ``mapInPandas`` kernel folds each batch's
+    exact value_counts into a k-capacity counter set using the COMBINE
+    rule (add, then subtract the (k+1)-st largest and drop non-positive)
+    — O(unique) per batch, vectorized by pandas, never the O(k)
+    decrement-per-arrival loop.  Partition summaries (≤ k rows each)
+    then merge with ONE tiny map-combinable sum; the error bound
+    telescopes: Σ_p N_p/(k+1) = N/(k+1).
+
+    100 TB story: the corpus-sized token stream is consumed ENTIRELY
+    scan-side — the only exchange carries ≤ k rows per partition.  This
+    is the sketch the exact `doc_frequency_topk` aggregation graduates
+    to when the vocabulary itself stops fitting the shuffle.
+
+    Returns (token, est_count) — lower bounds, largest first.
+    """
+    import pandas as pd
+
+    tok = (
+        df.where(F.col(text_col).isNotNull())
+        .select(F.explode(tokens(F.col(text_col))).alias("token"))
+    )
+
+    def mg(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            vc = pdf["token"].value_counts()
+            for t, c in vc.items():
+                counters[t] = counters.get(t, 0) + int(c)
+            if len(counters) > k:
+                cut = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - cut for t, c in counters.items() if c - cut > 0
+                }
+        yield pd.DataFrame(
+            {"token": list(counters), "est_count": list(counters.values())}
+        )
+
+    summaries = tok.mapInPandas(mg, "token string, est_count long")
+    return (
+        summaries.groupBy("token")
+        .agg(F.sum("est_count").alias("est_count"))
+        .orderBy(F.col("est_count").desc(), F.col("token").asc())
+        .limit(k)
+    )

