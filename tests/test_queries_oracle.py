@@ -52,3 +52,30 @@ def test_rows_only_queries_run(spark, name):
     df = fn(spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_cluster_label_index_matches_inline(spark, tmp_path):
+    """The persisted cluster-label artifact must equal the inline
+    pipeline's labels exactly (determinism of min-id components), and a
+    touched source must invalidate the marker and rebuild."""
+    import os
+
+    from qcfractal_spark.queries import (
+        _cluster_labeled,
+        _cluster_labels,
+        _cluster_labels_dir,
+    )
+
+    sf = SF_SMOKE
+    inline = {r["id"]: r["cluster_id"] for r in _cluster_labeled(spark, sf).collect()}
+    indexed = {r["id"]: r["cluster_id"] for r in _cluster_labels(spark, sf).collect()}
+    assert inline == indexed
+    # marker invalidation: fake a marker mismatch and confirm rebuild
+    path = _cluster_labels_dir(spark, sf)
+    marker_path = os.path.join(path, "source_marker")
+    with open(marker_path, "w") as fh:
+        fh.write("stale")
+    path2 = _cluster_labels_dir(spark, sf)  # must rebuild (marker rewrites)
+    with open(marker_path) as fh:
+        assert fh.read() != "stale"
+    assert path2 == path

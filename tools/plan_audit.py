@@ -82,16 +82,14 @@ SMJ_OK = {
                           # post-agg sources²-row pair table whose stats the
                           # static planner can't see — AQE broadcasts it at
                           # runtime (the audit runs AQE-off by design)
-    "dd_cluster_rep",  # the dd_cluster band/label joins plus an id-keyed
-                       # quality join: every side fact-sized
+    "dd_cluster_rep",  # label-artifact scan ⋈ id-keyed quality scan:
+                       # both sides fact-sized (labels persisted at ingest)
     "dd_prefix_filter",  # prefix-token self-join + verify joins: every
                          # side fact-sized (the AllPairs candidate rule)
     "s9_snapshot_diff",  # snapshot diff is a FULL OUTER join (added needs
                          # the new side, removed the old), which Spark
                          # cannot broadcast by rule; both sides are
                          # snapshot-sized (key + 32-byte hash rows only)
-    "u9_leak_split",  # the dd_cluster band/label joins; the split itself
-                      # adds zero joins (scan-side hash arithmetic)
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
