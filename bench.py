@@ -101,6 +101,8 @@ BENCH_QUERIES = [
     "a23_corr",             # decimal-exact correlation matrix (one scan)
     "tx_source_kl",         # per-source KL drift (counts-derived rollups)
     "a24_heavy_hitters",    # Misra-Gries mergeable sketch (Arrow mapInPandas)
+    "sim_multiprobe_topk",  # Hamming-1 multi-probe LSH (recall knob)
+    "sim_filtered_topk",    # predicate+vector search (pushdown + topk)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

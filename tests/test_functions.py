@@ -1232,3 +1232,45 @@ def test_heavy_hitters_mg_error_bound(spark):
         for t, e in est.items():
             assert 0 < e <= exact[t], f"{t}: est {e} > true {exact[t]}"
             assert exact[t] - e <= bound + 1e-9, f"{t}: undercount too large"
+
+
+def test_multiprobe_recall_superset_of_single_probe(spark):
+    """Multi-probe candidates strictly contain the single-probe bucket, so
+    its top-k scores dominate; both agree with brute force on any vector
+    the single probe already found."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    single = {r["vec_id"]: r["score"] for r in lsh_topk(emb, qvec, k=10).collect()}
+    multi = {r["vec_id"]: r["score"] for r in lsh_multiprobe_topk(emb, qvec, k=10).collect()}
+    brute = {r["vec_id"]: r["score"] for r in brute_force_topk(emb, qvec, k=10).collect()}
+    # recall vs the exact answer can only improve with more probes
+    assert len(set(multi) & set(brute)) >= len(set(single) & set(brute))
+    # more probes never return fewer results (candidate superset)
+    assert len(multi) >= len(single)
+    # when both fill k, the k-th multi-probe score dominates
+    if len(single) == 10 and len(multi) == 10:
+        assert min(multi.values()) >= min(single.values())
+    # scores are consistent where ids overlap
+    for vid in set(single) & set(multi):
+        assert single[vid] == multi[vid]
+
+
+def test_filtered_topk_honors_predicate(spark):
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions.similarity import filtered_brute_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    out = filtered_brute_topk(emb, qvec, F.col("label") == 3, k=10).collect()
+    assert 0 < len(out) <= 10
+    allowed = {r["vec_id"] for r in emb.where(F.col("label") == 3).collect()}
+    assert all(r["vec_id"] in allowed for r in out)
+    scores = [r["score"] for r in out]
+    assert scores == sorted(scores, reverse=True)
