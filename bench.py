@@ -103,6 +103,7 @@ BENCH_QUERIES = [
     "a24_heavy_hitters",    # Misra-Gries mergeable sketch (Arrow mapInPandas)
     "sim_multiprobe_topk",  # Hamming-1 multi-probe LSH (recall knob)
     "sim_filtered_topk",    # predicate+vector search (pushdown + topk)
+    "dd_cap_duplicates",    # duplicate capping over persisted labels
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /
@@ -126,6 +127,9 @@ BENCH_QUERIES = [
     # dd_lev_verify is gate-only too: the exact edit-distance DP over LSH
     # candidates is the deliberately-expensive verify pass (~19s at sf0.1
     # on this template corpus's ~3KB docs) — run rarely by design.
+    # dd_incremental_labels is gate-only like dd_incremental: each call
+    # times a corpus re-cluster + index write (the scratch-artifact build)
+    # ahead of the probe plan it exists to demonstrate.
     # g1_pagerank is gate-only: 10 inherently-serial damped iterations
     # (~24s at sf0.1 = ~2.4s/round of join+sum+materialize); j8_closure
     # benches the per-round join/checkpoint physics of the same driver

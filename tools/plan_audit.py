@@ -82,6 +82,10 @@ SMJ_OK = {
                           # post-agg sources²-row pair table whose stats the
                           # static planner can't see — AQE broadcasts it at
                           # runtime (the audit runs AQE-off by design)
+    "dd_incremental_labels",  # corpus-label join + batch-component joins:
+                              # every side fact/batch-sized (the probe
+                              # itself broadcasts the batch; these are the
+                              # label-assembly equi-joins around it)
     "dd_cluster_rep",  # label-artifact scan ⋈ id-keyed quality scan:
                        # both sides fact-sized (labels persisted at ingest)
     "dd_prefix_filter",  # prefix-token self-join + verify joins: every
@@ -114,7 +118,8 @@ BROADCAST_MUST_BE_FILTERED = {"s2_bulk_get"}
 
 # Per-group top-k queries must show map-side WindowGroupLimit (rank pushdown:
 # each input partition keeps only its own top-k before the shuffle).
-GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin", "u8_group_sample_k"}
+GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin", "u8_group_sample_k",
+              "dd_cap_duplicates"}
 
 # Queries whose steady-state plan must contain ZERO Python stages: they
 # consume the persisted IVF index, so the k-means assign pandas_udf must
