@@ -44,3 +44,24 @@ def test_minhash_pipeline_runs_in_fast_mode(spark, monkeypatch):
     assert n >= 0
     dups = sigs.groupBy().count().first()[0]
     assert dups == 40
+
+
+def test_samplers_and_split_run_in_fast_mode(spark, monkeypatch):
+    """The round-7 hash consumers keep their contracts under the xxhash64
+    fast path: split co-assignment, exact-k, determinism."""
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    from qcfractal_spark.functions.dedup import leakproof_split
+    from qcfractal_spark.functions.packing import weighted_sample_topk
+
+    labeled = spark.createDataFrame(
+        [(i, i // 2) for i in range(100)], "id long, cluster_id long"
+    )
+    out = leakproof_split(labeled).toPandas()
+    assert set(out["split"]) <= {"train", "valid", "test"}
+    assert (out.groupby("cluster_id")["split"].nunique() == 1).all()
+
+    w = spark.createDataFrame([(i, 1.0 + i % 3) for i in range(60)],
+                              "id long, w double")
+    s1 = [r["id"] for r in weighted_sample_topk(w, "w", "id", k=10).collect()]
+    s2 = [r["id"] for r in weighted_sample_topk(w, "w", "id", k=10).collect()]
+    assert s1 == s2 and len(set(s1)) == 10
