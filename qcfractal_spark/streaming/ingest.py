@@ -379,3 +379,87 @@ def stream_ann_serve(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_label_assign(
+    doc_stream: DataFrame,
+    index_path: str,
+    labels_path: str,
+    sink_path: str,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming arm of the cluster-label ingest loop: each micro-batch of
+    arriving documents (1) probes the persisted LSH band index for
+    collisions with everything labeled so far, (2) resolves labels with
+    the SAME assembly as the batch arm (batch-internal CC over the
+    micro-batch's collision graph, min collided existing label, else min
+    batch id), then (3) APPENDS its own band rows and its new label rows
+    — so the next micro-batch dedups against this one, the index grows by
+    arrival volume, and the corpus is never re-signatured.  Stream ≡
+    sequential-batch by construction: the foreachBatch body calls the
+    batch functions verbatim, so applying the same files in the same
+    order in plain batch mode yields byte-identical labels (pinned by the
+    parity test).
+
+    At-least-once appends on retry, like the other foreachBatch arms —
+    production exactly-once is the documented epoch-guard pattern."""
+    from ..functions.dedup import (
+        incremental_lsh_candidates,
+        minhash_signatures,
+        write_lsh_band_index,
+    )
+    from ..operators.graph import connected_components
+
+    def _assign(batch_df: DataFrame, epoch_id: int) -> None:
+        if not batch_df.head(1):
+            return
+        spark = batch_df.sparkSession
+        bsigs = minhash_signatures(
+            batch_df, text_col=text_col, id_col=id_col
+        ).localCheckpoint(eager=True)
+        cand = incremental_lsh_candidates(spark, index_path, bsigs).localCheckpoint(
+            eager=True
+        )
+        existing = spark.read.schema("id long, cluster_id long").parquet(labels_path)
+        batch_ids = batch_df.select(F.col(id_col).alias("id"))
+        # orientation: id_b is always the arriving doc; id_a is arriving
+        # too iff it is in this micro-batch (within pairs), else indexed.
+        within = cand.join(
+            batch_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi"
+        )
+        cross = cand.join(
+            batch_ids.withColumnRenamed("id", "id_a"), "id_a", "left_anti"
+        )
+        bcomp = connected_components(
+            within, "id_a", "id_b", approx_edges=within.count()
+        )
+        batch_comp = batch_ids.join(bcomp, "id", "left").select(
+            "id", F.coalesce("component", F.col("id")).alias("bcomp")
+        )
+        comp_existing = (
+            cross.join(
+                existing.withColumnRenamed("id", "id_a").withColumnRenamed(
+                    "cluster_id", "existing_label"
+                ),
+                "id_a",
+            )
+            .join(batch_comp.withColumnRenamed("id", "id_b"), "id_b")
+            .groupBy("bcomp")
+            .agg(F.min("existing_label").alias("existing_label"))
+        )
+        out = batch_comp.join(comp_existing, "bcomp", "left").select(
+            "id",
+            F.coalesce("existing_label", F.col("bcomp")).alias("cluster_id"),
+        ).localCheckpoint(eager=True)
+        out.write.mode("append").parquet(sink_path)
+        out.write.mode("append").parquet(labels_path)
+        write_lsh_band_index(bsigs, index_path, mode="append")
+
+    return (
+        doc_stream.writeStream.foreachBatch(_assign)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -282,3 +282,97 @@ def test_queue_interleaving_properties(spark, ops):
     assert q.claimed == {tid: m for m in names for tid in live[m]}
     assert q.finished == ever_finished
     assert set(q.claim_records) == set(q.claimed)
+
+
+def test_stream_label_assign_grows_index_and_matches_sequential(spark, tmp_path):
+    """The streaming label ingest loop: (a) arrivals near-dupping the
+    corpus take the corpus label; (b) novel near-dup arrivals in one
+    micro-batch share a fresh label; (c) a later micro-batch near-dupping
+    an EARLIER arrival takes the earlier arrival's label (the appended
+    index works); (d) one 2-batch availableNow run equals two sequential
+    1-batch runs byte-for-byte."""
+    import os
+
+    from qcfractal_spark.functions.dedup import (
+        minhash_signatures,
+        write_lsh_band_index,
+    )
+    from qcfractal_spark.streaming.ingest import stream_label_assign
+
+    base_text = "the quick brown fox jumps over the lazy dog again and again %s"
+    corpus = spark.createDataFrame(
+        [(1, base_text % "one"), (2, "completely different corpus content here ok")],
+        "doc_id long, text string",
+    )
+
+    def setup(root):
+        index = os.path.join(root, "index")
+        labels = os.path.join(root, "labels")
+        write_lsh_band_index(minhash_signatures(corpus), index)
+        corpus.selectExpr("doc_id AS id", "doc_id AS cluster_id").write.parquet(labels)
+        return index, labels
+
+    # batch file 1: doc 10 near-dups corpus doc 1; docs 20/21 are a novel pair
+    f1 = [(10, base_text % "one!"),
+          (20, "brand new template alpha beta gamma delta epsilon zeta"),
+          (21, "brand new template alpha beta gamma delta epsilon zeta!")]
+    # batch file 2: doc 30 near-dups doc 20 (an EARLIER ARRIVAL, not corpus)
+    f2 = [(30, "brand new template alpha beta gamma delta epsilon zeta!!")]
+
+    def run(root, files_per_trigger, batches):
+        index, labels = setup(root)
+        land = os.path.join(root, "land")
+        sink = os.path.join(root, "sink")
+        ckpt = os.path.join(root, "ckpt")
+        os.makedirs(land)
+        for i, rows in enumerate(batches):
+            spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+                1
+            ).write.mode("append").parquet(land)
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", files_per_trigger)
+                .parquet(land)
+            )
+            q = stream_label_assign(stream, index, labels, sink, ckpt)
+            q.awaitTermination()
+        return {
+            r["id"]: r["cluster_id"]
+            for r in spark.read.schema("id long, cluster_id long")
+            .parquet(sink)
+            .collect()
+        }
+
+    # one run, two micro-batches: land f1 and f2 as separate files first,
+    # then drain with 1 file per trigger
+    root_a = str(tmp_path / "a")
+    index_a, labels_a = setup(root_a)
+    land_a = os.path.join(root_a, "land")
+    os.makedirs(land_a)
+    for rows in (f1, f2):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.mode("append").parquet(land_a)
+    stream_a = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land_a)
+    )
+    q = stream_label_assign(
+        stream_a, index_a, labels_a,
+        os.path.join(root_a, "sink"), os.path.join(root_a, "ckpt"),
+    )
+    q.awaitTermination()
+    a = {
+        r["id"]: r["cluster_id"]
+        for r in spark.read.schema("id long, cluster_id long")
+        .parquet(os.path.join(root_a, "sink")).collect()
+    }
+
+    # two sequential availableNow runs, one file landing before each
+    b = run(str(tmp_path / "b"), 1, [f1, f2])
+
+    assert a == b  # stream slicing ≡ sequential batch application
+    assert a[10] == 1          # joined the corpus cluster
+    assert a[20] == a[21] == 20  # novel pair shares the min batch id
+    assert a[30] == 20         # later batch joined the EARLIER arrival's cluster
