@@ -5661,6 +5661,39 @@ SQL_DD_INCR_LABELS = _incremental_labels_oracle_sql()
 REGISTRY["dd_incremental_labels"] = (q_dd_incremental_labels, SQL_DD_INCR_LABELS)
 
 
+def q_u11_curriculum(spark, sf_dir):
+    """U+ (beyond-reference): curriculum phase assignment — per-source
+    quality QUARTILES via ntile(4) (highest quality → phase 1), the
+    easy-to-hard schedule a curriculum loader consumes.  The window
+    partitions by source, never globally — a global ntile would serialize
+    the corpus into one sort task; per-source quartiles keep the sort
+    partition-local and are the curriculum you actually want (each
+    source's best quarter first, no cross-source quality-scale
+    leakage)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    q = tx.quality_score(F.col("text"))
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").desc(), F.col("doc_id").asc()
+    )
+    return (
+        docs.select("doc_id", "source", q.alias("quality"))
+        .withColumn("phase", F.ntile(4).over(w))
+    )
+
+
+SQL_U11 = f"""
+WITH {_SQL_QUALITY_CTES.strip().lstrip()}
+SELECT d.doc_id, d.source, q.quality,
+       CAST(NTILE(4) OVER (PARTITION BY d.source
+                           ORDER BY q.quality DESC, d.doc_id ASC) AS INT)
+         AS phase
+FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+WHERE d.text IS NOT NULL
+"""
+
+REGISTRY["u11_curriculum"] = (q_u11_curriculum, SQL_U11)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5901,6 +5934,13 @@ _DRIVER_WINDOW = [
     #                   (r06-fresh map agg) with the service-iteration
     #                   semantics pinned by the queue pytest family ---
     "dd_cap_duplicates", "dd_incremental_labels",
+    # --- and the curriculum quartiles; displaced:
+    #   t8_funnel       chained filtered min-aggs over events ⊂
+    #                   t9_cohort_retention's multiply-green family and
+    #                   the event-window shapes carried in-window by
+    #                   st_stream_span/t11_scd2; its ordering contract is
+    #                   pinned by the funnel pytest ---
+    "u11_curriculum",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5920,7 +5960,6 @@ _DRIVER_WINDOW = [
     "pipe_prepare", "pk_pack",
     "s6_delete_survivors",
     "s7_retention_survivors", "t10_incremental_rollup",
-    "t8_funnel",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
