@@ -105,6 +105,7 @@ BENCH_QUERIES = [
     "sim_filtered_topk",    # predicate+vector search (pushdown + topk)
     "dd_cap_duplicates",    # duplicate capping over persisted labels
     "u11_curriculum",       # per-source quality quartiles (ntile window)
+    "t12_islands",          # gaps-and-islands consecutive-day streaks
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -5694,6 +5694,50 @@ WHERE d.text IS NOT NULL
 REGISTRY["u11_curriculum"] = (q_u11_curriculum, SQL_U11)
 
 
+def q_t12_islands(spark, sf_dir):
+    """T+ (beyond-reference): gaps-and-islands — each user's maximal
+    streaks of consecutive ACTIVE DAYS (the classic window-algebra shape:
+    group key = date − row_number days, constant within a consecutive
+    run).  Distinct (user, day) first so duplicate events can't split a
+    streak; the window is rank-only per user; the island rollup is one
+    map-combinable aggregate on (user, island_key)."""
+    ev = _t(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).dropDuplicates(["user_id", "day"])
+    w = Window.partitionBy("user_id").orderBy(F.col("day").asc())
+    keyed = days.withColumn(
+        "_island", F.date_sub(F.col("day"), F.row_number().over(w))
+    )
+    return (
+        keyed.groupBy("user_id", "_island")
+        .agg(
+            F.min("day").alias("streak_start"),
+            F.max("day").alias("streak_end"),
+            F.count(F.lit(1)).alias("streak_days"),
+        )
+        .select("user_id", "streak_start", "streak_end", "streak_days")
+    )
+
+
+SQL_T12 = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+keyed AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY day ASC) AS INT) AS island
+  FROM days
+)
+SELECT user_id, MIN(day) AS streak_start, MAX(day) AS streak_end,
+       COUNT(*) AS streak_days
+FROM keyed GROUP BY user_id, island
+"""
+
+REGISTRY["t12_islands"] = (q_t12_islands, SQL_T12)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -5941,6 +5985,14 @@ _DRIVER_WINDOW = [
     #                   st_stream_span/t11_scd2; its ordering contract is
     #                   pinned by the funnel pytest ---
     "u11_curriculum",
+    # --- and gaps-and-islands; displaced:
+    #   t10_incremental_rollup  IVM full-outer merge family carried
+    #                   in-window by st_rollup_stream (the foreachBatch
+    #                   arm running the same merge per micro-batch) and
+    #                   s9_snapshot_diff (the same unbroadcastable
+    #                   full-outer classify); NULL-key churn pinned by
+    #                   the IVM pytest family ---
+    "t12_islands",
     # --- r05-latest cohort (24; dd_common_ngrams steps out for
     # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
     # r06-fresh, the same rationale the r02 rotation used;
@@ -5959,7 +6011,7 @@ _DRIVER_WINDOW = [
     "j8_closure", "p2_p3_filter_page",
     "pipe_prepare", "pk_pack",
     "s6_delete_survivors",
-    "s7_retention_survivors", "t10_incremental_rollup",
+    "s7_retention_survivors",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
