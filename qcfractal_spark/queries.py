@@ -4156,10 +4156,56 @@ def _scratch_dir(sf_dir: str, tag: str) -> str:
     import os
     import tempfile
 
+    _reap_stale_scratch()
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(
         tempfile.gettempdir(), f"qcfractal_spark_{tag}_{h}_{os.getpid()}"
     )
+
+
+_SCRATCH_REAPED = False
+
+
+def _reap_stale_scratch(max_age_sec: int = 1800) -> None:
+    """Prune sibling qcfractal_spark_* scratch dirs left by DEAD processes
+    (ADVICE r7: the pid suffix made every pytest/bench/driver run leave its
+    full IVF/LSH/label artifacts behind — unbounded tmp growth on shared
+    runners).  Runs once per process, on first scratch use.  A dir is
+    reaped when its owning pid is gone AND it is older than max_age_sec
+    (age guards against pid reuse); live processes' dirs are never
+    touched, so concurrent suites stay collision-free."""
+    global _SCRATCH_REAPED
+    if _SCRATCH_REAPED:
+        return
+    _SCRATCH_REAPED = True
+    import os
+    import re
+    import shutil
+    import tempfile
+    import time
+
+    tmp = tempfile.gettempdir()
+    now = time.time()
+    try:
+        names = os.listdir(tmp)
+    except OSError:
+        return
+    for name in names:
+        m = re.fullmatch(r"qcfractal_spark_.+_([0-9a-f]{12})_(\d+)", name)
+        if not m:
+            continue
+        pid = int(m.group(2))
+        if pid == os.getpid():
+            continue
+        path = os.path.join(tmp, name)
+        try:
+            if now - os.path.getmtime(path) < max_age_sec:
+                continue
+            os.kill(pid, 0)  # raises if the owner is gone
+        except ProcessLookupError:
+            shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def q_s6_delete_survivors(spark, sf_dir):
@@ -4557,11 +4603,12 @@ def q_v1_variant_rollup(spark, sf_dir):
 
 SQL_V1 = """
 SELECT event_type, COUNT(*) AS n,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
-                THEN 1 ELSE 0 END) AS n_high
+       CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 80
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events
 WHERE json_extract_string(props, '$.k') IS NOT NULL
 GROUP BY event_type
@@ -4761,12 +4808,14 @@ WITH b AS (
 ),
 g AS (
   SELECT source, CAST(floor(n / 64.0) AS BIGINT) AS bucket,
-         COUNT(*) AS n_docs, SUM(n) AS sum_tokens, MAX(n) AS max_tokens
+         COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         MAX(n) AS max_tokens
   FROM b GROUP BY 1, 2
 )
 SELECT source, bucket, (bucket + 1) * 64 AS bucket_cap, n_docs,
        sum_tokens, max_tokens,
-       n_docs * ((bucket + 1) * 64) - sum_tokens AS padding_waste,
+       CAST(n_docs * ((bucket + 1) * 64) - sum_tokens AS BIGINT)
+         AS padding_waste,
        ROUND(sum_tokens / CAST(n_docs * ((bucket + 1) * 64) AS DOUBLE), 6)
          AS fill_efficiency
 FROM g

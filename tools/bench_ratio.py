@@ -38,6 +38,19 @@ def load_bench(path: str) -> dict | None:
                 d = {**d, **parsed}
             except ValueError:
                 pass
+    if "queries" not in d and "tail" in d:
+        # Front-truncated driver tail (r07): the '{"metric"' prefix was cut,
+        # leaving a bare run of `"name": secs` pairs.  Recover what survived
+        # with a regex and mark the round partial so ledger rows derived
+        # from it say so.  A pair whose opening quote (or any of its name)
+        # was cut — r07's leading `p3_filter_page": 0.224` fragment of
+        # `p2_p3_filter_page` — has no `"name":` shape and is skipped by
+        # the regex itself, so every match is a complete, trustworthy pair.
+        pairs = re.findall(r'"([A-Za-z_]\w*)":\s*(\d+(?:\.\d+)?)', d["tail"])
+        meta = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
+        qs = [(k, float(v)) for k, v in pairs if k not in meta]
+        if qs:
+            d = {**d, "queries": dict(qs), "partial": True}
     return d if d.get("queries") else None
 
 
@@ -73,8 +86,10 @@ def main() -> None:
             flag = "  <-- >2x" if t1 > 2 * t0 and t1 - t0 > 0.5 else ""
             print(f"{q:28s} {t0:7.3f} -> {t1:7.3f}  ({t1 / t0 if t0 else 0:5.2f}x){flag}")
         n, s_now, s_base = like_for_like(now, base)
+        part = "" if not (now.get("partial") or base.get("partial")) else \
+            "  [partial — some timings lost to driver tail truncation]"
         print(f"\n{b} vs {a}: {n} common, {s_now:.1f}s vs {s_base:.1f}s = "
-              f"{s_now / s_base:.2f}x")
+              f"{s_now / s_base:.2f}x{part}")
         return
 
     names = sorted(recorded)
@@ -93,7 +108,8 @@ def main() -> None:
             n, s_now, s_base = like_for_like(d, recorded[base_name])
             cells.append(f"{s_now / s_base:.2f}x ({n}q "
                          f"{s_now:.1f}/{s_base:.1f}s)" if s_base else "-")
-        print(f"{name:6s} {str(d.get('sf')):5s} {len(d['queries']):7d} "
+        mark = "*" if d.get("partial") else " "
+        print(f"{name:5s}{mark} {str(d.get('sf')):5s} {len(d['queries']):7d} "
               f"{total:8.2f} {cells[0]:>16s} {cells[1]:>16s}")
         prev = name
 

@@ -73,6 +73,22 @@ def compare(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
         return problems
     a, b = normalize(spark_pdf), normalize(duck_pdf)
     for c in a.columns:
+        # The driver's value hash is TYPE-sensitive: an int64 Spark column
+        # vs a float64 oracle column (DuckDB SUM(BIGINT) → HUGEINT →
+        # fetchdf float64) hashes differently even when the values are
+        # numerically equal.  Mirror that rule here so local checks
+        # predict driver stamps (r7 lesson: pk_length_buckets /
+        # v1_variant_rollup passed locally, failed the driver).
+        a_int = pd.api.types.is_integer_dtype(a[c])
+        b_int = pd.api.types.is_integer_dtype(b[c])
+        a_flt = pd.api.types.is_float_dtype(a[c])
+        b_flt = pd.api.types.is_float_dtype(b[c])
+        if (a_int and b_flt) or (a_flt and b_int):
+            problems.append(
+                f"col {c}: dtype divergence spark={a[c].dtype} duck={b[c].dtype} "
+                "(int-vs-float fails the driver's typed hash; CAST the oracle)"
+            )
+            continue
         av, bv = a[c].to_numpy(), b[c].to_numpy()
         if pd.api.types.is_float_dtype(a[c]) and pd.api.types.is_float_dtype(b[c]):
             eq = np.array_equal(av.astype(np.float64), bv.astype(np.float64), equal_nan=True)

@@ -24,7 +24,9 @@ sys.path.insert(0, REPO)
 
 def stamps() -> dict[str, tuple[int, str]]:
     """query → (latest round with a driver record, kind) where kind is
-    'green' (hash or rows match) or 'rows-only' (declared no-oracle)."""
+    'green' (hash_match ONLY — rows-match-without-hash-match is RED, the
+    r7 lesson), 'RED' (driver ran it and the value hash failed), or
+    'rows-only' (declared no-oracle)."""
     out: dict[str, tuple[int, str]] = {}
     for f in sorted(os.listdir(REPO)):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", f)
@@ -41,10 +43,15 @@ def stamps() -> dict[str, tuple[int, str]]:
         for name, rec in rows.items():
             if not isinstance(rec, dict):
                 continue
-            if rec.get("hash_match") or rec.get("rows_match"):
+            if rec.get("hash_match"):
                 out[name] = (rnd, "green")
             elif rec.get("err") == "no_oracle" and rec.get("spark_rows"):
                 out[name] = (rnd, "rows-only")
+            elif rec.get("rows_match") is not None or rec.get("hash_match") is not None:
+                # driver ran it and the typed value hash failed — a red
+                # stamp supersedes any older green (the code changed or
+                # the oracle diverged; either way it needs a re-stamp).
+                out[name] = (rnd, "RED")
     return out
 
 
@@ -62,6 +69,9 @@ def main() -> None:
         rnd, kind = seen.get(q, (None, "NEVER"))
         stamp = f"r{rnd:02d} {kind}" if rnd is not None else "never"
         print(f"{q:32s} {stamp:>14s} {'yes' if q in window else '':>10s}")
+    reds = [q for q in ranked if seen.get(q, (0, ""))[1] == "RED"]
+    if reds:
+        print(f"\nRED (latest driver stamp failed the value hash): {reds}")
     uncovered = [q for q in ranked if seen.get(q, (0, ""))[0] == 0 and q not in window]
     if uncovered:
         print(f"\nWARNING: never-stamped queries OUTSIDE the window: {uncovered}")
