@@ -106,6 +106,10 @@ BENCH_QUERIES = [
     "dd_cap_duplicates",    # duplicate capping over persisted labels
     "u11_curriculum",       # per-source quality quartiles (ntile window)
     "t12_islands",          # gaps-and-islands consecutive-day streaks
+    "pk_bin_pack",          # bucketed whole-doc bin packing (rank window)
+    "pk_bfd_pack",          # exact best-fit-decreasing (applyInPandas)
+    "dd_url_dedup",         # canonical-URL exact dedup (codegen regex chain)
+    "tx_domain_stats",      # per-registrable-domain corpus profile
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

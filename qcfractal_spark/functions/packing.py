@@ -66,6 +66,197 @@ def concat_chunk_layout(
     )
 
 
+def bin_pack_layout(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    bucket_width: int = 64,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Whole-document bin packing, bucketed first-fit-decreasing: pack each
+    document UNSPLIT into fixed-``capacity`` bins (the trainer layout that
+    avoids cross-document attention, the failure mode
+    :func:`concat_chunk_layout` accepts in exchange for zero padding).
+
+    The greedy rule is deliberately window-expressible so any engine
+    replays it bit-for-bit: docs are length-bucketed (``n div W``), each
+    bin draws only from one (stream, shard, bucket) — docs of near-equal
+    length, the regime where first-fit-decreasing is at its best — and
+    holds ``k_b = max(1, capacity div bucket_cap)`` of them, filled in
+    (length desc, id) order.  So bin membership is pure rank arithmetic:
+    ``local_bin = (row_number - 1) div k_b``.  A doc longer than
+    ``capacity`` gets ``k_b = 1`` via the ``max(1, ·)`` floor (its bucket
+    cap exceeds the capacity) and is flagged ``oversize`` for the caller
+    to split or drop.  For tighter (but sequential, non-SQL-replayable)
+    packing see :func:`bfd_pack`.
+
+    Returns one row per document: the keys, ``n_tokens``, ``bucket``,
+    ``shard``, ``bin_docs`` (= k_b) and ``local_bin``.
+
+    100 TB story: ONE shuffle, on (stream, shard, bucket); the window is
+    rank-only (row_number streams, no frame buffering).  ``n_shards``
+    splinters hot (stream, bucket) pairs — billions of same-length short
+    docs land on one reducer otherwise — at the cost of at most one
+    partial bin per extra shard; the shard is a deterministic portable
+    hash of the id, so re-runs and oracle replays agree.
+    """
+    from .text import portable_hash64
+
+    n = F.col(token_col).cast("long")
+    w_ = int(bucket_width)
+    c_ = int(capacity)
+    shard = (
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pk:"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        )
+        if n_shards > 1
+        else F.lit(0).cast("long")
+    )
+    staged = df.select(
+        F.col(part_col),
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.expr(f"cast({token_col} as long) div {w_}").alias("bucket"),
+        shard.alias("shard"),
+    ).withColumn(
+        "bin_docs",
+        F.greatest(F.lit(1).cast("long"), F.expr(f"{c_} div ((bucket + 1) * {w_})")),
+    )
+    w = Window.partitionBy(part_col, "shard", "bucket").orderBy(
+        F.col("n_tokens").desc(), F.col(id_col).asc()
+    )
+    return staged.select(
+        part_col,
+        id_col,
+        "n_tokens",
+        "bucket",
+        "shard",
+        "bin_docs",
+        (F.row_number().over(w) - 1).cast("long").alias("_rn0"),
+    ).select(
+        part_col,
+        id_col,
+        "n_tokens",
+        "bucket",
+        "shard",
+        "bin_docs",
+        F.expr("_rn0 div bin_docs").alias("local_bin"),
+        (F.col("n_tokens") > c_).alias("oversize"),
+    )
+
+
+def bfd_pack(
+    df: DataFrame,
+    token_col: str,
+    capacity: int,
+    part_col: str = "source",
+    id_col: str = "doc_id",
+    n_shards: int = 1,
+) -> DataFrame:
+    """Exact best-fit-decreasing bin packing within (stream, shard) groups
+    — the production packing algorithm (Garey & Johnson bound: BFD uses at
+    most 11/9·OPT + 2/3 bins), for when the padding budget matters more
+    than SQL replayability (:func:`bin_pack_layout` is the
+    oracle-replayable arm).
+
+    Within each group, docs are sorted (length desc, id asc) and each doc
+    goes to the open bin with the SMALLEST remaining capacity that still
+    fits it (ties → lowest bin id), else opens a new bin; a doc longer
+    than ``capacity`` gets a singleton bin, flagged oversize.  The bin
+    table is a sorted list keyed on (remainder, bin_id) probed with
+    ``bisect`` — O(n log n) per group, fully deterministic.
+
+    BFD is inherently sequential (bin state after doc i feeds doc i+1), so
+    this is the one packing op that runs as ``applyInPandas`` rather than
+    window math — the Spark shape is still one shuffle on (stream, shard),
+    and ``n_shards`` bounds group size so the per-group O(n log n) stays
+    memory-resident at 100 TB (same knob, same waste trade as
+    :func:`bin_pack_layout`).
+
+    Returns one row per document: (part, shard, id, n_tokens, local_bin,
+    oversize).
+    """
+    import bisect
+
+    from pyspark.sql.types import (
+        BooleanType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from .text import portable_hash64
+
+    c_ = int(capacity)
+    part_t = StringType() if dict(df.dtypes).get(part_col) == "string" else LongType()
+    out_schema = StructType(
+        [
+            StructField(part_col, part_t),
+            StructField("shard", LongType()),
+            StructField(id_col, LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("local_bin", LongType()),
+            StructField("oversize", BooleanType()),
+        ]
+    )
+
+    def pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(
+            ["n_tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        bins: list[tuple[int, int]] = []  # sorted (remainder, bin_id)
+        n_bins = 0
+        assigned = []
+        for n_tok in pdf["n_tokens"].to_list():
+            if n_tok > c_ or not bins:
+                i = len(bins)
+            else:
+                i = bisect.bisect_left(bins, (n_tok, -1))
+            if i < len(bins):
+                rem, b = bins.pop(i)
+                bisect.insort(bins, (rem - n_tok, b))
+                assigned.append(b)
+            else:
+                b = n_bins
+                n_bins += 1
+                if n_tok <= c_:
+                    bisect.insort(bins, (c_ - n_tok, b))
+                assigned.append(b)
+        return pd.DataFrame(
+            {
+                part_col: pdf[part_col].to_list(),
+                "shard": pdf["shard"].to_list(),
+                id_col: pdf[id_col].to_list(),
+                "n_tokens": pdf["n_tokens"].to_list(),
+                "local_bin": assigned,
+                "oversize": [t > c_ for t in pdf["n_tokens"].to_list()],
+            }
+        )
+
+    n = F.col(token_col).cast("long")
+    shard = (
+        F.pmod(
+            portable_hash64(F.concat(F.lit("pk:"), F.col(id_col).cast("string"))),
+            F.lit(n_shards),
+        )
+        if n_shards > 1
+        else F.lit(0).cast("long")
+    )
+    staged = df.select(
+        F.col(part_col),
+        F.col(id_col).cast("long").alias(id_col),
+        n.alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    return staged.groupBy(part_col, "shard").applyInPandas(pack, schema=out_schema)
+
+
 def epoch_shuffle(
     df: DataFrame,
     id_col: str = "doc_id",

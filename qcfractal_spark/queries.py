@@ -4824,6 +4824,111 @@ FROM g
 REGISTRY["pk_length_buckets"] = (q_pk_length_buckets, SQL_PK_BUCKETS)
 
 
+def q_pk_bin_pack(spark, sf_dir):
+    """PK+ (beyond-reference): whole-document bin packing, bucketed
+    first-fit-decreasing (functions/packing.py:bin_pack_layout) — pack
+    docs UNSPLIT into 1024-token bins, bins drawing from per-(source,
+    shard, length-bucket) pools so membership is pure rank arithmetic
+    (window-expressible, engine-replayable), 4-way sharded to splinter hot
+    buckets.  Emits the per-bin report (docs, tokens, waste, fill) a
+    curation pipeline uses to price padding against the concat-and-chunk
+    layout (pk_pack), which packs tighter but bleeds attention across doc
+    boundaries.  One shuffle on (source, shard, bucket) + one
+    map-combinable agg on the bin key; the window is rank-only."""
+    from .functions.packing import bin_pack_layout
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "doc_id", tx.token_count(F.col("text")).alias("_n_tok"))
+    )
+    per_doc = bin_pack_layout(
+        docs, token_col="_n_tok", capacity=1024, bucket_width=64,
+        part_col="source", id_col="doc_id", n_shards=4,
+    )
+    return (
+        per_doc.groupBy("source", "shard", "bucket", "local_bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+        .select(
+            "source", "shard", "bucket", "local_bin", "n_docs", "sum_tokens",
+            "max_tokens",
+            (F.lit(1024).cast("long") - F.col("sum_tokens")).alias("bin_waste"),
+            F.round(F.col("sum_tokens") / F.lit(1024.0), 6).alias("fill_efficiency"),
+        )
+    )
+
+
+SQL_PK_BIN_PACK = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, doc_id, n,
+         CAST(floor(n / 64.0) AS BIGINT) AS bucket,
+         ('0x' || substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS shard
+  FROM d
+),
+k AS (
+  SELECT *,
+         GREATEST(1, CAST(floor(1024.0 / ((bucket + 1) * 64)) AS BIGINT))
+           AS bin_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, shard, bucket ORDER BY n DESC, doc_id
+         ) AS rn
+  FROM s
+)
+SELECT source, shard, bucket,
+       CAST(floor((rn - 1) / bin_docs) AS BIGINT) AS local_bin,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n) AS BIGINT) AS sum_tokens,
+       MAX(n) AS max_tokens,
+       CAST(1024 - SUM(n) AS BIGINT) AS bin_waste,
+       ROUND(SUM(n) / 1024.0, 6) AS fill_efficiency
+FROM k
+GROUP BY 1, 2, 3, 4
+"""
+
+REGISTRY["pk_bin_pack"] = (q_pk_bin_pack, SQL_PK_BIN_PACK)
+
+
+def q_pk_bfd_pack(spark, sf_dir):
+    """PK+ (beyond-reference): exact best-fit-decreasing packing
+    (functions/packing.py:bfd_pack) — the tighter, sequential arm of
+    pk_bin_pack, run per (source, shard) group via applyInPandas with a
+    bisect-probed sorted bin table (O(n log n) per group).  BFD's bin
+    state is inherently order-dependent, so no SELECT-only oracle exists
+    (rows-only driver gate); the algebraic contracts — every bin sum ≤
+    capacity, waste ≤ the bucketed layout's and ≤ the pad-to-capacity
+    baseline's, bit-identical re-runs, 11/9-style tightness on a known
+    instance — are pinned by tests/test_packing.py."""
+    from .functions.packing import bfd_pack
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("source", "doc_id", tx.token_count(F.col("text")).alias("_n_tok"))
+    )
+    per_doc = bfd_pack(
+        docs, token_col="_n_tok", capacity=1024,
+        part_col="source", id_col="doc_id", n_shards=4,
+    )
+    return per_doc.select(
+        "source", "shard", "doc_id", "n_tokens", "local_bin", "oversize"
+    )
+
+
+REGISTRY["pk_bfd_pack"] = (q_pk_bfd_pack, None)
+
+
+
+
+
 def q_tx_doc_freq(spark, sf_dir):
     """TX+ (beyond-reference): corpus document-frequency head
     (functions/text.py:doc_frequency_topk) — top-100 tokens by distinct-
@@ -4870,6 +4975,157 @@ quality AS (
   FROM qbase
 )
 """
+
+
+# Deterministic URL stand-in for the url-less documents table (the same
+# derived-field convention as dataset_id = l_suppkey % 20): five
+# consecutive doc_ids share one underlying page (host+path from
+# ``doc_id div 5``) and differ only in surface decoration (scheme, www.,
+# default port, trailing slash, utm query) — exactly the variance
+# canonical_url() exists to collapse.  Both engines replay the arithmetic.
+_SYNTH_URL_EXPR = (
+    "concat("
+    "case when doc_id % 2 = 0 then 'https://' else 'http://' end, "
+    "case when doc_id % 3 = 0 then 'www.' else '' end, "
+    "case when (doc_id div 5) % 3 = 1 then 'blog.' else '' end, "
+    "'site', cast((doc_id div 5) % 40 as string), "
+    "case when (doc_id div 5) % 4 = 0 then '.co.uk' else '.com' end, "
+    "case when doc_id % 7 = 3 then ':443' else '' end, "
+    "'/docs/', cast(doc_id div 5 as string), "
+    "case when doc_id % 5 = 2 then '/' else '' end, "
+    "case when doc_id % 4 = 1 then '?utm_source=feed' else '' end)"
+)
+
+_SYNTH_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "CASE WHEN (doc_id // 5) % 3 = 1 THEN 'blog.' ELSE '' END, "
+    "'site', CAST((doc_id // 5) % 40 AS VARCHAR), "
+    "CASE WHEN (doc_id // 5) % 4 = 0 THEN '.co.uk' ELSE '.com' END, "
+    "CASE WHEN doc_id % 7 = 3 THEN ':443' ELSE '' END, "
+    "'/docs/', CAST(doc_id // 5 AS VARCHAR), "
+    "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed' ELSE '' END)"
+)
+
+
+def q_dd_url_dedup(spark, sf_dir):
+    """DD+ (beyond-reference): URL-level exact dedup, the C4/RefinedWeb
+    stage that runs BEFORE any content hashing — canonicalize every URL
+    (functions/urls.py: scheme/www/default-port/query/fragment/trailing-
+    slash stripped, pure regexp codegen), group by the canonical form,
+    keep the lowest doc_id as the page's representative.  Emits one row
+    per canonical page with its registrable domain and the surface-variant
+    count.  ONE shuffle, on the canonical-URL key; the canonicalization
+    itself is scan-side whole-stage codegen, no UDF."""
+    from .functions import urls
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_SYNTH_URL_EXPR).alias("url")
+    )
+    canon = urls.canonical_url(F.col("url"))
+    staged = docs.select(
+        "doc_id",
+        canon.alias("canonical_url"),
+        urls.registrable_domain(urls.url_host(canon)).alias("domain"),
+    )
+    return staged.groupBy("canonical_url", "domain").agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+def _url_dedup_sql() -> str:
+    from .functions import urls
+
+    c = urls.canonical_url_sql("url")
+    h = urls.url_host_sql("c")
+    d = urls.registrable_domain_sql("h")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
+),
+b AS (
+  SELECT doc_id, {c} AS c FROM u
+),
+hh AS (
+  SELECT doc_id, c, {h} AS h FROM b
+),
+s AS (
+  SELECT doc_id, c AS canonical_url, {d} AS domain FROM hh
+)
+SELECT canonical_url, domain,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies
+FROM s GROUP BY 1, 2
+"""
+
+
+REGISTRY["dd_url_dedup"] = (q_dd_url_dedup, _url_dedup_sql())
+
+
+def q_tx_domain_stats(spark, sf_dir):
+    """TX+ (beyond-reference): per-registrable-domain corpus profile — doc
+    and distinct-page counts, token volume, source spread, and the
+    decimal-exact quality sum — the rollup that prices each domain for
+    pk_domain_cap budgets and blocklist decisions.  Canonicalization is
+    scan-side codegen; the rollup is one map-combinable hash aggregate on
+    the (low-cardinality) domain key, with the distinct-page count the
+    only re-shuffle-free expansion (partial aggregation on (domain,
+    canon) first)."""
+    from .functions import urls
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
+    staged = docs.select(
+        "doc_id",
+        "source",
+        canon.alias("canon"),
+        urls.registrable_domain(urls.url_host(canon)).alias("domain"),
+        tx.token_count(F.col("text")).alias("n_tok"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    )
+    return staged.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon").alias("n_pages"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n_tok").alias("sum_tokens"),
+        F.sum(F.col("quality").cast("decimal(20,6)")).cast("double").alias("sum_quality"),
+    )
+
+
+def _domain_stats_sql() -> str:
+    from .functions import urls
+
+    # qualify the synth expr's doc_id: inside st both d and q carry one
+    c = urls.canonical_url_sql(_SYNTH_URL_SQL.replace("doc_id", "d.doc_id"))
+    h = urls.url_host_sql("canon")
+    return f"""
+WITH {_SQL_QUALITY_CTES.strip()},
+st AS (
+  SELECT d.doc_id AS doc_id, d.source AS source, {c} AS canon,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok,
+         q.quality
+  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+),
+dm AS (
+  SELECT doc_id, source, canon, n_tok, quality,
+         {urls.registrable_domain_sql("h")} AS domain
+  FROM (SELECT *, {h} AS h FROM st)
+)
+SELECT domain,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT canon) AS n_pages,
+       COUNT(DISTINCT source) AS n_sources,
+       CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+       CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE) AS sum_quality
+FROM dm GROUP BY 1
+"""
+
+
+REGISTRY["tx_domain_stats"] = (q_tx_domain_stats, _domain_stats_sql())
 
 
 def _cluster_labeled(spark, sf_dir):
