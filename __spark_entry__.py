@@ -19,19 +19,40 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from qcfractal_spark.queries import REGISTRY, q_pipe_prepare
+from qcfractal_spark.queries import (
+    REGISTRY,
+    q_dd_incremental_labels,
+    q_pipe_prepare,
+    q_st_ann_serve,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+    """Flagship on /root/testdata/sf0.001; driver checks rows>0.
 
-    The flagship is the end-to-end training-data prep pipeline
-    (q_pipe_prepare): scan-side language+quality scoring → filters →
-    MinHash star-edge near-dup clustering over the survivors →
-    cluster-canonical docs with token counts — one composed plan touching
-    scoring functions, dedup, graph components, and the checkpointing
-    strategy in a single smoke check."""
-    return q_pipe_prepare(spark, "/root/testdata/sf0.001")
+    Two-part smoke (VERDICT r7 item 8):
+
+    1. **Ingest-then-serve** — the persisted-artifact contract end to end:
+       ``q_st_ann_serve`` builds the shared IVF index on first use and
+       STREAMS probe queries against it (add-vs-train on the vector
+       side); ``q_dd_incremental_labels`` builds the LSH band index and
+       assigns cluster labels to an arriving batch WITHOUT re-clustering
+       the corpus (the same contract on the dedup side).  Both are forced
+       eagerly and must return rows — a broken index build or probe fails
+       the smoke even though the returned DataFrame comes from part 2.
+    2. **Flagship query** — the end-to-end prep pipeline
+       (``q_pipe_prepare``): URL dedup → scan-side language+quality
+       scoring → filters → MinHash star-edge near-dup clustering over the
+       survivors → cluster-canonical docs with token counts, one composed
+       plan."""
+    sf = "/root/testdata/sf0.001"
+    served = q_st_ann_serve(spark, sf).count()
+    if served <= 0:
+        raise RuntimeError("smoke: streaming ANN probe of the IVF index returned 0 rows")
+    labeled = q_dd_incremental_labels(spark, sf).count()
+    if labeled <= 0:
+        raise RuntimeError("smoke: incremental label assignment returned 0 rows")
+    return q_pipe_prepare(spark, sf)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -101,6 +101,39 @@ _TOKS_SQL = (
     "x -> x <> '')"
 )
 
+# Deterministic URL stand-in for the url-less documents table (the same
+# derived-field convention as dataset_id = l_suppkey % 20): five
+# consecutive doc_ids share one underlying page (host+path from
+# ``doc_id div 5``) and differ only in surface decoration (scheme, www.,
+# default port, trailing slash, utm query) — exactly the variance
+# canonical_url() exists to collapse.  Both engines replay the arithmetic.
+_SYNTH_URL_EXPR = (
+    "concat("
+    "case when doc_id % 2 = 0 then 'https://' else 'http://' end, "
+    "case when doc_id % 3 = 0 then 'www.' else '' end, "
+    "case when (doc_id div 5) % 3 = 1 then 'blog.' else '' end, "
+    "'site', cast((doc_id div 5) % 40 as string), "
+    "case when (doc_id div 5) % 4 = 0 then '.co.uk' else '.com' end, "
+    "case when doc_id % 7 = 3 then ':443' else '' end, "
+    "'/docs/', cast(doc_id div 5 as string), "
+    "case when doc_id % 5 = 2 then '/' else '' end, "
+    "case when doc_id % 4 = 1 then '?utm_source=feed' else '' end)"
+)
+
+_SYNTH_URL_SQL = (
+    "concat("
+    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
+    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
+    "CASE WHEN (doc_id // 5) % 3 = 1 THEN 'blog.' ELSE '' END, "
+    "'site', CAST((doc_id // 5) % 40 AS VARCHAR), "
+    "CASE WHEN (doc_id // 5) % 4 = 0 THEN '.co.uk' ELSE '.com' END, "
+    "CASE WHEN doc_id % 7 = 3 THEN ':443' ELSE '' END, "
+    "'/docs/', CAST(doc_id // 5 AS VARCHAR), "
+    "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
+    "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed' ELSE '' END)"
+)
+
+
 # --------------------------------------------------------------------------
 # §2.1/2.2 scans, filters, pagination
 # --------------------------------------------------------------------------
@@ -3570,11 +3603,16 @@ REGISTRY["t10_incremental_rollup"] = (q_t10_incremental_rollup, SQL_T10)
 
 def q_pipe_prepare(spark, sf_dir):
     """PIPE (beyond-reference flagship): the end-to-end training-data prep
-    pipeline as ONE composed plan — language filter → quality filter →
-    near-dup cluster canonicalization → surviving docs with token counts.
+    pipeline as ONE composed plan — URL dedup → language filter → quality
+    filter → near-dup cluster canonicalization → surviving docs with
+    token counts.
 
     Stages (each individually driver-gated elsewhere, here composed):
-    1. score every doc scan-side (tx.lang_id, tx.quality_score,
+    0. URL-level exact dedup (the dd_url_dedup stage, r8): canonicalize
+       each doc's URL (functions/urls.py over the deterministic stand-in)
+       and keep only the minimum doc_id per canonical page — the cheapest
+       dedup runs FIRST so every later stage sees one copy per page;
+    1. score every surviving doc scan-side (tx.lang_id, tx.quality_score,
        tx.token_count — pure codegen, zero shuffles);
     2. keep lang_pred='en' AND quality ≥ 0.93;
     3. MinHash → star-contracted LSH edges → connected components OVER THE
@@ -3586,9 +3624,19 @@ def q_pipe_prepare(spark, sf_dir):
 
     The scored/kept relation feeds both the signature pipeline and the
     final join, so it is materialized once (lazy checkpoint, same
-    rationale as _capped_shingles).  The oracle replays all four stages —
-    scoring arithmetic, banding, and a recursive-CTE closure — in DuckDB."""
+    rationale as _capped_shingles).  The oracle replays all five stages —
+    URL canonicalization, scoring arithmetic, banding, and a
+    recursive-CTE closure — in DuckDB."""
+    from .functions import urls
+
     docs = _t(spark, sf_dir, "documents")
+    canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
+    keeper_ids = (
+        docs.select("doc_id", canon.alias("_canon"))
+        .groupBy("_canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
     t = F.col("text")
     kept = (
         docs.select(
@@ -3614,9 +3662,16 @@ def q_pipe_prepare(spark, sf_dir):
 
 
 def _pipe_oracle_sql() -> str:
+    from .functions import urls
+
     pairs_sql = _minhash_oracle_sql(source="kept")
+    canon = urls.canonical_url_sql(_SYNTH_URL_SQL)
     return f"""
-WITH RECURSIVE base AS (
+WITH RECURSIVE uu AS (
+  SELECT doc_id, {canon} AS c FROM documents
+),
+ukeep AS (SELECT MIN(doc_id) AS doc_id FROM uu GROUP BY c),
+base AS (
   SELECT doc_id, source, text,
     CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
     {_sql_stop_hits(_EN)} AS en_h,
@@ -3627,6 +3682,7 @@ WITH RECURSIVE base AS (
     CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
     CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct
   FROM documents
+  WHERE doc_id IN (SELECT doc_id FROM ukeep)
 ),
 scored AS (
   SELECT *, greatest(en_h, de_h, fr_h, es_h) AS mx,
@@ -4977,37 +5033,6 @@ quality AS (
 """
 
 
-# Deterministic URL stand-in for the url-less documents table (the same
-# derived-field convention as dataset_id = l_suppkey % 20): five
-# consecutive doc_ids share one underlying page (host+path from
-# ``doc_id div 5``) and differ only in surface decoration (scheme, www.,
-# default port, trailing slash, utm query) — exactly the variance
-# canonical_url() exists to collapse.  Both engines replay the arithmetic.
-_SYNTH_URL_EXPR = (
-    "concat("
-    "case when doc_id % 2 = 0 then 'https://' else 'http://' end, "
-    "case when doc_id % 3 = 0 then 'www.' else '' end, "
-    "case when (doc_id div 5) % 3 = 1 then 'blog.' else '' end, "
-    "'site', cast((doc_id div 5) % 40 as string), "
-    "case when (doc_id div 5) % 4 = 0 then '.co.uk' else '.com' end, "
-    "case when doc_id % 7 = 3 then ':443' else '' end, "
-    "'/docs/', cast(doc_id div 5 as string), "
-    "case when doc_id % 5 = 2 then '/' else '' end, "
-    "case when doc_id % 4 = 1 then '?utm_source=feed' else '' end)"
-)
-
-_SYNTH_URL_SQL = (
-    "concat("
-    "CASE WHEN doc_id % 2 = 0 THEN 'https://' ELSE 'http://' END, "
-    "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
-    "CASE WHEN (doc_id // 5) % 3 = 1 THEN 'blog.' ELSE '' END, "
-    "'site', CAST((doc_id // 5) % 40 AS VARCHAR), "
-    "CASE WHEN (doc_id // 5) % 4 = 0 THEN '.co.uk' ELSE '.com' END, "
-    "CASE WHEN doc_id % 7 = 3 THEN ':443' ELSE '' END, "
-    "'/docs/', CAST(doc_id // 5 AS VARCHAR), "
-    "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
-    "CASE WHEN doc_id % 4 = 1 THEN '?utm_source=feed' ELSE '' END)"
-)
 
 
 def q_dd_url_dedup(spark, sf_dir):

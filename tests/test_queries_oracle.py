@@ -42,6 +42,15 @@ def test_oracle_parity(spark, duck, name):
     assert len(got) == len(exp), f"rows: spark={len(got)} duck={len(exp)}"
     for c in got.columns:
         a, b = got[c], exp[c]
+        # driver-hash rule (r7 lesson): int-vs-float dtype divergence fails
+        # the typed value hash even when values are numerically equal —
+        # DuckDB SUM(BIGINT) → HUGEINT → float64 is the known vector.
+        a_int, b_int = (pd.api.types.is_integer_dtype(x) for x in (a, b))
+        a_flt, b_flt = (pd.api.types.is_float_dtype(x) for x in (a, b))
+        assert not ((a_int and b_flt) or (a_flt and b_int)), (
+            f"{name}.{c}: dtype divergence spark={a.dtype} duck={b.dtype} "
+            "(CAST the oracle aggregate)"
+        )
         same = (a == b) | (a.isna() & b.isna())
         assert same.all(), f"{name}.{c}: first diff at {list(got.index[~same])[:3]}"
 
