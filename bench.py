@@ -110,6 +110,9 @@ BENCH_QUERIES = [
     "pk_bfd_pack",          # exact best-fit-decreasing (applyInPandas)
     "dd_url_dedup",         # canonical-URL exact dedup (codegen regex chain)
     "tx_domain_stats",      # per-registrable-domain corpus profile
+    "tx_phrase_hits",       # exact phrase audit (posting-list joins)
+    "a25_diversity",        # source-mix entropy/HHI report (1-row fold)
+    "u12_interleave",       # round-robin mixture schedule (rank windows)
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /
@@ -217,22 +220,15 @@ def main() -> None:
     # the reason a finished benchmark run loses its results.
     base = {}
     base_name = None
+    # tools/bench_ratio.load_bench knows every recorded flavor (raw line,
+    # tail-wrapped, front-truncated tail) — reuse it so a partial record
+    # like r07's still serves as the newest baseline instead of being
+    # silently skipped.
+    from tools.bench_ratio import load_bench
+
     for name in reversed(baselines):
-        try:
-            with open(os.path.join(repo_dir, name)) as fh:
-                cand = json.load(fh)
-        except (OSError, ValueError):
-            continue
-        # Driver-recorded files wrap our JSON line inside a "tail" capture.
-        if "queries" not in cand and "tail" in cand:
-            at = cand["tail"].rfind('{"metric"')
-            if at >= 0:
-                try:
-                    parsed, _ = json.JSONDecoder().raw_decode(cand["tail"][at:])
-                    cand = {**cand, **parsed}
-                except ValueError:
-                    pass
-        if cand.get("queries") and cand.get("sf") == sf:
+        cand = load_bench(os.path.join(repo_dir, name))
+        if cand and cand.get("queries") and cand.get("sf") == sf:
             base, base_name = cand, name
             break
     regressions: dict[str, dict] = {}
@@ -266,7 +262,10 @@ def main() -> None:
         out["total_complete"] = False
     if regressions:
         out["regressions_vs_" + base_name] = regressions
-    print(json.dumps(out))
+    # Compact separators: the driver records a bounded TAIL of our output,
+    # and r07's metric line was long enough to lose its front to that
+    # window — every byte saved here is a timing that survives.
+    print(json.dumps(out, separators=(",", ":")))
 
 
 if __name__ == "__main__":

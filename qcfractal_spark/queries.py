@@ -5153,6 +5153,179 @@ FROM dm GROUP BY 1
 REGISTRY["tx_domain_stats"] = (q_tx_domain_stats, _domain_stats_sql())
 
 
+def q_tx_phrase_hits(spark, sf_dir):
+    """TX+ (beyond-reference): exact phrase-occurrence audit — every
+    (doc, position) where the token trigram 'big order scan' appears, the
+    memorization/attribution probe (Carlini-style extraction checks and
+    eval-leak forensics ask exactly this of a corpus).  Plan: ONE
+    posexplode to (doc, pos, term), filtered to the three phrase terms
+    scan-side (the inverted-index posting-list shape — at 100 TB the
+    posting table is the persisted artifact and this filter is its
+    partition prune), then two keyed equi-joins on (doc, pos±1) stitch
+    adjacent positions; both join sides are posting-list-sized, never
+    corpus-sized.  Per-doc rollup is map-combinable."""
+    phrase = ["big", "order", "scan"]
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    posting = (
+        docs.select(
+            "doc_id", F.posexplode(tx.tokens(F.col("text"))).alias("pos", "term")
+        )
+        .where(F.col("term").isin(phrase))
+        .localCheckpoint(eager=False)
+    )
+    t0 = posting.where(F.col("term") == phrase[0]).select("doc_id", "pos")
+    t1 = posting.where(F.col("term") == phrase[1]).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    t2 = posting.where(F.col("term") == phrase[2]).select(
+        "doc_id", (F.col("pos") - 2).alias("pos")
+    )
+    hits = t0.join(t1, ["doc_id", "pos"]).join(t2, ["doc_id", "pos"])
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        F.min("pos").alias("first_pos"),
+    )
+
+
+SQL_TX_PHRASE = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) u(i)
+  WHERE toks[i] = 'big' AND toks[i + 1] = 'order' AND toks[i + 2] = 'scan'
+)
+SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+FROM p GROUP BY doc_id
+"""
+
+REGISTRY["tx_phrase_hits"] = (q_tx_phrase_hits, SQL_TX_PHRASE)
+
+
+def q_a25_diversity(spark, sf_dir):
+    """A+ (beyond-reference): corpus diversity report — the source-mix
+    monitor a curation pipeline alerts on: per-source token shares rolled
+    into Shannon entropy (bits), the Herfindahl concentration index, and
+    the top source's share.  ONE map-combinable (source → token sum)
+    aggregate over one scan; the 20-row share relation then folds into a
+    1-row report (each information term rounded to 6 dp before the
+    decimal sum, so the result is aggregation-order-independent — the
+    a23_corr float contract)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    per_src = docs.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("toks")
+    )
+    tot = per_src.agg(F.sum("toks").alias("total"))
+    p = F.col("toks").cast("double") / F.col("total").cast("double")
+    shares = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "toks",
+        "total",
+        F.round(-p * F.log2(p), 6).alias("ent_term"),
+        F.round(p * p, 6).alias("hhi_term"),
+        F.round(p, 6).alias("share"),
+    )
+    return shares.agg(
+        F.count(F.lit(1)).alias("n_sources"),
+        F.max("total").alias("total_tokens"),
+        F.sum(F.col("ent_term").cast("decimal(20,6)")).cast("double").alias("entropy_bits"),
+        F.sum(F.col("hhi_term").cast("decimal(20,6)")).cast("double").alias("hhi"),
+        F.max("share").alias("top_share"),
+    )
+
+
+SQL_A25 = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS toks
+  FROM documents WHERE text IS NOT NULL GROUP BY source
+),
+tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS total FROM per_src),
+sh AS (
+  SELECT source, toks, total,
+         ROUND(-(CAST(toks AS DOUBLE) / total) * log2(CAST(toks AS DOUBLE) / total), 6)
+           AS ent_term,
+         ROUND((CAST(toks AS DOUBLE) / total) * (CAST(toks AS DOUBLE) / total), 6)
+           AS hhi_term,
+         ROUND(CAST(toks AS DOUBLE) / total, 6) AS share
+  FROM per_src CROSS JOIN tot
+)
+SELECT COUNT(*) AS n_sources,
+       MAX(total) AS total_tokens,
+       CAST(SUM(CAST(ent_term AS DECIMAL(20,6))) AS DOUBLE) AS entropy_bits,
+       CAST(SUM(CAST(hhi_term AS DECIMAL(20,6))) AS DOUBLE) AS hhi,
+       MAX(share) AS top_share
+FROM sh
+"""
+
+REGISTRY["a25_diversity"] = (q_a25_diversity, SQL_A25)
+
+
+def q_u12_interleave(spark, sf_dir):
+    """U+ (beyond-reference): strict round-robin source interleaving — the
+    materialized mixture SCHEDULE (epoch_shuffle randomizes order;
+    this guarantees every consecutive run of ≤ n_sources docs touches
+    distinct sources, the anti-clumping property curriculum loaders want
+    when one source dominates).  Per-source rank r comes from the seeded
+    portable hash (re-run-reproducible, reseed-redrawable); the source
+    index from a dense_rank over the tiny distinct-source relation; the
+    interleave key ``r * 64 + source_idx`` is the lexicographic (r, src)
+    order encoded as one long (sources < 64, asserted by the plan's
+    domain).  NO global window: the source-index window sorts a
+    #sources-row relation, the rank window is per-source rank-only, and
+    readers consume shards ordered by the key — the epoch_shuffle scale
+    contract."""
+    from .functions.text import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    srcs = (
+        docs.select("source").distinct()
+        .withColumn("source_idx",
+                    F.row_number().over(Window.orderBy("source")) - 1)
+    )
+    key = portable_hash64(
+        F.concat_ws(":", F.lit("0"), F.col("doc_id").cast("string"))
+    )
+    w = Window.partitionBy("source").orderBy(key.asc(), F.col("doc_id").asc())
+    ranked = docs.select("doc_id", "source").withColumn(
+        "epoch_rank", F.row_number().over(w)
+    )
+    return (
+        ranked.join(F.broadcast(srcs), "source")
+        .select(
+            "doc_id",
+            "source",
+            "epoch_rank",
+            "source_idx",
+            (F.col("epoch_rank").cast("long") * 64 + F.col("source_idx"))
+            .alias("interleave_key"),
+        )
+    )
+
+
+SQL_U12 = """
+WITH srcs AS (
+  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS INT)
+           AS source_idx
+  FROM (SELECT DISTINCT source FROM documents)
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY ('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT ASC,
+                    doc_id ASC
+         ) AS INT) AS epoch_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.epoch_rank, s.source_idx,
+       CAST(r.epoch_rank AS BIGINT) * 64 + s.source_idx AS interleave_key
+FROM ranked r JOIN srcs s ON s.source = r.source
+"""
+
+REGISTRY["u12_interleave"] = (q_u12_interleave, SQL_U12)
+
+
 def _cluster_labeled(spark, sf_dir):
     """Shared near-dup cluster labeling (the dd_cluster pipeline): every
     doc → (id, cluster_id), singletons labeling themselves."""
@@ -6221,127 +6394,43 @@ REGISTRY["t12_islands"] = (q_t12_islands, SQL_T12)
 #   f12_hour_percentiles  continuous-percentile twin of a6_access_summary
 #                      (r06-fresh percentile_disc family)
 _DRIVER_WINDOW = [
-    # --- r04-latest (4) ---
-    "dd_embed", "sim_topk", "tx_tfidf", "tx_unigram_lm",
-    # --- code changed after latest stamp (5) ---
-    "dd_semdedup", "sim_ivf_topk", "dd_substring",
-    "mm_features", "mm_phash_dedup",
-    # --- round-7 newcomers (7) ---
-    "st_stream_span", "st_stream_substring", "st_stream_incremental",
-    "st_rollup_stream", "v1_variant_rollup", "u7_epoch_shuffle",
-    "u8_group_sample_k", "dd_source_overlap", "dd_minhash_estimate",
-    "st_ann_serve",
-    # --- mid-round-7 newcomers (5), never driver-stamped; the five
-    # r05-stamped rows they displace are shape-covered in-window:
-    #   a21_histogram    width-bucket counts ⊂ pk_length_buckets (superset:
-    #                    bucketed agg + waste metrics, in-window newcomer)
-    #   a9_argmin        per-group argmin ⊂ dd_cluster_rep (same max_by/
-    #                    argmax aggregate family, in-window newcomer)
-    #   tx_bm25          ranking superset of tx_tfidf — tfidf is IN-window
-    #                    this round (r04 refresh), carrying the family
-    #   tx_dsir          LM log-ratio family carried by tx_unigram_lm,
-    #                    in-window this round (r04 refresh)
-    #   a20_salted_agg   salting family ⊂ j16_adaptive_salted (in-window,
-    #                    adaptive salted join + identical rollup oracle) ---
-    "pk_length_buckets", "tx_doc_freq", "dd_cluster_rep",
-    "u9_leak_split", "sim_outliers",
-    # --- two more mid-round-7 newcomers; the displaced r05 rows are
-    # shape-covered in-window:
-    #   a15_properties_df  multi-key pivot ⊂ a14_pivot (r06-fresh, same
-    #                      compile_values matrix family)
-    #   t9_cohort_retention event min-agg + week-bucket counts ⊂
-    #                      t8_funnel (in-window, chained filtered
-    #                      min-aggs) + a5_two_col_counts (r06-fresh) ---
-    "h4_order_priority", "u10_weighted_sample",
-    # --- and two more (snapshot diff + sliding windows); displaced, both
-    # shape-covered in-window:
-    #   pk_domain_cap   per-stream window cumsum ⊂ pk_pack (in-window,
-    #                   identical running-offset algebra)
-    #   j9_anti_join    set-difference ⊂ s9_snapshot_diff (in-window
-    #                   newcomer: full-outer add/remove classify is the
-    #                   superset) + j6_membership (in-window) ---
-    "s9_snapshot_diff", "pk_sliding_windows",
-    # --- and the prefix-filtering similarity join; displaced:
-    #   dd_jaccard_capped  capped shingle-pair family ⊂ dd_prefix_filter
-    #                      (in-window newcomer: the EXACT member of the
-    #                      same candidate-generation family) +
-    #                      dd_minhash_lsh (in-window) ---
-    "dd_prefix_filter",
-    # --- and SCD2 + the correlation profile; displaced:
-    #   j13_asof        lead/lag carry-forward family ⊂ t11_scd2
-    #                   (in-window newcomer: the same per-entity lead()
-    #                   algebra that j13's intervals consume) +
-    #                   j14_interval (in-window)
-    #   a7_json_rollup  JSON-derived sums ⊂ v1_variant_rollup (in-window,
-    #                   typed extraction + identical rollup oracle) ---
-    "t11_scd2", "a23_corr",
-    # --- and PageRank; displaced:
-    #   s3_insert_dedup_table  query-first insert dedup ⊂ a16_dedup_batch
-    #                   (r06-fresh, the same fingerprint groupBy report)
-    #                   + the in-window mutation family (s2/s6/s7) ---
-    "g1_pagerank",
-    # --- and the KL drift monitor; displaced:
-    #   j5_one_hop      depth-1 edge semi join ⊂ j8_closure (in-window,
-    #                   the same edge view walked to a fixpoint) +
-    #                   j6_membership (in-window) ---
-    "tx_source_kl",
-    # --- and the Misra-Gries sketch (rows-only gate); displaced:
-    #   s2_bulk_get     keyed-get ⊂ p2_p3_filter_page (in-window, same
-    #                   filter+page family) with its In-pushdown and
-    #                   broadcast-must-be-filtered plan contracts pinned
-    #                   by the audit gate on every pytest run ---
-    "a24_heavy_hitters",
-    # --- and the two ANN additions; displaced:
-    #   dd_lev_verify   LSH candidate generation ⊂ dd_minhash_lsh
-    #                   (in-window) and exact pair verification ⊂
-    #                   dd_prefix_filter (in-window newcomer); the DP
-    #                   kernel has its own oracle pytest
-    #   dd_incremental  persisted-LSH-index probe ⊂ st_stream_incremental
-    #                   (in-window: the streaming arm probing the SAME
-    #                   index through the same _banded projection) ---
-    "sim_multiprobe_topk", "sim_filtered_topk",
-    # --- and the label-artifact consumers born after them; displaced:
-    #   j6_membership   filtered-fact membership join ⊂ h4_order_priority
-    #                   (in-window newcomer, the same pushed-predicate
-    #                   fact semi-join + count shape) + j14 (in-window)
-    #   a8_status_gate  array_agg containment gates ⊂ a10_map_agg
-    #                   (r06-fresh map agg) with the service-iteration
-    #                   semantics pinned by the queue pytest family ---
-    "dd_cap_duplicates", "dd_incremental_labels",
-    # --- and the curriculum quartiles; displaced:
-    #   t8_funnel       chained filtered min-aggs over events ⊂
-    #                   t9_cohort_retention's multiply-green family and
-    #                   the event-window shapes carried in-window by
-    #                   st_stream_span/t11_scd2; its ordering contract is
-    #                   pinned by the funnel pytest ---
-    "u11_curriculum",
-    # --- and gaps-and-islands; displaced:
-    #   t10_incremental_rollup  IVM full-outer merge family carried
-    #                   in-window by st_rollup_stream (the foreachBatch
-    #                   arm running the same merge per micro-batch) and
-    #                   s9_snapshot_diff (the same unbroadcastable
-    #                   full-outer classify); NULL-key churn pinned by
-    #                   the IVM pytest family ---
-    "t12_islands",
-    # --- r05-latest cohort (24; dd_common_ngrams steps out for
-    # u7_epoch_shuffle — its shingle-count shape ⊂ dd_contamination,
-    # r06-fresh, the same rationale the r02 rotation used;
-    # d1_value_call steps out for u8_group_sample_k: its Arrow
-    # pandas-UDF extraction family is carried in-window by mm_features;
-    # t2_enrichment steps out for dd_source_overlap: its broadcast
-    # dim-lookup join ⊂ j1_dim_join (r06-fresh) and its high-watermark
-    # filter is pinned by the watermark pytest;
-    # tx_quality_clf steps out for dd_minhash_estimate: its hashed-ngram
-    # broadcast-scalar scan family is carried in-window by tx_dsir;
-    # sim_pq_topk steps out for st_ann_serve: its ADC compressed-domain
-    # scoring is carried by sim_ivfpq_topk, the r06-fresh composed
-    # superset) ---
-    "dd_cluster", "dd_minhash_lsh",
-    "j14_interval", "j16_adaptive_salted",
-    "j8_closure", "p2_p3_filter_page",
-    "pipe_prepare", "pk_pack",
-    "s6_delete_survivors",
-    "s7_retention_survivors",
+    # ---- Round-8 rotation (VERDICT r7 item 4), computed from
+    # tools/stale_stamps.py over the recorded artifacts.  Step IN:
+    # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
+    # (b) the full 36-query r05-stamped cohort (the staleness target:
+    #     after r8 no stamp predates r06), including the two rows-only
+    #     sketches a19/a22 so even their weaker records refresh;
+    # (c) the round-8 newcomers, never driver-stamped;
+    # (d) pipe_prepare — its implementation changed this round (URL-dedup
+    #     stage 0), so the stamp must re-hash the new plan;
+    # (e) four r06-stamped refreshes chosen for shape diversity across
+    #     the remaining slots (full-scan multi-agg, exact dedup, exact
+    #     percentiles, broadcast dim join).
+    # Step OUT: the 50 r07-stamped queries (all freshly green or, for the
+    # two reds, re-entered under (a)); every one of their plan families
+    # is either re-entering under (b)/(c) or pinned by standing pytest
+    # gates (streaming arms: parity tests; sketches: error-bound tests).
+    # --- (a) r07 reds, oracle-CAST fix (2) ---
+    "pk_length_buckets", "v1_variant_rollup",
+    # --- (b) r05-stamped cohort (36) ---
+    "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
+    "a20_salted_agg", "a21_histogram", "a22_approx_quantiles",
+    "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
+    "dd_common_ngrams", "dd_incremental", "dd_jaccard_capped",
+    "dd_lev_verify", "dd_simhash_pairs", "dd_span_dedup",
+    "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
+    "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
+    "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
+    "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
+    "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
+    "tx_dsir", "tx_quality_clf",
+    # --- (c) round-8 newcomers (7) ---
+    "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
+    "tx_phrase_hits", "a25_diversity", "u12_interleave",
+    # --- (d) code changed after latest stamp (1) ---
+    "pipe_prepare",
+    # --- (e) r06 refreshes (4) ---
+    "h1_pricing_summary", "dd_exact", "a6_access_summary", "j1_dim_join",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -71,12 +71,63 @@ def main() -> None:
     )
     print(f"embeddings: {len(bige)} rows")
 
-    for t in ("region", "nation", "customer", "supplier", "part", "orders",
-              "lineitem", "events"):
+    # Round-8 additions (VERDICT r7 item 5): scale the tables behind the
+    # iterative newcomers too — events (t11_scd2 / t12_islands: 10×
+    # users, per-user history unchanged — more window partitions, same
+    # per-key work) and the customer→orders→lineitem hierarchy
+    # (g1_pagerank / j8_closure: 10 DISJOINT copies of the graph — same
+    # diameter, 10× nodes and edges, so per-round join cost per unit is
+    # the measured quantity).  Nations/regions stay shared roots.
+    ev = pq.read_table(os.path.join(SRC, "events.parquet")).to_pandas()
+    out = []
+    for c in range(COPIES):
+        e = ev.copy()
+        e["event_id"] = e["event_id"] + c * ID_STRIDE
+        e["user_id"] = e["user_id"] + c * ID_STRIDE
+        out.append(e)
+    bige = pd.concat(out, ignore_index=True)
+    _write_like(bige, os.path.join(SRC, "events.parquet"),
+                os.path.join(DST, "events.parquet"))
+    print(f"events: {len(bige)} rows")
+
+    KEY_OFFSETS = {
+        "customer": ["c_custkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "lineitem": ["l_orderkey"],
+    }
+    for t, keys in KEY_OFFSETS.items():
+        base = pq.read_table(os.path.join(SRC, f"{t}.parquet")).to_pandas()
+        out = []
+        for c in range(COPIES):
+            d = base.copy()
+            for k in keys:
+                d[k] = d[k] + c * ID_STRIDE
+            out.append(d)
+        big_t = pd.concat(out, ignore_index=True)
+        _write_like(big_t, os.path.join(SRC, f"{t}.parquet"),
+                    os.path.join(DST, f"{t}.parquet"))
+        print(f"{t}: {len(big_t)} rows")
+
+    for t in ("region", "nation", "supplier", "part"):
         dst = os.path.join(DST, f"{t}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SRC, f"{t}.parquet"), dst)
     print("done:", DST)
+
+
+def _write_like(df: pd.DataFrame, src_path: str, dst_path: str) -> None:
+    """Write df with the SOURCE file's schema (keeps timestamp units and
+    nullability identical to the sf0.1 originals, the same cast the
+    embeddings writer does)."""
+    if os.path.islink(dst_path):
+        os.unlink(dst_path)
+    schema = pq.read_schema(src_path)
+    pq.write_table(
+        pa.Table.from_pandas(df, preserve_index=False).cast(
+            pa.schema([schema.field(i) for i in range(len(schema.names))])
+        ),
+        dst_path,
+    )
 
 
 if __name__ == "__main__":

@@ -54,7 +54,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "sim_ivf_batch_topk",
                        # source-pair skeleton: non-equi (a < b) self-pairing of
                        # the broadcast #sources-row dimension — constant-size
-                       "dd_source_overlap"}
+                       "dd_source_overlap",
+                       # corpus-total token count (1-row scalar) crossed onto
+                       # the #sources-row share relation
+                       "a25_diversity"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
