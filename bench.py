@@ -113,6 +113,9 @@ BENCH_QUERIES = [
     "tx_phrase_hits",       # exact phrase audit (posting-list joins)
     "a25_diversity",        # source-mix entropy/HHI report (1-row fold)
     "u12_interleave",       # round-robin mixture schedule (rank windows)
+    # s10_compact is gate-only: the query deliberately times a 64-file
+    # scratch write + compaction rewrite + read-back (maintenance IO),
+    # not a distributed query plan.
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

@@ -4344,6 +4344,36 @@ FROM orders
 REGISTRY["s8_snapshot_roundtrip"] = (q_s8_snapshot_roundtrip, SQL_S8)
 
 
+def q_s10_compact(spark, sf_dir):
+    """S+ (beyond-reference maintenance): small-file compaction under the
+    hash gate (sources/layout.py:compact_small_files) — a scratch copy of
+    the documents keys is written as 64 tiny files (the streaming-sink
+    pathology), compacted to size-targeted outputs via the
+    rewrite-then-rename pointer swap, and the RETURNED rows read from the
+    post-compaction files — so the rewrite must be lossless to hash-match
+    the plain SELECT oracle.  File-count/idempotence/sizing contracts are
+    pinned by tests/test_layout_compact.py."""
+    import shutil
+
+    from .sources.layout import compact_small_files
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    path = _scratch_dir(sf_dir, "s10")
+    shutil.rmtree(path, ignore_errors=True)
+    docs.repartition(64).write.mode("overwrite").parquet(path)
+    stats = compact_small_files(spark, path, target_bytes=256 << 10)
+    if stats["files_after"] >= stats["files_before"]:
+        raise RuntimeError(f"compaction did not shrink the file set: {stats}")
+    return spark.read.parquet(path)
+
+
+SQL_S10 = """
+SELECT doc_id, source, n_chars FROM documents
+"""
+
+REGISTRY["s10_compact"] = (q_s10_compact, SQL_S10)
+
+
 def q_s3_insert_dedup_table(spark, sf_dir):
     """S3 under the hash gate: query-first bulk insert on a scratch
     MutableTable copy — batch rows whose natural key already exists are
@@ -6403,9 +6433,9 @@ _DRIVER_WINDOW = [
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
-    # (e) four r06-stamped refreshes chosen for shape diversity across
-    #     the remaining slots (full-scan multi-agg, exact dedup, exact
-    #     percentiles, broadcast dim join).
+    # (e) r06-stamped refreshes chosen for shape diversity across the
+    #     remaining slots (full-scan multi-agg, exact dedup, exact
+    #     percentiles).
     # Step OUT: the 50 r07-stamped queries (all freshly green or, for the
     # two reds, re-entered under (a)); every one of their plan families
     # is either re-entering under (b)/(c) or pinned by standing pytest
@@ -6424,13 +6454,13 @@ _DRIVER_WINDOW = [
     "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (7) ---
+    # --- (c) round-8 newcomers (8) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
-    "tx_phrase_hits", "a25_diversity", "u12_interleave",
+    "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
-    # --- (e) r06 refreshes (4) ---
-    "h1_pricing_summary", "dd_exact", "a6_access_summary", "j1_dim_join",
+    # --- (e) r06 refreshes (3) ---
+    "h1_pricing_summary", "dd_exact", "a6_access_summary",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -141,3 +141,72 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_bytes: int = 128 << 20,
+) -> dict:
+    """Compact a parquet directory's small files into ~``target_bytes``
+    outputs — the table-maintenance op every streaming sink needs (each
+    micro-batch appends a file; a day of 1-minute triggers is 1 440 tiny
+    files whose per-file open/footer cost eventually dominates scans).
+    The Delta OPTIMIZE / Iceberg rewrite_data_files analog, expressed on
+    plain parquet directories.
+
+    Sizing comes from the actual on-disk bytes (never a row-count guess):
+    ``n_out = ceil(total_bytes / target_bytes)``.  A directory already at
+    or below ``n_out`` files is left untouched (idempotent: a second
+    compaction is a no-op).  The rewrite goes to a sibling temp dir, then
+    swaps in via two renames — the local stand-in for the metastore
+    pointer swap a table format does (the same copy-on-write commit
+    contract as MutableTable; readers holding the old file list keep a
+    consistent snapshot, exactly like postgres MVCC readers in the
+    reference).
+
+    100 TB story: run per PARTITION directory (compaction work is
+    embarrassingly parallel across partitions and only rewrites
+    partitions whose file count drifted), and ``repartition(n_out)`` is
+    one round-robin exchange of just that partition's data — no keys, no
+    skew, no sort.  Returns {files_before, files_after, bytes, n_out}.
+    """
+    import glob
+    import math
+    import os
+    import shutil
+
+    files = [
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+    ]
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, math.ceil(total / target_bytes))
+    if len(files) <= n_out:
+        return {
+            "files_before": len(files),
+            "files_after": len(files),
+            "bytes": total,
+            "n_out": n_out,
+        }
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + ".compact_tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + ".compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    after = [
+        f
+        for f in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+    ]
+    return {
+        "files_before": len(files),
+        "files_after": len(after),
+        "bytes": total,
+        "n_out": n_out,
+    }

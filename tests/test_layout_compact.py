@@ -1,0 +1,56 @@
+"""sources/layout.py:compact_small_files — lossless rewrite, file-count
+reduction, size-targeted output count, idempotence, and swap atomicity
+leftovers (no .compact_tmp/.compact_old residue)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from qcfractal_spark.sources.layout import compact_small_files
+
+
+def _files(path):
+    return [
+        f for f in glob.glob(os.path.join(path, "*"))
+        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
+    ]
+
+
+def test_compact_reduces_files_losslessly(spark, tmp_path):
+    path = str(tmp_path / "t")
+    df = spark.range(0, 5000).selectExpr("id", "id % 7 AS k", "cast(id as string) AS s")
+    df.repartition(32).write.parquet(path)
+    before = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert len(_files(path)) == 32
+    stats = compact_small_files(spark, path, target_bytes=1 << 30)
+    assert stats["files_before"] == 32 and stats["files_after"] == 1
+    after = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert after == before
+    # no swap residue
+    assert not os.path.exists(path + ".compact_tmp")
+    assert not os.path.exists(path + ".compact_old")
+
+
+def test_compact_is_idempotent_and_size_targeted(spark, tmp_path):
+    path = str(tmp_path / "t2")
+    spark.range(0, 20000).selectExpr(
+        "id", "repeat(cast(id as string), 8) AS pad"
+    ).repartition(24).write.parquet(path)
+    total = sum(os.path.getsize(f) for f in _files(path))
+    target = max(total // 3, 1)
+    stats = compact_small_files(spark, path, target_bytes=target)
+    # ceil sizing: more than one output, far fewer than 24
+    assert 1 < stats["files_after"] <= stats["n_out"] < 24
+    # Re-running converges to a fixpoint: the rewrite re-compresses, so
+    # total bytes (and thus n_out) can shrink once more — but within a
+    # bounded number of passes the op must become a strict no-op that
+    # leaves the files untouched.
+    for _ in range(3):
+        s = compact_small_files(spark, path, target_bytes=target)
+        if s["files_before"] == s["files_after"]:
+            break
+    mtimes = {f: os.path.getmtime(f) for f in _files(path)}
+    s_fix = compact_small_files(spark, path, target_bytes=target)
+    assert s_fix["files_before"] == s_fix["files_after"]
+    assert {f: os.path.getmtime(f) for f in _files(path)} == mtimes
