@@ -113,6 +113,8 @@ BENCH_QUERIES = [
     "tx_phrase_hits",       # exact phrase audit (posting-list joins)
     "a25_diversity",        # source-mix entropy/HHI report (1-row fold)
     "u12_interleave",       # round-robin mixture schedule (rank windows)
+    # st_stream_urldedup is gate-only like the other streaming arms (its
+    # call times a scratch landing write + availableNow stream + sink IO).
     # s10_compact is gate-only: the query deliberately times a 64-file
     # scratch write + compaction rewrite + read-back (maintenance IO),
     # not a distributed query plan.

@@ -4531,6 +4531,59 @@ SELECT h AS fingerprint, CAST(1 AS BIGINT) AS n_out FROM s GROUP BY h
 REGISTRY["st_stream_span"] = (q_st_stream_span, SQL_ST_STREAM_SPAN)
 
 
+def q_st_stream_urldedup(spark, sf_dir):
+    """T1+DD+: the streaming URL-dedup arm
+    (streaming/ingest.py:stream_url_dedup) under the driver hash gate —
+    the synthetic URLs land as 4 parquet files, stream through the shared
+    canonicalization chain + ``dropDuplicatesWithinWatermark`` keyed on
+    the canonical URL across 4 micro-batches, and the sink re-aggregates
+    per (canonical_url, domain).  Which arrival survives is
+    order-dependent, so the gated output is the order-insensitive
+    invariant: every canonical page appears EXACTLY once (n_out = 1) with
+    its registrable domain — a broken canonicalizer changes the page set,
+    broken dedup state makes n_out 2; both hash-mismatch.  The oracle is
+    the batch dd_url_dedup canonicalization replay."""
+    from .streaming.ingest import stream_url_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.expr(_SYNTH_URL_EXPR).alias("url"),
+        F.timestamp_seconds(F.lit(1700000000) + F.col("doc_id")).alias("ts"),
+    )
+    sink = _stream_gate_run(
+        spark,
+        docs,
+        "doc_id long, url string, ts timestamp",
+        lambda s: stream_url_dedup(s, watermark="3650 days"),
+        _scratch_dir(sf_dir, "sturl"),
+    )
+    out_schema = "doc_id long, url string, ts timestamp, canonical_url string, domain string"
+    return (
+        spark.read.schema(out_schema).parquet(sink)
+        .groupBy("canonical_url", "domain")
+        .agg(F.count(F.lit(1)).alias("n_out"))
+    )
+
+
+def _stream_urldedup_sql() -> str:
+    from .functions import urls
+
+    c = urls.canonical_url_sql(_SYNTH_URL_SQL)
+    h = urls.url_host_sql("c")
+    return f"""
+WITH u AS (
+  SELECT doc_id, {c} AS c FROM documents
+),
+hh AS (SELECT doc_id, c, {h} AS h FROM u),
+s AS (SELECT c AS canonical_url, {urls.registrable_domain_sql("h")} AS domain FROM hh)
+SELECT canonical_url, domain, CAST(1 AS BIGINT) AS n_out
+FROM s GROUP BY 1, 2
+"""
+
+
+REGISTRY["st_stream_urldedup"] = (q_st_stream_urldedup, _stream_urldedup_sql())
+
+
 def q_st_stream_substring(spark, sf_dir):
     """T1+DD+: the streaming CDC substring-dedup arm
     (streaming/ingest.py:stream_substring_dedup) under the driver hash
@@ -6434,8 +6487,7 @@ _DRIVER_WINDOW = [
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
     # (e) r06-stamped refreshes chosen for shape diversity across the
-    #     remaining slots (full-scan multi-agg, exact dedup, exact
-    #     percentiles).
+    #     remaining slots (full-scan multi-agg, exact dedup).
     # Step OUT: the 50 r07-stamped queries (all freshly green or, for the
     # two reds, re-entered under (a)); every one of their plan families
     # is either re-entering under (b)/(c) or pinned by standing pytest
@@ -6454,13 +6506,14 @@ _DRIVER_WINDOW = [
     "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (8) ---
+    # --- (c) round-8 newcomers (9) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
+    "st_stream_urldedup",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
-    # --- (e) r06 refreshes (3) ---
-    "h1_pricing_summary", "dd_exact", "a6_access_summary",
+    # --- (e) r06 refreshes (2) ---
+    "h1_pricing_summary", "dd_exact",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -212,6 +212,37 @@ def stream_span_dedup(
     return stream_dedup(spans, key_cols=("fingerprint",), ts_col=ts_col, watermark=watermark)
 
 
+def stream_url_dedup(
+    df: DataFrame,
+    url_col: str = "url",
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming URL-level dedup: canonicalize arriving URLs scan-side
+    (functions/urls.py — the same codegen chain the batch arm uses, so
+    the two arms can never canonicalize differently) and keep only the
+    FIRST arrival per canonical URL within the watermark horizon — the
+    crawl-frontier dedup that runs ahead of fetch/score at ingest time
+    (batch ``dd_url_dedup`` dedups stored history; this dedups the
+    arrival stream with bounded state).
+
+    State is keyed by the canonical URL and expires with the watermark
+    (``dropDuplicatesWithinWatermark``): memory is (arrival rate ×
+    horizon), never frontier-sized.  Emits the surviving rows with their
+    ``canonical_url`` and ``domain`` attached.  Works on batch frames too
+    (plain dropDuplicates), which is how the parity pytest pins the
+    semantics."""
+    from ..functions import urls
+
+    canon = urls.canonical_url(F.col(url_col))
+    out = df.withColumn("canonical_url", canon).withColumn(
+        "domain", urls.registrable_domain(urls.url_host(F.col("canonical_url")))
+    )
+    return stream_dedup(
+        out, key_cols=("canonical_url",), ts_col=ts_col, watermark=watermark
+    )
+
+
 def stream_substring_dedup(
     df: DataFrame,
     text_col: str = "text",

@@ -80,3 +80,57 @@ def test_phrase_hits_match_brute_force(spark):
         for r in q_tx_phrase_hits(spark, SF_SMOKE).collect()
     }
     assert got == want and len(want) > 0
+
+
+def test_stream_url_dedup_matches_batch_first_occurrence(spark):
+    """The streaming URL dedup keeps exactly one row per canonical URL
+    (parity with batch dropDuplicates when all data fits one batch), and
+    cross-micro-batch state suppresses later re-arrivals of the same page
+    in a different surface form."""
+    import os
+    import tempfile
+    from datetime import datetime
+
+    from qcfractal_spark.streaming.ingest import stream_url_dedup
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (0, t0, "https://www.site1.com/p/1"),
+        (1, t0, "http://site1.com/p/1/"),          # same page, new surface
+        (2, t0, "https://site1.com:443/p/1?utm_x=1"),  # same page again
+        (3, t0, "https://blog.site2.co.uk/p/2"),
+    ]
+    schema = "doc_id long, ts timestamp, url string"
+    batch = spark.createDataFrame(rows, schema)
+    got_batch = stream_url_dedup(batch).collect()
+    assert len(got_batch) == 2
+    assert {r["canonical_url"] for r in got_batch} == {
+        "site1.com/p/1", "blog.site2.co.uk/p/2"
+    }
+    assert {r["domain"] for r in got_batch} == {"site1.com", "site2.co.uk"}
+
+    src = spark.createDataFrame(rows, schema)
+    with tempfile.TemporaryDirectory() as d:
+        land = os.path.join(d, "landing")
+        # 2 files => 2 micro-batches: the duplicate pages straddle batches
+        src.repartition(2).write.parquet(land)
+        stream = (
+            spark.readStream.schema(src.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(land)
+        )
+        out = stream_url_dedup(stream, watermark="3650 days")
+        qh = (
+            out.writeStream.format("memory")
+            .queryName("url_stream")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(d, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        qh.awaitTermination(120)
+        survivors = spark.sql("SELECT canonical_url FROM url_stream").collect()
+    assert len(survivors) == 2
+    assert {r["canonical_url"] for r in survivors} == {
+        "site1.com/p/1", "blog.site2.co.uk/p/2"
+    }
