@@ -113,6 +113,10 @@ BENCH_QUERIES = [
     "tx_phrase_hits",       # exact phrase audit (posting-list joins)
     "a25_diversity",        # source-mix entropy/HHI report (1-row fold)
     "u12_interleave",       # round-robin mixture schedule (rank windows)
+    # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
+    # exact-truth join on the sample (the evaluation's cost model is the
+    # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench
+    # the two underlying pipelines.
     # st_stream_urldedup is gate-only like the other streaming arms (its
     # call times a scratch landing write + availableNow stream + sink IO).
     # s10_compact is gate-only: the query deliberately times a 64-file

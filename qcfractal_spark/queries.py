@@ -942,6 +942,9 @@ def q_dd_minhash_lsh(spark, sf_dir):
     return dd.minhash_lsh_candidates(sigs)
 
 
+
+
+
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 query vector."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -1260,6 +1263,105 @@ bands AS (
 
 
 SQL_DD_MINHASH = _minhash_oracle_sql()
+
+
+def q_dd_lsh_recall_eval(spark, sf_dir):
+    """DD+ (beyond-reference): LSH banding-parameter evaluation — the
+    tuning report behind every MinHash deployment: on a deterministic
+    ~20% document sample, compare the band-collision CANDIDATE set
+    against the exact 5-gram-Jaccard ≥ 0.5 TRUTH set and report
+    recall/precision (the 4×4 banding S-curve, measured instead of
+    assumed).  The op a pipeline runs before committing band/row
+    parameters at 100 TB — on the sample, so the exact truth join is
+    bounded (sample-sized²  worst case, bucket-local in practice) while
+    the conclusion transfers to the banding used corpus-wide.  Plan: one
+    sampled scan feeds both pipelines (checkpointed once), the hit set is
+    one keyed semi-join, and the report folds three 1-row aggregates
+    (scalar broadcasts)."""
+    from .functions.text import portable_hash64
+
+    docs = _t(spark, sf_dir, "documents")
+    samp = docs.where(
+        F.pmod(
+            portable_hash64(F.concat(F.lit("ev:"), F.col("doc_id").cast("string"))),
+            F.lit(5),
+        )
+        == 0
+    ).localCheckpoint(eager=True)
+    truth = dd.ngram_jaccard_pairs(samp, k=5, threshold=0.5).select("id_a", "id_b")
+    sigs = dd.minhash_signatures(samp).localCheckpoint(eager=True)
+    cand = dd.minhash_lsh_candidates(sigs).select("id_a", "id_b")
+    hit = truth.join(cand, ["id_a", "id_b"], "semi")
+    nt = truth.agg(F.count(F.lit(1)).alias("n_true"))
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(nh))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_hit") / F.col("n_true"), 6),
+            ).alias("recall"),
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_hit") / F.col("n_candidates"), 6),
+            ).alias("precision"),
+        )
+    )
+
+
+def _lsh_recall_oracle_sql() -> str:
+    cand_sql = _minhash_oracle_sql(source="samp")
+    return f"""
+WITH samp AS (
+  SELECT doc_id, text FROM documents
+  WHERE ('0x' || substr(md5('ev:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 5 = 0
+),
+sdocs AS (
+  SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM samp
+),
+ssh AS (
+  SELECT DISTINCT doc_id, substring(t, i, 5) AS shingle
+  FROM sdocs, unnest(generate_series(1, greatest(length(t) - 4, 1))) AS u(i)
+),
+ssizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM ssh GROUP BY doc_id),
+scommon AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS common
+  FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+truth AS (
+  SELECT id_a, id_b
+  FROM scommon
+  JOIN ssizes sa ON sa.doc_id = id_a
+  JOIN ssizes sb ON sb.doc_id = id_b
+  WHERE ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
+),
+cand AS (SELECT * FROM ({cand_sql}) t),
+hit AS (
+  SELECT t.id_a FROM truth t
+  JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b
+),
+counts AS (
+  SELECT (SELECT COUNT(*) FROM truth) AS n_true,
+         (SELECT COUNT(*) FROM cand) AS n_candidates,
+         (SELECT COUNT(*) FROM hit) AS n_hit
+)
+SELECT n_true, n_candidates, n_hit,
+       CASE WHEN n_true > 0
+            THEN ROUND(n_hit * 1.0 / n_true, 6) END AS recall,
+       CASE WHEN n_candidates > 0
+            THEN ROUND(n_hit * 1.0 / n_candidates, 6) END AS precision
+FROM counts
+"""
+
+
+REGISTRY["dd_lsh_recall_eval"] = (q_dd_lsh_recall_eval, _lsh_recall_oracle_sql())
 
 
 def q_dd_contamination_neardup(spark, sf_dir):
@@ -6486,8 +6588,10 @@ _DRIVER_WINDOW = [
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
-    # (e) r06-stamped refreshes chosen for shape diversity across the
-    #     remaining slots (full-scan multi-agg, exact dedup).
+    # (e) r06-stamped refresh filling the remaining slot (full-scan
+    #     multi-agg; dd_exact's fingerprint-groupBy family is carried by
+    #     the in-window dd_url_dedup exact-dedup shape and the a16 pytest
+    #     gates).
     # Step OUT: the 50 r07-stamped queries (all freshly green or, for the
     # two reds, re-entered under (a)); every one of their plan families
     # is either re-entering under (b)/(c) or pinned by standing pytest
@@ -6506,14 +6610,14 @@ _DRIVER_WINDOW = [
     "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (9) ---
+    # --- (c) round-8 newcomers (10) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
-    "st_stream_urldedup",
+    "st_stream_urldedup", "dd_lsh_recall_eval",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
-    # --- (e) r06 refreshes (2) ---
-    "h1_pricing_summary", "dd_exact",
+    # --- (e) r06 refresh (1) ---
+    "h1_pricing_summary",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -57,12 +57,17 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "dd_source_overlap",
                        # corpus-total token count (1-row scalar) crossed onto
                        # the #sources-row share relation
-                       "a25_diversity"}
+                       "a25_diversity",
+                       # three 1-row count aggregates folded into the report
+                       "dd_lsh_recall_eval"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
 SMJ_OK = {
     "dd_jaccard",  # shingle self-join: both sides are fact-sized
+    "dd_lsh_recall_eval",  # sampled shingle + band self-joins: the truth/
+                           # candidate pipelines of dd_jaccard/dd_minhash_lsh
+                           # over the same sampled relation
     "dd_minhash_lsh",  # band-bucket self-join: both sides fact-sized
     "dd_cluster",  # band join + component-label joins: fact-sized sides
     "pipe_prepare",  # same band/star joins as dd_cluster, over the filtered
