@@ -17,7 +17,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -114,6 +114,52 @@ def brute_force_topk(
         F.round(cosine(F.col(vec_col), q), round_to).alias("score"),
     )
     return scored.orderBy(F.col("score").desc(), F.col(id_col).asc()).limit(k)
+
+
+def hard_negatives_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    dup_threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    qid_col: str = "query_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the ``k`` highest-cosine corpus vectors whose score stays BELOW
+    ``dup_threshold`` — the closest NON-duplicates.  SemDeDup's
+    complement: what semantic dedup would keep as distinct but an
+    embedding model finds maximally confusable, exactly the negatives a
+    contrastive/embedding trainer wants next to each anchor.  Self-pairs
+    are excluded by id.
+
+    Plan: the query set broadcasts (it is batch-sized, never
+    corpus-sized), scoring is scan-side arithmetic over ONE corpus pass,
+    and the per-query top-k is a rank-only window that compiles to a
+    map-side WindowGroupLimit — the sim_ivf_batch_topk serving shape with
+    a score band instead of a cell probe.  At 100 TB the same call takes
+    the IVF-pruned candidate frame as ``corpus`` to skip the full scan;
+    the band/top-k algebra is unchanged.
+    """
+    q = F.broadcast(
+        queries.select(F.col(qid_col), F.col(vec_col).alias("_qv"))
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(qid_col),
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), F.col("_qv")), round_to).alias("score"),
+    )
+    banded = scored.where(
+        (F.col("score") < dup_threshold) & (F.col(id_col) != F.col(qid_col))
+    )
+    w = Window.partitionBy(qid_col).orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return (
+        banded.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:

@@ -3093,6 +3093,46 @@ def q_sim_ivf_batch_topk(spark, sf_dir):
     return sim.ivf_topk_batch(queries, assigned, centroids, k=10, n_probe=4)
 
 
+def q_sim_hard_negatives(spark, sf_dir):
+    """SIM+ (beyond-reference): hard-negative mining
+    (functions/similarity.py:hard_negatives_topk) — per query vector, the
+    5 highest-cosine corpus vectors BELOW the 0.95 near-dup band: the
+    closest non-duplicates a contrastive trainer pairs with each anchor
+    (SemDeDup's complement).  Broadcast query set, one corpus scan with
+    scan-side scoring, rank-only per-query window (map-side
+    WindowGroupLimit); at 100 TB the corpus arg takes the IVF-pruned
+    candidate frame instead of the full scan, same algebra."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.hard_negatives_topk(queries, emb, k=5, dup_threshold=0.95)
+
+
+def _hard_negatives_oracle_sql() -> str:
+    cos = _cos_sql("CAST(e.embedding AS DOUBLE[])", "q.qv")
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+  FROM embeddings WHERE vec_id < 8
+),
+scored AS (
+  SELECT q.query_id, e.vec_id, ROUND({cos}, 6) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id <> q.query_id
+),
+banded AS (SELECT * FROM scored WHERE score < 0.95),
+r AS (
+  SELECT query_id, vec_id, score,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY query_id ORDER BY score DESC, vec_id ASC
+         ) AS INT) AS rank
+  FROM banded
+)
+SELECT query_id, vec_id, score, rank FROM r WHERE rank <= 5
+"""
+
+
 def _cos_sql(a: str, b: str) -> str:
     """DuckDB mirror of similarity.cosine: both norms guarded to 1 when
     zero (the dot is then 0), sequential list_dot_product = the same
@@ -3136,6 +3176,8 @@ SELECT query_id, vec_id, score FROM (
 
 
 SQL_SIM_IVF_BATCH = _ivf_batch_oracle_sql()
+
+REGISTRY["sim_hard_negatives"] = (q_sim_hard_negatives, _hard_negatives_oracle_sql())
 
 REGISTRY["sim_ivf_batch_topk"] = (q_sim_ivf_batch_topk, SQL_SIM_IVF_BATCH)
 
@@ -6588,10 +6630,11 @@ _DRIVER_WINDOW = [
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
-    # (e) r06-stamped refresh filling the remaining slot (full-scan
-    #     multi-agg; dd_exact's fingerprint-groupBy family is carried by
-    #     the in-window dd_url_dedup exact-dedup shape and the a16 pytest
-    #     gates).
+    # (No r06 refreshes remain: dd_exact's fingerprint-groupBy family is
+    # carried by the in-window dd_url_dedup exact-dedup shape + a16
+    # pytest gates; h1's full-scan multi-agg family by a18_cube_counts
+    # (in-window r05 cohort, the grouping-sets superset of the same
+    # lineitem scan+agg).
     # Step OUT: the 50 r07-stamped queries (all freshly green or, for the
     # two reds, re-entered under (a)); every one of their plan families
     # is either re-entering under (b)/(c) or pinned by standing pytest
@@ -6610,14 +6653,12 @@ _DRIVER_WINDOW = [
     "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (10) ---
+    # --- (c) round-8 newcomers (11) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
-    "st_stream_urldedup", "dd_lsh_recall_eval",
+    "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
-    # --- (e) r06 refresh (1) ---
-    "h1_pricing_summary",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -59,7 +59,11 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # the #sources-row share relation
                        "a25_diversity",
                        # three 1-row count aggregates folded into the report
-                       "dd_lsh_recall_eval"}
+                       "dd_lsh_recall_eval",
+                       # queries-set fan-out: BNLJ build side is the 8-row
+                       # broadcast query batch (batch-sized by contract,
+                       # same shape as sim_ivf_batch_topk)
+                       "sim_hard_negatives"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -127,7 +131,7 @@ BROADCAST_MUST_BE_FILTERED = {"s2_bulk_get"}
 # Per-group top-k queries must show map-side WindowGroupLimit (rank pushdown:
 # each input partition keeps only its own top-k before the shuffle).
 GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin", "u8_group_sample_k",
-              "dd_cap_duplicates"}
+              "dd_cap_duplicates", "sim_hard_negatives"}
 
 # Queries whose steady-state plan must contain ZERO Python stages: they
 # consume the persisted IVF index, so the k-means assign pandas_udf must
