@@ -6531,6 +6531,87 @@ FROM s GROUP BY 1, 2
 REGISTRY["t13_thread_assembly"] = (q_t13_thread_assembly, SQL_T13)
 
 
+def q_tx_pmi_bigrams(spark, sf_dir):
+    """TX+ (beyond-reference): collocation mining — the top-20 adjacent
+    bigrams by pointwise mutual information (min pair count 5), the
+    phrase-detection pass a tokenizer/vocab pipeline runs before merging
+    multi-word units.  PMI = log2(P(ab) / (P(a)P(b))) computed as ONE
+    integer-product ratio divided once then rounded (every factor stays
+    < 2^53, so both engines see the identical IEEE double).  Plan: one
+    tokenize scan feeds unigram and bigram counts (both map-combinable),
+    two keyed joins attach the unigram counts, the corpus totals ride as
+    1-row broadcasts, and the top-20 compiles to TakeOrderedAndProject —
+    no global sort, vocabulary-sized relations only."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    tok = docs.select(tx.tokens(F.col("text")).alias("toks")).localCheckpoint(
+        eager=False
+    )
+    uni = tok.select(F.explode("toks").alias("t"))
+    uc = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n"))
+    bg = tok.select(
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, size(toks) - 1),"
+                " (x, i) -> struct(x AS a, toks[i + 1] AS b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    bc = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    m = bg.agg(F.count(F.lit(1)).alias("m"))
+    joined = (
+        bc.where(F.col("cab") >= 5)
+        .join(uc.select(F.col("t").alias("a"), F.col("c").alias("n_a")), "a")
+        .join(uc.select(F.col("t").alias("b"), F.col("c").alias("n_b")), "b")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(m))
+    )
+    pmi = F.round(
+        F.log2(
+            (F.col("cab") * F.lit(1.0) * F.col("n") * F.col("n"))
+            / (F.col("m") * F.lit(1.0) * F.col("n_a") * F.col("n_b"))
+        ),
+        6,
+    )
+    return (
+        joined.select(
+            "a", "b", F.col("cab").alias("n_pair"), "n_a", "n_b", pmi.alias("pmi")
+        )
+        .orderBy(F.col("pmi").desc(), F.col("a").asc(), F.col("b").asc())
+        .limit(20)
+    )
+
+
+SQL_TX_PMI = f"""
+WITH tok AS (
+  SELECT {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT unnest(toks) AS t FROM tok),
+uc AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+n AS (SELECT COUNT(*) AS n FROM uni),
+bg AS (
+  SELECT toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+m AS (SELECT COUNT(*) AS m FROM bg),
+p AS (
+  SELECT bc.a, bc.b, cab AS n_pair, ca.c AS n_a, cb.c AS n_b,
+         ROUND(log2((cab * 1.0 * n.n * n.n)
+                    / (m.m * 1.0 * ca.c * cb.c)), 6) AS pmi
+  FROM bc
+  JOIN uc ca ON ca.t = bc.a
+  JOIN uc cb ON cb.t = bc.b
+  CROSS JOIN n CROSS JOIN m
+  WHERE cab >= 5
+)
+SELECT a, b, n_pair, n_a, n_b, pmi FROM p
+ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
+"""
+
+REGISTRY["tx_pmi_bigrams"] = (q_tx_pmi_bigrams, SQL_TX_PMI)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -6687,9 +6768,15 @@ _DRIVER_WINDOW = [
     # ---- Round-8 rotation (VERDICT r7 item 4), computed from
     # tools/stale_stamps.py over the recorded artifacts.  Step IN:
     # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
-    # (b) the r05-stamped cohort, 35 of 36 (the staleness target:
-    #     after r8 no stamp predates r06), including the two rows-only
-    #     sketches a19/a22 so even their weaker records refresh;
+    # (b) the r05-stamped cohort, 34 of 36 (the staleness target:
+    #     after r8 no HASH stamp predates r06).  Two displacements, each
+    #     shape-covered: st_sessionize -> t13_thread_assembly (same
+    #     boundary algebra, see (c)); a22_approx_quantiles -> the
+    #     tx_pmi_bigrams newcomer — a22 is rows-only BY DESIGN (the
+    #     driver record adds only a row count; its real gate is the
+    #     GK-sketch error-bound pytest, the r6/r7 rotations' own
+    #     rationale for resting it), and a19 stays in so the sketch
+    #     family still refreshes a record this round;
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
@@ -6706,7 +6793,7 @@ _DRIVER_WINDOW = [
     "pk_length_buckets", "v1_variant_rollup",
     # --- (b) r05-stamped cohort (36) ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
-    "a20_salted_agg", "a21_histogram", "a22_approx_quantiles",
+    "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
     "dd_common_ngrams", "dd_incremental", "dd_jaccard_capped",
     "dd_lev_verify", "dd_simhash_pairs", "dd_span_dedup",
@@ -6725,7 +6812,7 @@ _DRIVER_WINDOW = [
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
-    "t13_thread_assembly",
+    "t13_thread_assembly", "tx_pmi_bigrams",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
 ]

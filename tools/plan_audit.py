@@ -63,7 +63,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # queries-set fan-out: BNLJ build side is the 8-row
                        # broadcast query batch (batch-sized by contract,
                        # same shape as sim_ivf_batch_topk)
-                       "sim_hard_negatives"}
+                       "sim_hard_negatives",
+                       # corpus token/bigram totals (two 1-row scalars)
+                       # crossed onto the vocabulary-sized PMI relation
+                       "tx_pmi_bigrams"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
