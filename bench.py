@@ -116,6 +116,7 @@ BENCH_QUERIES = [
     "sim_hard_negatives",   # closest-non-duplicate mining (band + topk)
     "t13_thread_assembly",  # per-session SFT thread materialization
     "tx_pmi_bigrams",       # PMI collocation mining (phrase detection)
+    "tx_boilerplate_ratio", # per-doc duplicated-span share (df join-back)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -6612,6 +6612,78 @@ ORDER BY pmi DESC, a ASC, b ASC LIMIT 20
 REGISTRY["tx_pmi_bigrams"] = (q_tx_pmi_bigrams, SQL_TX_PMI)
 
 
+def q_tx_boilerplate_ratio(spark, sf_dir):
+    """TX+ (beyond-reference): per-document boilerplate ratio — the share
+    of a doc's 20-token spans whose fingerprint appears in MORE THAN ONE
+    document (nav bars, footers, license blocks), the RefinedWeb-style
+    quality feature that feeds removal/downweight filters.  Span identity
+    is the SHARED span_fingerprints projection (the dd_span_dedup /
+    st_stream_span definition — one fingerprinting, three consumers).
+    Plan: one span scan feeds (a) the per-(doc,fp)-distinct →
+    map-combinable document-frequency agg and (b) the per-doc rollup via
+    ONE keyed join-back on the fingerprint — the dd_substring shape at
+    span granularity; no window, no collect."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    spans = dd.span_fingerprints(docs, span_tokens=20).localCheckpoint(
+        eager=False
+    )
+    dup = (
+        spans.select("doc_id", "fingerprint").distinct()
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") > 1)
+        .select("fingerprint", F.lit(1).alias("_dup"))
+    )
+    marked = spans.join(dup, "fingerprint", "left")
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_spans"),
+            F.sum(F.coalesce(F.col("_dup"), F.lit(0))).cast("long").alias("n_dup_spans"),
+        )
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            F.round(F.col("n_dup_spans") * F.lit(1.0) / F.col("n_spans"), 6)
+            .alias("boilerplate_ratio"),
+        )
+    )
+
+
+SQL_TX_BOILERPLATE = """
+WITH t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE text IS NOT NULL
+),
+x AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS j
+  FROM t
+),
+s AS (
+  SELECT doc_id,
+         md5(array_to_string(list_slice(toks, j * 20 + 1, j * 20 + 20), ' ')) AS fp
+  FROM x
+),
+d AS (
+  SELECT fp FROM (SELECT DISTINCT doc_id, fp FROM s) GROUP BY fp
+  HAVING COUNT(*) > 1
+),
+agg AS (
+  SELECT s.doc_id, COUNT(*) AS n_spans,
+         CAST(SUM(CASE WHEN s.fp IN (SELECT fp FROM d) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_dup_spans
+  FROM s GROUP BY 1
+)
+SELECT doc_id, n_spans, n_dup_spans,
+       ROUND(n_dup_spans * 1.0 / n_spans, 6) AS boilerplate_ratio
+FROM agg
+"""
+
+REGISTRY["tx_boilerplate_ratio"] = (q_tx_boilerplate_ratio, SQL_TX_BOILERPLATE)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -6768,7 +6840,7 @@ _DRIVER_WINDOW = [
     # ---- Round-8 rotation (VERDICT r7 item 4), computed from
     # tools/stale_stamps.py over the recorded artifacts.  Step IN:
     # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
-    # (b) the r05-stamped cohort, 34 of 36 (the staleness target:
+    # (b) the r05-stamped cohort, 33 of 36 (the staleness target:
     #     after r8 no HASH stamp predates r06).  Two displacements, each
     #     shape-covered: st_sessionize -> t13_thread_assembly (same
     #     boundary algebra, see (c)); a22_approx_quantiles -> the
@@ -6776,7 +6848,11 @@ _DRIVER_WINDOW = [
     #     driver record adds only a row count; its real gate is the
     #     GK-sketch error-bound pytest, the r6/r7 rotations' own
     #     rationale for resting it), and a19 stays in so the sketch
-    #     family still refreshes a record this round;
+    #     family still refreshes a record this round; dd_span_dedup ->
+    #     tx_boilerplate_ratio, whose oracle re-hashes the IDENTICAL
+    #     shared span-fingerprint projection plus the df rollup (and the
+    #     streaming arm st_stream_span carries the same projection with
+    #     an r07 stamp);
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
@@ -6796,7 +6872,7 @@ _DRIVER_WINDOW = [
     "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
     "dd_common_ngrams", "dd_incremental", "dd_jaccard_capped",
-    "dd_lev_verify", "dd_simhash_pairs", "dd_span_dedup",
+    "dd_lev_verify", "dd_simhash_pairs",
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
     "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
@@ -6812,7 +6888,7 @@ _DRIVER_WINDOW = [
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
-    "t13_thread_assembly", "tx_pmi_bigrams",
+    "t13_thread_assembly", "tx_pmi_bigrams", "tx_boilerplate_ratio",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
 ]

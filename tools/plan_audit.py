@@ -90,6 +90,10 @@ SMJ_OK = {
     "dd_substring",  # chunk rows ⋈ duplicated-fingerprint frequencies on
                      # chunk_fp: both sides fact-sized (the map-combinable
                      # replacement for the collect_set window, VERDICT r6)
+    "tx_boilerplate_ratio",  # span rows ⋈ duplicated-fingerprint set on the
+                             # fingerprint: the same shape at span
+                             # granularity (broadcast at sf0.001 stats;
+                             # SMJ is the legitimate at-scale plan)
     "dd_minhash_estimate",  # band self-join + two id-keyed signature joins:
                             # every side fact-sized
     "dd_source_overlap",  # (fp, source) self-join: both sides fact-sized;
