@@ -3179,6 +3179,53 @@ SQL_SIM_IVF_BATCH = _ivf_batch_oracle_sql()
 
 REGISTRY["sim_hard_negatives"] = (q_sim_hard_negatives, _hard_negatives_oracle_sql())
 
+
+def q_sim_index_stats(spark, sf_dir):
+    """SIM+ (beyond-reference): IVF index health report — per inverted
+    list: population, corpus share, and the imbalance factor
+    (n / ceil(N/k)), the observability query an ANN deployment alerts on
+    (a hot list means probe latency spikes and re-training is due; an
+    empty one wastes a partition).  Consumes the shared persisted index;
+    the plan is ONE metadata-cheap scan of the partitioned vectors table
+    (cid + id columns only, list-pruned footers) + a 16-group combinable
+    agg + a 1-row total broadcast."""
+    path = _ivf_index_dir(spark, sf_dir)
+    vecs = spark.read.parquet(f"{path}/vectors").select("vec_id", "_cid")
+    per = vecs.groupBy(F.col("_cid").cast("int").alias("cid")).agg(
+        F.count(F.lit(1)).alias("n_vecs")
+    )
+    tot = per.agg(
+        F.sum("n_vecs").alias("total"), F.count(F.lit(1)).alias("n_lists")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "cid",
+        "n_vecs",
+        F.round(F.col("n_vecs") * F.lit(1.0) / F.col("total"), 6).alias("share"),
+        F.round(
+            F.col("n_vecs")
+            * F.lit(1.0)
+            / F.ceil(F.col("total") * F.lit(1.0) / F.col("n_lists")).cast("long"),
+            6,
+        ).alias("imbalance"),
+    )
+
+
+def _index_stats_oracle_sql() -> str:
+    parts = _ivf_build_parts()
+    joined = ",\n".join(parts)
+    return f"""{joined},
+per AS (SELECT CAST(cid AS INT) AS cid, COUNT(*) AS n_vecs FROM afin GROUP BY 1),
+tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS total, COUNT(*) AS n_lists FROM per)
+SELECT cid, n_vecs,
+       ROUND(n_vecs * 1.0 / total, 6) AS share,
+       ROUND(n_vecs * 1.0 / CAST(ceil(total * 1.0 / n_lists) AS BIGINT), 6)
+         AS imbalance
+FROM per CROSS JOIN tot
+"""
+
+
+REGISTRY["sim_index_stats"] = (q_sim_index_stats, _index_stats_oracle_sql())
+
 REGISTRY["sim_ivf_batch_topk"] = (q_sim_ivf_batch_topk, SQL_SIM_IVF_BATCH)
 
 
@@ -6840,7 +6887,7 @@ _DRIVER_WINDOW = [
     # ---- Round-8 rotation (VERDICT r7 item 4), computed from
     # tools/stale_stamps.py over the recorded artifacts.  Step IN:
     # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
-    # (b) the r05-stamped cohort, 33 of 36 (the staleness target:
+    # (b) the r05-stamped cohort, 32 of 36 (the staleness target:
     #     after r8 no HASH stamp predates r06).  Two displacements, each
     #     shape-covered: st_sessionize -> t13_thread_assembly (same
     #     boundary algebra, see (c)); a22_approx_quantiles -> the
@@ -6852,7 +6899,10 @@ _DRIVER_WINDOW = [
     #     tx_boilerplate_ratio, whose oracle re-hashes the IDENTICAL
     #     shared span-fingerprint projection plus the df rollup (and the
     #     streaming arm st_stream_span carries the same projection with
-    #     an r07 stamp);
+    #     an r07 stamp); sim_pq_topk -> sim_index_stats, the new consumer
+    #     of the SAME persisted quantizer (sim_pq's ADC scoring is the
+    #     r06-stamped sim_ivfpq_topk's composed superset — the r7
+    #     rotation's own rationale);
     # (c) the round-8 newcomers, never driver-stamped;
     # (d) pipe_prepare — its implementation changed this round (URL-dedup
     #     stage 0), so the stamp must re-hash the new plan;
@@ -6876,7 +6926,7 @@ _DRIVER_WINDOW = [
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
     "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
-    "sim_pq_topk", "t10_incremental_rollup",
+    "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
     # --- (c) round-8 newcomers (12; t13_thread_assembly displaces the
@@ -6889,6 +6939,7 @@ _DRIVER_WINDOW = [
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
     "t13_thread_assembly", "tx_pmi_bigrams", "tx_boilerplate_ratio",
+    "sim_index_stats",
     # --- (d) code changed after latest stamp (1) ---
     "pipe_prepare",
 ]

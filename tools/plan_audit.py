@@ -66,7 +66,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "sim_hard_negatives",
                        # corpus token/bigram totals (two 1-row scalars)
                        # crossed onto the vocabulary-sized PMI relation
-                       "tx_pmi_bigrams"}
+                       "tx_pmi_bigrams",
+                       # 1-row (total, n_lists) scalar crossed onto the
+                       # 16-row per-list report
+                       "sim_index_stats"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
