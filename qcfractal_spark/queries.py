@@ -6917,7 +6917,8 @@ _DRIVER_WINDOW = [
     # gates (streaming arms: parity tests; sketches: error-bound tests).
     # --- (a) r07 reds, oracle-CAST fix (2) ---
     "pk_length_buckets", "v1_variant_rollup",
-    # --- (b) r05-stamped cohort (36) ---
+    # --- (b) r05-stamped cohort (32 of 36; displacements documented
+    # above) ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram",
     "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
@@ -6929,12 +6930,11 @@ _DRIVER_WINDOW = [
     "t10_incremental_rollup",
     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
     "tx_dsir", "tx_quality_clf",
-    # --- (c) round-8 newcomers (12; t13_thread_assembly displaces the
-    # r05-stamped st_sessionize, whose 30-min-gap boundary algebra IS
-    # t13's oracle sessionization — the stamp re-hashes the same
-    # lag+cumsum algebra plus the assembly, and the built-in
-    # session_window arm stays pinned by st_session_custom's r06 stamp +
-    # parity pytests) ---
+    # --- (c) round-8 newcomers (15, never driver-stamped; the last four
+    # displaced one r05 query each, rationale in the header above —
+    # t13_thread_assembly's oracle re-hashes st_sessionize's 30-min-gap
+    # lag+cumsum boundary algebra, and the built-in session_window arm
+    # stays pinned by st_session_custom's r06 stamp + parity pytests) ---
     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
