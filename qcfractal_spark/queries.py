@@ -5470,7 +5470,7 @@ p AS (
   FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) u(i)
   WHERE toks[i] = 'big' AND toks[i + 1] = 'order' AND toks[i + 2] = 'scan'
 )
-SELECT doc_id, COUNT(*) AS n_hits, MIN(pos) AS first_pos
+SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(pos) AS INT) AS first_pos
 FROM p GROUP BY doc_id
 """
 
@@ -6599,7 +6599,7 @@ def q_tx_pmi_bigrams(spark, sf_dir):
     bg = tok.select(
         F.explode(
             F.expr(
-                "transform(slice(toks, 1, size(toks) - 1),"
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
                 " (x, i) -> struct(x AS a, toks[i + 1] AS b))"
             )
         ).alias("p")

@@ -46,9 +46,19 @@ def load_bench(path: str) -> dict | None:
         # was cut — r07's leading `p3_filter_page": 0.224` fragment of
         # `p2_p3_filter_page` — has no `"name":` shape and is skipped by
         # the regex itself, so every match is a complete, trustworthy pair.
-        pairs = re.findall(r'"([A-Za-z_]\w*)":\s*(\d+(?:\.\d+)?)', d["tail"])
+        # Anchor to the queries-object region when it survived the cut, so
+        # numeric pairs nested in other structures (regressions blocks'
+        # "base"/"now"/"ratio", future meta) can't masquerade as timings.
+        tail = d["tail"]
+        m = re.search(r'"queries"\s*:\s*\{', tail)
+        if m:
+            region = tail[m.end() :]
+            end = region.find("}")
+            tail = region[:end] if end >= 0 else region
+        pairs = re.findall(r'"([A-Za-z_]\w*)":\s*(\d+(?:\.\d+)?)', tail)
         meta = {"metric", "value", "unit", "sf", "n", "rc", "cpus"}
-        qs = [(k, float(v)) for k, v in pairs if k not in meta]
+        nested = {"base", "now", "ratio"}
+        qs = [(k, float(v)) for k, v in pairs if k not in meta | nested]
         if qs:
             d = {**d, "queries": dict(qs), "partial": True}
     return d if d.get("queries") else None
