@@ -6523,13 +6523,21 @@ def q_t13_thread_assembly(spark, sf_dir):
     count, first/last timestamps, and the '|'-joined event-type thread
     string a fine-tuning pipeline templates from.  The session index is
     a running sum over a rank-only window (streams, buffers one lag row);
-    the assembly is a groupBy collect bounded by SESSION length (never a
+    the assembly is a groupBy collect bounded by MAX_TURNS (never a
     window collect — the plan-audit anti-pattern — and never unbounded:
-    the gap rule caps how much one group can hold at realistic event
-    rates, the same bound st_sessionize's state relies on)."""
+    a within-session row_number caps the collect at MAX_TURNS structs per
+    group even for a gapless bot/firehose user, VERDICT r8 item 2; the
+    ``overflow`` flag marks truncated threads and ``n_turns`` still counts
+    the full session so downstream filters can drop or re-chunk them)."""
+    return assemble_threads(_t(spark, sf_dir, "events"))
+
+
+def assemble_threads(ev: DataFrame, max_turns: int | None = None) -> DataFrame:
+    """t13's assembly over an arbitrary events relation (tests feed a
+    synthetic gapless firehose through it to pin the MAX_TURNS bound)."""
     from .operators.joins import epoch_seconds
 
-    ev = _t(spark, sf_dir, "events")
+    cap = T13_MAX_TURNS if max_turns is None else max_turns
     w = Window.partitionBy("user_id").orderBy(
         F.col("ts").asc(), F.col("event_id").asc()
     )
@@ -6544,20 +6552,35 @@ def q_t13_thread_assembly(spark, sf_dir):
             w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    turns = F.array_sort(
-        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    # Rank-only window (streams); collect_list(when(rk<=N, ...)) skips the
+    # NULLs past the cap, so no task ever buffers more than MAX_TURNS
+    # structs per session regardless of how gapless the user's firehose is.
+    w2 = Window.partitionBy("user_id", "session_idx").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
     )
-    return sess.groupBy("user_id", "session_idx").agg(
+    ranked = sess.withColumn("_rk", F.row_number().over(w2))
+    turns = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("_rk") <= cap,
+                F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")),
+            )
+        )
+    )
+    return ranked.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_turns"),
         F.min("ts").alias("first_ts"),
         F.max("ts").alias("last_ts"),
         F.array_join(
             F.transform(turns, lambda x: x["event_type"]), "|"
         ).alias("thread"),
+        (F.count(F.lit(1)) > cap).alias("overflow"),
     )
 
 
-SQL_T13 = """
+T13_MAX_TURNS = 64
+
+SQL_T13 = f"""
 WITH o AS (
   SELECT user_id, event_id, event_type, ts,
          CASE WHEN lag(ts) OVER w IS NULL
@@ -6568,11 +6591,18 @@ s AS (
   SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
                           ROWS UNBOUNDED PRECEDING) AS session_idx
   FROM o
+),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+                               ORDER BY ts ASC, event_id ASC) AS rk
+  FROM s
 )
 SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
        COUNT(*) AS n_turns, MIN(ts) AS first_ts, MAX(ts) AS last_ts,
-       string_agg(event_type, '|' ORDER BY ts ASC, event_id ASC) AS thread
-FROM s GROUP BY 1, 2
+       string_agg(CASE WHEN rk <= {T13_MAX_TURNS} THEN event_type END,
+                  '|' ORDER BY ts ASC, event_id ASC) AS thread,
+       COUNT(*) > {T13_MAX_TURNS} AS overflow
+FROM r GROUP BY 1, 2
 """
 
 REGISTRY["t13_thread_assembly"] = (q_t13_thread_assembly, SQL_T13)

@@ -149,6 +149,27 @@ GROUP_TOPK = {"o2_priority_topk", "a11_sample_keys", "a9_argmin", "u8_group_samp
 # VERDICT r5 item 2).
 NO_PYTHON = {"dd_semdedup", "sim_ivf_topk"}
 
+# A collect_list/collect_set inside a groupBy AGGREGATE buffers one group's
+# values in a single task.  That is only acceptable when the collect is
+# provably bounded by something other than data volume; every sanctioned
+# site documents its bound here (VERDICT r8 item 2 / r9 task 6).  Any other
+# aggregate-collect in a plan is flagged.
+BOUNDED_COLLECT_OK = {
+    # ≤64 structs/group: collect_list(when(rk<=T13_MAX_TURNS, ...)) skips
+    # NULLs past the row_number cap; overflow flag marks truncation.
+    "t13_thread_assembly",
+    # per-order linestatus array: bounded by lines-per-order (≤7 in the
+    # TPC-H-ish schema) — the reference record-status gate semantics.
+    "a8_status_gate",
+    # jsonb_object_agg twin: one (linenumber, qty) entry per order line,
+    # ≤7 per group, pre-deduped by key before the collect.
+    "a10_map_agg",
+    # percentile_disc collects the group's values — bounded-cardinality
+    # telemetry groups (per-spec access buckets), documented in
+    # operators/aggregates.py:percentile_disc.
+    "a6_access_summary",
+}
+
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
 # step of a loop (closure levels are checkpointed RDD scans) — plan text is
 # not representative, audit is covered by operator tests.
@@ -226,6 +247,19 @@ def audit_one(name: str, df) -> list[str]:
         ):
             problems.append("set-materializing window (collect over window)")
             break
+
+    # Aggregate collects buffer a whole group in one task — sanctioned only
+    # where BOUNDED_COLLECT_OK documents the bound (VERDICT r9 task 6).
+    if name not in BOUNDED_COLLECT_OK:
+        for ln in plan.splitlines():
+            if "windowspecdefinition" in ln:
+                continue
+            if "collect_set" in ln or "collect_list" in ln:
+                problems.append(
+                    "groupBy collect without a documented bound "
+                    "(add to BOUNDED_COLLECT_OK with the bound)"
+                )
+                break
 
     if name in NO_PYTHON and ("ArrowEvalPython" in plan or "BatchEvalPython" in plan):
         problems.append("Python stage in an index-backed plan (quantizer retrain?)")
