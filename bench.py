@@ -280,6 +280,15 @@ def main() -> None:
     # and r07's metric line was long enough to lose its front to that
     # window — every byte saved here is a timing that survives.
     print(json.dumps(out, separators=(",", ":")))
+    # Self-record the untruncated result so the ledger never depends on the
+    # driver's tail capture again (VERDICT r8 item 4): bench_ratio upgrades
+    # a truncated BENCH_r{N}.json from BENCH_SELF_latest.json when the
+    # overlapping per-query timings are identical (same run).
+    try:
+        with open(os.path.join(repo_dir, "BENCH_SELF_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError as exc:  # never fail the benchmark over the artifact
+        print(f"WARNING: could not self-record bench: {exc}", file=sys.stderr)
 
 
 if __name__ == "__main__":

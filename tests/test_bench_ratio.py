@@ -75,3 +75,38 @@ def test_r07_artifact_recovers_verdict_ratio():
     n, s_now, s_base = like_for_like(r07, r06)
     assert n == 57
     assert round(s_now / s_base, 2) == 0.99
+
+
+def test_truncated_tail_upgrades_from_self_record(tmp_path):
+    """bench.py self-records its untruncated result; a truncated driver
+    record from the SAME run (identical overlapping timings) upgrades to
+    the complete query set, while a DIFFERENT run's self-record (any
+    timing differs) leaves the partial record alone."""
+    full = {"metric": "m", "value": 3.724, "unit": "sec",
+            "queries": {"h1": 1.0, "a6": 0.767, "b7": 1.5, "zz": 0.457},
+            "sf": 0.1}
+    (tmp_path / "BENCH_SELF_latest.json").write_text(json.dumps(full))
+    tail = '": 0.224, "a6": 0.767, "b7": 1.5}, "sf": 0.1}\n'
+    p = tmp_path / "BENCH_r09.json"
+    p.write_text(json.dumps({"rc": 0, "tail": tail}))
+    got = load_bench(str(p))
+    assert got["partial"] is False and got["self_recorded"] is True
+    assert got["queries"] == full["queries"]
+    assert got["value"] == 3.724
+
+    other = dict(full, queries=dict(full["queries"], a6=0.9))
+    (tmp_path / "BENCH_SELF_latest.json").write_text(json.dumps(other))
+    got2 = load_bench(str(p))
+    assert got2.get("partial") is True
+    assert got2["queries"] == {"a6": 0.767, "b7": 1.5}
+
+
+def test_tail_recovery_ignores_nested_regression_pairs(tmp_path):
+    """base/now/ratio pairs inside a regressions block must not be
+    ingested as query timings by the regex fallback."""
+    tail = ('": 0.2, "a6": 0.767}, "sf": 0.1, "regressions_vs_r08": '
+            '{"qX": {"base": 0.1, "now": 0.5, "ratio": 5.0}}}\n')
+    p = tmp_path / "BENCH_r10.json"
+    p.write_text(json.dumps({"rc": 0, "tail": tail}))
+    got = load_bench(str(p))
+    assert got["queries"] == {"a6": 0.767}

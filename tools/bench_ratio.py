@@ -61,6 +61,28 @@ def load_bench(path: str) -> dict | None:
         qs = [(k, float(v)) for k, v in pairs if k not in meta | nested]
         if qs:
             d = {**d, "queries": dict(qs), "partial": True}
+    if d.get("partial"):
+        # bench.py self-records its untruncated result (VERDICT r8 item 4).
+        # If the self-record is the SAME run — every overlapping per-query
+        # timing identical (both sides print round(x, 3)) — upgrade the
+        # truncated record to the complete one.
+        selfp = os.path.join(os.path.dirname(path) or ".", "BENCH_SELF_latest.json")
+        try:
+            with open(selfp) as fh:
+                s = json.load(fh)
+        except (OSError, ValueError):
+            s = None
+        if s and s.get("queries"):
+            sq, dq = s["queries"], d["queries"]
+            common = set(sq) & set(dq)
+            sf_ok = d.get("sf") is None or d.get("sf") == s.get("sf")
+            if common and sf_ok and all(
+                abs(float(sq[q]) - float(dq[q])) < 1e-9 for q in common
+            ):
+                d = {**d, "queries": dict(sq), "partial": False,
+                     "self_recorded": True}
+                if "value" in s:
+                    d["value"] = s["value"]
     return d if d.get("queries") else None
 
 
