@@ -118,6 +118,8 @@ BENCH_QUERIES = [
     "tx_pmi_bigrams",       # PMI collocation mining (phrase detection)
     "tx_boilerplate_ratio", # per-doc duplicated-span share (df join-back)
     "sim_index_stats",      # IVF list-health report (pruned footer scan)
+    "tx_html_extract",      # HTML main-content extraction (array codegen)
+    "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

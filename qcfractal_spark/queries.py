@@ -113,7 +113,12 @@ _SYNTH_URL_EXPR = (
     "case when doc_id % 3 = 0 then 'www.' else '' end, "
     "case when (doc_id div 5) % 3 = 1 then 'blog.' else '' end, "
     "'site', cast((doc_id div 5) % 40 as string), "
-    "case when (doc_id div 5) % 4 = 0 then '.co.uk' else '.com' end, "
+    # TLD mix exercises the PSL semantics end-to-end: 2-label ccTLD
+    # second-levels (.co.uk/.com.cn/.co.kr/.com.br), a wildcard-rule tail
+    # (*.ck makes foo.ck itself a public suffix), and the .com majority.
+    "case (doc_id div 5) % 8 "
+    "when 0 then '.co.uk' when 2 then '.com.cn' when 4 then '.co.kr' "
+    "when 5 then '.com.br' when 6 then '.foo.ck' else '.com' end, "
     "case when doc_id % 7 = 3 then ':443' else '' end, "
     "'/docs/', cast(doc_id div 5 as string), "
     "case when doc_id % 5 = 2 then '/' else '' end, "
@@ -126,7 +131,9 @@ _SYNTH_URL_SQL = (
     "CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END, "
     "CASE WHEN (doc_id // 5) % 3 = 1 THEN 'blog.' ELSE '' END, "
     "'site', CAST((doc_id // 5) % 40 AS VARCHAR), "
-    "CASE WHEN (doc_id // 5) % 4 = 0 THEN '.co.uk' ELSE '.com' END, "
+    "CASE (doc_id // 5) % 8 "
+    "WHEN 0 THEN '.co.uk' WHEN 2 THEN '.com.cn' WHEN 4 THEN '.co.kr' "
+    "WHEN 5 THEN '.com.br' WHEN 6 THEN '.foo.ck' ELSE '.com' END, "
     "CASE WHEN doc_id % 7 = 3 THEN ':443' ELSE '' END, "
     "'/docs/', CAST(doc_id // 5 AS VARCHAR), "
     "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
@@ -3501,10 +3508,23 @@ def _ivf_index_dir(spark, sf_dir: str) -> str:
     identical row counts — can never serve stale assignments."""
     import os as _os
 
+    import pyarrow.parquet as _pq
+
     path = _scratch_dir(sf_dir, "ivf_index")
     src = _os.path.join(sf_dir, "embeddings.parquet")
     st = _os.stat(src)
-    marker = f"{st.st_size}:{st.st_mtime_ns}"
+    # k-means k scales with the corpus (the SemDeDup/IVF deployment rule —
+    # functions/similarity.py:625): fixed k means clusters grow ∝ N and the
+    # within-cluster pair join grows ∝ N² (measured: dd_semdedup exponent
+    # +1.64 at the r9 sf1 run under k=16).  k = max(16, N/125) keeps the
+    # expected cluster ~125 vectors, so cluster-local work grows ∝ N; at
+    # every driver-gated sf (0.001/0.01/0.1 → ≤2k vectors) the formula
+    # still yields EXACTLY 16, so gated outputs and the n_centroids=16
+    # oracle twins are unchanged.  k joins the rebuild marker so a corpus
+    # size change re-clusters.
+    n_vecs = _pq.read_metadata(src).num_rows
+    k = max(16, n_vecs // 125)
+    marker = f"{st.st_size}:{st.st_mtime_ns}:k{k}"
     marker_path = _os.path.join(path, "source_marker")
     valid = _os.path.exists(_os.path.join(path, "vectors", "_SUCCESS"))
     if valid:
@@ -3514,7 +3534,7 @@ def _ivf_index_dir(spark, sf_dir: str) -> str:
         except OSError:
             valid = False
     if not valid:
-        sim.write_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_centroids=16)
+        sim.write_ivf_index(_t(spark, sf_dir, "embeddings"), path, n_centroids=k)
         _os.makedirs(path, exist_ok=True)
         with open(marker_path, "w") as fh:
             fh.write(marker)
@@ -4757,16 +4777,18 @@ def q_st_stream_urldedup(spark, sf_dir):
 
 
 def _stream_urldedup_sql() -> str:
-    from .functions import urls
+    from .functions import psl, urls
 
     c = urls.canonical_url_sql(_SYNTH_URL_SQL)
     h = urls.url_host_sql("c")
+    dom = psl.psl_domain_select_sql("hh", "host", keep="canonical_url")
     return f"""
 WITH u AS (
   SELECT doc_id, {c} AS c FROM documents
 ),
-hh AS (SELECT doc_id, c, {h} AS h FROM u),
-s AS (SELECT c AS canonical_url, {urls.registrable_domain_sql("h")} AS domain FROM hh)
+hh AS (SELECT doc_id, c AS canonical_url, {h} AS host FROM u),
+{psl.psl_rules_values_sql()},
+s AS ({dom})
 SELECT canonical_url, domain, CAST(1 AS BIGINT) AS n_out
 FROM s GROUP BY 1, 2
 """
@@ -5317,8 +5339,12 @@ def q_dd_url_dedup(spark, sf_dir):
     keep the lowest doc_id as the page's representative.  Emits one row
     per canonical page with its registrable domain and the surface-variant
     count.  ONE shuffle, on the canonical-URL key; the canonicalization
-    itself is scan-side whole-stage codegen, no UDF."""
-    from .functions import urls
+    itself is scan-side whole-stage codegen, no UDF; the registrable
+    domain is PSL-true (functions/psl.py, VERDICT r8 item 2) — K chained
+    broadcast left-joins against the public-suffix dim table, still
+    map-side (urls.registrable_domain stays as the no-PSL-data regex
+    fallback)."""
+    from .functions import psl, urls
 
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.expr(_SYNTH_URL_EXPR).alias("url")
@@ -5327,8 +5353,9 @@ def q_dd_url_dedup(spark, sf_dir):
     staged = docs.select(
         "doc_id",
         canon.alias("canonical_url"),
-        urls.registrable_domain(urls.url_host(canon)).alias("domain"),
+        urls.url_host(canon).alias("host"),
     )
+    staged = psl.with_registrable_domain(staged, "host").drop("host")
     return staged.groupBy("canonical_url", "domain").agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count(F.lit(1)).alias("n_copies"),
@@ -5336,11 +5363,11 @@ def q_dd_url_dedup(spark, sf_dir):
 
 
 def _url_dedup_sql() -> str:
-    from .functions import urls
+    from .functions import psl, urls
 
     c = urls.canonical_url_sql("url")
     h = urls.url_host_sql("c")
-    d = urls.registrable_domain_sql("h")
+    dom = psl.psl_domain_select_sql("hh", "host", keep="doc_id, canonical_url")
     return f"""
 WITH u AS (
   SELECT doc_id, {_SYNTH_URL_SQL} AS url FROM documents
@@ -5349,11 +5376,10 @@ b AS (
   SELECT doc_id, {c} AS c FROM u
 ),
 hh AS (
-  SELECT doc_id, c, {h} AS h FROM b
+  SELECT doc_id, c AS canonical_url, {h} AS host FROM b
 ),
-s AS (
-  SELECT doc_id, c AS canonical_url, {d} AS domain FROM hh
-)
+{psl.psl_rules_values_sql()},
+s AS ({dom})
 SELECT canonical_url, domain,
        MIN(doc_id) AS keeper_doc_id,
        COUNT(*) AS n_copies
@@ -5372,8 +5398,10 @@ def q_tx_domain_stats(spark, sf_dir):
     scan-side codegen; the rollup is one map-combinable hash aggregate on
     the (low-cardinality) domain key, with the distinct-page count the
     only re-shuffle-free expansion (partial aggregation on (domain,
-    canon) first)."""
-    from .functions import urls
+    canon) first).  Domains are PSL-true (functions/psl.py broadcast
+    joins) so per-domain caps/blocklists bucket ``.com.cn``/``.co.kr``
+    correctly — the policy-correctness fix of VERDICT r8 item 2."""
+    from .functions import psl, urls
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
     canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
@@ -5381,10 +5409,11 @@ def q_tx_domain_stats(spark, sf_dir):
         "doc_id",
         "source",
         canon.alias("canon"),
-        urls.registrable_domain(urls.url_host(canon)).alias("domain"),
+        urls.url_host(canon).alias("host"),
         tx.token_count(F.col("text")).alias("n_tok"),
         tx.quality_score(F.col("text")).alias("quality"),
     )
+    staged = psl.with_registrable_domain(staged, "host").drop("host")
     return staged.groupBy("domain").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("canon").alias("n_pages"),
@@ -5395,11 +5424,14 @@ def q_tx_domain_stats(spark, sf_dir):
 
 
 def _domain_stats_sql() -> str:
-    from .functions import urls
+    from .functions import psl, urls
 
     # qualify the synth expr's doc_id: inside st both d and q carry one
     c = urls.canonical_url_sql(_SYNTH_URL_SQL.replace("doc_id", "d.doc_id"))
     h = urls.url_host_sql("canon")
+    dom = psl.psl_domain_select_sql(
+        "sh", "host", keep="doc_id, source, canon, n_tok, quality"
+    )
     return f"""
 WITH {_SQL_QUALITY_CTES.strip()},
 st AS (
@@ -5409,11 +5441,9 @@ st AS (
   FROM documents d JOIN quality q ON q.doc_id = d.doc_id
   WHERE d.text IS NOT NULL
 ),
-dm AS (
-  SELECT doc_id, source, canon, n_tok, quality,
-         {urls.registrable_domain_sql("h")} AS domain
-  FROM (SELECT *, {h} AS h FROM st)
-)
+sh AS (SELECT *, {h} AS host FROM st),
+{psl.psl_rules_values_sql()},
+dm AS ({dom})
 SELECT domain,
        COUNT(*) AS n_docs,
        COUNT(DISTINCT canon) AS n_pages,
@@ -6761,6 +6791,149 @@ FROM agg
 REGISTRY["tx_boilerplate_ratio"] = (q_tx_boilerplate_ratio, SQL_TX_BOILERPLATE)
 
 
+# Deterministic HTML stand-in for the markup-less documents table (the
+# same derived-field convention as _SYNTH_URL_EXPR): each doc's text is
+# wrapped in a page skeleton — head/script/style to strip, a link-dense
+# nav, a ≥3-word heading, the text split across two <p> paragraphs (the
+# second carrying an inline anchor for every doc_id % 3 == 0, low link
+# density → must be KEPT), a link-only "related" list and a link-dense
+# footer (both → must be DROPPED), plus an HTML comment and an &amp;
+# entity.  Both engines replay the same arithmetic.
+_SYNTH_HTML_EXPR = (
+    "concat("
+    "'<html><head><title>Doc ', cast(doc_id as string), "
+    "'</title><script>var x=1;</script><style>.m{color:red}</style></head>', "
+    "'<body><div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> "
+    "<a href=\"/c\">Contact</a></div>', "
+    "'<h1>Document ', cast(doc_id as string), ' overview notes</h1>', "
+    "'<!-- tracker beacon -->', "
+    "'<p>', substring(text, 1, cast(floor(length(text) / 2) as int)), '</p>', "
+    "'<ul><li><a href=\"/r\">Read more related articles</a></li>"
+    "<li><a href=\"/s\">More stories &amp; links</a></li></ul>', "
+    "'<p>', case when doc_id % 3 = 0 then concat("
+    "'<a href=\"/in\">', "
+    "substring(text, cast(floor(length(text) / 2) as int) + 1, 24), '</a>', "
+    "substring(text, cast(floor(length(text) / 2) as int) + 25, length(text))"
+    ") else substring(text, cast(floor(length(text) / 2) as int) + 1, length(text)) end, "
+    "'</p>', "
+    "'<div class=\"footer\"><a href=\"/t\">Terms of use</a> "
+    "<a href=\"/p\">Privacy policy</a> &copy;</div></body></html>')"
+)
+
+_SYNTH_HTML_SQL = (
+    "concat("
+    "'<html><head><title>Doc ', CAST(doc_id AS VARCHAR), "
+    "'</title><script>var x=1;</script><style>.m{color:red}</style></head>', "
+    "'<body><div id=\"nav\"><a href=\"/\">Home</a> <a href=\"/a\">About</a> "
+    "<a href=\"/c\">Contact</a></div>', "
+    "'<h1>Document ', CAST(doc_id AS VARCHAR), ' overview notes</h1>', "
+    "'<!-- tracker beacon -->', "
+    "'<p>', substring(text, 1, CAST(floor(length(text) / 2) AS INT)), '</p>', "
+    "'<ul><li><a href=\"/r\">Read more related articles</a></li>"
+    "<li><a href=\"/s\">More stories &amp; links</a></li></ul>', "
+    "'<p>', CASE WHEN doc_id % 3 = 0 THEN concat("
+    "'<a href=\"/in\">', "
+    "substring(text, CAST(floor(length(text) / 2) AS INT) + 1, 24), '</a>', "
+    "substring(text, CAST(floor(length(text) / 2) AS INT) + 25, length(text))"
+    ") ELSE substring(text, CAST(floor(length(text) / 2) AS INT) + 1, length(text)) END, "
+    "'</p>', "
+    "'<div class=\"footer\"><a href=\"/t\">Terms of use</a> "
+    "<a href=\"/p\">Privacy policy</a> &copy;</div></body></html>')"
+)
+
+
+def q_tx_html_extract(spark, sf_dir):
+    """TX+ (beyond-reference): HTML → main-content extraction (VERDICT r8
+    item 4) — the curation stage BEFORE url/span/minhash dedup: strip
+    script/style/head/comments, break on block-close tags, keep lines
+    with ≥3 words and ≤1/2 link density (functions/html.py, the
+    Kohlschütter-style line rules).  Gated per doc on the kept/total line
+    counts, the boilerplate share, and the md5 + length of the extracted
+    content (so a one-char extraction drift hash-reds).
+
+    Scale shape: ONE row-local projection — regex chains + array
+    higher-order functions inside whole-stage codegen; no explode, no
+    shuffle, no UDF.  Composes ahead of pipe_prepare as "stage -1" for
+    markup corpora (documented option; the registry corpus is already
+    plain text, so the flagship keeps its plain-text input)."""
+    from .functions import html as H
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    e = H.html_extract(F.expr(_SYNTH_HTML_EXPR))
+    return docs.select(
+        "doc_id",
+        e["n_lines"].alias("n_lines"),
+        e["n_kept"].alias("n_kept"),
+        e["boilerplate_share"].alias("boilerplate_share"),
+        F.length(e["content"]).alias("content_chars"),
+        F.md5(e["content"]).alias("content_md5"),
+    )
+
+
+def _html_extract_sql() -> str:
+    from .functions import html as H
+
+    inner = H.html_extract_select_sql("h", "html", keep="doc_id")
+    return f"""
+WITH h AS (
+  SELECT doc_id, {_SYNTH_HTML_SQL} AS html
+  FROM documents WHERE text IS NOT NULL
+),
+e AS ({inner})
+SELECT doc_id, n_lines, n_kept, boilerplate_share,
+       CAST(length(content) AS INT) AS content_chars,
+       md5(content) AS content_md5
+FROM e
+"""
+
+
+REGISTRY["tx_html_extract"] = (q_tx_html_extract, _html_extract_sql())
+
+
+def q_tx_bigram_lm(spark, sf_dir):
+    """TX+ (beyond-reference): interpolated-backoff bigram LM perplexity
+    (functions/text.py:bigram_lm_scores, VERDICT r8 item 5) — the CCNet
+    quality-filter upgrade from tx_unigram_lm's unigram proxy: scores
+    each doc's mean -log2 p(b|a) with Jelinek-Mercer interpolation
+    (λ=3/4 bigram ML, 1/4 unigram backoff), so shuffled-token junk with a
+    natural unigram profile finally scores as junk (pytest-pinned).
+    Same decimal round-then-sum order-independence as the unigram arm."""
+    return tx.bigram_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_TX_BIGRAM_LM = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+uni AS (SELECT unnest(toks) AS t FROM tok),
+cf AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+tot AS (SELECT COUNT(*) AS total FROM uni),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+btf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT a, b, COUNT(*) AS cab FROM bg GROUP BY 1, 2),
+cc AS (SELECT a, COUNT(*) AS ca FROM bg GROUP BY 1)
+SELECT btf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(tf AS DECIMAL(8,0))
+                     * CAST(ROUND(-log2(
+                         CAST(0.75 AS DOUBLE) * (CAST(cab AS DOUBLE) / ca)
+                       + CAST(0.25 AS DOUBLE) * (CAST(cfb.c AS DOUBLE) / tot.total)
+                       ), 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / SUM(tf), 6) AS mean_nll
+FROM btf
+JOIN bc USING (a, b)
+JOIN cc USING (a)
+JOIN cf cfb ON cfb.t = btf.b
+CROSS JOIN tot
+GROUP BY 1
+"""
+
+REGISTRY["tx_bigram_lm"] = (q_tx_bigram_lm, SQL_TX_BIGRAM_LM)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -6913,9 +7086,8 @@ REGISTRY["tx_boilerplate_ratio"] = (q_tx_boilerplate_ratio, SQL_TX_BOILERPLATE)
 #                      j12_element_at (both r06-fresh)
 #   f12_hour_percentiles  continuous-percentile twin of a6_access_summary
 #                      (r06-fresh percentile_disc family)
-_DRIVER_WINDOW = [
-    # ---- Round-8 rotation (VERDICT r7 item 4), computed from
-    # tools/stale_stamps.py over the recorded artifacts.  Step IN:
+# ---- Round-8 rotation (VERDICT r7 item 4), now rotated out; ledger kept:
+# Step IN:
     # (a) the two r07 REDs — re-stamp with the CAST-fixed oracles;
     # (b) the r05-stamped cohort, 32 of 36 (the staleness target:
     #     after r8 no HASH stamp predates r06).  Two displacements, each
@@ -6946,32 +7118,94 @@ _DRIVER_WINDOW = [
     # is either re-entering under (b)/(c) or pinned by standing pytest
     # gates (streaming arms: parity tests; sketches: error-bound tests).
     # --- (a) r07 reds, oracle-CAST fix (2) ---
-    "pk_length_buckets", "v1_variant_rollup",
+#     "pk_length_buckets", "v1_variant_rollup",
     # --- (b) r05-stamped cohort (32 of 36; displacements documented
     # above) ---
-    "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
-    "a20_salted_agg", "a21_histogram",
-    "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
-    "dd_common_ngrams", "dd_incremental", "dd_jaccard_capped",
-    "dd_lev_verify", "dd_simhash_pairs",
-    "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
-    "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
-    "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
-    "t10_incremental_rollup",
-    "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
-    "tx_dsir", "tx_quality_clf",
+#     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
+#     "a20_salted_agg", "a21_histogram",
+#     "a7_json_rollup", "a8_status_gate", "a9_argmin", "d1_value_call",
+#     "dd_common_ngrams", "dd_incremental", "dd_jaccard_capped",
+#     "dd_lev_verify", "dd_simhash_pairs",
+#     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
+#     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_domain_cap",
+#     "s2_bulk_get", "s3_insert_dedup_table", "s8_snapshot_roundtrip",
+#     "t10_incremental_rollup",
+#     "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
+#     "tx_dsir", "tx_quality_clf",
     # --- (c) round-8 newcomers (15, never driver-stamped; the last four
     # displaced one r05 query each, rationale in the header above —
     # t13_thread_assembly's oracle re-hashes st_sessionize's 30-min-gap
     # lag+cumsum boundary algebra, and the built-in session_window arm
     # stays pinned by st_session_custom's r06 stamp + parity pytests) ---
-    "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
-    "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
-    "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
-    "t13_thread_assembly", "tx_pmi_bigrams", "tx_boilerplate_ratio",
-    "sim_index_stats",
+#     "pk_bin_pack", "pk_bfd_pack", "dd_url_dedup", "tx_domain_stats",
+#     "tx_phrase_hits", "a25_diversity", "u12_interleave", "s10_compact",
+#     "st_stream_urldedup", "dd_lsh_recall_eval", "sim_hard_negatives",
+#     "t13_thread_assembly", "tx_pmi_bigrams", "tx_boilerplate_ratio",
+#     "sim_index_stats",
     # --- (d) code changed after latest stamp (1) ---
-    "pipe_prepare",
+#     "pipe_prepare",
+# ]  (end r8 roster ledger)
+
+_DRIVER_WINDOW = [
+    # ---- Round-9 rotation (VERDICT r8 item 7), computed from
+    # tools/stale_stamps.py over the recorded artifacts.  Step IN:
+    # (a) the full r05-stamped residue (4) — the rotation's oldest stamps,
+    #     closing the r8 window's acknowledged leftover;
+    # (b) every query whose implementation or oracle changed after its
+    #     r8 stamp (8): t13_thread_assembly (64-turn session cap +
+    #     overflow flag), tx_phrase_hits (first_pos INT width fix),
+    #     tx_pmi_bigrams (empty-token slice guard), dd_url_dedup +
+    #     tx_domain_stats + st_stream_urldedup (PSL-true registrable
+    #     domains + the widened synthetic-URL TLD mix), pipe_prepare
+    #     (stage-0 canonical keys change with the TLD mix), s10_compact
+    #     (compact_small_files rewritten onto the Hadoop FS API);
+    # (c) the round-9 newcomers, never driver-stamped (2):
+    #     tx_html_extract (main-content extraction), tx_bigram_lm
+    #     (interpolated bigram LM);
+    # (d) 36 of the 49 r06-stamped queries — the next-oldest cohort.
+    # Step OUT: the 47 r07 + 42 remaining r08 stamps (all freshly green
+    # within two rounds) and 13 r06 queries whose shapes are carried by
+    # in-window or r08-fresh siblings:
+    #   a2_status_counts ⊂ a5_two_col_counts (in-window);
+    #   a4_union_counts  ⊂ a5 + the union family in j8_closure (r07);
+    #   u3_distinct      trivial DISTINCT ⊂ j9_anti_join (r08);
+    #   j12_element_at   array-tail scalar ⊂ a9_argmin (r08);
+    #   f9_content_hash  canonicalization hash ⊂ mol_identifiers (r08);
+    #   dd_simhash       signatures ⊂ dd_simhash_pairs (r08);
+    #   dd_contamination_neardup ⊂ dd_contamination (in-window) +
+    #                    the dd_minhash_lsh kernel (r07);
+    #   sim_cosine_pairs verification-only baseline (guarded collect;
+    #                    sim_knn_join in-window carries the pair shape);
+    #   sim_ivfpq_topk   ⊂ sim_ivf_batch_topk (in-window) + sim_pq_topk
+    #                    (stepping IN under (a));
+    #   st_session_custom ⊂ st_sessionize (stepping IN under (a), same
+    #                    lag+cumsum oracle algebra) + parity pytests;
+    #   tx_repetition    ⊂ tx_text_stats (in-window superset);
+    #   u5_stratified_sample ⊂ u6_mixture_sample (in-window superset);
+    #   h6_forecast_revenue single-scan filter-sum ⊂ h1_pricing_summary
+    #                    (in-window same-scan multi-agg superset).
+    # After r9 stamps: no stamp older than r06, and the r06 residue is 13
+    # (structural floor: 150 queries / 50-per-round window = 3 rounds).
+    # --- (a) r05 residue (4) ---
+    "dd_span_dedup", "sim_pq_topk", "st_sessionize", "a22_approx_quantiles",
+    # --- (b) changed after their r8 stamp (8) ---
+    "t13_thread_assembly", "tx_phrase_hits", "tx_pmi_bigrams",
+    "dd_url_dedup", "tx_domain_stats", "st_stream_urldedup",
+    "pipe_prepare", "s10_compact",
+    # --- (c) round-9 newcomers (2) ---
+    "tx_html_extract", "tx_bigram_lm",
+    # --- (d) r06 cohort, 36 of 49 (displacements documented above) ---
+    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
+    "a13_manybody_levels", "a14_pivot", "a16_dedup_batch",
+    "a17_group_centroid", "a5_two_col_counts", "a6_access_summary",
+    "dd_containment", "dd_contamination", "dd_exact", "dd_jaccard",
+    "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
+    "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
+    "j1_dim_join", "j4_semi_join", "o2_priority_topk", "p4_tuple_in",
+    "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
+    "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
+    "sim_knn_join", "sim_lsh_topk", "t3_hourly_rollup", "tx_pii",
+    "tx_text_stats", "u6_mixture_sample", "w1_window_lag",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

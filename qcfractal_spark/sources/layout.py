@@ -170,18 +170,28 @@ def compact_small_files(
     partitions whose file count drifted), and ``repartition(n_out)`` is
     one round-robin exchange of just that partition's data — no keys, no
     skew, no sort.  Returns {files_before, files_after, bytes, n_out}.
-    """
-    import glob
-    import math
-    import os
-    import shutil
 
-    files = [
-        f
-        for f in glob.glob(os.path.join(path, "*"))
-        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
-    ]
-    total = sum(os.path.getsize(f) for f in files)
+    All listing/rename/delete goes through the Hadoop FileSystem API
+    (VERDICT r8 item 3), so the op runs unchanged on ``file://``,
+    ``hdfs://`` and ``s3a://`` URIs — the object stores the maintenance
+    op was written for.  A missing directory or an unregistered scheme
+    raises (never the silent 0-file no-op the glob version had).
+    """
+    import math
+
+    fs, hpath = _hadoop_fs(spark, path)
+    if not fs.exists(hpath):
+        raise FileNotFoundError(f"compact_small_files: no such directory: {path}")
+
+    def _data_files(p):
+        return [
+            st
+            for st in fs.listStatus(p)
+            if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+        ]
+
+    files = _data_files(hpath)
+    total = sum(st.getLen() for st in files)
     n_out = max(1, math.ceil(total / target_bytes))
     if len(files) <= n_out:
         return {
@@ -191,22 +201,34 @@ def compact_small_files(
             "n_out": n_out,
         }
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + ".compact_tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
-    old = path.rstrip("/") + ".compact_old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
-    after = [
-        f
-        for f in glob.glob(os.path.join(path, "*"))
-        if os.path.isfile(f) and not os.path.basename(f).startswith((".", "_"))
-    ]
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    tmp = jpath(path.rstrip("/") + ".compact_tmp")
+    old = jpath(path.rstrip("/") + ".compact_old")
+    fs.delete(tmp, True)
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp.toString())
+    fs.delete(old, True)
+    if not fs.rename(hpath, old):
+        raise IOError(f"compact_small_files: rename {path} -> {old} failed")
+    if not fs.rename(tmp, hpath):
+        # roll back the pointer swap so readers keep the original data
+        fs.rename(old, hpath)
+        raise IOError(f"compact_small_files: rename {tmp} -> {path} failed")
+    fs.delete(old, True)
+    after = _data_files(hpath)
     return {
         "files_before": len(files),
         "files_after": len(after),
         "bytes": total,
         "n_out": n_out,
     }
+
+
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` via the JVM Hadoop FS API — the
+    scheme-agnostic route (LocalFileSystem for bare/file:// paths, HDFS /
+    S3A / ABFS for their URIs, resolved from the session's Hadoop conf).
+    An unregistered scheme raises here, visibly."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return fs, hpath

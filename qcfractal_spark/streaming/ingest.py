@@ -231,13 +231,19 @@ def stream_url_dedup(
     horizon), never frontier-sized.  Emits the surviving rows with their
     ``canonical_url`` and ``domain`` attached.  Works on batch frames too
     (plain dropDuplicates), which is how the parity pytest pins the
-    semantics."""
-    from ..functions import urls
+    semantics.
+
+    The registrable domain is PSL-true (functions/psl.py): the
+    public-suffix dim table joins as a stream-static BROADCAST join —
+    supported in structured streaming, still map-side, no stream state
+    beyond the dedup key store."""
+    from ..functions import psl, urls
 
     canon = urls.canonical_url(F.col(url_col))
     out = df.withColumn("canonical_url", canon).withColumn(
-        "domain", urls.registrable_domain(urls.url_host(F.col("canonical_url")))
+        "__host", urls.url_host(F.col("canonical_url"))
     )
+    out = psl.with_registrable_domain(out, "__host").drop("__host")
     return stream_dedup(
         out, key_cols=("canonical_url",), ts_col=ts_col, watermark=watermark
     )

@@ -1,0 +1,82 @@
+"""functions/html.py — main-content extraction semantics: script/style/
+head/comment stripping, block-line splitting, the ≥3-words + ≤1/2-link-
+density keep rule, entity unescape, and Spark↔DuckDB twin parity on
+handcrafted fixtures (the registry query is additionally oracle-gated at
+sf0.001 by test_queries_oracle)."""
+
+from __future__ import annotations
+
+import duckdb
+from pyspark.sql import functions as F
+
+from qcfractal_spark.functions import html as H
+
+PAGE = (
+    "<html><head><title>Two words</title>"
+    "<script>var no = 'never seen';</script><style>.x{}</style></head>"
+    "<body><div><a href='/'>Home</a> <a href='/a'>About</a> <a href='/c'>More</a></div>"
+    "<!-- secret tracker comment -->"
+    "<h1>A proper heading line</h1>"
+    "<p>This paragraph has plenty of words and no links at all.</p>"
+    "<p>Inline <a href='/x'>link</a> inside a long enough prose line survives.</p>"
+    "<li><a href='/r'>Entirely a link line</a></li>"
+    "<p>Fish &amp; chips &lt;tasty&gt; today here.</p>"
+    "<p>too short</p>"
+    "<div><a href='/t'>Terms of service</a> <a href='/p'>Privacy here</a> ok</div>"
+    "</body></html>"
+)
+
+KEPT = [
+    "A proper heading line",
+    "This paragraph has plenty of words and no links at all.",
+    "Inline link inside a long enough prose line survives.",
+    "Fish & chips <tasty> today here.",
+]
+DROPPED_FRAGMENTS = ["Home About", "Entirely a link line", "too short",
+                     "Terms of service", "never seen", "secret tracker",
+                     "Two words"]
+
+
+def _spark_extract(spark, html_text):
+    df = spark.createDataFrame([(html_text,)], "html string")
+    e = H.html_extract(F.col("html"))
+    return df.select(
+        e["content"].alias("content"),
+        e["n_lines"].alias("n_lines"),
+        e["n_kept"].alias("n_kept"),
+        e["boilerplate_share"].alias("share"),
+    ).first()
+
+
+def test_keep_and_drop_rules(spark):
+    r = _spark_extract(spark, PAGE)
+    lines = r["content"].split("\n")
+    assert lines == KEPT
+    for frag in DROPPED_FRAGMENTS:
+        assert frag not in r["content"]
+    assert r["n_kept"] == len(KEPT)
+    assert r["n_lines"] > r["n_kept"]
+    assert 0.0 < r["share"] < 1.0
+
+
+def test_empty_and_all_boilerplate(spark):
+    r = _spark_extract(spark, "<p><a href='/'>x</a></p>")
+    assert r["content"] == "" and r["n_kept"] == 0 and r["share"] == 1.0
+    r2 = _spark_extract(spark, "")
+    assert r2["content"] == "" and r2["n_lines"] == 0 and r2["share"] == 1.0
+
+
+def test_duckdb_twin_parity(spark):
+    cases = [PAGE, "<p><a href='/'>x</a></p>", "",
+             "<p>one plain line of text</p>no tags trailing words here"]
+    got = [
+        ( r["content"], r["n_lines"], r["n_kept"], r["share"])
+        for r in (_spark_extract(spark, c) for c in cases)
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(cases)))
+    sql = H.html_extract_select_sql("t", "html", keep="i")
+    rows = con.execute(f"SELECT * FROM ({sql}) ORDER BY i").fetchall()
+    exp = [(r[1], r[2], r[3], r[4]) for r in rows]
+    assert got == exp

@@ -36,11 +36,27 @@ def main() -> None:
         d["doc_id"] = d["doc_id"] + c * ID_STRIDE
         if c > 0:
             rng = np.random.RandomState(1000 + c)
+
+            # Word-shuffle AND token-substitute each copy: shuffling alone
+            # keeps the token SET identical, which leaves order-insensitive
+            # signatures (SimHash over distinct tokens, TF vectors)
+            # IDENTICAL across copies — the r9 sf1 run measured
+            # dd_simhash_pairs at exponent +1.53 because every page became
+            # a 10-clique of simhash-equal twins.  Replacing every 5th
+            # token with a copy-tagged variant perturbs the token set
+            # (~20% — far past the Hamming<=3 band radius) so duplicate
+            # DENSITY stays at the sf0.1 level for order-insensitive
+            # signatures too, matching this generator's stated contract.
+            def _mutate(t, c=c, rng=rng):
+                ws = t.split(" ")
+                perm = rng.permutation(len(ws))
+                ws = [ws[i] for i in perm]
+                return " ".join(
+                    w if i % 5 else f"{w}x{c}" for i, w in enumerate(ws)
+                )
+
             d["text"] = [
-                " ".join(np.array(t.split(" "))[rng.permutation(len(t.split(" ")))])
-                if isinstance(t, str) and t
-                else t
-                for t in d["text"]
+                _mutate(t) if isinstance(t, str) and t else t for t in d["text"]
             ]
         out.append(d)
     big = pd.concat(out, ignore_index=True)

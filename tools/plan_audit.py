@@ -69,7 +69,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "tx_pmi_bigrams",
                        # 1-row (total, n_lists) scalar crossed onto the
                        # 16-row per-list report
-                       "sim_index_stats"}
+                       "sim_index_stats",
+                       # corpus-total token count (1-row scalar) crossed
+                       # onto the per-doc bigram tf relation
+                       "tx_bigram_lm"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -116,6 +119,9 @@ SMJ_OK = {
                          # the new side, removed the old), which Spark
                          # cannot broadcast by rule; both sides are
                          # snapshot-sized (key + 32-byte hash rows only)
+    "tx_bigram_lm",  # per-doc bigram tf ⋈ corpus bigram/context/unigram
+                     # counts on their token keys: every side fact-sized
+                     # (vocab² bigram relation) — SMJ is the at-scale plan
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must

@@ -1,0 +1,73 @@
+"""sf0.1 → sf1 decade-scaling exponents for the WHOLE benched suite
+(VERDICT r8 item 1) — the standing scale-evidence artifact.
+
+For every query present in both records, the per-decade exponent is
+``log10(t_sf1 / t_sf0.1)``: 1.0 = linear scaling, <1 = sublinear (fixed
+overhead amortizing or index pruning), >1 = superlinear (a straggler the
+sf0.1 envelope hid — single-partition artifacts, window sorts that fit
+one task at 600k rows, quadratic candidate growth).
+
+Exponents are judged against per-family expectations, not a blanket cap:
+a sub-second sf0.1 query is overhead-dominated and its exponent is noise
+below ~0.3s; the tool flags (a) exponent > THRESH (default 1.1) with
+t_sf1 > 2s, and (b) any sf1 error.
+
+Usage:
+  python tools/sf1_exponents.py BENCH_self_sf0.1.json BENCH_sf1.json
+Prints a markdown table (for BASELINE.md) plus a FLAGS section; exit 1
+on flags so the round gate sees regressions.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import sys
+
+THRESH = 1.1
+MIN_SF1_SEC = 2.0  # below this, exponent noise cannot matter at scale
+
+
+def load(path: str) -> dict:
+    with open(path) as fh:
+        return json.load(fh)
+
+
+def main() -> None:
+    base_p, sf1_p = sys.argv[1], sys.argv[2]
+    base, sf1 = load(base_p), load(sf1_p)
+    bq, sq = base["queries"], sf1["queries"]
+    common = sorted(set(bq) & set(sq))
+    rows = []
+    for q in common:
+        t0, t1 = float(bq[q]), float(sq[q])
+        exp = math.log10(t1 / t0) if t0 > 0 else float("nan")
+        rows.append((q, t0, t1, exp))
+    rows.sort(key=lambda r: -r[3])
+
+    print("| query | sf0.1 s | sf1 s | exponent |")
+    print("|---|---|---|---|")
+    for q, t0, t1, exp in rows:
+        print(f"| {q} | {t0:.3f} | {t1:.3f} | {exp:+.2f} |")
+
+    flags = [
+        (q, t0, t1, exp)
+        for q, t0, t1, exp in rows
+        if exp > THRESH and t1 > MIN_SF1_SEC
+    ]
+    errs = sf1.get("errors", {})
+    missing = sorted(set(bq) - set(sq))
+    print()
+    print(f"common={len(common)} flagged={len(flags)} "
+          f"sf1_errors={len(errs)} missing_at_sf1={len(missing)}")
+    for q, t0, t1, exp in flags:
+        print(f"FLAG {q}: {t0:.3f}s -> {t1:.3f}s (exp {exp:+.2f})")
+    for q, e in errs.items():
+        print(f"ERROR {q}: {e[:200]}")
+    if missing:
+        print(f"missing at sf1 (errored or unbenched): {missing}")
+    sys.exit(1 if flags or errs else 0)
+
+
+if __name__ == "__main__":
+    main()

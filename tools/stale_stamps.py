@@ -78,6 +78,19 @@ def main() -> None:
     else:
         print("\nevery never-stamped query is in the current window")
 
+    # Staleness policy (VERDICT r8 item 7): every stamp should be at most
+    # 3 rounds old — the structural floor for a 150+-query registry with a
+    # 50-query window, since changed/new queries consume slots every round.
+    latest = max((r for r, _ in seen.values()), default=0)
+    floor = latest - 2  # a stamp from round latest-2 is "3 rounds old" at
+    # the NEXT stamping round — anything older than that must be in-window.
+    stale = [
+        q for q in ranked
+        if 0 < seen.get(q, (0, ""))[0] < floor and q not in window
+    ]
+    print(f"policy: <=3 rounds stale — stamps older than r{floor:02d} must be "
+          f"in the current window; violations: {stale if stale else 'none'}")
+
 
 if __name__ == "__main__":
     main()
