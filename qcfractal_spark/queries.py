@@ -6851,22 +6851,25 @@ def q_tx_html_extract(spark, sf_dir):
     counts, the boilerplate share, and the md5 + length of the extracted
     content (so a one-char extraction drift hash-reds).
 
-    Scale shape: ONE row-local projection — regex chains + array
-    higher-order functions inside whole-stage codegen; no explode, no
-    shuffle, no UDF.  Composes ahead of pipe_prepare as "stage -1" for
-    markup corpora (documented option; the registry corpus is already
-    plain text, so the flagship keeps its plain-text input)."""
+    Scale shape: ONE row-local projection, staged so the regex/HOF line
+    pipeline evaluates exactly once per row (see with_html_extract — the
+    naive struct-field form inlined six copies and ran 4× slower); no
+    explode, no shuffle, no UDF.  Composes ahead of pipe_prepare as
+    "stage -1" for markup corpora (documented option; the registry corpus
+    is already plain text, so the flagship keeps its plain-text input)."""
     from .functions import html as H
 
     docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
-    e = H.html_extract(F.expr(_SYNTH_HTML_EXPR))
-    return docs.select(
+    e = H.with_html_extract(
+        docs.select("doc_id", "text"), F.expr(_SYNTH_HTML_EXPR)
+    )
+    return e.select(
         "doc_id",
-        e["n_lines"].alias("n_lines"),
-        e["n_kept"].alias("n_kept"),
-        e["boilerplate_share"].alias("boilerplate_share"),
-        F.length(e["content"]).alias("content_chars"),
-        F.md5(e["content"]).alias("content_md5"),
+        "n_lines",
+        "n_kept",
+        "boilerplate_share",
+        F.length("content").alias("content_chars"),
+        F.md5("content").alias("content_md5"),
     )
 
 

@@ -39,12 +39,12 @@ DROPPED_FRAGMENTS = ["Home About", "Entirely a link line", "too short",
 
 def _spark_extract(spark, html_text):
     df = spark.createDataFrame([(html_text,)], "html string")
-    e = H.html_extract(F.col("html"))
-    return df.select(
-        e["content"].alias("content"),
-        e["n_lines"].alias("n_lines"),
-        e["n_kept"].alias("n_kept"),
-        e["boilerplate_share"].alias("share"),
+    e = H.with_html_extract(df, F.col("html"))
+    return e.select(
+        "content",
+        "n_lines",
+        "n_kept",
+        F.col("boilerplate_share").alias("share"),
     ).first()
 
 
@@ -80,3 +80,17 @@ def test_duckdb_twin_parity(spark):
     rows = con.execute(f"SELECT * FROM ({sql}) ORDER BY i").fetchall()
     exp = [(r[1], r[2], r[3], r[4]) for r in rows]
     assert got == exp
+
+
+def test_line_pipeline_evaluates_once(spark):
+    """The regex/HOF line pipeline must appear exactly ONCE in the plan:
+    expression-level struct extraction inlined six copies (HOF lambdas
+    are interpreted — no codegen CSE) and ran 4x slower at sf0.1."""
+    df = spark.createDataFrame([(PAGE,)], "html string")
+    out = H.with_html_extract(df, F.col("html")).select(
+        "n_lines", "n_kept", "boilerplate_share", F.md5("content")
+    )
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert plan.count("regexp_extract_all") == 1

@@ -87,9 +87,13 @@ def load_bench(path: str) -> dict | None:
 
 
 def rounds() -> dict[str, dict]:
+    # BENCH_r{N}.json are the driver's sf0.1 records; BENCH_sf{S}_r{N}.json
+    # are self-recorded full-suite runs at other scale factors (the sf1
+    # decade artifact, VERDICT r8 item 1).  Ledger rows never compare
+    # across scale factors.
     out = {}
     for f in sorted(os.listdir(REPO)):
-        m = re.fullmatch(r"BENCH_(r\d+)\.json", f)
+        m = re.fullmatch(r"BENCH_(r\d+|sf[0-9.]+_r\d+)\.json", f)
         if not m:
             continue
         d = load_bench(os.path.join(REPO, f))
@@ -112,6 +116,10 @@ def main() -> None:
     if len(sys.argv) == 3:
         a, b = sys.argv[1], sys.argv[2]
         base, now = recorded[a], recorded[b]
+        if base.get("sf") != now.get("sf"):
+            print(f"WARNING: cross-sf comparison ({base.get('sf')} vs "
+                  f"{now.get('sf')}) — ratios are scale effects, not "
+                  "regressions; use tools/sf1_exponents.py for decade math")
         common = sorted(set(now["queries"]) & set(base["queries"]))
         for q in common:
             t0, t1 = base["queries"][q], now["queries"][q]
@@ -134,7 +142,11 @@ def main() -> None:
         total = round(sum(d["queries"].values()), 2)
         cells = []
         for base_name in (first, prev):
-            if base_name is None or base_name == name:
+            if (
+                base_name is None
+                or base_name == name
+                or recorded[base_name].get("sf") != d.get("sf")
+            ):
                 cells.append("-")
                 continue
             n, s_now, s_base = like_for_like(d, recorded[base_name])
