@@ -5340,8 +5340,9 @@ def q_dd_url_dedup(spark, sf_dir):
     per canonical page with its registrable domain and the surface-variant
     count.  ONE shuffle, on the canonical-URL key; the canonicalization
     itself is scan-side whole-stage codegen, no UDF; the registrable
-    domain is PSL-true (functions/psl.py, VERDICT r8 item 2) — K chained
-    broadcast left-joins against the public-suffix dim table, still
+    domain is PSL-true (functions/psl.py, VERDICT r8 item 2) — the
+    snapshot rule set compiles to a map literal (pure codegen, zero
+    joins); full-PSL files run as K chained broadcast left-joins, still
     map-side (urls.registrable_domain stays as the no-PSL-data regex
     fallback)."""
     from .functions import psl, urls

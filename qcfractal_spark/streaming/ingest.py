@@ -233,9 +233,10 @@ def stream_url_dedup(
     (plain dropDuplicates), which is how the parity pytest pins the
     semantics.
 
-    The registrable domain is PSL-true (functions/psl.py): the
-    public-suffix dim table joins as a stream-static BROADCAST join —
-    supported in structured streaming, still map-side, no stream state
+    The registrable domain is PSL-true (functions/psl.py): the snapshot
+    rule set compiles to a map literal (pure codegen, no join); a full
+    PSL file runs as a stream-static BROADCAST join — supported in
+    structured streaming, still map-side.  Either way, no stream state
     beyond the dedup key store."""
     from ..functions import psl, urls
 

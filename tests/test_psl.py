@@ -106,14 +106,32 @@ def test_loader_parses_standard_file(tmp_path):
     assert "github.io" in {r[0] for r in rules_all}
 
 
-def test_plan_broadcast_only_no_shuffle(spark):
-    """The domain stage adds ONLY BroadcastHashJoins — no exchange, no
-    sort-merge: at 100 TB this is a map-side decoration of the scan."""
+def test_snapshot_path_is_pure_codegen(spark):
+    """Snapshot-sized rule sets compile to a map literal: ZERO joins,
+    zero exchanges — the domain stage is a scan-side decoration."""
     df = spark.createDataFrame([("a.b.com.cn",)], "host string")
+    out = psl.with_registrable_domain(df, "host")
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "simple"
+    )
+    assert "Join" not in plan and "Exchange" not in plan
+    assert "*(1)" in plan  # the whole-stage-codegen marker in simple mode
+
+
+def test_large_ruleset_path_broadcast_only_no_shuffle(spark, monkeypatch):
+    """Past MAP_LITERAL_MAX (a full PSL file) the same algebra runs as
+    chained BroadcastHashJoins — still no shuffle, no sort-merge — and
+    produces identical domains."""
+    monkeypatch.setattr(psl, "MAP_LITERAL_MAX", 0)
+    df = spark.createDataFrame([(h,) for h, _ in CASES if h], "host string")
     out = psl.with_registrable_domain(df, "host")
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "simple"
     )
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
-    assert "ShuffleExchange" not in plan and "Exchange hashpartitioning" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    got = {r["host"]: r["domain"] for r in out.collect()}
+    for host, want in CASES:
+        if host:
+            assert got[host] == want, host
