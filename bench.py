@@ -166,6 +166,20 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+# Queries whose SEMANTICS changed since the newest recorded baseline — the
+# like-for-like regression rule compares by name, so an intentional gate
+# change reads as a regression.  Each entry names the round and the reason;
+# entries are dropped when the next driver record resets the baseline.
+INTENTIONAL_CHANGES = {
+    # r9: registrable domains are now PSL-true (map-literal lookups ×3
+    # labels) and the synthetic TLD mix widened 4→8 cases to exercise
+    # wildcard/ccTLD rules — a richer query, new ~0.7 s baseline (the old
+    # 0.17 s query had a 2-suffix regex and half the CASE branches).
+    "dd_url_dedup": "r9 PSL-true domains + widened TLD mix",
+    "tx_domain_stats": "r9 PSL-true domains + widened TLD mix",
+}
+
+
 def is_regressed(now: float, baseline: float) -> bool:
     """Regression rule, factored out for unit testing (tests/test_bench_guard.py):
     flag only when BOTH the ratio (>2x) and an absolute floor (>0.5s delta)
@@ -185,11 +199,21 @@ def find_regressions(times: dict, base_queries: dict, rerun=None) -> dict:
             times[q] = min(times[q], rerun(q))
         except Exception:  # noqa: BLE001 — keep the 2-run time
             pass
-    return {
-        q: {"now": t, "baseline": base_queries[q]}
-        for q, t in times.items()
-        if is_regressed(t, base_queries.get(q, 0.0))
-    }
+    out = {}
+    for q, t in times.items():
+        if not is_regressed(t, base_queries.get(q, 0.0)):
+            continue
+        if q in INTENTIONAL_CHANGES:
+            # visible, not silent: the record carries the reason instead
+            # of a flag, and the entry dies with the next baseline
+            out[q] = {
+                "now": t,
+                "baseline": base_queries[q],
+                "intentional": INTENTIONAL_CHANGES[q],
+            }
+        else:
+            out[q] = {"now": t, "baseline": base_queries[q]}
+    return out
 
 
 def main() -> None:
@@ -256,12 +280,20 @@ def main() -> None:
             return round(time.time() - t0, 3)
 
         regressions = find_regressions(times, base["queries"], rerun)
-        if regressions:
+        real = [q for q, r in regressions.items() if "intentional" not in r]
+        if real:
             print(
-                f"WARNING: {len(regressions)} queries >2x slower than "
-                f"{base_name}: {sorted(regressions)}",
+                f"WARNING: {len(real)} queries >2x slower than "
+                f"{base_name}: {sorted(real)}",
                 file=sys.stderr,
             )
+        for q, r in regressions.items():
+            if "intentional" in r:
+                print(
+                    f"note: {q} exceeds the {base_name} baseline by design "
+                    f"({r['intentional']})",
+                    file=sys.stderr,
+                )
 
     total = round(sum(times.values()), 3)
     out = {

@@ -192,10 +192,17 @@ def with_registrable_domain(
     """
     rules = rules if rules is not None else load_psl_rules()
     K = max_rule_labels(rules)
+    base_cols = list(df.columns)
 
+    # Exactly four projections (driver-side plan ANALYSIS of a long
+    # withColumn chain cost ~0.4 s per call — each withColumn copies and
+    # re-analyzes the whole plan; staged attributes also keep every
+    # non-cheap subtree single-evaluation, the functions/html.py lesson):
+    #   A: labels + n   B: one rule probe per j   C: ps_len   D: domain
     labels = F.split(F.col(host_col), r"\.")
-    n = F.size(labels)
-    staged = df.withColumn("__psl_labels", labels).withColumn("__psl_n", n)
+    staged = df.select(
+        "*", labels.alias("__psl_labels"), F.size(labels).alias("__psl_n")
+    )
 
     # candidate_j = the host's last j labels.  Missing candidates (host
     # shorter than j) stay NULL: NULL misses the map and the LEFT join.
@@ -209,19 +216,27 @@ def with_registrable_domain(
         )
 
     if len(rules) <= MAP_LITERAL_MAX:
-        entries = []
-        for base, is_n, is_w, is_e, _k in rules:
-            mask = (1 if is_n else 0) | (2 if is_w else 0) | (4 if is_e else 0)
-            entries.append(F.lit(base))
-            entries.append(F.lit(mask))
-        rule_map = F.create_map(*entries)
-        for j in range(1, K + 1):
-            flags = F.element_at(rule_map, cand(j))
-            staged = (
-                staged.withColumn(f"__psl_in{j}", flags.bitwiseAND(1) == 1)
-                .withColumn(f"__psl_iw{j}", flags.bitwiseAND(2) == 2)
-                .withColumn(f"__psl_ie{j}", flags.bitwiseAND(4) == 4)
-            )
+        # ONE parsed SQL expression, not create_map(*[F.lit()...]): each
+        # F.lit is a py4j round trip — ~400 of them cost ~0.4 s of driver
+        # time PER CALL (the lit_array lesson, SCALE.md §5); the parsed
+        # string is a single call with identical semantics.
+        entries = ", ".join(
+            f"'{base}', {(1 if is_n else 0) | (2 if is_w else 0) | (4 if is_e else 0)}"
+            for base, is_n, is_w, is_e, _k in rules
+        )
+        rule_map = F.expr(f"map({entries})")
+        staged = staged.select(
+            "*",
+            *[
+                F.element_at(rule_map, cand(j)).alias(f"__psl_f{j}")
+                for j in range(1, K + 1)
+            ],
+        )
+
+        def flag(j: int, bit: int):
+            fj = F.col(f"__psl_f{j}")
+            return F.coalesce(fj.bitwiseAND(bit) == bit, F.lit(False))
+
     else:
         spark = df.sparkSession
         rdf = rules_df(spark, rules)
@@ -229,47 +244,42 @@ def with_registrable_domain(
             staged = staged.withColumn(f"__psl_c{j}", cand(j))
             rj = rdf.where(F.col("nlabels") == j).select(
                 F.col("base").alias(f"__psl_b{j}"),
-                F.col("is_n").alias(f"__psl_in{j}"),
-                F.col("is_w").alias(f"__psl_iw{j}"),
-                F.col("is_e").alias(f"__psl_ie{j}"),
+                F.col("is_n").alias(f"__psl_jn{j}"),
+                F.col("is_w").alias(f"__psl_jw{j}"),
+                F.col("is_e").alias(f"__psl_je{j}"),
             )
             staged = staged.join(
                 F.broadcast(rj), staged[f"__psl_c{j}"] == rj[f"__psl_b{j}"], "left"
             )
+
+        def flag(j: int, bit: int):
+            kind = {1: "n", 2: "w", 4: "e"}[bit]
+            return F.coalesce(F.col(f"__psl_j{kind}{j}"), F.lit(False))
 
     n = F.col("__psl_n")
     # Exception prevails (longest first, though PSL exceptions never
     # overlap); else the longest match; else the default rule (len 1).
     exc = None
     for j in range(K, 0, -1):
-        this = F.when(F.coalesce(F.col(f"__psl_ie{j}"), F.lit(False)), F.lit(j - 1))
+        this = F.when(flag(j, 4), F.lit(j - 1))
         exc = this if exc is None else F.coalesce(exc, this)
     lens = [F.lit(1)]
     for j in range(1, K + 1):
         lens.append(
-            F.when(
-                F.coalesce(F.col(f"__psl_iw{j}"), F.lit(False)) & (n >= j + 1),
-                F.lit(j + 1),
-            ).otherwise(F.lit(0))
+            F.when(flag(j, 2) & (n >= j + 1), F.lit(j + 1)).otherwise(F.lit(0))
         )
-        lens.append(
-            F.when(F.coalesce(F.col(f"__psl_in{j}"), F.lit(False)), F.lit(j)).otherwise(
-                F.lit(0)
-            )
-        )
-    ps_len = F.coalesce(exc, F.greatest(*lens))
+        lens.append(F.when(flag(j, 1), F.lit(j)).otherwise(F.lit(0)))
+    staged = staged.select(
+        "*", F.coalesce(exc, F.greatest(*lens)).alias("__psl_len")
+    )
+    ps_len = F.col("__psl_len")
 
     domain = F.when(
         n > ps_len,
         F.array_join(F.slice(F.col("__psl_labels"), n - ps_len, ps_len + 1), "."),
     ).otherwise(F.col(host_col))
 
-    drop = ["__psl_labels", "__psl_n"] + [
-        c
-        for j in range(1, K + 1)
-        for c in (f"__psl_c{j}", f"__psl_b{j}", f"__psl_in{j}", f"__psl_iw{j}", f"__psl_ie{j}")
-    ]
-    return staged.withColumn(out_col, domain).drop(*drop)
+    return staged.select(*base_cols, domain.alias(out_col))
 
 
 # ---------------------------------------------------------------- oracle
