@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "sim_index_stats",      # IVF list-health report (pruned footer scan)
     "tx_html_extract",      # HTML main-content extraction (array codegen)
     "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
+    "tx_phrase_idx",        # phrase audit via persisted inverted index
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -5508,6 +5508,68 @@ FROM p GROUP BY doc_id
 REGISTRY["tx_phrase_hits"] = (q_tx_phrase_hits, SQL_TX_PHRASE)
 
 
+def _text_index_dir(spark, sf_dir: str) -> str:
+    """Per-sf_dir persisted inverted text index (text.write_text_index
+    layout), built on first use — the same (size, mtime) staleness-marker
+    contract as _ivf_index_dir, so a regenerated documents table always
+    re-indexes."""
+    import os as _os
+
+    from .functions.text import write_text_index
+
+    path = _scratch_dir(sf_dir, "text_index")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    marker = f"{st.st_size}:{st.st_mtime_ns}"
+    marker_path = _os.path.join(path, "source_marker")
+    valid = _os.path.exists(_os.path.join(path, "_SUCCESS"))
+    if valid:
+        try:
+            with open(marker_path) as fh:
+                valid = fh.read() == marker
+        except OSError:
+            valid = False
+    if not valid:
+        write_text_index(_t(spark, sf_dir, "documents"), path)
+        with open(marker_path, "w") as fh:
+            fh.write(marker)
+    return path
+
+
+def q_tx_phrase_idx(spark, sf_dir):
+    """TX+ (beyond-reference): the exact phrase audit as an INDEX PROBE —
+    tx_phrase_hits' deployment shape (its docstring's "at 100 TB the
+    posting table is the persisted artifact" made real, the IVF-index
+    treatment applied to text).  write_text_index persists (term, doc_id,
+    pos) posting lists partitioned by portable-hash term bucket at ingest;
+    the probe for 'group slow spark' reads ≤3 bucket DIRECTORIES
+    (partition prune, plan-tested) with the term IN filter pushed to the
+    scan, then the same (doc, pos±i) adjacency joins — probe cost ∝ the
+    phrase's posting lists, near-constant in corpus size (the
+    sim_ivf_topk contract for text)."""
+    from .functions.text import phrase_hits_indexed
+
+    return phrase_hits_indexed(
+        spark, _text_index_dir(spark, sf_dir), ["group", "slow", "spark"]
+    )
+
+
+SQL_TX_PHRASE_IDX = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+p AS (
+  SELECT doc_id, i - 1 AS pos
+  FROM tok, unnest(generate_series(1, greatest(len(toks) - 2, 0))) u(i)
+  WHERE toks[i] = 'group' AND toks[i + 1] = 'slow' AND toks[i + 2] = 'spark'
+)
+SELECT doc_id, COUNT(*) AS n_hits, CAST(MIN(pos) AS INT) AS first_pos
+FROM p GROUP BY doc_id
+"""
+
+REGISTRY["tx_phrase_idx"] = (q_tx_phrase_idx, SQL_TX_PHRASE_IDX)
+
+
 def q_a25_diversity(spark, sf_dir):
     """A+ (beyond-reference): corpus diversity report — the source-mix
     monitor a curation pipeline alerts on: per-source token shares rolled
@@ -7163,13 +7225,17 @@ _DRIVER_WINDOW = [
     #     domains + the widened synthetic-URL TLD mix), pipe_prepare
     #     (stage-0 canonical keys change with the TLD mix), s10_compact
     #     (compact_small_files rewritten onto the Hadoop FS API);
-    # (c) the round-9 newcomers, never driver-stamped (2):
+    # (c) the round-9 newcomers, never driver-stamped (3):
     #     tx_html_extract (main-content extraction), tx_bigram_lm
-    #     (interpolated bigram LM);
-    # (d) 36 of the 49 r06-stamped queries — the next-oldest cohort.
+    #     (interpolated bigram LM), tx_phrase_idx (persisted inverted-
+    #     index phrase probe);
+    # (d) 35 of the 49 r06-stamped queries — the next-oldest cohort.
     # Step OUT: the 47 r07 + 42 remaining r08 stamps (all freshly green
-    # within two rounds) and 13 r06 queries whose shapes are carried by
+    # within two rounds) and 14 r06 queries whose shapes are carried by
     # in-window or r08-fresh siblings:
+    #   p4_tuple_in      composite-key IN via join ⊂ p8_int_or_name
+    #                    (in-window OR-filter family) + s2_bulk_get's
+    #                    pushed In(...) audit gate (r08);
     #   a2_status_counts ⊂ a5_two_col_counts (in-window);
     #   a4_union_counts  ⊂ a5 + the union family in j8_closure (r07);
     #   u3_distinct      trivial DISTINCT ⊂ j9_anti_join (r08);
@@ -7188,7 +7254,7 @@ _DRIVER_WINDOW = [
     #   u5_stratified_sample ⊂ u6_mixture_sample (in-window superset);
     #   h6_forecast_revenue single-scan filter-sum ⊂ h1_pricing_summary
     #                    (in-window same-scan multi-agg superset).
-    # After r9 stamps: no stamp older than r06, and the r06 residue is 13
+    # After r9 stamps: no stamp older than r06, and the r06 residue is 14
     # (structural floor: 150 queries / 50-per-round window = 3 rounds).
     # --- (a) r05 residue (4) ---
     "dd_span_dedup", "sim_pq_topk", "st_sessionize", "a22_approx_quantiles",
@@ -7196,16 +7262,16 @@ _DRIVER_WINDOW = [
     "t13_thread_assembly", "tx_phrase_hits", "tx_pmi_bigrams",
     "dd_url_dedup", "tx_domain_stats", "st_stream_urldedup",
     "pipe_prepare", "s10_compact",
-    # --- (c) round-9 newcomers (2) ---
-    "tx_html_extract", "tx_bigram_lm",
-    # --- (d) r06 cohort, 36 of 49 (displacements documented above) ---
+    # --- (c) round-9 newcomers (3) ---
+    "tx_html_extract", "tx_bigram_lm", "tx_phrase_idx",
+    # --- (d) r06 cohort, 35 of 49 (displacements documented above) ---
     "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
     "a13_manybody_levels", "a14_pivot", "a16_dedup_batch",
     "a17_group_centroid", "a5_two_col_counts", "a6_access_summary",
     "dd_containment", "dd_contamination", "dd_exact", "dd_jaccard",
     "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
     "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
-    "j1_dim_join", "j4_semi_join", "o2_priority_topk", "p4_tuple_in",
+    "j1_dim_join", "j4_semi_join", "o2_priority_topk",
     "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
     "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
     "sim_knn_join", "sim_lsh_topk", "t3_hourly_rollup", "tx_pii",

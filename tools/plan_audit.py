@@ -133,6 +133,9 @@ PUSHDOWN_EXPECTED = {
     "h3_top_revenue",  # date + segment predicates
     "h6_forecast_revenue",  # all predicates scan-pushable (TPC-H Q6 shape)
     "s2_bulk_get",  # the id list itself must reach the scan as In(...)
+    "tx_phrase_idx",  # the phrase-term IN list must reach the posting scan
+                      # (the bucket partition prune is asserted separately
+                      # in tests/test_text_index.py)
 }
 
 # Queries whose broadcast side must be id-sized: every parquet scan under a
