@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "tx_html_extract",      # HTML main-content extraction (array codegen)
     "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
     "tx_phrase_idx",        # phrase audit via persisted inverted index
+    "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -7000,6 +7000,80 @@ GROUP BY 1
 REGISTRY["tx_bigram_lm"] = (q_tx_bigram_lm, SQL_TX_BIGRAM_LM)
 
 
+def q_tx_quality_sweep(spark, sf_dir):
+    """TX+ (beyond-reference): quality-threshold sweep — for every cutoff
+    on a 0.05 grid, how many documents and tokens survive a ``quality ≥
+    t`` filter: the report a curation pipeline reads to pick its
+    threshold under a token budget (the C4/CCNet knob, made measurable
+    before committing a full filtering pass).
+
+    Plan: ONE scan computes (quality bucket, n_tok) scan-side; a
+    map-combinable hash agg reduces the corpus to ≤1001 bucket rows; the
+    cumulative-from-above sums are a window over that bucket relation
+    (never the corpus) and the shares divide by a 1-row broadcast total.
+    Bucket arithmetic is the same IEEE ops in both engines, so boundary
+    epsilons bucket identically."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    staged = docs.select(
+        F.floor(tx.quality_score(F.col("text")) * 1000).cast("int").alias("b"),
+        tx.token_count(F.col("text")).alias("n_tok"),
+    )
+    per_b = staged.groupBy("b").agg(
+        F.count(F.lit(1)).alias("docs"), F.sum("n_tok").alias("toks")
+    )
+    w = Window.orderBy(F.col("b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_b.agg(
+        F.sum("docs").alias("tot_docs"), F.sum("toks").alias("tot_toks")
+    )
+    return (
+        per_b.withColumn("docs_kept", F.sum("docs").over(w))
+        .withColumn("tokens_kept", F.sum("toks").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("b").cast("double") / 1000).alias("threshold"),
+            "docs_kept",
+            "tokens_kept",
+            F.round(F.col("docs_kept") / F.col("tot_docs"), 6).alias("doc_share"),
+            F.round(F.col("tokens_kept") / F.col("tot_toks"), 6).alias("token_share"),
+        )
+    )
+
+
+SQL_TX_QUALITY_SWEEP = f"""
+WITH {_SQL_QUALITY_CTES.strip()},
+st AS (
+  SELECT CAST(floor(q.quality * 1000) AS INT) AS b,
+         CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tok
+  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+  WHERE d.text IS NOT NULL
+),
+per_b AS (
+  SELECT b, COUNT(*) AS docs, CAST(SUM(n_tok) AS BIGINT) AS toks
+  FROM st GROUP BY b
+),
+tot AS (SELECT SUM(docs) AS tot_docs, SUM(toks) AS tot_toks FROM per_b),
+cum AS (
+  SELECT b,
+         CAST(SUM(docs) OVER (ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS docs_kept,
+         CAST(SUM(toks) OVER (ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tokens_kept
+  FROM per_b
+)
+SELECT CAST(b AS DOUBLE) / 1000 AS threshold,
+       docs_kept, tokens_kept,
+       ROUND(CAST(docs_kept AS DOUBLE) / tot_docs, 6) AS doc_share,
+       ROUND(CAST(tokens_kept AS DOUBLE) / tot_toks, 6) AS token_share
+FROM cum CROSS JOIN tot
+"""
+
+REGISTRY["tx_quality_sweep"] = (q_tx_quality_sweep, SQL_TX_QUALITY_SWEEP)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -7231,11 +7305,14 @@ _DRIVER_WINDOW = [
     #     index phrase probe);
     # (d) 35 of the 49 r06-stamped queries — the next-oldest cohort.
     # Step OUT: the 47 r07 + 42 remaining r08 stamps (all freshly green
-    # within two rounds) and 14 r06 queries whose shapes are carried by
+    # within two rounds) and 15 r06 queries whose shapes are carried by
     # in-window or r08-fresh siblings:
     #   p4_tuple_in      composite-key IN via join ⊂ p8_int_or_name
     #                    (in-window OR-filter family) + s2_bulk_get's
     #                    pushed In(...) audit gate (r08);
+    #   a13_manybody_levels  per-level decimal-weighted sums ⊂
+    #                    a12_weighted_sum (in-window, the same
+    #                    decimal-weighted aggregate family);
     #   a2_status_counts ⊂ a5_two_col_counts (in-window);
     #   a4_union_counts  ⊂ a5 + the union family in j8_closure (r07);
     #   u3_distinct      trivial DISTINCT ⊂ j9_anti_join (r08);
@@ -7254,7 +7331,7 @@ _DRIVER_WINDOW = [
     #   u5_stratified_sample ⊂ u6_mixture_sample (in-window superset);
     #   h6_forecast_revenue single-scan filter-sum ⊂ h1_pricing_summary
     #                    (in-window same-scan multi-agg superset).
-    # After r9 stamps: no stamp older than r06, and the r06 residue is 14
+    # After r9 stamps: no stamp older than r06, and the r06 residue is 15
     # (structural floor: 150 queries / 50-per-round window = 3 rounds).
     # --- (a) r05 residue (4) ---
     "dd_span_dedup", "sim_pq_topk", "st_sessionize", "a22_approx_quantiles",
@@ -7262,11 +7339,11 @@ _DRIVER_WINDOW = [
     "t13_thread_assembly", "tx_phrase_hits", "tx_pmi_bigrams",
     "dd_url_dedup", "tx_domain_stats", "st_stream_urldedup",
     "pipe_prepare", "s10_compact",
-    # --- (c) round-9 newcomers (3) ---
-    "tx_html_extract", "tx_bigram_lm", "tx_phrase_idx",
-    # --- (d) r06 cohort, 35 of 49 (displacements documented above) ---
+    # --- (c) round-9 newcomers (4) ---
+    "tx_html_extract", "tx_bigram_lm", "tx_phrase_idx", "tx_quality_sweep",
+    # --- (d) r06 cohort, 34 of 49 (displacements documented above) ---
     "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
-    "a13_manybody_levels", "a14_pivot", "a16_dedup_batch",
+    "a14_pivot", "a16_dedup_batch",
     "a17_group_centroid", "a5_two_col_counts", "a6_access_summary",
     "dd_containment", "dd_contamination", "dd_exact", "dd_jaccard",
     "dd_substring_incremental", "dd_winnow", "ds_missing_cells",

@@ -84,3 +84,17 @@ def test_registry_query_runs(spark):
     fn, sql = REGISTRY["tx_phrase_idx"]
     out = _rows(fn(spark, SF_SMOKE))
     assert len(out) > 0 and all(n >= 1 for _, n, _ in out)
+
+
+def test_quality_sweep_monotone(spark):
+    """Cumulative semantics: kept counts/shares are non-increasing as the
+    threshold rises, and the lowest threshold keeps everything."""
+    fn, _ = REGISTRY["tx_quality_sweep"]
+    rows = sorted(
+        ((r["threshold"], r["docs_kept"], r["tokens_kept"], r["doc_share"])
+         for r in fn(spark, SF_SMOKE).collect())
+    )
+    assert len(rows) > 5
+    for a, b in zip(rows, rows[1:]):
+        assert a[1] >= b[1] and a[2] >= b[2] and a[3] >= b[3]
+    assert rows[0][3] == 1.0  # lowest threshold keeps the whole corpus

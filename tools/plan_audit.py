@@ -72,7 +72,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "sim_index_stats",
                        # corpus-total token count (1-row scalar) crossed
                        # onto the per-doc bigram tf relation
-                       "tx_bigram_lm"}
+                       "tx_bigram_lm",
+                       # 1-row (tot_docs, tot_toks) scalar crossed onto
+                       # the ≤21-row threshold-bucket relation
+                       "tx_quality_sweep"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
