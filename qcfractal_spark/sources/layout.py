@@ -232,3 +232,72 @@ def _hadoop_fs(spark: SparkSession, path: str):
     hpath = jvm.org.apache.hadoop.fs.Path(path)
     fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
     return fs, hpath
+
+
+def compact_partitioned(
+    spark: SparkSession,
+    root: str,
+    target_bytes: int = 128 << 20,
+    min_files: int = 2,
+) -> dict:
+    """Run :func:`compact_small_files` over every PARTITION directory of a
+    hive-partitioned table (``root/k=v[/k2=v2...]``) — the 100 TB shape:
+    compaction work is embarrassingly parallel across partitions and only
+    partitions whose file count drifted get rewritten, so a nightly run
+    touches exactly the partitions a day of streaming appends fragmented.
+
+    Leaf discovery walks the directory tree through the Hadoop FS API
+    (any scheme); a leaf is a directory containing data files.  Each leaf
+    is compacted independently — the rewrite-then-rename pointer swap in
+    compact_small_files keeps concurrent readers of OTHER partitions
+    untouched and readers of the rewritten partition on a consistent
+    snapshot.  ``min_files`` skips leaves already compact enough to not
+    be worth a rewrite job.
+
+    Returns {partitions, rewritten, files_before, files_after, bytes}.
+    """
+    fs, hroot = _hadoop_fs(spark, root)
+    if not fs.exists(hroot):
+        raise FileNotFoundError(f"compact_partitioned: no such directory: {root}")
+
+    leaves: list[str] = []
+
+    def _walk(p) -> None:
+        kids = list(fs.listStatus(p))
+        dirs = [k for k in kids if k.isDirectory()]
+        files = [
+            k
+            for k in kids
+            if k.isFile() and not k.getPath().getName().startswith((".", "_"))
+        ]
+        if files:
+            leaves.append(p.toString())
+        for d in dirs:
+            _walk(d.getPath())
+
+    _walk(hroot)
+
+    out = {"partitions": len(leaves), "rewritten": 0,
+           "files_before": 0, "files_after": 0, "bytes": 0}
+    for leaf in leaves:
+        before = _data_file_count(fs, spark, leaf)
+        if before < min_files:
+            out["files_before"] += before
+            out["files_after"] += before
+            continue
+        stats = compact_small_files(spark, leaf, target_bytes=target_bytes)
+        out["files_before"] += stats["files_before"]
+        out["files_after"] += stats["files_after"]
+        out["bytes"] += stats["bytes"]
+        if stats["files_after"] < stats["files_before"]:
+            out["rewritten"] += 1
+    return out
+
+
+def _data_file_count(fs, spark: SparkSession, path: str) -> int:
+    p = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return sum(
+        1
+        for st in fs.listStatus(p)
+        if st.isFile() and not st.getPath().getName().startswith((".", "_"))
+    )

@@ -87,3 +87,27 @@ def test_compact_unreadable_scheme_raises(spark):
 
     with pytest.raises(Exception, match="(?i)no filesystem|unsupported|scheme"):
         compact_small_files(spark, "nosuchfs://bucket/table", target_bytes=1)
+
+
+def test_compact_partitioned_per_leaf(spark, tmp_path):
+    """Per-partition compaction: only fragmented leaves are rewritten,
+    values and partition columns survive, and a re-run is a no-op."""
+    from qcfractal_spark.sources.layout import compact_partitioned
+
+    root = str(tmp_path / "pt")
+    df = spark.range(0, 6000).selectExpr("id", "id % 3 AS k")
+    # k=0/1 fragmented (16 files each), k=2 already compact (1 file)
+    df.where("k < 2").repartition(16).write.partitionBy("k").parquet(root)
+    df.where("k = 2").coalesce(1).write.mode("append").partitionBy("k").parquet(root)
+    before = sorted(r["id"] for r in spark.read.parquet(root).collect())
+
+    stats = compact_partitioned(spark, root, target_bytes=1 << 30)
+    assert stats["partitions"] == 3
+    assert stats["rewritten"] == 2  # k=2 skipped (already 1 file)
+    after_df = spark.read.parquet(root)
+    assert sorted(r["id"] for r in after_df.collect()) == before
+    assert set(r["k"] for r in after_df.select("k").distinct().collect()) == {0, 1, 2}
+
+    again = compact_partitioned(spark, root, target_bytes=1 << 30)
+    assert again["rewritten"] == 0
+    assert again["files_before"] == again["files_after"]
