@@ -135,3 +135,48 @@ def test_large_ruleset_path_broadcast_only_no_shuffle(spark, monkeypatch):
     for host, want in CASES:
         if host:
             assert got[host] == want, host
+
+
+def test_strategy_switch_is_results_invariant(spark):
+    """Augmenting the snapshot with enough never-matching rules to force
+    the broadcast-join strategy must not change a single domain — the two
+    physical paths implement one algebra."""
+    rules = psl.load_psl_rules()
+    big = rules + [
+        (f"com.z{i:04d}", True, False, False, 2)
+        for i in range(psl.MAP_LITERAL_MAX + 1)
+    ]
+    hosts = [h for h, _ in CASES if h]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    small = {
+        r["host"]: r["domain"]
+        for r in psl.with_registrable_domain(df, "host").collect()
+    }
+    bigr = {
+        r["host"]: r["domain"]
+        for r in psl.with_registrable_domain(df, "host", rules=big).collect()
+    }
+    assert small == bigr
+
+
+def test_psl_structural_properties(spark):
+    """Structural invariants over generated hosts: the registrable domain
+    is always a dot-suffix of the host (or the host itself), is never
+    empty for non-empty hosts, and never has fewer labels than two unless
+    it equals the whole host (bare suffix / single label)."""
+    import itertools
+
+    labels = ["a", "bb", "www", "city", "foo", "site3"]
+    tails = ["com", "co.uk", "com.cn", "ck", "kobe.jp", "zz", "x.y.zz"]
+    hosts = [
+        ".".join(p + (t,))
+        for t in tails
+        for n in (0, 1, 2)
+        for p in itertools.islice(itertools.permutations(labels, n), 4)
+    ]
+    df = spark.createDataFrame([(h,) for h in hosts], "host string")
+    for r in psl.with_registrable_domain(df, "host").collect():
+        h, d = r["host"], r["domain"]
+        assert d, h
+        assert h == d or h.endswith("." + d), (h, d)
+        assert d.count(".") >= 1 or d == h, (h, d)
