@@ -94,3 +94,37 @@ def test_line_pipeline_evaluates_once(spark):
         out._jdf.queryExecution(), "simple"
     )
     assert plan.count("regexp_extract_all") == 1
+
+
+def test_cross_engine_fuzz(spark):
+    """Seeded fuzz over composed HTML fragments (unbalanced tags, dangling
+    anchors, entities, comments, scripts) — Spark's Java-regex pipeline and
+    DuckDB's RE2 twin must agree EXACTLY on every output, including the
+    degenerate shapes random composition produces.  This is the test that
+    catches an engine-divergent regex before an oracle round does."""
+    import random
+
+    rng = random.Random(20260815)
+    frags = [
+        "plain words keep coming here", "tiny", "x",
+        "<p>", "</p>", "<div>", "</div>", "<li>", "</li>", "<br>",
+        "<h2>", "</h2>", "<a href='/x'>", "</a>", "<a href='/y'>click</a>",
+        "&amp;", "&lt;tag&gt;", "&nbsp;", "<!-- hidden -->",
+        "<script>var a = 1;</script>", "<style>.c{}</style>",
+        "<head><title>t</title></head>", "mixed <b>bold</b> words",
+    ]
+    docs = [
+        " ".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))
+        for _ in range(80)
+    ]
+    df = spark.createDataFrame(list(enumerate(docs)), "i int, html string")
+    got = {
+        r["i"]: (r["content"], r["n_lines"], r["n_kept"], r["boilerplate_share"])
+        for r in H.with_html_extract(df, F.col("html")).collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(i INT, html VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?, ?)", list(enumerate(docs)))
+    sql = H.html_extract_select_sql("t", "html", keep="i")
+    exp = {r[0]: (r[1], r[2], r[3], r[4]) for r in con.execute(sql).fetchall()}
+    assert got == exp
