@@ -36,6 +36,11 @@ _RE_COMMENT = r"(?s)<!--.*?-->"
 _RE_BLOCK_CLOSE = r"</p>|</div>|</li>|</h[1-6]>|</tr>|<br\s*/?>"
 _RE_ANCHOR_TEXT = r"(?s)<a[^>]*>(.*?)</a>"
 _RE_TAG = r"<[^>]*>"
+# Word splitter: an EXPLICIT class, not \s — Java regex \s includes
+# U+000B (vertical tab) while DuckDB's RE2 \s excludes it, so the two
+# engines would split (and thus keep-verdict) texts containing VT
+# differently (ADVICE r9).  Both dialects read this class identically.
+_RE_WS = r"[ \t\n\r\f]+"
 
 MIN_WORDS = 3  # a kept line needs at least this many visible words
 
@@ -69,7 +74,7 @@ def html_lines(html: Column) -> Column:
         )
         vis = F.trim(_unescape(F.regexp_replace(ln, _RE_TAG, "")))
         nvis = F.length(vis)
-        words = F.size(F.split(vis, r"\s+"))
+        words = F.size(F.split(vis, _RE_WS))
         keep = (nvis > 0) & (words >= MIN_WORDS) & (link_chars * 2 <= nvis)
         return F.struct(
             vis.alias("vis"), keep.alias("keep"), nvis.alias("nvis")
@@ -144,7 +149,7 @@ def html_lines_sql(html_expr: str) -> str:
         f"string_split({x}, chr(10)), "
         f"ln -> struct_pack(vis := {vis}, "
         f"keep := (strlen({vis}) > 0 AND "
-        f"len(regexp_split_to_array(trim({vis}), '\\s+')) >= {MIN_WORDS} AND "
+        f"len(regexp_split_to_array(trim({vis}), '{_RE_WS}')) >= {MIN_WORDS} AND "
         f"2 * COALESCE({link}, 0) <= strlen({vis})), "
         f"nvis := strlen({vis}))), "
         "s -> s.nvis > 0)"

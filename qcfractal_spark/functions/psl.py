@@ -25,9 +25,13 @@ Spark shape — built for 100 TB:
 
 Rule data: ``PSL_SNAPSHOT`` is a curated subset of the ICANN section of
 the real PSL (the multi-label country second-levels that actually occur
-in web crawls, plus the classic wildcard/exception families).  A
-production deployment swaps in the full list via ``load_psl_rules(path)``
-or ``$SPARK_GRAFT_PSL_FILE`` — the standard file format (comments,
+in web crawls, plus the classic wildcard/exception families);
+``PSL_SNAPSHOT_PRIVATE`` is the matching private-section subset
+(github.io, blogspot.*, the AWS compute/ELB wildcards — the multi-tenant
+hosts where every customer subdomain is its own site), included by
+default via ``load_psl_rules(private=True)``.  A production deployment
+swaps in the full list via ``load_psl_rules(path)`` or
+``$SPARK_GRAFT_PSL_FILE`` — the standard file format (comments,
 ``*.``/``!`` prefixes, optional ICANN/private sections) is parsed, and
 the operator adapts K to the file's longest rule automatically.
 
@@ -111,13 +115,45 @@ PSL_SNAPSHOT = [
     "np", "*.np",
 ]
 
+# Curated PRIVATE-section snapshot (VERDICT r9 item 3) — every entry is a
+# real rule from the PSL's private-domains section: multi-tenant hosting
+# platforms where each customer subdomain is its own registrable domain.
+# Without these, a crawl pipeline lumps all of github.io into ONE
+# mega-domain and caps/profiles it as a single site.  Entries are kept to
+# ≤3 labels so the probe width K (and thus the plan) is unchanged.
+PSL_SNAPSHOT_PRIVATE = [
+    # code/static hosting
+    "github.io", "githubusercontent.com", "gitlab.io",
+    # blog platforms (blogspot has per-ccTLD entries in the real list)
+    "blogspot.com", "blogspot.co.uk", "blogspot.com.br", "blogspot.in",
+    "blogspot.de", "wordpress.com",
+    # PaaS / serverless
+    "herokuapp.com", "netlify.app", "vercel.app", "now.sh",
+    "pages.dev", "workers.dev",
+    "appspot.com", "web.app", "firebaseapp.com", "cloudfunctions.net",
+    "azurewebsites.net",
+    # cloud storage / CDN / compute (the AWS wildcards are the private
+    # section's canonical wildcard rules: every ELB/EC2 name under them
+    # is a separate registrable domain)
+    "cloudfront.net", "s3.amazonaws.com",
+    "*.elb.amazonaws.com", "*.compute.amazonaws.com",
+    "*.compute-1.amazonaws.com",
+    # dynamic-DNS families
+    "duckdns.org", "dyndns.org", "no-ip.org",
+]
 
-def load_psl_rules(path: str | None = None, icann_only: bool = True):
+
+def load_psl_rules(path: str | None = None, private: bool = True):
     """Return the rule list as ``[(base, is_normal, is_wildcard,
     is_exception, nlabels)]`` with one row per base (flags merged — a
     base like ``ck`` can carry both a normal and, via ``*.ck``, a
     wildcard rule).  ``path`` (or ``$SPARK_GRAFT_PSL_FILE``) loads a
-    standard-format PSL file; default is the in-code snapshot."""
+    standard-format PSL file; default is the in-code snapshot.
+
+    ``private=True`` (the default — what a crawl pipeline wants) includes
+    the PSL's private-domains section, so multi-tenant hosts like
+    ``user.github.io`` are their own registrable domains; ``private=False``
+    restricts to the ICANN section (the DNS-registry-only view)."""
     path = path or os.environ.get("SPARK_GRAFT_PSL_FILE")
     if path:
         raw = []
@@ -129,11 +165,11 @@ def load_psl_rules(path: str | None = None, icann_only: bool = True):
                     in_private = True
                 if not line or line.startswith("//"):
                     continue
-                if in_private and icann_only:
+                if in_private and not private:
                     continue
                 raw.append(line)
     else:
-        raw = list(PSL_SNAPSHOT)
+        raw = list(PSL_SNAPSHOT) + (list(PSL_SNAPSHOT_PRIVATE) if private else [])
 
     merged: dict[str, list[bool]] = {}
     for rule in raw:

@@ -115,10 +115,13 @@ _SYNTH_URL_EXPR = (
     "'site', cast((doc_id div 5) % 40 as string), "
     # TLD mix exercises the PSL semantics end-to-end: 2-label ccTLD
     # second-levels (.co.uk/.com.cn/.co.kr/.com.br), a wildcard-rule tail
-    # (*.ck makes foo.ck itself a public suffix), and the .com majority.
+    # (*.ck makes foo.ck itself a public suffix), PRIVATE-section hosts
+    # (each siteN.github.io / siteN.blogspot.com is its own registrable
+    # domain — VERDICT r9 item 3), and the .com majority.
     "case (doc_id div 5) % 8 "
     "when 0 then '.co.uk' when 2 then '.com.cn' when 4 then '.co.kr' "
-    "when 5 then '.com.br' when 6 then '.foo.ck' else '.com' end, "
+    "when 5 then '.com.br' when 6 then '.foo.ck' "
+    "when 1 then '.github.io' when 3 then '.blogspot.com' else '.com' end, "
     "case when doc_id % 7 = 3 then ':443' else '' end, "
     "'/docs/', cast(doc_id div 5 as string), "
     "case when doc_id % 5 = 2 then '/' else '' end, "
@@ -133,7 +136,8 @@ _SYNTH_URL_SQL = (
     "'site', CAST((doc_id // 5) % 40 AS VARCHAR), "
     "CASE (doc_id // 5) % 8 "
     "WHEN 0 THEN '.co.uk' WHEN 2 THEN '.com.cn' WHEN 4 THEN '.co.kr' "
-    "WHEN 5 THEN '.com.br' WHEN 6 THEN '.foo.ck' ELSE '.com' END, "
+    "WHEN 5 THEN '.com.br' WHEN 6 THEN '.foo.ck' "
+    "WHEN 1 THEN '.github.io' WHEN 3 THEN '.blogspot.com' ELSE '.com' END, "
     "CASE WHEN doc_id % 7 = 3 THEN ':443' ELSE '' END, "
     "'/docs/', CAST(doc_id // 5 AS VARCHAR), "
     "CASE WHEN doc_id % 5 = 2 THEN '/' ELSE '' END, "
@@ -5512,7 +5516,11 @@ def _text_index_dir(spark, sf_dir: str) -> str:
     """Per-sf_dir persisted inverted text index (text.write_text_index
     layout), built on first use — the same (size, mtime) staleness-marker
     contract as _ivf_index_dir, so a regenerated documents table always
-    re-indexes."""
+    re-indexes.  The marker also records the HASH MODE
+    (SPARK_GRAFT_FAST_HASH) and bucket count: both change the
+    term→bucket derivation, so an index built under one mode probed
+    under the other would silently return empty/partial posting lists
+    (ADVICE r9) — a mode or bucket flip now forces a rebuild."""
     import os as _os
 
     from .functions.text import write_text_index
@@ -5520,7 +5528,9 @@ def _text_index_dir(spark, sf_dir: str) -> str:
     path = _scratch_dir(sf_dir, "text_index")
     src = _os.path.join(sf_dir, "documents.parquet")
     st = _os.stat(src)
-    marker = f"{st.st_size}:{st.st_mtime_ns}"
+    fast = 1 if _os.environ.get("SPARK_GRAFT_FAST_HASH") == "1" else 0
+    n_buckets = 64  # write_text_index default; probes derive buckets the same way
+    marker = f"{st.st_size}:{st.st_mtime_ns}:h{fast}:b{n_buckets}"
     marker_path = _os.path.join(path, "source_marker")
     valid = _os.path.exists(_os.path.join(path, "_SUCCESS"))
     if valid:
@@ -7002,10 +7012,11 @@ REGISTRY["tx_bigram_lm"] = (q_tx_bigram_lm, SQL_TX_BIGRAM_LM)
 
 def q_tx_quality_sweep(spark, sf_dir):
     """TX+ (beyond-reference): quality-threshold sweep — for every cutoff
-    on a 0.05 grid, how many documents and tokens survive a ``quality ≥
-    t`` filter: the report a curation pipeline reads to pick its
-    threshold under a token budget (the C4/CCNet knob, made measurable
-    before committing a full filtering pass).
+    on a 0.001 grid (``floor(quality·1000)``, ≤1001 distinct buckets),
+    how many documents and tokens survive a ``quality ≥ t`` filter: the
+    report a curation pipeline reads to pick its threshold under a token
+    budget (the C4/CCNet knob, made measurable before committing a full
+    filtering pass).
 
     Plan: ONE scan computes (quality bucket, n_tok) scan-side; a
     map-combinable hash agg reduces the corpus to ≤1001 bucket rows; the

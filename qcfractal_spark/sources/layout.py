@@ -202,8 +202,21 @@ def compact_small_files(
         }
     df = spark.read.parquet(path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
-    tmp = jpath(path.rstrip("/") + ".compact_tmp")
-    old = jpath(path.rstrip("/") + ".compact_old")
+    # Scratch dirs live as DOT-prefixed siblings (inside the same
+    # parent), so hive partition discovery never sees them.  The old
+    # naming (``root/k=v.compact_tmp``) was hive-parseable and a
+    # full-table reader racing the rewrite window would double-count the
+    # leaf with a spoofed partition value (ADVICE r9).  Dot, not
+    # underscore: Spark's hidden-path rule (HadoopFSUtils.
+    # shouldFilterOutPathName) exempts "_"-prefixed names that contain
+    # "=", so ``_compact_tmp_k=1`` would still be discovered — "."
+    # prefixes are excluded unconditionally.
+    parent = hpath.getParent()
+    if parent is None:
+        raise IOError(f"compact_small_files: cannot compact a filesystem root: {path}")
+    leaf_name = hpath.getName()
+    tmp = jpath(parent, f".compact_tmp_{leaf_name}")
+    old = jpath(parent, f".compact_old_{leaf_name}")
     fs.delete(tmp, True)
     df.repartition(n_out).write.mode("overwrite").parquet(tmp.toString())
     fs.delete(old, True)
@@ -261,10 +274,16 @@ def compact_partitioned(
         raise FileNotFoundError(f"compact_partitioned: no such directory: {root}")
 
     leaves: list[str] = []
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
 
     def _walk(p) -> None:
+        _sweep_compact_scratch(fs, jpath, p)
         kids = list(fs.listStatus(p))
-        dirs = [k for k in kids if k.isDirectory()]
+        dirs = [
+            k
+            for k in kids
+            if k.isDirectory() and not k.getPath().getName().startswith((".", "_"))
+        ]
         files = [
             k
             for k in kids
@@ -292,6 +311,32 @@ def compact_partitioned(
         if stats["files_after"] < stats["files_before"]:
             out["rewritten"] += 1
     return out
+
+
+def _sweep_compact_scratch(fs, jpath, p) -> None:
+    """Recover crash leftovers from :func:`compact_small_files` under the
+    directory ``p`` before treating its children as partitions.
+
+    * ``.compact_tmp_X``  — an incomplete rewrite; the source leaf still
+      holds the data, so the tmp dir is always safe to delete.
+    * ``.compact_old_X``  — if leaf ``X`` exists, the pointer swap
+      completed and only cleanup crashed: delete the old copy.  If ``X``
+      is missing, the crash hit between the two renames: rename the old
+      copy back so no data is lost.
+    """
+    for st in fs.listStatus(p):
+        if not st.isDirectory():
+            continue
+        hp = st.getPath()
+        name = hp.getName()
+        if name.startswith(".compact_tmp_"):
+            fs.delete(hp, True)
+        elif name.startswith(".compact_old_"):
+            leaf = jpath(p, name[len(".compact_old_"):])
+            if fs.exists(leaf):
+                fs.delete(hp, True)
+            else:
+                fs.rename(hp, leaf)
 
 
 def _data_file_count(fs, spark: SparkSession, path: str) -> int:

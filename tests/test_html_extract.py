@@ -112,6 +112,10 @@ def test_cross_engine_fuzz(spark):
         "&amp;", "&lt;tag&gt;", "&nbsp;", "<!-- hidden -->",
         "<script>var a = 1;</script>", "<style>.c{}</style>",
         "<head><title>t</title></head>", "mixed <b>bold</b> words",
+        # control whitespace the engines' \s classes DISAGREE on (Java
+        # includes U+000B, RE2 doesn't) — the explicit _RE_WS class must
+        # keep both splitting identically (ADVICE r9)
+        "vert\x0btab words", "one\x0btwo three four", "tab\tsep words here",
     ]
     docs = [
         " ".join(rng.choice(frags) for _ in range(rng.randint(1, 25)))

@@ -1,6 +1,7 @@
 """sources/layout.py:compact_small_files — lossless rewrite, file-count
-reduction, size-targeted output count, idempotence, and swap atomicity
-leftovers (no .compact_tmp/.compact_old residue)."""
+reduction, size-targeted output count, idempotence, swap atomicity
+leftovers (no scratch residue), and scratch-dir invisibility to hive
+partition discovery (ADVICE r9: dot-prefixed siblings)."""
 
 from __future__ import annotations
 
@@ -28,8 +29,8 @@ def test_compact_reduces_files_losslessly(spark, tmp_path):
     after = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert after == before
     # no swap residue
-    assert not os.path.exists(path + ".compact_tmp")
-    assert not os.path.exists(path + ".compact_old")
+    parent = os.path.dirname(path)
+    assert not glob.glob(os.path.join(parent, ".compact_*"))
 
 
 def test_compact_is_idempotent_and_size_targeted(spark, tmp_path):
@@ -69,8 +70,7 @@ def test_compact_file_uri_scheme(spark, tmp_path):
     assert stats["files_before"] == 16 and stats["files_after"] == 1
     got = sorted(r["id"] for r in spark.read.parquet(local).collect())
     assert got == list(range(3000))
-    assert not os.path.exists(local + ".compact_tmp")
-    assert not os.path.exists(local + ".compact_old")
+    assert not glob.glob(os.path.join(os.path.dirname(local), ".compact_*"))
 
 
 def test_compact_missing_dir_raises(spark, tmp_path):
@@ -111,3 +111,51 @@ def test_compact_partitioned_per_leaf(spark, tmp_path):
     again = compact_partitioned(spark, root, target_bytes=1 << 30)
     assert again["rewritten"] == 0
     assert again["files_before"] == again["files_after"]
+
+
+def test_scratch_dirs_invisible_to_partition_discovery(spark, tmp_path):
+    """A full-table reader racing the rewrite window must never see the
+    scratch dirs as partitions (ADVICE r9: the old ``k=v.compact_tmp``
+    naming was hive-parseable and double-counted the leaf).  Simulate the
+    mid-swap state by hand and assert discovery skips it."""
+    import shutil
+
+    root = str(tmp_path / "pt")
+    df = spark.range(0, 300).selectExpr("id", "id % 2 AS k")
+    df.write.partitionBy("k").parquet(root)
+    n = spark.read.parquet(root).count()
+    # mid-rewrite snapshot: a same-content copy in the dot-prefixed scratch dir
+    shutil.copytree(os.path.join(root, "k=1"),
+                    os.path.join(root, ".compact_tmp_k=1"))
+    shutil.copytree(os.path.join(root, "k=1"),
+                    os.path.join(root, ".compact_old_k=1"))
+    assert spark.read.parquet(root).count() == n  # no double count
+    assert set(
+        r["k"] for r in spark.read.parquet(root).select("k").distinct().collect()
+    ) == {0, 1}
+
+
+def test_compact_partitioned_sweeps_crash_leftovers(spark, tmp_path):
+    """Crash-recovery sweep: stale ``.compact_tmp_*`` is deleted, and an
+    orphaned ``.compact_old_*`` (crash between the two renames, leaf
+    missing) is renamed back so no data is lost."""
+    import shutil
+
+    from qcfractal_spark.sources.layout import compact_partitioned
+
+    root = str(tmp_path / "pt")
+    df = spark.range(0, 400).selectExpr("id", "id % 2 AS k")
+    df.write.partitionBy("k").parquet(root)
+    before = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    # crash state 1: incomplete rewrite left a tmp dir (leaf intact)
+    shutil.copytree(os.path.join(root, "k=0"),
+                    os.path.join(root, ".compact_tmp_k=0"))
+    # crash state 2: swap half-done — leaf k=1 moved to old, never replaced
+    shutil.move(os.path.join(root, "k=1"),
+                os.path.join(root, ".compact_old_k=1"))
+
+    stats = compact_partitioned(spark, root, target_bytes=1 << 30)
+    assert stats["partitions"] == 2  # both leaves seen after recovery
+    assert not glob.glob(os.path.join(root, ".compact_*"))
+    after = sorted(r["id"] for r in spark.read.parquet(root).collect())
+    assert after == before

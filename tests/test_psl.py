@@ -54,6 +54,26 @@ CASES = [
     # single label / degenerate
     ("localhost", "localhost"),
     ("", ""),
+    # PRIVATE section (VERDICT r9 item 3): each tenant subdomain is its
+    # own registrable domain — github.io must NOT collapse to one site
+    ("github.io", "github.io"),
+    ("alice.github.io", "alice.github.io"),
+    ("www.alice.github.io", "alice.github.io"),
+    ("bob.blogspot.com", "bob.blogspot.com"),
+    ("x.bob.blogspot.com", "bob.blogspot.com"),
+    ("shop.blogspot.co.uk", "shop.blogspot.co.uk"),
+    ("myapp.herokuapp.com", "myapp.herokuapp.com"),
+    ("bucket.s3.amazonaws.com", "bucket.s3.amazonaws.com"),
+    # private WILDCARD rules: *.compute.amazonaws.com makes the region
+    # label itself a public suffix, so registrable = 5 labels
+    ("ec2-1.us-east.compute.amazonaws.com",
+     "ec2-1.us-east.compute.amazonaws.com"),
+    ("a.ec2-1.us-east.compute.amazonaws.com",
+     "ec2-1.us-east.compute.amazonaws.com"),
+    # the private rule only REFINES: amazonaws.com itself still resolves
+    # by the default .com rule
+    ("amazonaws.com", "amazonaws.com"),
+    ("x.amazonaws.com", "amazonaws.com"),
 ]
 
 
@@ -99,10 +119,10 @@ def test_loader_parses_standard_file(tmp_path):
         "// ===BEGIN PRIVATE DOMAINS===\n"
         "github.io\n"
     )
-    rules = psl.load_psl_rules(str(p))
+    rules = psl.load_psl_rules(str(p), private=False)
     bases = {r[0] for r in rules}
     assert bases == {"com", "co.uk", "ck", "www.ck"}  # private section skipped
-    rules_all = psl.load_psl_rules(str(p), icann_only=False)
+    rules_all = psl.load_psl_rules(str(p))  # private included by default
     assert "github.io" in {r[0] for r in rules_all}
 
 
@@ -157,6 +177,23 @@ def test_strategy_switch_is_results_invariant(spark):
         for r in psl.with_registrable_domain(df, "host", rules=big).collect()
     }
     assert small == bigr
+
+
+def test_private_toggle_and_precedence():
+    """private=False restores the ICANN-only view (github.io collapses to
+    one domain under the default .io rule), and within the private
+    section a WILDCARD private rule coexists with normal rules on the
+    same provider without interference."""
+    icann = psl.load_psl_rules(private=False)
+    bases = {r[0] for r in icann}
+    assert "github.io" not in bases and "compute.amazonaws.com" not in bases
+    full = {r[0]: r for r in psl.load_psl_rules()}
+    assert full["github.io"][1]  # normal private rule
+    # *.compute.amazonaws.com: wildcard-only base (no normal rule)
+    assert full["compute.amazonaws.com"][2] and not full["compute.amazonaws.com"][1]
+    # s3: normal-only (no wildcard) — bucket.s3... is registrable, but
+    # key.bucket.s3... still collapses to bucket.s3...
+    assert full["s3.amazonaws.com"][1] and not full["s3.amazonaws.com"][2]
 
 
 def test_psl_structural_properties(spark):

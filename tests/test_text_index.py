@@ -80,6 +80,36 @@ def test_fast_hash_mode_roundtrip(spark, tmp_path, monkeypatch):
     assert got == want
 
 
+def test_mode_flip_forces_rebuild(spark, monkeypatch):
+    """ADVICE r9: the cached index's staleness marker must record the
+    hash mode — build via _text_index_dir under md5 mode, flip
+    SPARK_GRAFT_FAST_HASH, and the probe must REBUILD (marker mismatch)
+    instead of silently probing mismatched buckets."""
+    import os
+
+    from qcfractal_spark.queries import _text_index_dir
+
+    monkeypatch.delenv("SPARK_GRAFT_FAST_HASH", raising=False)
+    path = _text_index_dir(spark, SF_SMOKE)
+    with open(os.path.join(path, "source_marker")) as fh:
+        marker_md5 = fh.read()
+    assert ":h0:" in marker_md5
+
+    monkeypatch.setenv("SPARK_GRAFT_FAST_HASH", "1")
+    path2 = _text_index_dir(spark, SF_SMOKE)
+    with open(os.path.join(path2, "source_marker")) as fh:
+        marker_fast = fh.read()
+    assert ":h1:" in marker_fast and marker_fast != marker_md5
+    # the rebuilt index probes correctly under the new mode
+    got = _rows(tx.phrase_hits_indexed(spark, path2, PHRASE))
+    monkeypatch.delenv("SPARK_GRAFT_FAST_HASH")
+    assert got == _rows(_inline_hits(spark, PHRASE))
+    # flipping back rebuilds again (marker round-trips)
+    path3 = _text_index_dir(spark, SF_SMOKE)
+    with open(os.path.join(path3, "source_marker")) as fh:
+        assert ":h0:" in fh.read()
+
+
 def test_registry_query_runs(spark):
     fn, sql = REGISTRY["tx_phrase_idx"]
     out = _rows(fn(spark, SF_SMOKE))

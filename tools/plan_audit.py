@@ -74,7 +74,7 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # onto the per-doc bigram tf relation
                        "tx_bigram_lm",
                        # 1-row (tot_docs, tot_toks) scalar crossed onto
-                       # the ≤21-row threshold-bucket relation
+                       # the ≤1001-row threshold-bucket relation (0.001 grid)
                        "tx_quality_sweep"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
