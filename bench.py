@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     "sim_index_stats",      # IVF list-health report (pruned footer scan)
     "tx_html_extract",      # HTML main-content extraction (array codegen)
     "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
+    "tx_kn_lm",             # Kneser-Ney bigram LM (continuation backoff)
     "tx_phrase_idx",        # phrase audit via persisted inverted index
     "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC

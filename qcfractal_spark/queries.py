@@ -7010,6 +7010,52 @@ GROUP BY 1
 REGISTRY["tx_bigram_lm"] = (q_tx_bigram_lm, SQL_TX_BIGRAM_LM)
 
 
+def q_tx_kn_lm(spark, sf_dir):
+    """TX+ (beyond-reference): interpolated Kneser-Ney bigram LM
+    (functions/text.py:kn_lm_scores, VERDICT r9 item 6) — absolute
+    discount D=3/4 with CONTINUATION-count backoff instead of
+    tx_bigram_lm's raw-unigram Jelinek-Mercer backoff: frequent but
+    context-bound tokens (the "francisco" class) stop inflating junk
+    transitions' probabilities, which widens the junk/real separation on
+    sparse bigrams (pytest-pinned vs the JM arm).  Same decimal
+    round-then-sum order-independence contract."""
+    return tx.kn_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+SQL_TX_KN_LM = f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+btf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cab FROM btf GROUP BY 1, 2),
+ctx AS (SELECT a, CAST(SUM(cab) AS BIGINT) AS ca, COUNT(*) AS n1a
+        FROM bc GROUP BY 1),
+nb AS (SELECT b, COUNT(*) AS n1b FROM bc GROUP BY 1),
+nt AS (SELECT COUNT(*) AS ntypes FROM bc)
+SELECT btf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(tf AS DECIMAL(8,0))
+                     * CAST(ROUND(-log2(
+                         (CAST(cab AS DOUBLE) - CAST(0.75 AS DOUBLE)) / ca
+                       + (CAST(0.75 AS DOUBLE) / ca) * n1a
+                         * (CAST(n1b AS DOUBLE) / nt.ntypes)
+                       ), 9) AS DECIMAL(28,9))) AS DOUBLE)
+             / SUM(tf), 6) AS mean_nll
+FROM btf
+JOIN bc USING (a, b)
+JOIN ctx USING (a)
+JOIN nb ON nb.b = btf.b
+CROSS JOIN nt
+GROUP BY 1
+"""
+
+REGISTRY["tx_kn_lm"] = (q_tx_kn_lm, SQL_TX_KN_LM)
+
+
 def q_tx_quality_sweep(spark, sf_dir):
     """TX+ (beyond-reference): quality-threshold sweep — for every cutoff
     on a 0.001 grid (``floor(quality·1000)``, ≤1001 distinct buckets),

@@ -73,6 +73,9 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # corpus-total token count (1-row scalar) crossed
                        # onto the per-doc bigram tf relation
                        "tx_bigram_lm",
+                       # bigram-type total N1+(*,*) (1-row scalar) crossed
+                       # onto the per-doc bigram tf relation
+                       "tx_kn_lm",
                        # 1-row (tot_docs, tot_toks) scalar crossed onto
                        # the ≤1001-row threshold-bucket relation (0.001 grid)
                        "tx_quality_sweep"}
@@ -125,6 +128,8 @@ SMJ_OK = {
     "tx_bigram_lm",  # per-doc bigram tf ⋈ corpus bigram/context/unigram
                      # counts on their token keys: every side fact-sized
                      # (vocab² bigram relation) — SMJ is the at-scale plan
+    "tx_kn_lm",  # same shape: per-doc bigram tf ⋈ bigram/context/
+                 # continuation counts (all cascaded from btf), fact-sized
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
