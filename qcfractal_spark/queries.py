@@ -7056,6 +7056,58 @@ GROUP BY 1
 REGISTRY["tx_kn_lm"] = (q_tx_kn_lm, SQL_TX_KN_LM)
 
 
+def q_tx_bpe_merges(spark, sf_dir):
+    """TX+ (beyond-reference): BPE merge-pair vocabulary induction
+    (functions/text.py:bpe_merges, VERDICT r9 item 4) — 10 rounds of
+    most-frequent-adjacent-pair merging over the letters-only word-type
+    table, the tokenizer-prep op tx_pmi_bigrams/tx_doc_freq stop short
+    of.  One corpus-wide groupBy reduces to the vocabulary; each round
+    is a vocab-sized pair count + a 1-row argmax collect + a row-local
+    bracketed-string replace (greedy left-to-right merge semantics for
+    free).  The oracle unrolls the same 10 steps as chained CTEs
+    (the g1_pagerank template)."""
+    return tx.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    ctes = [
+        "wf AS (SELECT word, COUNT(*) AS freq FROM ("
+        "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word"
+        " FROM documents WHERE text IS NOT NULL) GROUP BY 1)",
+        r"w0 AS (SELECT regexp_replace(word, '(.)', '<\1>', 'g') AS enc,"
+        " freq FROM wf)",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes.append(
+            f"p{i} AS (SELECT t.s[j] AS a, t.s[j + 1] AS b,"
+            f" CAST(SUM(freq) AS BIGINT) AS cnt"
+            f" FROM (SELECT string_split(trim(enc, '<>'), '><') AS s, freq"
+            f" FROM w{i-1}) t,"
+            f" unnest(generate_series(1, len(t.s) - 1)) u(j)"
+            f" GROUP BY 1, 2)"
+        )
+        ctes.append(
+            f"b{i} AS (SELECT a, b, cnt FROM p{i}"
+            f" ORDER BY cnt DESC, a, b LIMIT 1)"
+        )
+        if i < n_merges:
+            ctes.append(
+                f"w{i} AS (SELECT replace(enc, '<' || a || '><' || b || '>',"
+                f" '<' || a || b || '>') AS enc, freq"
+                f" FROM w{i-1} CROSS JOIN b{i})"
+            )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + f"\nSELECT * FROM ({unions}) ORDER BY rank"
+
+
+SQL_TX_BPE_MERGES = _bpe_oracle_sql(10)
+
+REGISTRY["tx_bpe_merges"] = (q_tx_bpe_merges, SQL_TX_BPE_MERGES)
+
+
 def q_tx_quality_sweep(spark, sf_dir):
     """TX+ (beyond-reference): quality-threshold sweep — for every cutoff
     on a 0.001 grid (``floor(quality·1000)``, ≤1001 distinct buckets),
