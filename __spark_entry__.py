@@ -22,6 +22,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from qcfractal_spark.queries import (
     REGISTRY,
     q_dd_incremental_labels,
+    q_pipe_export,
     q_pipe_prepare,
     q_st_ann_serve,
 )
@@ -40,7 +41,11 @@ def entry(spark: SparkSession) -> DataFrame:
        the corpus (the same contract on the dedup side).  Both are forced
        eagerly and must return rows — a broken index build or probe fails
        the smoke even though the returned DataFrame comes from part 2.
-    2. **Flagship query** — the end-to-end prep pipeline
+    2. **Write path** — ``q_pipe_export`` materializes the training-shard
+       artifact (pack + epoch shuffle + interleave + leak-safe split,
+       written shard-partitioned, VERDICT r9 item 5) and re-reads it; the
+       per-shard verification must return rows.
+    3. **Flagship query** — the end-to-end prep pipeline
        (``q_pipe_prepare``): URL dedup → scan-side language+quality
        scoring → filters → MinHash star-edge near-dup clustering over the
        survivors → cluster-canonical docs with token counts, one composed
@@ -52,6 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
     labeled = q_dd_incremental_labels(spark, sf).count()
     if labeled <= 0:
         raise RuntimeError("smoke: incremental label assignment returned 0 rows")
+    exported = q_pipe_export(spark, sf).count()
+    if exported <= 0:
+        raise RuntimeError("smoke: training-shard export verification returned 0 rows")
     return q_pipe_prepare(spark, sf)
 
 

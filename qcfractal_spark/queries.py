@@ -3944,6 +3944,129 @@ SQL_PIPE = _pipe_oracle_sql()
 REGISTRY["pipe_prepare"] = (q_pipe_prepare, SQL_PIPE)
 
 
+def _train_shards_dir(spark, sf_dir: str) -> str:
+    """Per-sf_dir persisted training-shard artifact (sources/export.py
+    layout), written on first use — the _text_index_dir staleness-marker
+    contract: (size, mtime) of the source table plus the hash mode
+    (FAST_HASH flips shard/pos/split derivations), so a regenerated
+    table or a mode flip always re-exports."""
+    import os as _os
+
+    from .sources.export import export_training_shards
+
+    path = _scratch_dir(sf_dir, "train_shards")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    fast = 1 if _os.environ.get("SPARK_GRAFT_FAST_HASH") == "1" else 0
+    marker = f"{st.st_size}:{st.st_mtime_ns}:h{fast}"
+    marker_path = _os.path.join(path, "source_marker")
+    valid = _os.path.exists(_os.path.join(path, "_SUCCESS"))
+    if valid:
+        try:
+            with open(marker_path) as fh:
+                valid = fh.read() == marker
+        except OSError:
+            valid = False
+    if not valid:
+        export_training_shards(q_pipe_prepare(spark, sf_dir), path)
+        with open(marker_path, "w") as fh:
+            fh.write(marker)
+    return path
+
+
+def q_pipe_export(spark, sf_dir):
+    """PIPE+ flagship (beyond-reference, VERDICT r9 item 5): the
+    MATERIALIZED training-shard export — pipe_prepare's dedup survivors
+    composed through concat-chunk packing offsets, the seeded epoch
+    shuffle (shard + pos), the u12 interleave key, and the u9 leak-safe
+    split, WRITTEN as shard-partitioned parquet (sources/export.py) and
+    then verified by RE-READ: the returned relation is a per-shard
+    integer/exact-decimal aggregate of the re-read artifact (counts,
+    token/chunk sums, Σ doc_id·pos order checksum, interleave-key sum,
+    split counts), which the oracle recomputes from the SOURCE table —
+    any dropped row, duplicated file, or permuted pos hash-diverges.
+    The artifact is the pipeline's actual deliverable; this query is its
+    acceptance test."""
+    from .sources.export import shard_verification
+
+    reread = spark.read.parquet(_train_shards_dir(spark, sf_dir))
+    return shard_verification(reread)
+
+
+def _pipe_export_oracle_sql() -> str:
+    h = "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""
+WITH pipe AS (SELECT * FROM ({SQL_PIPE}) t),
+pk AS (
+  SELECT source, doc_id,
+    CAST(FLOOR(GREATEST(c - 1, c - n_tokens) / 2048) AS BIGINT)
+      - CAST(FLOOR((c - n_tokens) / 2048) AS BIGINT) + 1 AS n_chunks
+  FROM (
+    SELECT source, doc_id, n_tokens,
+      SUM(n_tokens) OVER (
+        PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+      ) AS c
+    FROM pipe
+  )
+),
+sh AS (
+  SELECT doc_id, {h} % 8 AS shard,
+         md5('0:' || CAST(doc_id AS VARCHAR)) AS k
+  FROM pipe
+),
+pos AS (
+  SELECT doc_id, shard,
+    CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k ASC, doc_id ASC)
+         AS BIGINT) AS pos
+  FROM sh
+),
+srcs AS (
+  SELECT source, CAST(ROW_NUMBER() OVER (ORDER BY source) - 1 AS BIGINT)
+           AS source_idx
+  FROM (SELECT DISTINCT source FROM pipe)
+),
+rk AS (
+  SELECT doc_id, source,
+    CAST(ROW_NUMBER() OVER (
+      PARTITION BY source ORDER BY {h} ASC, doc_id ASC
+    ) AS BIGINT) AS epoch_rank
+  FROM pipe
+),
+rows_ AS (
+  SELECT p.doc_id, p.source, p.n_tokens, p.quality, pk.n_chunks,
+         pos.shard, pos.pos,
+         rk.epoch_rank * 64 + s.source_idx AS interleave_key,
+         CASE WHEN ('0x' || substr(md5('split:0:' || CAST(p.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5('split:0:' || CAST(p.doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+              ELSE 'test' END AS split
+  FROM pipe p
+  JOIN pk ON pk.source = p.source AND pk.doc_id = p.doc_id
+  JOIN pos ON pos.doc_id = p.doc_id
+  JOIN rk ON rk.doc_id = p.doc_id
+  JOIN srcs s ON s.source = p.source
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(n_chunks) AS BIGINT) AS sum_chunks,
+  CAST(MAX(pos) AS BIGINT) AS max_pos,
+  CAST(SUM(doc_id * pos) AS BIGINT) AS order_check,
+  CAST(SUM(interleave_key) AS BIGINT) AS ilv_check,
+  ROUND(CAST(SUM(CAST(quality AS DECIMAL(20,6))) AS DOUBLE), 6) AS sum_quality,
+  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM rows_
+GROUP BY shard
+"""
+
+
+SQL_PIPE_EXPORT = _pipe_export_oracle_sql()
+
+REGISTRY["pipe_export"] = (q_pipe_export, SQL_PIPE_EXPORT)
+
+
 def q_t8_funnel(spark, sf_dir):
     """T8 (beyond-reference): ordered funnel analysis — per user, the
     earliest strictly-ordered view → click → purchase chain and the funnel

@@ -1,0 +1,108 @@
+"""sources/export.py — the materialized training-shard flagship
+(VERDICT r9 item 5): the written artifact must round-trip losslessly,
+carry a dense per-shard epoch order, keep the leak-safe split, and the
+re-read verification must actually DETECT tampering (a verification that
+can't fail verifies nothing).  Registry parity vs the source-table
+oracle is covered by test_queries_oracle."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.sources.export import (
+    export_training_shards,
+    shard_verification,
+    training_shard_rows,
+)
+
+
+def _survivors(spark, n=400):
+    return spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 5).cast("string")).alias("source"),
+        (F.col("id") % 700 + 10).alias("n_tokens"),
+        F.round(F.lit(0.5) + (F.col("id") % 50) / 100.0, 6).alias("quality"),
+    )
+
+
+def test_roundtrip_is_lossless_and_shard_partitioned(spark, tmp_path):
+    surv = _survivors(spark)
+    path = str(tmp_path / "shards")
+    export_training_shards(surv, path, n_shards=8)
+    # physical layout: one hive dir per shard
+    assert len(glob.glob(os.path.join(path, "shard=*"))) == 8
+    reread = spark.read.parquet(path)
+    assert reread.count() == 400
+    assert set(r["doc_id"] for r in reread.select("doc_id").collect()) == set(
+        range(400)
+    )
+
+
+def test_pos_is_dense_per_shard_and_order_deterministic(spark, tmp_path):
+    surv = _survivors(spark)
+    path = str(tmp_path / "shards2")
+    export_training_shards(surv, path, n_shards=4)
+    reread = spark.read.parquet(path)
+    for shard, rows in (
+        (s, sorted(r["pos"] for r in g))
+        for s, g in __import__("itertools").groupby(
+            sorted(reread.select("shard", "pos").collect(), key=lambda r: r["shard"]),
+            key=lambda r: r["shard"],
+        )
+    ):
+        assert rows == list(range(1, len(rows) + 1)), shard
+    # a re-export reproduces the identical order (seeded, no RNG state)
+    export_training_shards(surv, str(tmp_path / "shards2b"), n_shards=4)
+    a = sorted(
+        (r["doc_id"], r["shard"], r["pos"]) for r in reread.collect()
+    )
+    b = sorted(
+        (r["doc_id"], r["shard"], r["pos"])
+        for r in spark.read.parquet(str(tmp_path / "shards2b")).collect()
+    )
+    assert a == b
+
+
+def test_split_counts_and_no_epoch_rank_clumping(spark, tmp_path):
+    rows = training_shard_rows(_survivors(spark), n_shards=4)
+    got = rows.groupBy("split").count().collect()
+    by_split = {r["split"]: r["count"] for r in got}
+    assert set(by_split) == {"train", "valid", "test"}
+    assert by_split["train"] > by_split["valid"]
+    assert by_split["train"] > by_split["test"]
+    # interleave key: within any source, ranks are dense, so sorting by
+    # interleave_key round-robins the 5 sources
+    first10 = [
+        r["source"]
+        for r in rows.orderBy("interleave_key").limit(10).collect()
+    ]
+    assert len(set(first10[:5])) == 5  # one of each source first
+
+
+def test_verification_detects_tampering(spark, tmp_path):
+    """Delete one shard's data file, then duplicate another's: both
+    corruptions must move the verification aggregate."""
+    import shutil
+
+    surv = _survivors(spark)
+    path = str(tmp_path / "shards3")
+    export_training_shards(surv, path, n_shards=4)
+    baseline = {
+        r["shard"]: (r["n_docs"], r["order_check"])
+        for r in shard_verification(spark.read.parquet(path)).collect()
+    }
+    files = sorted(glob.glob(os.path.join(path, "shard=0", "part-*.parquet")))
+    assert files
+    os.remove(files[0])  # drop rows
+    dup_src = sorted(glob.glob(os.path.join(path, "shard=1", "part-*.parquet")))[0]
+    shutil.copy(dup_src, dup_src.replace("part-", "part-dup-"))  # duplicate rows
+    tampered = {
+        r["shard"]: (r["n_docs"], r["order_check"])
+        for r in shard_verification(spark.read.parquet(path)).collect()
+    }
+    assert tampered.get(0) != baseline[0]
+    assert tampered.get(1) != baseline[1]
+    assert tampered.get(2) == baseline[2]  # untouched shards still agree
