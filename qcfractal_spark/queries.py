@@ -7518,9 +7518,9 @@ REGISTRY["tx_quality_sweep"] = (q_tx_quality_sweep, SQL_TX_QUALITY_SWEEP)
 #     "pipe_prepare",
 # ]  (end r8 roster ledger)
 
-_DRIVER_WINDOW = [
-    # ---- Round-9 rotation (VERDICT r8 item 7), computed from
-    # tools/stale_stamps.py over the recorded artifacts.  Step IN:
+# ---- Round-9 rotation, now rotated out; ledger kept (counts corrected
+# per ADVICE r9: (c) had FOUR newcomers incl. tx_quality_sweep, and (d)
+# carried 34 — not 35 — of the 49 r06 stamps):
     # (a) the full r05-stamped residue (4) — the rotation's oldest stamps,
     #     closing the r8 window's acknowledged leftover;
     # (b) every query whose implementation or oracle changed after its
@@ -7531,11 +7531,12 @@ _DRIVER_WINDOW = [
     #     domains + the widened synthetic-URL TLD mix), pipe_prepare
     #     (stage-0 canonical keys change with the TLD mix), s10_compact
     #     (compact_small_files rewritten onto the Hadoop FS API);
-    # (c) the round-9 newcomers, never driver-stamped (3):
+    # (c) the round-9 newcomers, never driver-stamped (4):
     #     tx_html_extract (main-content extraction), tx_bigram_lm
     #     (interpolated bigram LM), tx_phrase_idx (persisted inverted-
-    #     index phrase probe);
-    # (d) 35 of the 49 r06-stamped queries — the next-oldest cohort.
+    #     index phrase probe), tx_quality_sweep (threshold retention
+    #     sweep);
+    # (d) 34 of the 49 r06-stamped queries — the next-oldest cohort.
     # Step OUT: the 47 r07 + 42 remaining r08 stamps (all freshly green
     # within two rounds) and 15 r06 queries whose shapes are carried by
     # in-window or r08-fresh siblings:
@@ -7566,25 +7567,79 @@ _DRIVER_WINDOW = [
     # After r9 stamps: no stamp older than r06, and the r06 residue is 15
     # (structural floor: 150 queries / 50-per-round window = 3 rounds).
     # --- (a) r05 residue (4) ---
-    "dd_span_dedup", "sim_pq_topk", "st_sessionize", "a22_approx_quantiles",
+#    "dd_span_dedup", "sim_pq_topk", "st_sessionize", "a22_approx_quantiles",
     # --- (b) changed after their r8 stamp (8) ---
-    "t13_thread_assembly", "tx_phrase_hits", "tx_pmi_bigrams",
-    "dd_url_dedup", "tx_domain_stats", "st_stream_urldedup",
-    "pipe_prepare", "s10_compact",
+#    "t13_thread_assembly", "tx_phrase_hits", "tx_pmi_bigrams",
+#    "dd_url_dedup", "tx_domain_stats", "st_stream_urldedup",
+#    "pipe_prepare", "s10_compact",
     # --- (c) round-9 newcomers (4) ---
-    "tx_html_extract", "tx_bigram_lm", "tx_phrase_idx", "tx_quality_sweep",
+#    "tx_html_extract", "tx_bigram_lm", "tx_phrase_idx", "tx_quality_sweep",
     # --- (d) r06 cohort, 34 of 49 (displacements documented above) ---
-    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
-    "a14_pivot", "a16_dedup_batch",
-    "a17_group_centroid", "a5_two_col_counts", "a6_access_summary",
-    "dd_containment", "dd_contamination", "dd_exact", "dd_jaccard",
-    "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
-    "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
-    "j1_dim_join", "j4_semi_join", "o2_priority_topk",
-    "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
-    "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
-    "sim_knn_join", "sim_lsh_topk", "t3_hourly_rollup", "tx_pii",
-    "tx_text_stats", "u6_mixture_sample", "w1_window_lag",
+#    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
+#    "a14_pivot", "a16_dedup_batch",
+#    "a17_group_centroid", "a5_two_col_counts", "a6_access_summary",
+#    "dd_containment", "dd_contamination", "dd_exact", "dd_jaccard",
+#    "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
+#    "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
+#    "j1_dim_join", "j4_semi_join", "o2_priority_topk",
+#    "p5_json_extract", "p7_array_overlap", "p8_int_or_name",
+#    "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
+#    "sim_knn_join", "sim_lsh_topk", "t3_hourly_rollup", "tx_pii",
+#    "tx_text_stats", "u6_mixture_sample", "w1_window_lag",
+#]  (end r9 roster ledger)
+
+_DRIVER_WINDOW = [
+    # ---- Round-10 rotation (VERDICT r9 item 1), computed from
+    # tools/stale_stamps.py over the recorded artifacts.  Step IN:
+    # (a) every query whose implementation or oracle changed after its
+    #     r9 stamp (5): tx_html_extract (explicit whitespace class — the
+    #     Java-\\s/RE2-\\s U+000B parity fix changes the keep verdict),
+    #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
+    #     pipe_prepare (PSL private-section rules + the .github.io/
+    #     .blogspot.com synthetic-TLD mix change their domains/keys);
+    # (b) the round-10 newcomers, never driver-stamped (3): tx_kn_lm
+    #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
+    #     induction), pipe_export (materialized training-shard flagship);
+    # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
+    #     violation VERDICT r9 item 1 mandates closing; nothing older
+    #     than r07 remains stamped after this round;
+    # (d) the 27 alphabetically-first r07-stamped hash-green queries —
+    #     the next-oldest cohort.
+    # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
+    # freshly green within two rounds), plus the 19 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 20 are the
+    # RESERVED CORE of the r11 roster (they fit: 20 + r11 newcomers/
+    # changes + r08 fill ≤ 50), recorded here so the next rotation is
+    # already decided: sim_multiprobe_topk, sim_outliers, sim_topk,
+    # st_ann_serve, st_rollup_stream, st_stream_incremental,
+    # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
+    # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
+    # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
+    # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
+    # After r10 stamps: registry = 157; the staleness floor is
+    # ceil(157 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # tools/stale_stamps.py computes the policy from the registry size.
+    # --- (a) changed after their r9 stamp (5) ---
+    "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
+    "st_stream_urldedup", "pipe_prepare",
+    # --- (b) round-10 newcomers (3) ---
+    "tx_kn_lm", "tx_bpe_merges", "pipe_export",
+    # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
+    "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
+    "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
+    "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
+    "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
+    "tx_repetition", "u3_distinct", "u5_stratified_sample",
+    # --- (d) r07 cohort, alphabetically-first 27 of 46 hash-green ---
+    "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
+    "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
+    "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
+    "dd_source_overlap", "dd_substring", "g1_pagerank",
+    "h4_order_priority", "j14_interval", "j16_adaptive_salted",
+    "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
+    "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
+    "s7_retention_survivors", "s9_snapshot_diff", "sim_filtered_topk",
+    "sim_ivf_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
