@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
     "tx_kn_lm",             # Kneser-Ney bigram LM (continuation backoff)
     "tx_bpe_merges",        # BPE merge-pair vocabulary induction (10 rounds)
+    "tx_bpe_encode",        # corpus encode + compression report (learned BPE)
     "pipe_export",          # training-shard export verify (warm artifact)
     "tx_phrase_idx",        # phrase audit via persisted inverted index
     "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)

@@ -547,7 +547,16 @@ def bpe_merges(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     linear in vocabulary size.  The oracle unrolls the same N steps as
     chained CTEs, bit-identical.
     """
-    spark = docs.sparkSession
+    merges, _cur = _bpe_learn(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
+        merges, "rank int, lhs string, rhs string, pair_count long"
+    )
+
+
+def _bpe_learn(docs: DataFrame, n_merges: int):
+    """The shared learn loop: returns (merge list, final encoded
+    word-type table) — bpe_merges reports the table, bpe_encode_stats
+    aggregates the final state."""
     wf = (
         docs.where(F.col("text").isNotNull())
         .select(
@@ -591,8 +600,40 @@ def bpe_merges(docs: DataFrame, n_merges: int = 10) -> DataFrame:
             "freq",
         ).localCheckpoint(eager=False)
         cur.count()  # materialize + cut lineage, one job per iteration
-    return spark.createDataFrame(
-        merges, "rank int, lhs string, rhs string, pair_count long"
+    return merges, cur
+
+
+def bpe_encode_stats(docs: DataFrame, n_merges: int = 10) -> DataFrame:
+    """Corpus-wide ENCODE under the learned BPE table — the compression
+    report that closes the tokenizer loop (learn → encode → measure):
+    after applying the ``n_merges`` learned rules, how many pieces does
+    each word type split into, and how much corpus volume sits at each
+    piece count?  Returns one row per piece count:
+    ``(n_pieces, n_word_types, total_freq, total_pieces)`` —
+    ``Σ total_pieces / Σ total_freq·len(word)`` is the chars-per-token
+    compression a tokenizer evaluation reads off this relation.
+
+    Plan: the learn loop's final state (the encoded word-TYPE table,
+    vocabulary-sized) is aggregated once — piece count is
+    ``size(split(enc))``, one map-combinable groupBy on ≤ max-word-length
+    distinct keys.  No additional corpus scan: encoding word TYPES and
+    weighting by ``freq`` is exact because BPE merges are a function of
+    the word alone.
+    """
+    _merges, cur = _bpe_learn(docs, n_merges)
+    pieces = F.size(
+        F.split(F.expr("substring(enc, 2, length(enc) - 2)"), "><")
+    )
+    return (
+        cur.select(pieces.alias("n_pieces"), "freq")
+        .groupBy("n_pieces")
+        .agg(
+            F.count(F.lit(1)).alias("n_word_types"),
+            F.sum("freq").alias("total_freq"),
+            F.sum(F.col("freq") * F.col("n_pieces")).cast("bigint").alias(
+                "total_pieces"
+            ),
+        )
     )
 
 

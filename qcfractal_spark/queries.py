@@ -7192,7 +7192,11 @@ def q_tx_bpe_merges(spark, sf_dir):
     return tx.bpe_merges(_t(spark, sf_dir, "documents"), n_merges=10)
 
 
-def _bpe_oracle_sql(n_merges: int = 10) -> str:
+def _bpe_ctes(n_merges: int, final_state: bool) -> list[str]:
+    """The shared unrolled-CTE chain: word-type table → w0 (bracketed) →
+    per-round pair count p{i} / argmax b{i} / merged state w{i}.  The
+    merge-table oracle needs states only up to w{n-1}; the encode oracle
+    needs the final w{n}."""
     ctes = [
         "wf AS (SELECT word, COUNT(*) AS freq FROM ("
         "SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word"
@@ -7213,12 +7217,17 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
             f"b{i} AS (SELECT a, b, cnt FROM p{i}"
             f" ORDER BY cnt DESC, a, b LIMIT 1)"
         )
-        if i < n_merges:
+        if i < n_merges or final_state:
             ctes.append(
                 f"w{i} AS (SELECT replace(enc, '<' || a || '><' || b || '>',"
                 f" '<' || a || b || '>') AS enc, freq"
                 f" FROM w{i-1} CROSS JOIN b{i})"
             )
+    return ctes
+
+
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    ctes = _bpe_ctes(n_merges, final_state=False)
     unions = " UNION ALL ".join(
         f"SELECT {i} AS rank, a AS lhs, b AS rhs, cnt AS pair_count FROM b{i}"
         for i in range(1, n_merges + 1)
@@ -7229,6 +7238,37 @@ def _bpe_oracle_sql(n_merges: int = 10) -> str:
 SQL_TX_BPE_MERGES = _bpe_oracle_sql(10)
 
 REGISTRY["tx_bpe_merges"] = (q_tx_bpe_merges, SQL_TX_BPE_MERGES)
+
+
+def q_tx_bpe_encode(spark, sf_dir):
+    """TX+ (beyond-reference): corpus encode under the learned BPE table
+    (functions/text.py:bpe_encode_stats) — the compression report that
+    closes the tokenizer loop (tx_bpe_merges learns; this measures what
+    the rules buy): per piece count after 10 merges, the word-type
+    count, corpus frequency, and total emitted pieces.  Encoding word
+    TYPES and weighting by frequency is exact (merges are a function of
+    the word alone), so no second corpus pass exists anywhere."""
+    return tx.bpe_encode_stats(_t(spark, sf_dir, "documents"), n_merges=10)
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 10) -> str:
+    ctes = _bpe_ctes(n_merges, final_state=True)
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+SELECT CAST(len(string_split(trim(enc, '<>'), '><')) AS INT) AS n_pieces,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(SUM(freq * len(string_split(trim(enc, '<>'), '><'))) AS BIGINT)
+         AS total_pieces
+FROM w{n_merges}
+GROUP BY 1
+"""
+    )
+
+
+SQL_TX_BPE_ENCODE = _bpe_encode_oracle_sql(10)
+
+REGISTRY["tx_bpe_encode"] = (q_tx_bpe_encode, SQL_TX_BPE_ENCODE)
 
 
 def q_tx_quality_sweep(spark, sf_dir):
@@ -7597,40 +7637,45 @@ _DRIVER_WINDOW = [
     #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
     #     pipe_prepare (PSL private-section rules + the .github.io/
     #     .blogspot.com synthetic-TLD mix change their domains/keys);
-    # (b) the round-10 newcomers, never driver-stamped (3): tx_kn_lm
+    # (b) the round-10 newcomers, never driver-stamped (4): tx_kn_lm
     #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
-    #     induction), pipe_export (materialized training-shard flagship);
+    #     induction), tx_bpe_encode (corpus encode/compression report
+    #     under the learned table), pipe_export (materialized
+    #     training-shard flagship);
     # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
     #     violation VERDICT r9 item 1 mandates closing; nothing older
     #     than r07 remains stamped after this round;
-    # (d) the 27 alphabetically-first r07-stamped hash-green queries —
-    #     the next-oldest cohort.
+    # (d) the 26 alphabetically-first r07-stamped hash-green queries —
+    #     the next-oldest cohort (sim_ivf_topk, 27th alphabetically,
+    #     yields its slot to the tx_bpe_encode newcomer: its persisted-
+    #     index family is carried by sim_ivf_batch_topk (r09) +
+    #     sim_index_stats (r08), and it joins the r11 reserved core).
     # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
-    # freshly green within two rounds), plus the 19 remaining r07
-    # hash-green + a24_heavy_hitters (rows-only r07): these 20 are the
-    # RESERVED CORE of the r11 roster (they fit: 20 + r11 newcomers/
+    # freshly green within two rounds), plus the 20 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 21 are the
+    # RESERVED CORE of the r11 roster (they fit: 21 + r11 newcomers/
     # changes + r08 fill ≤ 50), recorded here so the next rotation is
-    # already decided: sim_multiprobe_topk, sim_outliers, sim_topk,
-    # st_ann_serve, st_rollup_stream, st_stream_incremental,
+    # already decided: sim_ivf_topk, sim_multiprobe_topk, sim_outliers,
+    # sim_topk, st_ann_serve, st_rollup_stream, st_stream_incremental,
     # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
     # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
     # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
     # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
-    # After r10 stamps: registry = 157; the staleness floor is
-    # ceil(157 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # After r10 stamps: registry = 158; the staleness floor is
+    # ceil(158 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
     "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
     "st_stream_urldedup", "pipe_prepare",
-    # --- (b) round-10 newcomers (3) ---
-    "tx_kn_lm", "tx_bpe_merges", "pipe_export",
+    # --- (b) round-10 newcomers (4) ---
+    "tx_kn_lm", "tx_bpe_merges", "tx_bpe_encode", "pipe_export",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
     "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
     "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
     "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "tx_repetition", "u3_distinct", "u5_stratified_sample",
-    # --- (d) r07 cohort, alphabetically-first 27 of 46 hash-green ---
+    # --- (d) r07 cohort, alphabetically-first 26 of 46 hash-green ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
     "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
     "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
@@ -7639,7 +7684,6 @@ _DRIVER_WINDOW = [
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
     "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
     "s7_retention_survivors", "s9_snapshot_diff", "sim_filtered_topk",
-    "sim_ivf_topk",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

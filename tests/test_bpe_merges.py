@@ -63,6 +63,32 @@ def test_tie_break_is_lexicographic(spark):
     assert out[0][1:3] == ("x", "y")
 
 
+def test_encode_stats_compression_is_monotone(spark):
+    """bpe_encode_stats: more merges never INCREASE the total emitted
+    pieces, and with enough merges the dominant word collapses to one
+    piece (its piece-count bucket 1 carries its frequency)."""
+    from qcfractal_spark.functions.text import bpe_encode_stats
+
+    rows = [" ".join(["newest"] * 40 + ["low"] * 20 + ["wide"] * 10)] * 2
+    df = spark.createDataFrame(
+        list(enumerate(rows)), "doc_id long, text string"
+    )
+
+    def total_pieces(n):
+        out = bpe_encode_stats(df, n_merges=n).collect()
+        return sum(r["total_pieces"] for r in out), {
+            r["n_pieces"]: r["total_freq"] for r in out
+        }
+
+    t0, _ = total_pieces(0)
+    t3, _ = total_pieces(3)
+    t8, by = total_pieces(8)
+    assert t0 >= t3 >= t8
+    assert t0 == sum(len(w) for w in ("newest " * 80 + "low " * 40 + "wide " * 20).split())
+    # after 8 merges the 3 word types (5+2+3 merges needed) are single pieces
+    assert by.get(1, 0) >= 80  # at least every 'newest' occurrence
+
+
 def test_exhausted_corpus_stops_early(spark):
     """Single-letter words have no pairs: the merge table is empty even
     when more rounds were requested."""

@@ -190,7 +190,8 @@ BOUNDED_COLLECT_OK = {
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
 # step of a loop (closure levels are checkpointed RDD scans) — plan text is
 # not representative, audit is covered by operator tests.
-SKIP = {"j8_closure", "g1_pagerank", "tx_bpe_merges"}  # iterative driver loops: the
+SKIP = {"j8_closure", "g1_pagerank", "tx_bpe_merges",
+        "tx_bpe_encode"}  # iterative driver loops: the
 # returned DataFrame is the last loop step over checkpointed scans
 
 
