@@ -181,8 +181,12 @@ INTENTIONAL_CHANGES = {
     # labels) and the synthetic TLD mix widened 4→8 cases to exercise
     # wildcard/ccTLD rules — a richer query, new ~0.7 s baseline (the old
     # 0.17 s query had a 2-suffix regex and half the CASE branches).
-    "dd_url_dedup": "r9 PSL-true domains + widened TLD mix",
-    "tx_domain_stats": "r9 PSL-true domains + widened TLD mix",
+    # r10: the PSL PRIVATE section joined the default rule set (+30 map
+    # entries) and the TLD mix now routes 2 of 8 cases to
+    # .github.io/.blogspot.com private-suffix hosts — the queries got
+    # richer again (dd_url_dedup ~0.43 → ~0.51 s).
+    "dd_url_dedup": "r9 PSL-true domains + widened TLD mix; r10 private section",
+    "tx_domain_stats": "r9 PSL-true domains + widened TLD mix; r10 private section",
 }
 
 
@@ -323,9 +327,16 @@ def main() -> None:
     # Self-record the untruncated result so the ledger never depends on the
     # driver's tail capture again (VERDICT r8 item 4): bench_ratio upgrades
     # a truncated BENCH_r{N}.json from BENCH_SELF_latest.json when the
-    # overlapping per-query timings are identical (same run).
+    # overlapping per-query timings are identical (same run).  Non-ledger
+    # scale factors get an sf-suffixed file instead — an sf1 sweep used to
+    # clobber the sf0.1 record (the r9 recovery-from-git lesson).
+    self_name = (
+        "BENCH_SELF_latest.json"
+        if abs(out["sf"] - 0.1) < 1e-9
+        else f"BENCH_SELF_sf{out['sf']:g}.json"
+    )
     try:
-        with open(os.path.join(repo_dir, "BENCH_SELF_latest.json"), "w") as f:
+        with open(os.path.join(repo_dir, self_name), "w") as f:
             json.dump(out, f, indent=1)
     except OSError as exc:  # never fail the benchmark over the artifact
         print(f"WARNING: could not self-record bench: {exc}", file=sys.stderr)
