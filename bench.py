@@ -124,6 +124,7 @@ BENCH_QUERIES = [
     "tx_bpe_merges",        # BPE merge-pair vocabulary induction (10 rounds)
     "tx_bpe_encode",        # corpus encode + compression report (learned BPE)
     "pipe_export",          # training-shard export verify (warm artifact)
+    "pk_site_cap",          # per-registrable-domain token cap (PSL-keyed)
     "tx_phrase_idx",        # phrase audit via persisted inverted index
     "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC

@@ -5518,6 +5518,74 @@ FROM s GROUP BY 1, 2
 REGISTRY["dd_url_dedup"] = (q_dd_url_dedup, _url_dedup_sql())
 
 
+def q_pk_site_cap(spark, sf_dir):
+    """PK+ (beyond-reference): per-SITE token-budget capping — the
+    registrable-domain-keyed arm of pk_domain_cap (which caps per
+    ``source`` stream): within each PSL-true domain (doc_id order), keep
+    documents while the running token total stays under the 300-token budget — the
+    "no single site dominates the corpus" pass a crawl pipeline runs
+    before mixing.  PSL correctness is load-bearing here: with the
+    PRIVATE section (r10), every ``siteN.github.io`` tenant is its own
+    budget; ICANN-only rules would pool all of github.io into one cap
+    and starve every tenant after the first (pytest-pinned).  Plan:
+    scan-side canonicalize + host + zero-shuffle map-literal domain
+    probes, then ONE shuffle on the domain key for the integer-only
+    cumulative window."""
+    from .functions import psl, urls
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
+    staged = docs.select(
+        "doc_id",
+        urls.url_host(canon).alias("host"),
+        tx.token_count(F.col("text")).alias("n_tokens"),
+    )
+    staged = psl.with_registrable_domain(staged, "host").drop("host")
+    w = (
+        Window.partitionBy("domain")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return staged.withColumn(
+        "cum_tokens", F.sum("n_tokens").over(w)
+    ).where(F.col("cum_tokens") <= 300)
+
+
+def _site_cap_sql() -> str:
+    from .functions import psl, urls
+
+    c = urls.canonical_url_sql(_SYNTH_URL_SQL)
+    h = urls.url_host_sql("c")
+    dom = psl.psl_domain_select_sql("hh", "host", keep="doc_id, n_tokens")
+    return f"""
+WITH u AS (
+  SELECT doc_id, text, {_SYNTH_URL_SQL} AS url FROM documents
+  WHERE text IS NOT NULL
+),
+b AS (
+  SELECT doc_id, text, {c} AS c FROM u
+),
+hh AS (
+  SELECT doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens, {h} AS host
+  FROM b
+),
+{psl.psl_rules_values_sql()},
+s AS ({dom}),
+cum AS (
+  SELECT doc_id, n_tokens, domain,
+    CAST(SUM(n_tokens) OVER (
+      PARTITION BY domain ORDER BY doc_id
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+    ) AS BIGINT) AS cum_tokens
+  FROM s
+)
+SELECT * FROM cum WHERE cum_tokens <= 300
+"""
+
+
+REGISTRY["pk_site_cap"] = (q_pk_site_cap, _site_cap_sql())
+
+
 def q_tx_domain_stats(spark, sf_dir):
     """TX+ (beyond-reference): per-registrable-domain corpus profile — doc
     and distinct-page counts, token volume, source spread, and the
@@ -7637,45 +7705,50 @@ _DRIVER_WINDOW = [
     #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
     #     pipe_prepare (PSL private-section rules + the .github.io/
     #     .blogspot.com synthetic-TLD mix change their domains/keys);
-    # (b) the round-10 newcomers, never driver-stamped (4): tx_kn_lm
+    # (b) the round-10 newcomers, never driver-stamped (5): tx_kn_lm
     #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
     #     induction), tx_bpe_encode (corpus encode/compression report
     #     under the learned table), pipe_export (materialized
-    #     training-shard flagship);
+    #     training-shard flagship), pk_site_cap (per-registrable-domain
+    #     token cap — the op that NEEDS the r10 private PSL section);
     # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
     #     violation VERDICT r9 item 1 mandates closing; nothing older
     #     than r07 remains stamped after this round;
-    # (d) the 26 alphabetically-first r07-stamped hash-green queries —
-    #     the next-oldest cohort (sim_ivf_topk, 27th alphabetically,
-    #     yields its slot to the tx_bpe_encode newcomer: its persisted-
-    #     index family is carried by sim_ivf_batch_topk (r09) +
-    #     sim_index_stats (r08), and it joins the r11 reserved core).
+    # (d) the 25 alphabetically-first r07-stamped hash-green queries —
+    #     the next-oldest cohort (the 26th/27th alphabetical slots,
+    #     sim_filtered_topk and sim_ivf_topk, yield to the tx_bpe_encode
+    #     and pk_site_cap newcomers: their persisted-index/ANN family is
+    #     carried by sim_ivf_batch_topk (r09), sim_index_stats (r08) and
+    #     the in-window sim_ivfpq_topk/sim_cosine_pairs; both join the
+    #     r11 reserved core).
     # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
-    # freshly green within two rounds), plus the 20 remaining r07
-    # hash-green + a24_heavy_hitters (rows-only r07): these 21 are the
-    # RESERVED CORE of the r11 roster (they fit: 21 + r11 newcomers/
+    # freshly green within two rounds), plus the 21 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 22 are the
+    # RESERVED CORE of the r11 roster (they fit: 22 + r11 newcomers/
     # changes + r08 fill ≤ 50), recorded here so the next rotation is
-    # already decided: sim_ivf_topk, sim_multiprobe_topk, sim_outliers,
-    # sim_topk, st_ann_serve, st_rollup_stream, st_stream_incremental,
+    # already decided: sim_filtered_topk, sim_ivf_topk,
+    # sim_multiprobe_topk, sim_outliers, sim_topk,
+    # st_ann_serve, st_rollup_stream, st_stream_incremental,
     # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
     # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
     # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
     # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
-    # After r10 stamps: registry = 158; the staleness floor is
-    # ceil(158 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # After r10 stamps: registry = 159; the staleness floor is
+    # ceil(159 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
     "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
     "st_stream_urldedup", "pipe_prepare",
-    # --- (b) round-10 newcomers (4) ---
+    # --- (b) round-10 newcomers (5) ---
     "tx_kn_lm", "tx_bpe_merges", "tx_bpe_encode", "pipe_export",
+    "pk_site_cap",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
     "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
     "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
     "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "tx_repetition", "u3_distinct", "u5_stratified_sample",
-    # --- (d) r07 cohort, alphabetically-first 26 of 46 hash-green ---
+    # --- (d) r07 cohort, alphabetically-first 25 of 46 hash-green ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
     "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
     "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
@@ -7683,7 +7756,7 @@ _DRIVER_WINDOW = [
     "h4_order_priority", "j14_interval", "j16_adaptive_salted",
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
     "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
-    "s7_retention_survivors", "s9_snapshot_diff", "sim_filtered_topk",
+    "s7_retention_survivors", "s9_snapshot_diff",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
