@@ -1,0 +1,71 @@
+"""Seeded fuzz: the distributed BPE learner must agree EXACTLY with an
+independent pure-Python reference implementation (Sennrich get_stats +
+greedy merge) on random corpora — a stronger check than the DuckDB
+oracle, which shares the bracketed-replace algebra with the Spark arm.
+The reference here uses plain tuples and dict counting, no string
+tricks, so a bracketing/overlap bug in the shared algebra cannot hide.
+"""
+
+from __future__ import annotations
+
+import random
+from collections import Counter
+
+from qcfractal_spark.functions.text import bpe_merges
+
+
+def _reference_bpe(words: list[str], n_merges: int):
+    """Sennrich-style reference: word types with frequencies, symbols as
+    tuples, overlapping pair counting, greedy left-to-right merge."""
+    vocab = Counter(words)
+    state = {w: tuple(w) for w in vocab}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for w, freq in vocab.items():
+            syms = state[w]
+            for i in range(len(syms) - 1):
+                pairs[(syms[i], syms[i + 1])] += freq
+        if not pairs:
+            break
+        # max count, ties broken lexicographically on (lhs, rhs)
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, cnt))
+        for w in state:
+            syms = state[w]
+            out = []
+            i = 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            state[w] = tuple(out)
+    return merges
+
+
+def test_bpe_matches_pure_python_reference_fuzz(spark):
+    rng = random.Random(20260815)
+    alphabet = "abcde"
+    for trial in range(4):
+        # random word shapes, including same-letter runs (the overlap case)
+        words = []
+        for _ in range(rng.randint(5, 30)):
+            n = rng.randint(1, 8)
+            w = "".join(rng.choice(alphabet) for _ in range(n))
+            if rng.random() < 0.3:
+                w += w[-1] * rng.randint(1, 4)  # force aa/bb runs
+            words.extend([w] * rng.randint(1, 12))
+        rng.shuffle(words)
+        text = " ".join(words)
+        df = spark.createDataFrame([(0, text), (1, "")],
+                                   "doc_id long, text string")
+        got = [
+            (r["rank"], r["lhs"], r["rhs"], r["pair_count"])
+            for r in bpe_merges(df, n_merges=6).collect()
+        ]
+        want = _reference_bpe(words, 6)
+        assert got == want, (trial, got, want)
