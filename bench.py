@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "tx_html_extract",      # HTML main-content extraction (array codegen)
     "tx_bigram_lm",         # interpolated bigram LM perplexity scoring
     "tx_kn_lm",             # Kneser-Ney bigram LM (continuation backoff)
+    "tx_kn_mod",            # modified KN (count-of-count discounts)
     "tx_bpe_merges",        # BPE merge-pair vocabulary induction (10 rounds)
     "tx_bpe_encode",        # corpus encode + compression report (learned BPE)
     "pipe_export",          # training-shard export verify (warm artifact)

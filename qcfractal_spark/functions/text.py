@@ -520,6 +520,114 @@ def kn_lm_scores(docs: DataFrame, discount: float = 0.75) -> DataFrame:
     )
 
 
+def kn_mod_lm_scores(docs: DataFrame) -> DataFrame:
+    """MODIFIED Kneser-Ney bigram LM scoring (Chen & Goodman 1999, the
+    production variant of :func:`kn_lm_scores`): instead of one fixed
+    discount, three discounts D1/D2/D3+ are ESTIMATED from the corpus's
+    count-of-counts and applied by the bigram's own count —
+
+        Y  = n1 / (n1 + 2·n2)
+        Dk = k − (k+1)·Y·n_{k+1}/n_k          (0 when n_k = 0 — then no
+                                               bigram has count k anyway)
+        λ(a) = (D1·N1(a) + D2·N2(a) + D3·N3+(a)) / c(a)
+        p(b|a) = (c(a,b) − D(c(a,b))) / c(a) + λ(a) · N1+(·,b)/N1+(·,·)
+
+    where n_k = #bigram types with count k, Nk(a) = #continuations of a
+    with count k (N3+ = count ≥ 3).  Discounts never exceed the counts
+    they discount (Dk ≤ k), so the first term is never negative; λ(a) is
+    positive whenever a has any continuation, so log2 stays finite even
+    on an all-singleton corpus (pytest-pinned).
+
+    Float contract: the corpus-level scalars (n1..n4, ntypes) ride as a
+    1-row broadcast and Y/D1/D2/D3 are computed INSIDE the expression
+    from those integers — both engines derive them with the identical
+    double ops — then the usual 9-dp round → decimal tf-weighted sum →
+    6-dp mean.  Plan: the kn_lm_scores cascade plus one more
+    map-combinable rollup over the bigram relation (count-of-counts)
+    and two extra small columns on the context relation.
+
+    Returns (doc_id, n_bigrams, mean_nll).
+    """
+    tok = docs.where(F.col("text").isNotNull()).select(
+        "doc_id", tokens(F.col("text")).alias("toks")
+    )
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(toks, 1, greatest(size(toks) - 1, 0)),"
+                " (x, i) -> struct(x AS a, toks[i + 1] AS b))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+    btf = bg.groupBy("doc_id", "a", "b").agg(F.count(F.lit(1)).alias("tf"))
+    btf = btf.localCheckpoint(eager=False)
+    bc = btf.groupBy("a", "b").agg(F.sum("tf").alias("cab"))
+    ctx = bc.groupBy("a").agg(
+        F.sum("cab").alias("ca"),
+        F.sum((F.col("cab") == 1).cast("long")).alias("ka1"),
+        F.sum((F.col("cab") == 2).cast("long")).alias("ka2"),
+        F.sum((F.col("cab") >= 3).cast("long")).alias("ka3"),
+    )
+    nb = bc.groupBy("b").agg(F.count(F.lit(1)).alias("n1b"))
+    coc = bc.agg(
+        F.count(F.lit(1)).alias("ntypes"),
+        F.sum((F.col("cab") == 1).cast("long")).alias("n1"),
+        F.sum((F.col("cab") == 2).cast("long")).alias("n2"),
+        F.sum((F.col("cab") == 3).cast("long")).alias("n3"),
+        F.sum((F.col("cab") == 4).cast("long")).alias("n4"),
+    )
+    scored = (
+        btf.join(bc, ["a", "b"])
+        .join(ctx, ["a"])
+        .join(nb, ["b"])
+        .crossJoin(F.broadcast(coc))
+    )
+    # Shared-association expressions: the SAME strings feed the oracle
+    # (dialect-neutral CASE/CAST/arithmetic), so the two arms cannot
+    # drift — the html.py shared-constant discipline.
+    nll = F.round(-F.log2(F.expr(kn_mod_p_sql())), 9).cast("decimal(28,9)")
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_bigrams"),
+            F.sum(F.col("tf").cast("decimal(8,0)") * nll).alias("_nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(
+                F.col("_nll_sum").cast("double") / F.col("n_bigrams"), 6
+            ).alias("mean_nll"),
+        )
+    )
+
+
+def kn_mod_p_sql() -> str:
+    """The modified-KN probability as ONE dialect-neutral SQL expression
+    (CASE/CAST/arithmetic only) over columns
+    (cab, ca, ka1, ka2, ka3, n1b, n1, n2, n3, n4, ntypes) — rendered
+    identically by Spark's parser and DuckDB, so the two arms share the
+    exact double-op association order by construction."""
+    y = ("(CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)"
+         " ELSE CAST(0.0 AS DOUBLE) END)")
+    d = {
+        1: f"(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * {y} * (CAST(n2 AS DOUBLE) / n1)"
+           " ELSE CAST(0.0 AS DOUBLE) END)",
+        2: f"(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * {y} * (CAST(n3 AS DOUBLE) / n2)"
+           " ELSE CAST(0.0 AS DOUBLE) END)",
+        3: f"(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * {y} * (CAST(n4 AS DOUBLE) / n3)"
+           " ELSE CAST(0.0 AS DOUBLE) END)",
+    }
+    dsel = (f"(CASE WHEN cab = 1 THEN {d[1]} WHEN cab = 2 THEN {d[2]}"
+            f" ELSE {d[3]} END)")
+    return (
+        f"(CAST(cab AS DOUBLE) - {dsel}) / ca"
+        f" + (({d[1]} * ka1 + {d[2]} * ka2 + {d[3]} * ka3) / ca)"
+        f" * (CAST(n1b AS DOUBLE) / ntypes)"
+    )
+
+
 def bpe_merges(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     """BPE merge-pair vocabulary induction (VERDICT r9 item 4) — the
     actual tokenizer-prep op a training pipeline runs (Sennrich et al.

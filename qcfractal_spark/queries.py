@@ -7247,6 +7247,66 @@ GROUP BY 1
 REGISTRY["tx_kn_lm"] = (q_tx_kn_lm, SQL_TX_KN_LM)
 
 
+def q_tx_kn_mod(spark, sf_dir):
+    """TX+ (beyond-reference): MODIFIED Kneser-Ney bigram LM
+    (functions/text.py:kn_mod_lm_scores) — Chen & Goodman's
+    count-of-count-estimated discounts D1/D2/D3+ applied by each
+    bigram's own count, the production-grade variant of tx_kn_lm's
+    fixed D=3/4.  The probability expression is ONE shared
+    dialect-neutral SQL string (text.kn_mod_p_sql) parsed by both
+    engines, so the double-op association order cannot drift.  Same
+    decimal round-then-sum contract; an extra map-combinable
+    count-of-counts rollup is the only added shuffle."""
+    return tx.kn_mod_lm_scores(_t(spark, sf_dir, "documents"))
+
+
+def _kn_mod_oracle_sql() -> str:
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {_TOKS_SQL} AS toks FROM documents WHERE text IS NOT NULL
+),
+bg AS (
+  SELECT doc_id, toks[i] AS a, toks[i + 1] AS b
+  FROM tok, unnest(generate_series(1, len(toks) - 1)) u(i)
+),
+btf AS (SELECT doc_id, a, b, COUNT(*) AS tf FROM bg GROUP BY 1, 2, 3),
+bc AS (SELECT a, b, CAST(SUM(tf) AS BIGINT) AS cab FROM btf GROUP BY 1, 2),
+ctx AS (
+  SELECT a, CAST(SUM(cab) AS BIGINT) AS ca,
+         CAST(SUM(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ka1,
+         CAST(SUM(CASE WHEN cab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ka2,
+         CAST(SUM(CASE WHEN cab >= 3 THEN 1 ELSE 0 END) AS BIGINT) AS ka3
+  FROM bc GROUP BY 1
+),
+nb AS (SELECT b, COUNT(*) AS n1b FROM bc GROUP BY 1),
+coc AS (
+  SELECT COUNT(*) AS ntypes,
+         CAST(SUM(CASE WHEN cab = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(SUM(CASE WHEN cab = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(SUM(CASE WHEN cab = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+         CAST(SUM(CASE WHEN cab = 4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+  FROM bc
+)
+SELECT btf.doc_id,
+       CAST(SUM(tf) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(CAST(tf AS DECIMAL(8,0))
+                     * CAST(ROUND(-log2({tx.kn_mod_p_sql()}), 9)
+                            AS DECIMAL(28,9))) AS DOUBLE)
+             / SUM(tf), 6) AS mean_nll
+FROM btf
+JOIN bc USING (a, b)
+JOIN ctx USING (a)
+JOIN nb ON nb.b = btf.b
+CROSS JOIN coc
+GROUP BY 1
+"""
+
+
+SQL_TX_KN_MOD = _kn_mod_oracle_sql()
+
+REGISTRY["tx_kn_mod"] = (q_tx_kn_mod, SQL_TX_KN_MOD)
+
+
 def q_tx_bpe_merges(spark, sf_dir):
     """TX+ (beyond-reference): BPE merge-pair vocabulary induction
     (functions/text.py:bpe_merges, VERDICT r9 item 4) — 10 rounds of
@@ -7705,50 +7765,53 @@ _DRIVER_WINDOW = [
     #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
     #     pipe_prepare (PSL private-section rules + the .github.io/
     #     .blogspot.com synthetic-TLD mix change their domains/keys);
-    # (b) the round-10 newcomers, never driver-stamped (5): tx_kn_lm
+    # (b) the round-10 newcomers, never driver-stamped (6): tx_kn_lm
     #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
     #     induction), tx_bpe_encode (corpus encode/compression report
     #     under the learned table), pipe_export (materialized
     #     training-shard flagship), pk_site_cap (per-registrable-domain
-    #     token cap — the op that NEEDS the r10 private PSL section);
+    #     token cap — the op that NEEDS the r10 private PSL section),
+    #     tx_kn_mod (modified Kneser-Ney, count-of-count discounts);
     # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
     #     violation VERDICT r9 item 1 mandates closing; nothing older
     #     than r07 remains stamped after this round;
-    # (d) the 25 alphabetically-first r07-stamped hash-green queries —
-    #     the next-oldest cohort (the 26th/27th alphabetical slots,
-    #     sim_filtered_topk and sim_ivf_topk, yield to the tx_bpe_encode
-    #     and pk_site_cap newcomers: their persisted-index/ANN family is
+    # (d) the 24 alphabetically-first r07-stamped hash-green queries —
+    #     the next-oldest cohort (the 25th-27th alphabetical slots yield
+    #     to newcomers: sim_filtered_topk and sim_ivf_topk to
+    #     tx_bpe_encode/pk_site_cap — their persisted-index/ANN family is
     #     carried by sim_ivf_batch_topk (r09), sim_index_stats (r08) and
-    #     the in-window sim_ivfpq_topk/sim_cosine_pairs; both join the
-    #     r11 reserved core).
+    #     the in-window sim_ivfpq_topk/sim_cosine_pairs — and
+    #     s9_snapshot_diff to tx_kn_mod, its content-hash diff family
+    #     carried by s8_snapshot_roundtrip (r08) + the in-window s6/s7
+    #     mutation family; all three join the r11 reserved core).
     # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
-    # freshly green within two rounds), plus the 21 remaining r07
-    # hash-green + a24_heavy_hitters (rows-only r07): these 22 are the
-    # RESERVED CORE of the r11 roster (they fit: 22 + r11 newcomers/
+    # freshly green within two rounds), plus the 22 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 23 are the
+    # RESERVED CORE of the r11 roster (they fit: 23 + r11 newcomers/
     # changes + r08 fill ≤ 50), recorded here so the next rotation is
-    # already decided: sim_filtered_topk, sim_ivf_topk,
+    # already decided: s9_snapshot_diff, sim_filtered_topk, sim_ivf_topk,
     # sim_multiprobe_topk, sim_outliers, sim_topk,
     # st_ann_serve, st_rollup_stream, st_stream_incremental,
     # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
     # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
     # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
     # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
-    # After r10 stamps: registry = 159; the staleness floor is
-    # ceil(159 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # After r10 stamps: registry = 160; the staleness floor is
+    # ceil(160 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
     "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
     "st_stream_urldedup", "pipe_prepare",
-    # --- (b) round-10 newcomers (5) ---
-    "tx_kn_lm", "tx_bpe_merges", "tx_bpe_encode", "pipe_export",
-    "pk_site_cap",
+    # --- (b) round-10 newcomers (6) ---
+    "tx_kn_lm", "tx_kn_mod", "tx_bpe_merges", "tx_bpe_encode",
+    "pipe_export", "pk_site_cap",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
     "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
     "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
     "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "tx_repetition", "u3_distinct", "u5_stratified_sample",
-    # --- (d) r07 cohort, alphabetically-first 25 of 46 hash-green ---
+    # --- (d) r07 cohort, alphabetically-first 24 of 46 hash-green ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
     "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
     "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
@@ -7756,7 +7819,7 @@ _DRIVER_WINDOW = [
     "h4_order_priority", "j14_interval", "j16_adaptive_salted",
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
     "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
-    "s7_retention_survivors", "s9_snapshot_diff",
+    "s7_retention_survivors",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -76,6 +76,9 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # bigram-type total N1+(*,*) (1-row scalar) crossed
                        # onto the per-doc bigram tf relation
                        "tx_kn_lm",
+                       # count-of-counts scalar (n1..n4, ntypes) crossed
+                       # onto the per-doc bigram tf relation
+                       "tx_kn_mod",
                        # 1-row (tot_docs, tot_toks) scalar crossed onto
                        # the ≤1001-row threshold-bucket relation (0.001 grid)
                        "tx_quality_sweep"}
@@ -130,6 +133,7 @@ SMJ_OK = {
                      # (vocab² bigram relation) — SMJ is the at-scale plan
     "tx_kn_lm",  # same shape: per-doc bigram tf ⋈ bigram/context/
                  # continuation counts (all cascaded from btf), fact-sized
+    "tx_kn_mod",  # identical join inventory + a 1-row count-of-counts
 }
 
 # Queries filtering directly on scan columns: at least one parquet scan must
