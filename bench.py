@@ -126,6 +126,7 @@ BENCH_QUERIES = [
     "tx_bpe_encode",        # corpus encode + compression report (learned BPE)
     "pipe_export",          # training-shard export verify (warm artifact)
     "pk_site_cap",          # per-registrable-domain token cap (PSL-keyed)
+    "u13_coreset",          # greedy k-center coreset (8 argmax steps)
     "tx_phrase_idx",        # phrase audit via persisted inverted index
     "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC

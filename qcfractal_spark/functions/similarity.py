@@ -1068,3 +1068,76 @@ def filtered_brute_topk(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+def _sq_dist_expr(center: list, vec_col: str = "v") -> str:
+    """Decimal-exact squared euclidean distance from the 6-dp-rounded
+    vector column to one FIXED center, as a dialect-shared SQL shape:
+    per-component products rounded to 12 dp and decimal(30,15)-cast
+    before the fold, so the sum is order-free exact and both engines
+    reproduce it bit-for-bit (the a17/sim_outliers float contract);
+    the result is rounded to 9 dp for cross-engine comparability."""
+    arr = "array(" + ", ".join(repr(round(float(x), 6)) for x in center) + ")"
+    return (
+        f"round(cast(aggregate(zip_with({vec_col}, {arr}, "
+        "(x, c) -> cast(round((x - c) * (x - c), 12) as decimal(30,15))), "
+        "cast(0 as decimal(30,15)), "
+        "(acc, e) -> cast(acc + e as decimal(30,15))) as double), 9)"
+    )
+
+
+def kcenter_coreset(
+    emb: DataFrame,
+    k: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center (farthest-point-first) coreset selection — the
+    diverse-subset curation op (Sener & Savarese's k-Center-Greedy,
+    public method): pick the point farthest from every already-selected
+    center, k times.  The selection radius (each pick's distance to the
+    nearest prior center) is the standard 2-approximation coverage
+    certificate: every corpus point lies within the LAST radius of some
+    center.
+
+    Seeding is deterministic (smallest id), ties break on id, and every
+    distance follows the decimal-exact contract in :func:`_sq_dist_expr`
+    — so the oracle's unrolled k-step CTE chain reproduces the selection
+    bit-for-bit (the g1_pagerank iterative pattern applied to
+    embeddings).
+
+    100 TB story: the running state is ONE column (min distance to the
+    selected set) maintained incrementally — each of the k-1 steps is a
+    1-row argmax (TakeOrdered, map-side partial top-1) plus a row-local
+    ``least(mind, dist-to-the-one-new-center)`` projection against a
+    center BAKED INTO the expression (no join at all); lineage is cut
+    per step.  Work per step is one linear scan; k is the knob, never
+    the corpus.
+
+    Returns (rank, vec_id, radius) — radius is the selection distance
+    (0.0 for the seed).
+    """
+    spark = emb.sparkSession
+    pts = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(f"transform({vec_col}, x -> round(cast(x as double), 6))").alias("v"),
+    )
+    seed = pts.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(1, seed["vec_id"], 0.0)]
+    cur = pts.withColumn(
+        "mind", F.expr(_sq_dist_expr(seed["v"]))
+    ).localCheckpoint(eager=False)
+    cur.count()
+    for rank in range(2, k + 1):
+        far = cur.orderBy(
+            F.col("mind").desc(), F.col("vec_id").asc()
+        ).limit(1).collect()
+        if not far:
+            break
+        row = far[0]
+        centers.append((rank, row["vec_id"], float(row["mind"])))
+        cur = cur.withColumn(
+            "mind", F.least(F.col("mind"), F.expr(_sq_dist_expr(row["v"])))
+        ).localCheckpoint(eager=False)
+        cur.count()  # materialize + cut lineage, one job per step
+    return spark.createDataFrame(centers, "rank int, vec_id long, radius double")

@@ -6034,6 +6034,64 @@ SQL_U9_LEAK_SPLIT = _leak_split_oracle_sql()
 REGISTRY["u9_leak_split"] = (q_u9_leak_split, SQL_U9_LEAK_SPLIT)
 
 
+def q_u13_coreset(spark, sf_dir):
+    """U+ (beyond-reference): greedy k-center coreset selection
+    (functions/similarity.py:kcenter_coreset) — the diverse-subset
+    curation op (pick the 8 mutually-farthest embeddings, with each
+    pick's selection radius as the coverage certificate); the
+    fine-tuning-data "maximize diversity under a budget" pass that
+    complements u10's importance weighting.  Deterministic seed +
+    decimal-exact distances make the oracle's unrolled 8-step CTE chain
+    reproduce the selection bit-for-bit (the g1_pagerank pattern
+    applied to embeddings)."""
+    return sim.kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=8)
+
+
+def _coreset_oracle_sql(k: int = 8, dim: int = 64) -> str:
+    def dist(pv: str, cv: str) -> str:
+        return (
+            f"round(CAST(SUM(CAST(ROUND(({pv}[j] - {cv}[j]) * ({pv}[j] - {cv}[j]), 12)"
+            f" AS DECIMAL(30,15))) AS DOUBLE), 9)"
+        )
+
+    ctes = [
+        "pts AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),"
+        " x -> round(x, 6)) AS v FROM embeddings)",
+        "c1 AS (SELECT vec_id, v FROM pts ORDER BY vec_id LIMIT 1)",
+        f"m1 AS (SELECT p.vec_id, p.v, {dist('p.v', 'c.v')} AS mind"
+        f" FROM pts p CROSS JOIN c1 c,"
+        f" unnest(generate_series(1, {dim})) t(j)"
+        f" GROUP BY p.vec_id, p.v)",
+    ]
+    for i in range(2, k + 1):
+        ctes.append(
+            f"f{i} AS (SELECT vec_id, v, mind FROM m{i-1}"
+            f" ORDER BY mind DESC, vec_id ASC LIMIT 1)"
+        )
+        if i < k:
+            ctes.append(
+                f"m{i} AS (SELECT p.vec_id, p.v,"
+                f" least(p.mind, {dist('p.v', 'f.v')}) AS mind"
+                f" FROM m{i-1} p CROSS JOIN f{i} f,"
+                f" unnest(generate_series(1, {dim})) t(j)"
+                f" GROUP BY p.vec_id, p.v, p.mind)"
+            )
+    unions = ["SELECT 1 AS rank, vec_id, CAST(0.0 AS DOUBLE) AS radius FROM c1"]
+    unions += [
+        f"SELECT {i} AS rank, vec_id, mind AS radius FROM f{i}"
+        for i in range(2, k + 1)
+    ]
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT * FROM (" + " UNION ALL ".join(unions) + ") ORDER BY rank"
+    )
+
+
+SQL_U13_CORESET = _coreset_oracle_sql(8)
+
+REGISTRY["u13_coreset"] = (q_u13_coreset, SQL_U13_CORESET)
+
+
 def q_sim_outliers(spark, sf_dir):
     """SIM+ (beyond-reference): per-label embedding outliers
     (functions/similarity.py:label_centroid_outliers) — the 20 vectors of
@@ -7765,53 +7823,57 @@ _DRIVER_WINDOW = [
     #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
     #     pipe_prepare (PSL private-section rules + the .github.io/
     #     .blogspot.com synthetic-TLD mix change their domains/keys);
-    # (b) the round-10 newcomers, never driver-stamped (6): tx_kn_lm
+    # (b) the round-10 newcomers, never driver-stamped (7): tx_kn_lm
     #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
     #     induction), tx_bpe_encode (corpus encode/compression report
     #     under the learned table), pipe_export (materialized
     #     training-shard flagship), pk_site_cap (per-registrable-domain
     #     token cap — the op that NEEDS the r10 private PSL section),
-    #     tx_kn_mod (modified Kneser-Ney, count-of-count discounts);
+    #     tx_kn_mod (modified Kneser-Ney, count-of-count discounts),
+    #     u13_coreset (greedy k-center diverse-subset selection);
     # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
     #     violation VERDICT r9 item 1 mandates closing; nothing older
     #     than r07 remains stamped after this round;
-    # (d) the 24 alphabetically-first r07-stamped hash-green queries —
-    #     the next-oldest cohort (the 25th-27th alphabetical slots yield
+    # (d) the 23 alphabetically-first r07-stamped hash-green queries —
+    #     the next-oldest cohort (the 24th-27th alphabetical slots yield
     #     to newcomers: sim_filtered_topk and sim_ivf_topk to
     #     tx_bpe_encode/pk_site_cap — their persisted-index/ANN family is
     #     carried by sim_ivf_batch_topk (r09), sim_index_stats (r08) and
-    #     the in-window sim_ivfpq_topk/sim_cosine_pairs — and
-    #     s9_snapshot_diff to tx_kn_mod, its content-hash diff family
-    #     carried by s8_snapshot_roundtrip (r08) + the in-window s6/s7
-    #     mutation family; all three join the r11 reserved core).
+    #     the in-window sim_ivfpq_topk/sim_cosine_pairs —
+    #     s9_snapshot_diff to tx_kn_mod (content-hash diff family carried
+    #     by s8_snapshot_roundtrip (r08) + the in-window s6 mutation
+    #     family), and s7_retention_survivors to u13_coreset (TTL family
+    #     carried by in-window s6 + the partition-drop pytests); all
+    #     four join the r11 reserved core).
     # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
-    # freshly green within two rounds), plus the 22 remaining r07
-    # hash-green + a24_heavy_hitters (rows-only r07): these 23 are the
-    # RESERVED CORE of the r11 roster (they fit: 23 + r11 newcomers/
+    # freshly green within two rounds), plus the 23 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 24 are the
+    # RESERVED CORE of the r11 roster (they fit: 24 + r11 newcomers/
     # changes + r08 fill ≤ 50), recorded here so the next rotation is
-    # already decided: s9_snapshot_diff, sim_filtered_topk, sim_ivf_topk,
+    # already decided: s7_retention_survivors, s9_snapshot_diff,
+    # sim_filtered_topk, sim_ivf_topk,
     # sim_multiprobe_topk, sim_outliers, sim_topk,
     # st_ann_serve, st_rollup_stream, st_stream_incremental,
     # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
     # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
     # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
     # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
-    # After r10 stamps: registry = 160; the staleness floor is
-    # ceil(160 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # After r10 stamps: registry = 161; the staleness floor is
+    # ceil(161 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
     "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
     "st_stream_urldedup", "pipe_prepare",
-    # --- (b) round-10 newcomers (6) ---
+    # --- (b) round-10 newcomers (7) ---
     "tx_kn_lm", "tx_kn_mod", "tx_bpe_merges", "tx_bpe_encode",
-    "pipe_export", "pk_site_cap",
+    "pipe_export", "pk_site_cap", "u13_coreset",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
     "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
     "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
     "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "tx_repetition", "u3_distinct", "u5_stratified_sample",
-    # --- (d) r07 cohort, alphabetically-first 24 of 46 hash-green ---
+    # --- (d) r07 cohort, alphabetically-first 23 of 46 hash-green ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
     "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
     "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
@@ -7819,7 +7881,6 @@ _DRIVER_WINDOW = [
     "h4_order_priority", "j14_interval", "j16_adaptive_salted",
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
     "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
-    "s7_retention_survivors",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

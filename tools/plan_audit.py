@@ -195,7 +195,7 @@ BOUNDED_COLLECT_OK = {
 # step of a loop (closure levels are checkpointed RDD scans) — plan text is
 # not representative, audit is covered by operator tests.
 SKIP = {"j8_closure", "g1_pagerank", "tx_bpe_merges",
-        "tx_bpe_encode"}  # iterative driver loops: the
+        "tx_bpe_encode", "u13_coreset"}  # iterative driver loops: the
 # returned DataFrame is the last loop step over checkpointed scans
 
 
