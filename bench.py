@@ -133,8 +133,9 @@ BENCH_QUERIES = [
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench
     # the two underlying pipelines.
-    # st_stream_urldedup is gate-only like the other streaming arms (its
-    # call times a scratch landing write + availableNow stream + sink IO).
+    # st_stream_urldedup / st_stream_export are gate-only like the other
+    # streaming arms (each call times a scratch landing write +
+    # availableNow stream + sink IO, not a distributed query plan).
     # s10_compact is gate-only: the query deliberately times a 64-file
     # scratch write + compaction rewrite + read-back (maintenance IO),
     # not a distributed query plan.

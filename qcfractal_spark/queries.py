@@ -4783,12 +4783,14 @@ FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00'
 REGISTRY["s7_retention_survivors"] = (q_s7_retention_survivors, SQL_S7)
 
 
-def _stream_gate_run(spark, land_df, land_schema, build_stream, base):
+def _stream_gate_run(spark, land_df, land_schema, build_stream, base,
+                     partition_by=None):
     """Shared scaffold for the streaming-arm hash gates (VERDICT r6 item 3,
     same pattern st_session_custom proved): wipe scratch, land the source
     as several parquet files, run the streaming operator availableNow into
     a parquet sink, and return (sink_path, out-schema-less reader helper).
-    ``build_stream`` maps the readStream DataFrame to the output stream."""
+    ``build_stream`` maps the readStream DataFrame to the output stream;
+    ``partition_by`` partitions the sink (the shard-layout arm)."""
     import os
     import shutil
 
@@ -4802,17 +4804,92 @@ def _stream_gate_run(spark, land_df, land_schema, build_stream, base):
         .option("maxFilesPerTrigger", 1)
         .parquet(land)
     )
-    q = (
+    writer = (
         build_stream(stream)
         .writeStream.format("parquet")
         .option("path", sink)
         .option("checkpointLocation", ckpt)
         .outputMode("append")
         .trigger(availableNow=True)
-        .start()
     )
+    if partition_by:
+        writer = writer.partitionBy(partition_by)
+    q = writer.start()
     q.awaitTermination()
     return sink
+
+
+def q_st_stream_export(spark, sf_dir):
+    """T1+PIPE+: the streaming INGEST arm of the training-shard export
+    (streaming/ingest.py:stream_shard_append) under the driver hash gate
+    — documents land as 4 parquet files, stream through the hash-derived
+    (shard, order_key, split) decoration across 4 micro-batches, and the
+    sink is the SHARD-PARTITIONED layout itself (writeStream
+    partitionBy), the pipe_export physical layout appended incrementally.
+    Every decoration is a pure function of the id, so the result is
+    batch-count-invariant; the gated output re-reads the partitioned
+    sink and aggregates per shard (doc counts, token sums, the
+    order-key hash sum that binds the lazy total order, split counts) —
+    a dropped/duplicated micro-batch or a mis-partitioned row
+    hash-mismatches.  The oracle replays the derivations from the
+    documents table."""
+    from .streaming.ingest import stream_shard_append
+
+    docs = _t(spark, sf_dir, "documents").where(
+        F.col("text").isNotNull()
+    ).select("doc_id", tx.token_count(F.col("text")).alias("n_tokens"))
+    sink = _stream_gate_run(
+        spark,
+        docs,
+        "doc_id long, n_tokens bigint",
+        lambda s: stream_shard_append(s),
+        _scratch_dir(sf_dir, "stexp"),
+        partition_by="shard",
+    )
+    out_schema = (
+        "doc_id long, n_tokens bigint, order_key string, split string, shard int"
+    )
+    key64 = F.conv(F.substring("order_key", 1, 8), 16, 10).cast("long")
+    return (
+        spark.read.schema(out_schema).parquet(sink)
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+            F.sum(key64).cast("bigint").alias("key_check"),
+            F.sum((F.col("split") == "train").cast("long")).cast("bigint").alias("n_train"),
+            F.sum((F.col("split") == "valid").cast("long")).cast("bigint").alias("n_valid"),
+            F.sum((F.col("split") == "test").cast("long")).cast("bigint").alias("n_test"),
+        )
+    )
+
+
+def _stream_export_sql() -> str:
+    h = "('0x' || substr(md5('0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT"
+    return f"""
+WITH base AS (
+  SELECT doc_id,
+    CAST(len({_TOKS_SQL}) AS BIGINT) AS n_tokens,
+    {h} % 8 AS shard,
+    md5('0:' || CAST(doc_id AS VARCHAR)) AS order_key,
+    CASE WHEN ('0x' || substr(md5('split:0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+         WHEN ('0x' || substr(md5('split:0:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 < 90 THEN 'valid'
+         ELSE 'test' END AS split
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT shard,
+  CAST(COUNT(*) AS BIGINT) AS n_docs,
+  CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+  CAST(SUM(('0x' || substr(order_key, 1, 8))::BIGINT) AS BIGINT) AS key_check,
+  CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+  CAST(SUM(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+  CAST(SUM(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+FROM base
+GROUP BY shard
+"""
+
+
+REGISTRY["st_stream_export"] = (q_st_stream_export, _stream_export_sql())
 
 
 def q_st_stream_span(spark, sf_dir):
@@ -7823,18 +7900,20 @@ _DRIVER_WINDOW = [
     #     dd_url_dedup + tx_domain_stats + st_stream_urldedup +
     #     pipe_prepare (PSL private-section rules + the .github.io/
     #     .blogspot.com synthetic-TLD mix change their domains/keys);
-    # (b) the round-10 newcomers, never driver-stamped (7): tx_kn_lm
+    # (b) the round-10 newcomers, never driver-stamped (8): tx_kn_lm
     #     (Kneser-Ney bigram LM), tx_bpe_merges (BPE vocabulary
     #     induction), tx_bpe_encode (corpus encode/compression report
     #     under the learned table), pipe_export (materialized
     #     training-shard flagship), pk_site_cap (per-registrable-domain
     #     token cap — the op that NEEDS the r10 private PSL section),
     #     tx_kn_mod (modified Kneser-Ney, count-of-count discounts),
-    #     u13_coreset (greedy k-center diverse-subset selection);
+    #     u13_coreset (greedy k-center diverse-subset selection),
+    #     st_stream_export (streaming ingest arm of the shard export —
+    #     shard-partitioned writeStream sink);
     # (c) the FULL r06 leftover cohort (15) — the stale_stamps policy
     #     violation VERDICT r9 item 1 mandates closing; nothing older
     #     than r07 remains stamped after this round;
-    # (d) the 23 alphabetically-first r07-stamped hash-green queries —
+    # (d) the 22 alphabetically-first r07-stamped hash-green queries —
     #     the next-oldest cohort (the 24th-27th alphabetical slots yield
     #     to newcomers: sim_filtered_topk and sim_ivf_topk to
     #     tx_bpe_encode/pk_site_cap — their persisted-index/ANN family is
@@ -7842,45 +7921,47 @@ _DRIVER_WINDOW = [
     #     the in-window sim_ivfpq_topk/sim_cosine_pairs —
     #     s9_snapshot_diff to tx_kn_mod (content-hash diff family carried
     #     by s8_snapshot_roundtrip (r08) + the in-window s6 mutation
-    #     family), and s7_retention_survivors to u13_coreset (TTL family
-    #     carried by in-window s6 + the partition-drop pytests); all
-    #     four join the r11 reserved core).
+    #     family), s7_retention_survivors to u13_coreset (TTL family
+    #     carried by in-window s6 + the partition-drop pytests), and
+    #     pk_sliding_windows to st_stream_export (window-layout family
+    #     carried by in-window pk_pack + the r08 pk_bin/bfd stamps);
+    #     all five join the r11 reserved core).
     # Step OUT: the 42 remaining r09 stamps and 43 r08 stamps (all
-    # freshly green within two rounds), plus the 23 remaining r07
-    # hash-green + a24_heavy_hitters (rows-only r07): these 24 are the
-    # RESERVED CORE of the r11 roster (they fit: 24 + r11 newcomers/
+    # freshly green within two rounds), plus the 24 remaining r07
+    # hash-green + a24_heavy_hitters (rows-only r07): these 25 are the
+    # RESERVED CORE of the r11 roster (they fit: 25 + r11 newcomers/
     # changes + r08 fill ≤ 50), recorded here so the next rotation is
-    # already decided: s7_retention_survivors, s9_snapshot_diff,
-    # sim_filtered_topk, sim_ivf_topk,
+    # already decided: pk_sliding_windows, s7_retention_survivors,
+    # s9_snapshot_diff, sim_filtered_topk, sim_ivf_topk,
     # sim_multiprobe_topk, sim_outliers, sim_topk,
     # st_ann_serve, st_rollup_stream, st_stream_incremental,
     # st_stream_span, st_stream_substring, t11_scd2, t12_islands,
     # tx_doc_freq, tx_source_kl, tx_tfidf, tx_unigram_lm,
     # u10_weighted_sample, u11_curriculum, u7_epoch_shuffle,
     # u8_group_sample_k, u9_leak_split, a24_heavy_hitters.
-    # After r10 stamps: registry = 161; the staleness floor is
-    # ceil(161 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
+    # After r10 stamps: registry = 162; the staleness floor is
+    # ceil(162 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
     "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
     "st_stream_urldedup", "pipe_prepare",
-    # --- (b) round-10 newcomers (7) ---
+    # --- (b) round-10 newcomers (8) ---
     "tx_kn_lm", "tx_kn_mod", "tx_bpe_merges", "tx_bpe_encode",
-    "pipe_export", "pk_site_cap", "u13_coreset",
+    "pipe_export", "pk_site_cap", "u13_coreset", "st_stream_export",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
     "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
     "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
     "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "tx_repetition", "u3_distinct", "u5_stratified_sample",
-    # --- (d) r07 cohort, alphabetically-first 23 of 46 hash-green ---
+    # --- (d) r07 cohort, alphabetically-first 22 of 46 hash-green ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
     "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
     "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
     "dd_source_overlap", "dd_substring", "g1_pagerank",
     "h4_order_priority", "j14_interval", "j16_adaptive_salted",
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
-    "pk_pack", "pk_sliding_windows", "s6_delete_survivors",
+    "pk_pack", "s6_delete_survivors",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -501,3 +501,46 @@ def stream_label_assign(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_shard_append(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    token_col: str = "n_tokens",
+    epoch: int = 0,
+    n_shards: int = 8,
+    train_pct: int = 80,
+    valid_pct: int = 10,
+) -> DataFrame:
+    """Streaming INGEST arm of the training-shard export
+    (sources/export.py): decorate arriving documents with their shard,
+    epoch ORDER KEY, and leak-safe split — everything hash-derived from
+    the id, so the assignment is identical no matter how arrivals batch
+    — for an append-only, shard-partitioned parquet sink.
+
+    The batch flagship (`pipe_export`) assigns a dense per-shard ``pos``
+    by rank; a stream cannot (rank is order-dependent and unbounded
+    state).  Instead the deterministic epoch KEY (the md5 the rank was
+    derived from) is materialized, and readers sort by it within a shard
+    — the same total order, assigned lazily.  Stateless: exactly-once
+    lands on the file-sink commit log, not on operator state; the
+    steady-state layout is then maintained by ``compact_partitioned``
+    (nightly) and finalized by the batch export.
+    """
+    from ..functions.text import portable_hash64
+
+    seed = F.concat_ws(":", F.lit(str(epoch)), F.col(id_col).cast("string"))
+    split_b = F.pmod(
+        portable_hash64(F.concat(F.lit("split:0:"), F.col(id_col).cast("string"))),
+        F.lit(100),
+    )
+    return df.select(
+        id_col,
+        token_col,
+        F.pmod(portable_hash64(seed), F.lit(n_shards)).alias("shard"),
+        F.md5(seed).alias("order_key"),
+        F.when(split_b < train_pct, F.lit("train"))
+        .when(split_b < train_pct + valid_pct, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
