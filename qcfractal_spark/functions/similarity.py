@@ -1132,7 +1132,12 @@ def kcenter_coreset(
         far = cur.orderBy(
             F.col("mind").desc(), F.col("vec_id").asc()
         ).limit(1).collect()
-        if not far:
+        # Early-stop when the farthest remaining point is AT a center
+        # (mind == 0): every corpus point is already covered exactly, so
+        # further picks would re-select duplicate centers with radius 0
+        # (r10 ADVICE — the oracle mirrors this with a WHERE mind > 0 on
+        # each argmax CTE, so both arms stop at the same rank).
+        if not far or float(far[0]["mind"]) == 0.0:
             break
         row = far[0]
         centers.append((rank, row["vec_id"], float(row["mind"])))

@@ -533,10 +533,13 @@ def kn_mod_lm_scores(docs: DataFrame) -> DataFrame:
         p(b|a) = (c(a,b) − D(c(a,b))) / c(a) + λ(a) · N1+(·,b)/N1+(·,·)
 
     where n_k = #bigram types with count k, Nk(a) = #continuations of a
-    with count k (N3+ = count ≥ 3).  Discounts never exceed the counts
-    they discount (Dk ≤ k), so the first term is never negative; λ(a) is
-    positive whenever a has any continuation, so log2 stays finite even
-    on an all-singleton corpus (pytest-pinned).
+    with count k (N3+ = count ≥ 3).  Each Dk is explicitly CLAMPED to
+    [0, k] (r10 ADVICE): the raw Chen-Goodman estimate goes out of range
+    on skewed count-of-counts (e.g. n3 >> n2 or n4 = 0 with large n3),
+    which would make p ≤ 0 and log2 NULL.  With the clamp the first term
+    is never negative, λ(a) ≥ 0, and p > 0 whenever a has any
+    continuation, so log2 stays finite even on an all-singleton or
+    inverted-count-of-counts corpus (both pytest-pinned).
 
     Float contract: the corpus-level scalars (n1..n4, ntypes) ride as a
     1-row broadcast and Y/D1/D2/D3 are computed INSIDE the expression
@@ -611,13 +614,22 @@ def kn_mod_p_sql() -> str:
     exact double-op association order by construction."""
     y = ("(CASE WHEN n1 + 2 * n2 > 0 THEN CAST(n1 AS DOUBLE) / (n1 + 2 * n2)"
          " ELSE CAST(0.0 AS DOUBLE) END)")
+    # Each Dk is CLAMPED to [0, k] (r10 ADVICE): on skewed count-of-counts
+    # (n_{k+1} >> n_k) the raw Chen-Goodman estimate goes negative (or
+    # exceeds k), which would make the discounted term or lambda(a)
+    # negative and p <= 0 -> log2 NULL, silently dropped from the sum.
+    # GREATEST/LEAST render identically in Spark and DuckDB, so both arms
+    # stay bit-identical.
     d = {
-        1: f"(CASE WHEN n1 > 0 THEN 1.0 - 2.0 * {y} * (CAST(n2 AS DOUBLE) / n1)"
-           " ELSE CAST(0.0 AS DOUBLE) END)",
-        2: f"(CASE WHEN n2 > 0 THEN 2.0 - 3.0 * {y} * (CAST(n3 AS DOUBLE) / n2)"
-           " ELSE CAST(0.0 AS DOUBLE) END)",
-        3: f"(CASE WHEN n3 > 0 THEN 3.0 - 4.0 * {y} * (CAST(n4 AS DOUBLE) / n3)"
-           " ELSE CAST(0.0 AS DOUBLE) END)",
+        1: f"GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(1.0 AS DOUBLE),"
+           f" (CASE WHEN n1 > 0 THEN 1.0 - 2.0 * {y} * (CAST(n2 AS DOUBLE) / n1)"
+           " ELSE CAST(0.0 AS DOUBLE) END)))",
+        2: f"GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(2.0 AS DOUBLE),"
+           f" (CASE WHEN n2 > 0 THEN 2.0 - 3.0 * {y} * (CAST(n3 AS DOUBLE) / n2)"
+           " ELSE CAST(0.0 AS DOUBLE) END)))",
+        3: f"GREATEST(CAST(0.0 AS DOUBLE), LEAST(CAST(3.0 AS DOUBLE),"
+           f" (CASE WHEN n3 > 0 THEN 3.0 - 4.0 * {y} * (CAST(n4 AS DOUBLE) / n3)"
+           " ELSE CAST(0.0 AS DOUBLE) END)))",
     }
     dsel = (f"(CASE WHEN cab = 1 THEN {d[1]} WHEN cab = 2 THEN {d[2]}"
             f" ELSE {d[3]} END)")

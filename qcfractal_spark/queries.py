@@ -3958,7 +3958,18 @@ def _train_shards_dir(spark, sf_dir: str) -> str:
     src = _os.path.join(sf_dir, "documents.parquet")
     st = _os.stat(src)
     fast = 1 if _os.environ.get("SPARK_GRAFT_FAST_HASH") == "1" else 0
-    marker = f"{st.st_size}:{st.st_mtime_ns}:h{fast}"
+    # PSL identity (r10 ADVICE): pipe_prepare's URL-dedup keys depend on
+    # the PSL rule source, so a swapped $SPARK_GRAFT_PSL_FILE must
+    # invalidate the artifact.  A digest of the loaded rules covers both
+    # the env path and the builtin-snapshot revision in one token.
+    import hashlib as _hashlib
+
+    from .functions.psl import load_psl_rules
+
+    psl_digest = _hashlib.md5(
+        repr(sorted(load_psl_rules())).encode()
+    ).hexdigest()[:12]
+    marker = f"{st.st_size}:{st.st_mtime_ns}:h{fast}:p{psl_digest}"
     marker_path = _os.path.join(path, "source_marker")
     valid = _os.path.exists(_os.path.join(path, "_SUCCESS"))
     if valid:
@@ -6141,8 +6152,12 @@ def _coreset_oracle_sql(k: int = 8, dim: int = 64) -> str:
         f" GROUP BY p.vec_id, p.v)",
     ]
     for i in range(2, k + 1):
+        # WHERE mind > 0 mirrors the Spark arm's early-stop: once every
+        # point is at distance 0 from a selected center this CTE (and
+        # every later one) is empty, so both arms stop at the same rank.
         ctes.append(
             f"f{i} AS (SELECT vec_id, v, mind FROM m{i-1}"
+            f" WHERE mind > 0"
             f" ORDER BY mind DESC, vec_id ASC LIMIT 1)"
         )
         if i < k:

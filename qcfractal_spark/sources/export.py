@@ -114,11 +114,38 @@ def training_shard_rows(
 
 
 def export_training_shards(survivors: DataFrame, path: str, **kw) -> str:
-    """Write the export relation partitioned by ``shard`` (overwrite —
-    the snapshot-export commit contract: a re-run replaces the artifact
-    atomically per partition dir).  Returns ``path``."""
+    """Write the export relation partitioned by ``shard``, committed via
+    a write-to-tmp-then-rename swap (the compact_small_files pointer-swap
+    contract — r10 ADVICE: a plain ``mode("overwrite")`` deletes the
+    whole dataset root before rewriting, so a reader racing a re-export
+    would see a missing or partial dataset).  The rewrite lands in a
+    DOT-prefixed sibling (invisible to partition discovery), then swaps
+    in with two renames; a reader holding the old file list keeps a
+    consistent snapshot, and a failed swap rolls back.  Returns ``path``.
+    """
+    from .layout import _hadoop_fs
+
     rows = training_shard_rows(survivors, **kw)
-    rows.write.mode("overwrite").partitionBy("shard").parquet(path)
+    spark = survivors.sparkSession
+    fs, hpath = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    parent = hpath.getParent()
+    if parent is None:
+        raise IOError(f"export_training_shards: cannot export to a filesystem root: {path}")
+    leaf = hpath.getName()
+    tmp = jpath(parent, f".export_tmp_{leaf}")
+    old = jpath(parent, f".export_old_{leaf}")
+    fs.delete(tmp, True)
+    rows.write.mode("overwrite").partitionBy("shard").parquet(tmp.toString())
+    fs.delete(old, True)
+    had_prev = fs.exists(hpath)
+    if had_prev and not fs.rename(hpath, old):
+        raise IOError(f"export_training_shards: rename {path} -> {old} failed")
+    if not fs.rename(tmp, hpath):
+        if had_prev:
+            fs.rename(old, hpath)  # roll back: readers keep the original
+        raise IOError(f"export_training_shards: rename {tmp} -> {path} failed")
+    fs.delete(old, True)
     return path
 
 

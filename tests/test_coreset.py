@@ -76,9 +76,17 @@ def test_deterministic_and_k_exhaustion(spark):
     tiny = spark.createDataFrame(
         [(1, [0.0, 0.0]), (2, [1.0, 1.0])], "vec_id long, embedding array<double>"
     )
+    # PINNED (r10 ADVICE): k > #distinct points stops early at mind == 0
+    # rather than re-selecting duplicate centers with radius 0.
     out = kcenter_coreset(tiny, k=5).collect()
-    assert len(out) == 5 or len(out) == 2  # may exhaust distinct geometry
-    assert [r["vec_id"] for r in out][:2] == [1, 2]
+    assert [r["vec_id"] for r in out] == [1, 2]
+    # duplicate vectors exhaust the same way: 3 points, 2 distinct
+    dup = spark.createDataFrame(
+        [(1, [0.0, 0.0]), (2, [1.0, 1.0]), (3, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out2 = kcenter_coreset(dup, k=3).collect()
+    assert [r["vec_id"] for r in out2] == [1, 2]
 
 
 def test_registry_query_shape(spark):

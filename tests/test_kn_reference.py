@@ -90,9 +90,10 @@ def _reference_kn_mod(docs):
     ntypes = len(bc)
     n1, n2, n3, n4 = n
     y = (n1 / (n1 + 2 * n2)) if (n1 + 2 * n2) > 0 else 0.0
-    d1 = (1.0 - 2.0 * y * (n2 / n1)) if n1 > 0 else 0.0
-    d2 = (2.0 - 3.0 * y * (n3 / n2)) if n2 > 0 else 0.0
-    d3 = (3.0 - 4.0 * y * (n4 / n3)) if n3 > 0 else 0.0
+    # same [0, k] clamp as kn_mod_p_sql (r10 ADVICE)
+    d1 = max(0.0, min(1.0, (1.0 - 2.0 * y * (n2 / n1)) if n1 > 0 else 0.0))
+    d2 = max(0.0, min(2.0, (2.0 - 3.0 * y * (n3 / n2)) if n2 > 0 else 0.0))
+    d3 = max(0.0, min(3.0, (3.0 - 4.0 * y * (n4 / n3)) if n3 > 0 else 0.0))
     sums: dict = defaultdict(lambda: [0, Decimal(0)])
     for (doc_id, a, b), tf in btf.items():
         cab = bc[(a, b)]
@@ -145,3 +146,45 @@ def test_kn_mod_finite_on_degenerate_corpora(spark):
         spark.createDataFrame(rows, "doc_id long, text string")
     ).collect()
     assert len(out2) == 1 and float(out2[0]["mean_nll"]) > 0
+
+
+def _inverted_coc_docs():
+    """Inverted count-of-counts corpus (r10 ADVICE): n3 >> n2 with n4 = 0.
+    Raw Chen-Goodman gives D2 = 2 - 3·Y·(n3/n2) = -8 (negative) and
+    D3 = 3 (at its cap); for context 'x' (one count-3 and one count-2
+    continuation) the unclamped lambda(x) = (D2 + D3)/5 = -1 drives
+    p(y|x) = 0 + (-1)·(n1b/ntypes) < 0 -> log2 NULL pre-fix.  Two-word
+    docs so every occurrence is exactly one bigram."""
+    docs, doc_id = [], 0
+    for _ in range(3):
+        doc_id += 1
+        docs.append((doc_id, "x y"))
+    for _ in range(2):
+        doc_id += 1
+        docs.append((doc_id, "x z"))
+    for i in range(1, 10):  # nine more count-3 types -> n3 = 10
+        for _ in range(3):
+            doc_id += 1
+            docs.append((doc_id, f"c{i} d{i}"))
+    doc_id += 1
+    docs.append((doc_id, "k l"))  # n1 = 1 so Y > 0
+    return docs
+
+
+def test_kn_mod_clamped_on_inverted_count_of_counts(spark):
+    """With the [0,k] clamp no score is NULL (pre-fix the cab=3 bigram
+    under context 'x' had p < 0 and its NULL nll silently vanished from
+    the sum while n_bigrams still counted it), and the scores match the
+    clamped pure-Python replay exactly."""
+    from qcfractal_spark.functions.text import kn_mod_lm_scores
+
+    docs = _inverted_coc_docs()
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], float(r["mean_nll"]))
+        for r in kn_mod_lm_scores(df).collect()
+    }
+    assert len(got) == len(docs)
+    assert all(v[0] == 1 and v[1] is not None for v in got.values())
+    want = _reference_kn_mod(docs)
+    assert got == want

@@ -106,3 +106,27 @@ def test_verification_detects_tampering(spark, tmp_path):
     assert tampered.get(0) != baseline[0]
     assert tampered.get(1) != baseline[1]
     assert tampered.get(2) == baseline[2]  # untouched shards still agree
+
+
+def test_reexport_swaps_atomically(spark, tmp_path):
+    """Re-export commits via tmp-then-rename (r10 ADVICE): the dataset
+    root is never deleted-then-rebuilt in place.  After a re-export with
+    different content the artifact is fully replaced, no dot-prefixed
+    scratch dirs are left behind, and a file handle listed BEFORE the
+    swap still reads its old bytes (POSIX rename keeps the inode alive —
+    the local stand-in for a reader holding the old snapshot)."""
+    surv = _survivors(spark)
+    path = str(tmp_path / "shards4")
+    export_training_shards(surv, path, n_shards=4)
+    old_files = sorted(glob.glob(os.path.join(path, "shard=0", "part-*.parquet")))
+    fh = open(old_files[0], "rb")  # simulate an in-flight reader
+    export_training_shards(_survivors(spark, n=200), path, n_shards=4)
+    assert spark.read.parquet(path).count() == 200
+    leftovers = [
+        p
+        for p in os.listdir(os.path.dirname(path))
+        if p.startswith((".export_tmp_", ".export_old_"))
+    ]
+    assert leftovers == []
+    assert len(fh.read()) > 0  # old snapshot bytes still readable
+    fh.close()
