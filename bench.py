@@ -234,6 +234,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Load marker (VERDICT r10 item 1): two consecutive rounds the driver
+    # record regressed while quiet same-code runs held ≤1.0×, and the
+    # load attribution was narrative.  Recording loadavg at run start
+    # (normalized per-CPU) makes the adjudication data: a record with
+    # load1/ncpu >> 0 is a loaded-box measurement.
+    try:
+        load_start = tuple(round(x, 2) for x in os.getloadavg())
+    except OSError:
+        load_start = None
     spark = build_session("qcfractal-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -317,6 +326,13 @@ def main() -> None:
         "queries": times,
         "sf": sf,
     }
+    if load_start is not None:
+        out["loadavg_start"] = list(load_start)
+        out["ncpu"] = os.cpu_count()
+        try:
+            out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
+        except OSError:
+            pass
     if errors:
         # A partial total sums only the surviving queries and would read as
         # an improvement next to a complete round — mark it non-comparable.
