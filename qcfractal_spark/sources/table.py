@@ -5,10 +5,30 @@ The reference mutates through PostgreSQL (INSERT ON CONFLICT, chunked
 DELETE, retention sweeps — db_socket/helpers.py:317-813, 576-641;
 serverinfo/socket.py:601-643).  On a lakehouse this is Delta MERGE/DELETE;
 in this dependency-frozen environment we implement the same semantics as
-versioned copy-on-write parquet: every mutation writes a new version
-directory and flips a pointer file, giving atomic swap, time-travel to the
-previous version, and single-writer serialization — the honest subset of
-Delta's contract that the engine's semantics need.
+versioned copy-on-write parquet with an OPTIMISTIC-CAS commit (VERDICT r10
+item 2 — the reference survives concurrent writers via ``ON CONFLICT`` and
+``FOR UPDATE SKIP LOCKED``, db_socket/helpers.py:728-813,
+tasks/socket.py:327-348; the earlier pointer-file swap assumed a single
+writer, and two concurrent mutations would silently race it):
+
+* Every mutation stages its new version into a UNIQUE dot-prefixed
+  scratch dir (invisible to readers), with the commit metadata written
+  INSIDE the staging dir so data + meta publish atomically together.
+* The commit is ``os.rename(stage, v{base+1})`` — rename onto an existing
+  non-empty directory fails atomically in the kernel, so the FIRST writer
+  claims the version and every loser gets :class:`CommitConflictError`.
+* A losing writer RETRIES the whole mutation against the fresh current
+  version (re-read → recompute → restage), exactly the optimistic
+  concurrency loop Delta runs; no update is ever lost, and the committed
+  history is a serial order of the concurrent mutations.
+* ``current_version()`` is derived from the version directories
+  themselves (max ``v%06d`` present) — version dirs only ever appear via
+  the atomic rename of a fully-written stage, so existence == complete;
+  there is no pointer file to crash between data write and pointer flip.
+
+This is Delta's commit protocol shrunk to a filesystem: the _delta_log
+put-if-absent JSON commit becomes a claim-by-rename, and time-travel
+depth stays 1 (current + previous), matching ``change_feed``.
 
 At 100 TB the rewrite would be partition-scoped (rewrite only partitions
 containing matched keys — the same physical plan Delta executes); the API
@@ -19,12 +39,20 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import shutil
 import time
-from typing import Sequence
+import uuid
+from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed between this mutation's read and its
+    publish — the optimistic-CAS loser signal (retried internally by
+    :meth:`MutableTable._mutate`; surfaced only when retries exhaust)."""
 
 
 class MutableTable:
@@ -38,82 +66,165 @@ class MutableTable:
 
     # -- version bookkeeping ------------------------------------------------
 
-    @property
-    def _pointer(self) -> str:
-        return os.path.join(self.path, "_CURRENT")
-
     def current_version(self) -> int | None:
+        """Max complete version directory — the CAS truth.  A ``v%06d``
+        dir only ever appears via the atomic rename of a fully-written
+        stage, so presence implies completeness (crashed writers leave
+        only dot-prefixed stage dirs, swept by :meth:`vacuum_stages`)."""
+        best = None
         try:
-            with open(self._pointer) as fh:
-                return json.load(fh)["version"]
+            entries = os.listdir(self.path)
         except FileNotFoundError:
             return None
+        for e in entries:
+            if re.fullmatch(r"v\d{6}", e):
+                v = int(e[1:])
+                if best is None or v > best:
+                    best = v
+        return best
 
     def current_meta(self) -> dict:
-        """Caller-supplied metadata recorded atomically WITH the version
-        swap (same pointer file) — e.g. the streaming epoch id that
-        produced the version, which is what makes foreachBatch merges
-        idempotent under at-least-once replay."""
+        """Caller-supplied metadata recorded atomically WITH the commit
+        (written inside the staging dir BEFORE the claim-rename) — e.g.
+        the streaming epoch id that produced the version, which is what
+        makes foreachBatch merges idempotent under at-least-once replay."""
+        v = self.current_version()
+        if v is None:
+            return {}
         try:
-            with open(self._pointer) as fh:
+            with open(os.path.join(self._version_dir(v), "_meta.json")) as fh:
                 return json.load(fh).get("meta", {})
-        except FileNotFoundError:
+        except (FileNotFoundError, json.JSONDecodeError):
             return {}
 
     def _version_dir(self, v: int) -> str:
         return os.path.join(self.path, f"v{v:06d}")
 
-    def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
-        prev = self.current_version()
-        v = 0 if prev is None else prev + 1
+    def _new_stage(self) -> str:
+        """Unique dot-prefixed staging dir: invisible to both readers
+        (``read`` targets version dirs) and partition discovery (Spark's
+        hidden-path rule excludes '.'-prefixed names unconditionally)."""
+        return os.path.join(
+            self.path, f".stage_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+        )
+
+    def _stage_df(self, df: DataFrame) -> str:
+        stage = self._new_stage()
         writer = df.write.mode("overwrite")
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
-        writer.parquet(self._version_dir(v))
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
+        writer.parquet(stage)
+        return stage
+
+    def _publish(self, stage: str, base: int | None, meta: dict | None = None) -> int:
+        """The CAS: claim version ``base + 1`` by renaming the staging dir
+        onto it.  rename(2) onto an existing non-empty directory fails
+        atomically, so exactly one concurrent writer wins each version;
+        losers get :class:`CommitConflictError` with their stage cleaned
+        up.  The post-rename max check closes the ABA hole where a very
+        stale claim targets a version number that retention has already
+        pruned (claim succeeds but a NEWER version is current — the stale
+        commit must surface as a conflict, not vanish silently)."""
+        v = 0 if base is None else base + 1
+        with open(os.path.join(stage, "_meta.json"), "w") as fh:
             json.dump({"version": v, "ts": time.time(), "meta": meta or {}}, fh)
-        os.replace(tmp, self._pointer)  # atomic swap
+        if self.current_version() != base:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise CommitConflictError(
+                f"table {self.path}: version advanced past v{v - 1} before publish"
+            )
+        try:
+            os.rename(stage, self._version_dir(v))
+        except OSError as exc:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise CommitConflictError(
+                f"table {self.path}: v{v} was claimed by another writer"
+            ) from exc
+        if self.current_version() != v:
+            # ABA: retention pruned v while we staged and a newer version
+            # exists — undo the stale claim and lose loudly.
+            shutil.rmtree(self._version_dir(v), ignore_errors=True)
+            raise CommitConflictError(
+                f"table {self.path}: v{v} is stale (newer version already current)"
+            )
         # keep only current + previous version (time-travel depth 1)
         for old in range(v - 1):
             shutil.rmtree(self._version_dir(old), ignore_errors=True)
         return v
 
-    def _commit_partition_scoped(
-        self, touched_survivors: DataFrame, touched_values: Sequence
-    ) -> int:
+    def _mutate(
+        self,
+        build: Callable[[int | None], tuple[str, object]],
+        meta: dict | None = None,
+        max_retries: int = 5,
+    ):
+        """Optimistic-concurrency loop: ``build(base_version)`` re-reads
+        the table at ``base``, computes the mutation, writes a staging
+        dir, and returns ``(stage_path, result)``; a publish conflict
+        re-runs ``build`` against the fresh version.  This is the
+        reference's INSERT ... ON CONFLICT retry expressed as
+        read-compute-CAS (db_socket/helpers.py:728-813)."""
+        last: CommitConflictError | None = None
+        for _ in range(max_retries):
+            base = self.current_version()
+            stage, result = build(base)
+            try:
+                v = self._publish(stage, base, meta)
+                return result if result is not None else v
+            except CommitConflictError as exc:
+                last = exc
+                continue
+        raise last if last is not None else RuntimeError("unreachable")
+
+    def vacuum_stages(self, min_age_sec: float = 3600.0) -> int:
+        """Sweep crashed writers' leftover staging dirs (the
+        compact_small_files crash-leftover contract).  Age-gated so a
+        LIVE concurrent writer's stage is never yanked from under it."""
+        n = 0
+        now = time.time()
+        for e in os.listdir(self.path):
+            if e.startswith(".stage_"):
+                p = os.path.join(self.path, e)
+                try:
+                    if now - os.path.getmtime(p) >= min_age_sec:
+                        shutil.rmtree(p, ignore_errors=True)
+                        n += 1
+                except OSError:
+                    continue
+        return n
+
+    def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Single-shot commit of a fully-built DataFrame (no re-read
+        dependency — retry just re-stages the same relation).  Returns
+        the published version."""
+        return self._mutate(lambda base: (self._stage_df(df), None), meta=meta)
+
+    def _stage_partition_scoped(
+        self, base: int, touched_survivors: DataFrame, touched_values: Sequence
+    ) -> str:
         """Partition-scoped rewrite (single partition column): hardlink the
-        untouched partition directories from the previous version, write
-        only the touched partitions' surviving rows.  This is the physical
-        plan Delta executes for DELETE/MERGE — IO scales with the touched
-        partitions, not the table.  Touched partitions whose survivor set is
-        empty are simply not written (partition drop)."""
+        untouched partition directories from the base version into a stage,
+        write only the touched partitions' surviving rows.  This is the
+        physical plan Delta executes for DELETE/MERGE — IO scales with the
+        touched partitions, not the table.  Touched partitions whose
+        survivor set is empty are simply not written (partition drop)."""
         assert len(self.partition_by) == 1
         pcol = self.partition_by[0]
-        prev = self.current_version()
-        assert prev is not None
-        v = prev + 1
-        vdir = self._version_dir(v)
-        os.makedirs(vdir, exist_ok=True)
+        stage = self._new_stage()
+        os.makedirs(stage, exist_ok=True)
         touched_strs = {str(t) for t in touched_values}
-        prev_dir = self._version_dir(prev)
-        for entry in os.listdir(prev_dir):
+        base_dir = self._version_dir(base)
+        for entry in os.listdir(base_dir):
             if entry.startswith(f"{pcol}="):
                 if entry.split("=", 1)[1] not in touched_strs:
                     shutil.copytree(
-                        os.path.join(prev_dir, entry),
-                        os.path.join(vdir, entry),
+                        os.path.join(base_dir, entry),
+                        os.path.join(stage, entry),
                         copy_function=os.link,  # refcounted, no data copy
                     )
         if touched_strs:
-            touched_survivors.write.mode("append").partitionBy(pcol).parquet(vdir)
-        tmp = self._pointer + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"version": v, "ts": time.time()}, fh)
-        os.replace(tmp, self._pointer)
-        for old in range(v - 1):
-            shutil.rmtree(self._version_dir(old), ignore_errors=True)
-        return v
+            touched_survivors.write.mode("append").partitionBy(pcol).parquet(stage)
+        return stage
 
     # -- reads --------------------------------------------------------------
 
@@ -123,9 +234,11 @@ class MutableTable:
             raise FileNotFoundError(f"table {self.path} has no committed version")
         return self.spark.read.parquet(self._version_dir(v))
 
-    # -- mutations (each = one serialized commit) ---------------------------
+    # -- mutations (each = one optimistic-CAS commit; conflicts retry) -------
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
+        """Replace the table with ``df`` — last-writer-wins by intent, so
+        a conflict retry re-stages the same relation unchanged."""
         return self._commit(df, meta=meta)
 
     def compact(
@@ -144,8 +257,23 @@ class MutableTable:
         directory compacts to one file.  ``zorder_by`` routes through
         ``layout.zorder_column`` for multi-dimension stats locality (same
         semantics as Delta ``OPTIMIZE ... ZORDER BY``).  Data is unchanged
-        — one new version, same rows."""
-        df = self.read()
+        — one new version, same rows.  Runs inside the CAS loop: a
+        concurrent mutation landing mid-compaction makes this writer
+        re-read and re-compact the NEW current version instead of
+        clobbering it with stale rows."""
+
+        def build(base):
+            df = self._compact_plan(self.read(base), target_files, zorder_by)
+            return self._stage_df(df), None
+
+        return self._mutate(build)
+
+    def _compact_plan(
+        self,
+        df: DataFrame,
+        target_files: int,
+        zorder_by: Sequence[str] | None,
+    ) -> DataFrame:
         if zorder_by:
             from .layout import zorder_column
 
@@ -173,20 +301,28 @@ class MutableTable:
             df = df.repartition(*[F.col(c) for c in self.partition_by])
         else:
             df = df.repartition(target_files)
-        return self._commit(df)
+        return df
 
     def insert_dedup(self, batch: DataFrame, search_cols: Sequence[str]) -> dict:
         """S3 query-first bulk insert: append rows whose natural key is new;
         report inserted/existing counts (InsertMetadata,
-        helpers.py:317-406)."""
+        helpers.py:317-406).  The CAS retry recomputes the dedup against
+        the fresh version, so two concurrent inserters of the same key
+        serialize exactly like the reference's ON CONFLICT DO NOTHING
+        (helpers.py:728-813): one inserts, the other reports existing."""
         from ..operators.keyed import insert_dedup_classify
 
-        current = self.read()
-        to_insert, classified = insert_dedup_classify(current, batch, search_cols)
-        n_new = to_insert.count()
-        n_existing = classified.where(F.col("_existing")).count()
-        self._commit(current.unionByName(to_insert, allowMissingColumns=True))
-        return {"inserted": n_new, "existing": n_existing}
+        def build(base):
+            current = self.read(base)
+            to_insert, classified = insert_dedup_classify(current, batch, search_cols)
+            n_new = to_insert.count()
+            n_existing = classified.where(F.col("_existing")).count()
+            stage = self._stage_df(
+                current.unionByName(to_insert, allowMissingColumns=True)
+            )
+            return stage, {"inserted": n_new, "existing": n_existing}
+
+        return self._mutate(build)
 
     def upsert(self, batch: DataFrame, key_cols: Sequence[str]) -> dict:
         """S4 ON CONFLICT DO UPDATE: replace matching keys, append the rest
@@ -201,15 +337,24 @@ class MutableTable:
         ``insert_dedup_classify``."""
         from ..operators.keyed import _null_safe_cond
 
-        current = self.read()
         keys = list(key_cols)
-        batch_keys = batch.select(*keys).dropDuplicates(keys)
-        kept = current.alias("b").join(
-            batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
-        )
-        updated = current.count() - kept.count()
-        self._commit(kept.unionByName(batch.dropDuplicates(keys), allowMissingColumns=True))
-        return {"updated": updated, "inserted": batch.dropDuplicates(keys).count() - updated}
+
+        def build(base):
+            current = self.read(base)
+            batch_keys = batch.select(*keys).dropDuplicates(keys)
+            kept = current.alias("b").join(
+                batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
+            )
+            updated = current.count() - kept.count()
+            stage = self._stage_df(
+                kept.unionByName(batch.dropDuplicates(keys), allowMissingColumns=True)
+            )
+            return stage, {
+                "updated": updated,
+                "inserted": batch.dropDuplicates(keys).count() - updated,
+            }
+
+        return self._mutate(build)
 
     def delete_ids(
         self, ids: Sequence, id_col: str, referencing: DataFrame | None = None,
@@ -218,7 +363,6 @@ class MutableTable:
         """S6 keyed delete with per-row error capture: rows still referenced
         by ``referencing[ref_col]`` are NOT deleted and reported as errors
         (the reference's FK-violation fallback, helpers.py:576-641)."""
-        current = self.read()
         ids_df = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
         blocked: list = []
         if referencing is not None and ref_col is not None:
@@ -230,24 +374,29 @@ class MutableTable:
             blocked = [r[id_col] for r in blocked_df.collect()]
         deletable = [i for i in ids if i not in set(blocked)]
         del_df = self.spark.createDataFrame([(i,) for i in deletable] or [(None,)], f"{id_col} long")
-        if len(self.partition_by) == 1:
-            pcol = self.partition_by[0]
-            touched = [
-                r[0]
-                for r in current.join(del_df, on=id_col, how="left_semi")
-                .select(pcol)
-                .distinct()
-                .collect()
-            ]
-            scoped = current.where(F.col(pcol).isin(touched))
-            remaining = scoped.join(del_df, on=id_col, how="left_anti")
-            n_deleted = scoped.count() - remaining.count()
-            self._commit_partition_scoped(remaining, touched)
-        else:
-            remaining = current.join(del_df, on=id_col, how="left_anti")
-            n_deleted = current.count() - remaining.count()
-            self._commit(remaining)
-        return {"deleted": n_deleted, "errors": blocked}
+
+        def build(base):
+            current = self.read(base)
+            if len(self.partition_by) == 1:
+                pcol = self.partition_by[0]
+                touched = [
+                    r[0]
+                    for r in current.join(del_df, on=id_col, how="left_semi")
+                    .select(pcol)
+                    .distinct()
+                    .collect()
+                ]
+                scoped = current.where(F.col(pcol).isin(touched))
+                remaining = scoped.join(del_df, on=id_col, how="left_anti")
+                n_deleted = scoped.count() - remaining.count()
+                stage = self._stage_partition_scoped(base, remaining, touched)
+            else:
+                remaining = current.join(del_df, on=id_col, how="left_anti")
+                n_deleted = current.count() - remaining.count()
+                stage = self._stage_df(remaining)
+            return stage, {"deleted": n_deleted, "errors": blocked}
+
+        return self._mutate(build)
 
     def change_feed(self, key_cols: Sequence[str], cdf_style: bool = False) -> DataFrame:
         """Change-data-feed between the previous and current version: one
@@ -334,20 +483,25 @@ class MutableTable:
         NULL-ts rows in the unpartitioned arm while the partitioned arm
         kept those sitting in untouched partitions — arm-dependent
         semantics; the explicit isNull branch makes both arms keep them.)"""
-        current = self.read()
         expired = F.col(ts_col) < F.lit(cutoff)
         keep = F.col(ts_col).isNull() | (F.col(ts_col) >= F.lit(cutoff))
-        if len(self.partition_by) == 1:
-            pcol = self.partition_by[0]
-            touched = [
-                r[0] for r in current.where(expired).select(pcol).distinct().collect()
-            ]
-            scoped = current.where(F.col(pcol).isin(touched))
-            remaining = scoped.where(keep)
-            n = scoped.count() - remaining.count()
-            self._commit_partition_scoped(remaining, touched)
-            return n
-        remaining = current.where(keep)
-        n = current.count() - remaining.count()
-        self._commit(remaining)
-        return n
+
+        def build(base):
+            current = self.read(base)
+            if len(self.partition_by) == 1:
+                pcol = self.partition_by[0]
+                touched = [
+                    r[0]
+                    for r in current.where(expired).select(pcol).distinct().collect()
+                ]
+                scoped = current.where(F.col(pcol).isin(touched))
+                remaining = scoped.where(keep)
+                n = scoped.count() - remaining.count()
+                stage = self._stage_partition_scoped(base, remaining, touched)
+            else:
+                remaining = current.where(keep)
+                n = current.count() - remaining.count()
+                stage = self._stage_df(remaining)
+            return stage, n
+
+        return self._mutate(build)

@@ -356,3 +356,137 @@ def test_rollup_delta_rejects_non_cdf_feed(spark, tmp_path):
     bad = t.change_feed(["id"], cdf_style=False)
     with pytest.raises(Exception, match="cdf_style"):
         rollup_delta(bad, ["g"], ["v"]).collect()
+
+
+# -- optimistic-CAS concurrent-writer semantics (VERDICT r10 item 2) ---------
+
+
+def test_stale_publish_is_rejected(spark, tmp_path):
+    """A writer that staged against version N must NOT be able to publish
+    after another writer committed N+1: the CAS raises and the winner's
+    data survives (no lost update)."""
+    from qcfractal_spark.sources.table import CommitConflictError
+
+    a = MutableTable(spark, str(tmp_path / "cas"))
+    a.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    b = MutableTable(spark, str(tmp_path / "cas"))
+
+    base = a.current_version()
+    stale = a._stage_df(spark.createDataFrame([(9, "stale")], "id long, v string"))
+    b.overwrite(spark.createDataFrame([(2, "winner")], "id long, v string"))
+    with pytest.raises(CommitConflictError):
+        a._publish(stale, base)
+    assert {r["v"] for r in a.read().collect()} == {"winner"}
+    # the loser's stage dir was cleaned up
+    import os
+
+    assert not any(e.startswith(".stage_") for e in os.listdir(a.path))
+
+
+def test_conflict_retry_merges_both_writers(spark, tmp_path):
+    """Deterministic interleave: writer A's insert_dedup is interrupted
+    after staging by writer B committing an insert.  A's publish conflicts,
+    A retries against the fresh version, and the final table contains BOTH
+    writers' rows — the reference's ON CONFLICT retry, no lost update."""
+    a = MutableTable(spark, str(tmp_path / "ilv"))
+    a.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    b = MutableTable(spark, str(tmp_path / "ilv"))
+
+    fired = {"done": False}
+    orig_publish = a._publish
+
+    def racing_publish(stage, base, meta=None):
+        if not fired["done"]:
+            fired["done"] = True
+            b.insert_dedup(
+                spark.createDataFrame([(2, "from_b")], "id long, v string"), ["id"]
+            )
+        return orig_publish(stage, base, meta)
+
+    a._publish = racing_publish
+    out = a.insert_dedup(
+        spark.createDataFrame([(3, "from_a")], "id long, v string"), ["id"]
+    )
+    a._publish = orig_publish
+    assert out == {"inserted": 1, "existing": 0}
+    rows = {r["id"]: r["v"] for r in a.read().collect()}
+    assert rows == {1: "a", 2: "from_b", 3: "from_a"}
+    # change_feed stays consistent: the LAST commit (A's retry) inserted
+    # exactly id=3 relative to the previous version
+    feed = {(r["id"], r["_change"]) for r in a.change_feed(["id"]).collect()}
+    assert feed == {(3, "insert")}
+
+
+def test_concurrent_same_key_serializes_like_on_conflict(spark, tmp_path):
+    """Two writers inserting the SAME natural key: the loser's retry
+    re-classifies against the winner's commit and reports it as existing
+    (ON CONFLICT DO NOTHING semantics) — one surviving row, counts agree."""
+    a = MutableTable(spark, str(tmp_path / "samekey"))
+    a.overwrite(spark.createDataFrame([(1, "seed")], "id long, v string"))
+    b = MutableTable(spark, str(tmp_path / "samekey"))
+
+    fired = {"done": False}
+    orig_publish = a._publish
+
+    def racing_publish(stage, base, meta=None):
+        if not fired["done"]:
+            fired["done"] = True
+            b.insert_dedup(
+                spark.createDataFrame([(7, "winner")], "id long, v string"), ["id"]
+            )
+        return orig_publish(stage, base, meta)
+
+    a._publish = racing_publish
+    out = a.insert_dedup(
+        spark.createDataFrame([(7, "loser")], "id long, v string"), ["id"]
+    )
+    a._publish = orig_publish
+    assert out == {"inserted": 0, "existing": 1}
+    rows = [r for r in a.read().collect() if r["id"] == 7]
+    assert len(rows) == 1 and rows[0]["v"] == "winner"
+
+
+def test_threaded_writers_no_lost_update(spark, tmp_path):
+    """True concurrency smoke: 4 threads insert disjoint batches through
+    separate table handles; every row lands exactly once regardless of
+    which writers had to retry."""
+    import threading
+
+    root = str(tmp_path / "threads")
+    seed = MutableTable(spark, root)
+    seed.overwrite(spark.createDataFrame([(0, "seed")], "id long, v string"))
+
+    errors = []
+
+    def writer(k: int):
+        try:
+            t = MutableTable(spark, root)
+            t.insert_dedup(
+                spark.createDataFrame([(k, f"w{k}")], "id long, v string"), ["id"]
+            )
+        except Exception as exc:  # noqa: BLE001
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(k,)) for k in range(1, 5)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errors == []
+    rows = {r["id"]: r["v"] for r in seed.read().collect()}
+    assert rows == {0: "seed", 1: "w1", 2: "w2", 3: "w3", 4: "w4"}
+
+
+def test_vacuum_stages_sweeps_only_old(spark, tmp_path):
+    import os
+    import time as _time
+
+    t = MutableTable(spark, str(tmp_path / "vac"))
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    crashed = t._stage_df(spark.createDataFrame([(2, "x")], "id long, v string"))
+    fresh = t._stage_df(spark.createDataFrame([(3, "y")], "id long, v string"))
+    old_time = _time.time() - 7200
+    os.utime(crashed, (old_time, old_time))
+    assert t.vacuum_stages(min_age_sec=3600) == 1
+    assert not os.path.exists(crashed)
+    assert os.path.exists(fresh)
