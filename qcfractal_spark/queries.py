@@ -4723,6 +4723,76 @@ SELECT doc_id, source, n_chars FROM documents
 REGISTRY["s10_compact"] = (q_s10_compact, SQL_S10)
 
 
+def q_s11_schema_evolution(spark, sf_dir):
+    """S+ (beyond-reference maintenance, VERDICT r10 item 3): schema
+    evolution under the hash gate — the alembic-migration analog (the
+    reference carries 40+ migrations, qcfractal/alembic/versions/).  A
+    scratch MutableTable goes through the full migration lifecycle:
+
+      v0 overwrite (s_nationkey deliberately narrowed to INT) →
+      evolve[rename s_name→supplier_name, widen s_nationkey→BIGINT]
+      (the widen rewrites) → evolve[add tier default 'std']
+      (METADATA-ONLY — hardlinked files lack the column) → insert_dedup
+      of 'gold'-tier new suppliers (mixed old/new rows) → evolve[add
+      region_code default 7] (metadata-only again, so the FINAL read
+      reconciles files that physically lack region_code).
+
+    The returned relation is the fully-reconciled table; the oracle is
+    the SELECT the migrated table must equal.  Read-time reconciliation
+    (mergeSchema + rename-coalesce + default fill + widen cast) must be
+    exact to hash-match."""
+    import shutil
+
+    from .sources.table import MutableTable
+
+    supplier = _t(spark, sf_dir, "supplier")
+    path = _scratch_dir(sf_dir, "s11")
+    shutil.rmtree(path, ignore_errors=True)
+    table = MutableTable(spark, path)
+    table.overwrite(
+        supplier.select(
+            "s_suppkey",
+            "s_name",
+            F.col("s_nationkey").cast("int").alias("s_nationkey"),
+            "s_acctbal",
+        )
+    )
+    table.evolve(
+        [
+            {"op": "rename", "old": "s_name", "new": "supplier_name"},
+            {"op": "widen", "name": "s_nationkey", "dtype": "bigint"},
+        ]
+    )
+    table.evolve([{"op": "add", "name": "tier", "dtype": "string", "default": "std"}])
+    batch = supplier.where(F.col("s_suppkey") % 4 == 0).select(
+        (F.col("s_suppkey") + 1_000_000).alias("s_suppkey"),
+        F.concat(F.lit("new_"), F.col("s_name")).alias("supplier_name"),
+        F.col("s_nationkey").cast("bigint").alias("s_nationkey"),
+        "s_acctbal",
+        F.lit("gold").alias("tier"),
+    )
+    table.insert_dedup(batch, search_cols=["s_suppkey"])
+    table.evolve([{"op": "add", "name": "region_code", "dtype": "int", "default": 7}])
+    return table.read().select(
+        "s_suppkey", "supplier_name", "s_nationkey", "s_acctbal", "tier", "region_code"
+    )
+
+
+SQL_S11 = """
+SELECT s_suppkey, s_name AS supplier_name,
+       CAST(s_nationkey AS BIGINT) AS s_nationkey, s_acctbal,
+       'std' AS tier, CAST(7 AS INTEGER) AS region_code
+FROM supplier
+UNION ALL
+SELECT s_suppkey + 1000000, 'new_' || s_name,
+       CAST(s_nationkey AS BIGINT), s_acctbal,
+       'gold', CAST(7 AS INTEGER)
+FROM supplier WHERE s_suppkey % 4 = 0
+"""
+
+REGISTRY["s11_schema_evolution"] = (q_s11_schema_evolution, SQL_S11)
+
+
 def q_s3_insert_dedup_table(spark, sf_dir):
     """S3 under the hash gate: query-first bulk insert on a scratch
     MutableTable copy — batch rows whose natural key already exists are
