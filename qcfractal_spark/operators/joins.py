@@ -248,3 +248,66 @@ def interval_join(
     )
     joined = l.join(r, on=[key_col, "_b"] if key_col else ["_b"], how="inner")
     return joined.where(lo_cmp & hi_cmp).drop("_b")
+
+
+def spec_chain_join(
+    records: DataFrame,
+    spec: DataFrame,
+    subspec: DataFrame,
+    record_spec_key: tuple[str, str],
+    spec_subspec_key: tuple[str, str],
+    spec_cols: Sequence[str] | None = None,
+    subspec_cols: Sequence[str] | None = None,
+    spec_filter=None,
+    subspec_filter=None,
+) -> DataFrame:
+    """J2: the two-level specification chain with JOIN ELISION (reference
+    record → optimization_spec → qc_spec,
+    optimization/record_socket.py:413-457; the reference builds the
+    SQLAlchemy statement lazily, adding each join only when a filter or
+    projection actually needs that level).
+
+    Elision rules, matching the reference:
+
+    * the SUBSPEC level joins only when ``subspec_filter`` or
+      ``subspec_cols`` is supplied;
+    * the SPEC level joins when it is needed itself (``spec_filter`` /
+      ``spec_cols``) OR as the bridge to a needed subspec level;
+    * with neither, the returned plan is the bare record scan — zero
+      joins (pinned by tests/test_spec_chain.py).
+
+    Both dimension sides are broadcast (spec tables are tiny next to
+    records — the reference keeps them in per-process caches for the same
+    reason), so the record side never shuffles no matter how many levels
+    join: at 100 TB this is a map-only chain.  Filters sit on the build
+    sides BEFORE the broadcast, shrinking what ships.
+
+    Returns the record columns plus the requested spec/subspec columns.
+    """
+    spec_cols = list(spec_cols or [])
+    subspec_cols = list(subspec_cols or [])
+    need_sub = subspec_filter is not None or bool(subspec_cols)
+    need_spec = need_sub or spec_filter is not None or bool(spec_cols)
+    rec_cols = [records[c] for c in records.columns]
+    out = records
+    if need_spec:
+        s = spec.where(spec_filter) if spec_filter is not None else spec
+        out = out.join(
+            F.broadcast(s), records[record_spec_key[0]] == s[record_spec_key[1]]
+        )
+        if need_sub:
+            ss = (
+                subspec.where(subspec_filter)
+                if subspec_filter is not None
+                else subspec
+            )
+            out = out.join(
+                F.broadcast(ss), s[spec_subspec_key[0]] == ss[spec_subspec_key[1]]
+            )
+            return out.select(
+                *rec_cols,
+                *[s[c] for c in spec_cols],
+                *[ss[c] for c in subspec_cols],
+            )
+        return out.select(*rec_cols, *[s[c] for c in spec_cols])
+    return out.select(*rec_cols)

@@ -320,6 +320,44 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+def q_j2_subspec_join(spark, sf_dir):
+    """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
+    chain record → spec → subspec through the join-ELISION builder
+    (operators/joins.py:spec_chain_join; reference
+    optimization/record_socket.py:413-457 adds each join lazily only when
+    a filter/projection needs that level).  Here BOTH levels carry a
+    filter and a projection, so the full chain joins — broadcast at each
+    level, the record side never shuffles.  The elision arm (no subspec
+    filter ⇒ no subspec join; nothing needed ⇒ bare scan) is pinned by
+    tests/test_spec_chain.py plan assertions."""
+    from .operators.joins import spec_chain_join
+
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = spec_chain_join(
+        cust.select("c_custkey", "c_mktsegment", "c_nationkey"),
+        nation,
+        region,
+        record_spec_key=("c_nationkey", "n_nationkey"),
+        spec_subspec_key=("n_regionkey", "r_regionkey"),
+        spec_cols=["n_name"],
+        subspec_cols=["r_name"],
+        spec_filter=F.col("n_name") >= "J",
+        subspec_filter=F.col("r_name").isin("ASIA", "EUROPE"),
+    )
+    return out.select("c_custkey", "c_mktsegment", "n_name", "r_name")
+
+
+SQL_J2 = """
+SELECT c_custkey, c_mktsegment, n_name, r_name
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE n_name >= 'J' AND r_name IN ('ASIA', 'EUROPE')
+"""
+
+
 def q_j9_anti_join(spark, sf_dir):
     """J9/U4: anti-join — keys with no match (insert dedup "missing" set,
     helpers.py:663-694): customers with no high-value order."""
@@ -1043,6 +1081,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "p7_array_overlap": (q_p7_array_overlap, SQL_P7),
     "p8_int_or_name": (q_p8_int_or_name, SQL_P8),
     "j1_dim_join": (q_j1_dim_join, SQL_J1),
+    "j2_subspec_join": (q_j2_subspec_join, SQL_J2),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),

@@ -1,0 +1,101 @@
+"""operators/joins.py:spec_chain_join — J2 join-ELISION plan contracts
+(VERDICT r10 item 4): each spec level joins ONLY when a filter or
+projection needs it (reference optimization/record_socket.py:413-457
+builds the statement lazily the same way).  Registry parity vs the
+3-table DuckDB oracle is covered by test_queries_oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.operators.joins import spec_chain_join
+
+
+def _tables(spark):
+    records = spark.createDataFrame(
+        [(1, 10), (2, 11), (3, 10), (4, 12)], "rec_id long, spec_id long"
+    )
+    spec = spark.createDataFrame(
+        [(10, "s10", 100), (11, "s11", 101), (12, "s12", 100)],
+        "spec_id long, spec_name string, sub_id long",
+    )
+    subspec = spark.createDataFrame(
+        [(100, "basisA"), (101, "basisB")], "sub_id long, basis string"
+    )
+    return records, spec, subspec
+
+
+def _chain(records, spec, subspec, **kw):
+    return spec_chain_join(
+        records,
+        spec,
+        subspec,
+        record_spec_key=("spec_id", "spec_id"),
+        spec_subspec_key=("sub_id", "sub_id"),
+        **kw,
+    )
+
+
+def _njoins(df) -> int:
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.count("Join")
+
+
+def test_no_filters_elides_every_join(spark):
+    records, spec, subspec = _tables(spark)
+    df = _chain(records, spec, subspec)
+    assert _njoins(df) == 0  # bare record scan
+    assert df.columns == ["rec_id", "spec_id"]
+    assert df.count() == 4
+
+
+def test_spec_only_joins_one_level(spark):
+    records, spec, subspec = _tables(spark)
+    df = _chain(records, spec, subspec, spec_cols=["spec_name"])
+    assert _njoins(df) == 1
+    got = {(r["rec_id"], r["spec_name"]) for r in df.collect()}
+    assert got == {(1, "s10"), (2, "s11"), (3, "s10"), (4, "s12")}
+
+
+def test_subspec_filter_bridges_through_spec(spark):
+    """A subspec-level filter with NO spec columns requested still needs
+    the spec join as the bridge — two joins, filter applied."""
+    records, spec, subspec = _tables(spark)
+    df = _chain(
+        records, spec, subspec, subspec_filter=F.col("basis") == "basisA"
+    )
+    assert _njoins(df) == 2
+    assert {r["rec_id"] for r in df.collect()} == {1, 3, 4}
+    assert df.columns == ["rec_id", "spec_id"]  # projection stays record-level
+
+
+def test_full_chain_with_both_filters(spark):
+    records, spec, subspec = _tables(spark)
+    df = _chain(
+        records,
+        spec,
+        subspec,
+        spec_cols=["spec_name"],
+        subspec_cols=["basis"],
+        spec_filter=F.col("spec_name") != "s12",
+        subspec_filter=F.col("basis") == "basisA",
+    )
+    assert _njoins(df) == 2
+    got = {(r["rec_id"], r["spec_name"], r["basis"]) for r in df.collect()}
+    assert got == {(1, "s10", "basisA"), (3, "s10", "basisA")}
+
+
+def test_joins_are_broadcast(spark):
+    """Both dimension levels broadcast — the record side never shuffles
+    (no Exchange hash-partitioning on the probe side)."""
+    records, spec, subspec = _tables(spark)
+    df = _chain(
+        records,
+        spec,
+        subspec,
+        spec_cols=["spec_name"],
+        subspec_cols=["basis"],
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in plan
