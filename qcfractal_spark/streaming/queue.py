@@ -137,3 +137,116 @@ class SingleWriterQueue:
         for m in dead:
             del self.managers[m]
         return released
+
+
+@dataclass
+class ServiceLoop:
+    """T5 service-state iteration (reference services/socket.py:65-300):
+    a service owns an evolving state blob (the reference's
+    ``service_state`` JSONB) plus a set of outstanding dependency
+    records (``service_dependency`` fan-out); each cycle
+
+    1. the COMPLETION GATE decides whether every outstanding dependency
+       reached ``complete`` — the A8 aggregate (``bool_and`` over the
+       dependency join, operators/aggregates.py, gated as
+       ``a8_status_gate``); an errored dependency fails the service
+       (services/socket.py:120-160 propagates dependency errors);
+    2. if the gate fired, ``iterate_fn(state, results)`` consumes the
+       finished dependencies' results, returns the evolved state, the
+       NEXT fan-out of dependency specs, and a done flag — the
+       reference's ``service.iterate()`` contract;
+    3. the new dependencies become queue tasks (appended to the task
+       snapshot) and records in ``waiting`` status.
+
+    State transitions serialize through the same single-writer object as
+    T4 claims; the distributed parts are the gate aggregate and the
+    claim top-k, exactly the reference's split (its services ALSO
+    iterate in one periodic single-writer job,
+    services/socket.py:165-210).  Set-semantics contract (pinned by
+    tests/test_service_loop.py): a dependency is spawned once, claimed
+    once, consumed by exactly one iteration; the gate never fires while
+    any dependency is unfinished; iteration k+1's fan-out is invisible
+    to iteration k.
+    """
+
+    queue: SingleWriterQueue
+    service_state: dict
+    iterate_fn: object  # (state, results: dict[int, float]) -> (state, specs, done)
+    deps: set = field(default_factory=set)  # outstanding dependency record_ids
+    results: dict = field(default_factory=dict)  # record_id -> returned value
+    history: list = field(default_factory=list)  # per-iteration state snapshots
+    status: str = "running"
+    _next_ids: list = field(default_factory=lambda: [0, 0])  # [task_id, record_id] seeds
+
+    def gate_fired(self) -> bool:
+        """Driver-side mirror of the A8 gate over the outstanding set —
+        the pytest asserts agreement with the Spark ``bool_and``
+        aggregate every iteration."""
+        if self.status != "running":
+            return False
+        sts = [self.queue.statuses.get(r) for r in self.deps]
+        if any(s == "error" for s in sts):
+            self.status = "error"
+            return False
+        return all(s == "complete" for s in sts)
+
+    def spawn(self, specs, tag: str = "service", program: str = "prog") -> list[int]:
+        """Fan a list of dependency specs out as queue tasks + waiting
+        records; returns the new record ids.  Each spec is an opaque
+        payload recorded alongside the task (the reference inserts
+        service_dependency rows + task rows in one transaction)."""
+        from datetime import datetime as _dt
+
+        spark = self.queue.tasks.sparkSession
+        new_rids = []
+        rows = []
+        for i, _spec in enumerate(specs):
+            self._next_ids[0] += 1
+            self._next_ids[1] += 1
+            tid, rid = self._next_ids
+            rows.append(
+                (
+                    int(tid) + 1_000_000,
+                    int(rid) + 2_000_000,
+                    tag,
+                    1,
+                    _dt(2024, 1, 1, 0, 0, int(tid) % 60),
+                    True,
+                    [program],
+                )
+            )
+        if not rows:
+            return []
+        new_df = spark.createDataFrame(
+            rows,
+            "id long, record_id long, compute_tag string, compute_priority int, "
+            "sort_date timestamp, available boolean, required_programs array<string>",
+        )
+        self.queue.tasks = self.queue.tasks.unionByName(new_df)
+        for r in rows:
+            self.queue.statuses[r[1]] = "waiting"
+            self.deps.add(r[1])
+            new_rids.append(r[1])
+        return new_rids
+
+    def record_result(self, record_id: int, value) -> None:
+        self.results[record_id] = value
+
+    def iterate(self) -> bool:
+        """One service cycle: fire the gate, consume results, advance
+        state, spawn the next fan-out.  Returns True if the service
+        advanced (or finished) this cycle."""
+        if not self.gate_fired():
+            return False
+        finished = {r: self.results[r] for r in self.deps}
+        self.deps.clear()
+        new_state, specs, done = self.iterate_fn(dict(self.service_state), finished)
+        self.service_state = new_state
+        self.history.append(
+            {"state": dict(new_state), "consumed": sorted(finished), "done": done}
+        )
+        if done:
+            self.status = "complete"
+            return True
+        self.spawn(specs)
+        return True
