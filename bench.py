@@ -129,6 +129,8 @@ BENCH_QUERIES = [
     "u13_coreset",          # greedy k-center coreset (8 argmax steps)
     "tx_phrase_idx",        # phrase audit via persisted inverted index
     "tx_quality_sweep",     # quality-threshold retention sweep (1 scan)
+    "tx_unigram_tok",       # unigram-LM tokenizer (3 hard-EM Viterbi rounds)
+    "j2_subspec_join",      # 2-level spec chain via join-elision builder
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench
@@ -139,6 +141,9 @@ BENCH_QUERIES = [
     # s10_compact is gate-only: the query deliberately times a 64-file
     # scratch write + compaction rewrite + read-back (maintenance IO),
     # not a distributed query plan.
+    # s11_schema_evolution is gate-only for the same reason: it times a
+    # scratch table build + 3 evolution commits + an insert rewrite
+    # (migration IO), not a query plan.
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

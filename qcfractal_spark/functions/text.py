@@ -843,3 +843,249 @@ def phrase_hits_indexed(
         F.count(F.lit(1)).alias("n_hits"),
         F.min("pos").alias("first_pos"),
     )
+
+
+# SentencePiece-style unigram-LM tokenizer induction (VERDICT r10 item 6).
+# Shared hyperparameters — the oracle generator in queries.py reads these,
+# so the two arms can never disagree on a constant.
+UNIGRAM_PARAMS = {
+    "max_word_len": 12,   # words longer than this are training tail, excluded
+    "max_piece_len": 4,   # candidate piece length cap
+    "seed_min": 3,        # min corpus count for a multi-char seed piece
+    "seed_cap": 200,      # top multi-char seeds kept (by count*len, piece asc)
+    "rounds": 3,          # hard-EM rounds
+    "top_n": 25,          # reported vocabulary head
+}
+
+
+def unigram_cost0_sql() -> str:
+    """Round-0 piece cost from raw seed counts — ONE dialect-neutral
+    string rendered by both engines (the kn_mod_p_sql shared-expression
+    discipline): -log2(c0/tot0) rounded to 9 dp and held as DECIMAL so
+    every later DP sum is exact."""
+    return (
+        "CAST(ROUND(-log2(CAST(c0 AS DOUBLE) / CAST(tot0 AS DOUBLE)), 9)"
+        " AS DECIMAL(28,9))"
+    )
+
+
+def unigram_cost_sql() -> str:
+    """EM-round piece cost with add-0.5 smoothing over the FIXED piece set
+    (all pieces stay alive with finite cost — hard-EM zero counts would
+    otherwise strand coverage)."""
+    return (
+        "CAST(ROUND(-log2((CAST(n AS DOUBLE) + 0.5) /"
+        " (CAST(totn AS DOUBLE) + 0.5 * CAST(np AS DOUBLE))), 9)"
+        " AS DECIMAL(28,9))"
+    )
+
+
+def unigram_prob_sql() -> str:
+    return (
+        "ROUND((CAST(n AS DOUBLE) + 0.5) /"
+        " (CAST(totn AS DOUBLE) + 0.5 * CAST(np AS DOUBLE)), 9)"
+    )
+
+
+def _unigram_word_types(docs: DataFrame, params: dict | None = None) -> DataFrame:
+    p = {**UNIGRAM_PARAMS, **(params or {})}
+    return (
+        docs.where(F.col("text").isNotNull())
+        .select(
+            F.explode(
+                F.expr(r"regexp_extract_all(lower(text), '[a-z]+', 0)")
+            ).alias("word")
+        )
+        .where(F.length("word").between(1, p["max_word_len"]))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+
+
+def _unigram_cand_expr(params: dict | None = None) -> str:
+    """Every (end, len) substring candidate of a word as one array expr:
+    flatten(transform(ends, e -> transform(1..min(P,e), l -> struct)))."""
+    p = {**UNIGRAM_PARAMS, **(params or {})}["max_piece_len"]
+    return (
+        "flatten(transform(sequence(1, length(word)), e ->"
+        f" transform(sequence(1, least({p}, e)), l ->"
+        " struct(e AS ei, l AS l, substring(word, e - l + 1, l) AS piece))))"
+    )
+
+
+def _unigram_seed_pieces(wt: DataFrame, params: dict | None = None) -> DataFrame:
+    """Seed piece set: every single char observed (coverage guarantee —
+    the Viterbi DP always has the all-singles path) plus the top
+    ``seed_cap`` multi-char substrings scored by count × length (the
+    SentencePiece seed heuristic: frequency alone favors short pieces),
+    count >= seed_min, ties on piece ascending."""
+    p = {**UNIGRAM_PARAMS, **(params or {})}
+    subs = wt.select(
+        "freq", F.explode(F.expr(_unigram_cand_expr(p))).alias("c")
+    ).select(F.col("c.piece").alias("piece"), "freq")
+    c0 = subs.groupBy("piece").agg(F.sum("freq").alias("c0"))
+    chars = c0.where(F.length("piece") == 1)
+    multi = (
+        c0.where((F.length("piece") >= 2) & (F.col("c0") >= p["seed_min"]))
+        .orderBy(
+            (F.col("c0") * F.length("piece")).desc(), F.col("piece").asc()
+        )
+        .limit(p["seed_cap"])
+    )
+    return chars.unionByName(multi)
+
+
+def _viterbi_ps(wt: DataFrame, pieces: DataFrame, params: dict | None = None) -> DataFrame:
+    """Hard-EM E-step: each word type's single BEST segmentation under
+    the current piece costs, as (word, freq, ps: array<string>) rows.
+
+    The whole DP is per-row ARRAY arithmetic — zero joins beyond one
+    broadcast of the (vocab-sized) piece-cost table: candidates =
+    substring grid joined to costs, folded left-to-right with
+    ``aggregate`` building the DP state array (best cost + winning piece
+    length per position), then a second fold backtracks the winner.
+    Costs are 9-dp DECIMALs, so sums are exact and the tie-break
+    (min cost, then LONGEST piece — (ei,l) is unique per candidate, so
+    this is a total order and fold order cannot matter) is replayed
+    bit-for-bit by the oracle's unrolled position-by-position CTEs.
+
+    100 TB story: everything here is vocabulary-sized — the corpus was
+    reduced to word TYPES by one scan (the BPE trick); the DP is
+    JVM-side expression work linear in |vocab| × max_word_len with no
+    shuffle at all (the piece table broadcasts)."""
+    cands = (
+        wt.select(
+            "word", "freq",
+            F.explode(F.expr(_unigram_cand_expr(params))).alias("c"),
+        )
+        .select("word", "freq", "c.ei", "c.l", F.col("c.piece").alias("piece"))
+        .join(F.broadcast(pieces.select("piece", "cost")), "piece")
+    )
+    per_word = cands.groupBy("word", "freq").agg(
+        F.collect_list(F.struct("ei", "l", "cost")).alias("cl")
+    )
+    # every stored DP value is re-cast to DECIMAL(28,9) after the add —
+    # Spark's (38,9)+(38,9) silently loses a scale digit, and (28,9)+(28,9)
+    # yields (29,9) which the cast brings back losslessly (values < 10^19;
+    # the oracle applies the identical per-step cast)
+    states = (
+        "aggregate(sequence(1, length(word)),"
+        " array(named_struct('best', CAST(0 AS DECIMAL(28,9)), 'bl', 0)),"
+        " (acc, i) -> concat(acc, array("
+        "   aggregate(filter(cl, c -> c.ei = i),"
+        "     named_struct('best', CAST(NULL AS DECIMAL(28,9)), 'bl', 0),"
+        "     (w, c) -> CASE WHEN w.best IS NULL"
+        "       OR element_at(acc, i - c.l + 1).best + c.cost < w.best"
+        "       OR (element_at(acc, i - c.l + 1).best + c.cost = w.best"
+        "           AND c.l > w.bl)"
+        "     THEN named_struct("
+        "       'best', CAST(element_at(acc, i - c.l + 1).best + c.cost"
+        "                    AS DECIMAL(28,9)),"
+        "       'bl', c.l)"
+        "     ELSE w END))))"
+    )
+    backtrack = (
+        "aggregate(sequence(1, length(word)),"
+        " named_struct('pos', length(word),"
+        "   'ps', CAST(array() AS ARRAY<STRING>)),"
+        " (s, x) -> CASE WHEN s.pos <= 0 THEN s ELSE named_struct("
+        "   'pos', s.pos - element_at(st, s.pos + 1).bl,"
+        "   'ps', concat(s.ps, array(substring(word,"
+        "     s.pos - element_at(st, s.pos + 1).bl + 1,"
+        "     element_at(st, s.pos + 1).bl)))) END,"
+        " s -> s.ps)"
+    )
+    return (
+        per_word.withColumn("st", F.expr(states))
+        .withColumn("ps", F.expr(backtrack))
+        .select("word", "freq", "ps")
+    )
+
+
+def _viterbi_segments(
+    wt: DataFrame, pieces: DataFrame, params: dict | None = None
+) -> DataFrame:
+    """Exploded (piece, freq) rows of each word type's best segmentation
+    (see :func:`_viterbi_ps` for the DP itself)."""
+    return _viterbi_ps(wt, pieces, params).select(
+        "freq", F.explode("ps").alias("piece")
+    )
+
+
+def _unigram_learn(docs: DataFrame, params: dict | None = None):
+    """The shared learn loop: returns the final per-piece stats relation
+    (piece, n, totn, np, cost) after ``rounds`` hard-EM rounds.  Each
+    round = one E-step (``_viterbi_segments``) + one vocab-sized
+    map-combinable count + one 1-row broadcast of the totals; lineage is
+    cut per round (the g1_pagerank / tx_bpe_merges loop contract)."""
+    p = {**UNIGRAM_PARAMS, **(params or {})}
+    wt = _unigram_word_types(docs, p).localCheckpoint(eager=True)
+    pset = _unigram_seed_pieces(wt, p)
+    tot0 = pset.agg(F.sum("c0").alias("tot0"))
+    pieces = (
+        pset.crossJoin(F.broadcast(tot0))
+        .select("piece", F.expr(unigram_cost0_sql()).alias("cost"))
+        .localCheckpoint(eager=True)
+    )
+    stats = None
+    for _r in range(1, p["rounds"] + 1):
+        seg = _viterbi_segments(wt, pieces, p)
+        counts = seg.groupBy("piece").agg(F.sum("freq").alias("n"))
+        base = (
+            pieces.select("piece")
+            .join(counts, "piece", "left")
+            .na.fill({"n": 0})
+        )
+        tot = base.agg(F.sum("n").alias("totn"), F.count(F.lit(1)).alias("np"))
+        stats = base.crossJoin(F.broadcast(tot))
+        pieces = stats.select(
+            "piece", F.expr(unigram_cost_sql()).alias("cost")
+        ).localCheckpoint(eager=True)
+    return wt, pieces, stats
+
+
+def unigram_token_stats(docs: DataFrame, params: dict | None = None) -> DataFrame:
+    """The registry op: the learned unigram vocabulary head —
+    ``(rank, piece, n, p)`` for the ``top_n`` pieces by final hard-EM
+    count (ties on piece ascending).  ``n`` is the piece's count over
+    the corpus's best segmentations, ``p`` its smoothed probability.
+
+    Oracle: queries.py unrolls the identical computation — seed scoring,
+    3 EM rounds of position-by-position Viterbi DP and backtracking —
+    as chained DuckDB CTEs over the same shared cost expressions; exact
+    decimal DP sums and total-order tie-breaks make the two arms agree
+    bit-for-bit (the u13_coreset / tx_bpe_merges iterative-oracle
+    pattern)."""
+    from pyspark.sql import Window
+
+    p = {**UNIGRAM_PARAMS, **(params or {})}
+    _wt, _pieces, stats = _unigram_learn(docs, p)
+    final = stats.select(
+        "piece",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(unigram_prob_sql()).alias("p"),
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("piece").asc())
+    return (
+        final.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= p["top_n"])
+        .select("rank", "piece", "n", "p")
+    )
+
+
+def unigram_encode_report(docs: DataFrame, params: dict | None = None) -> DataFrame:
+    """Pieces-per-word report under the learned unigram vocabulary (the
+    bpe_encode_stats sibling, same output shape): one row per piece
+    count with word-type/frequency/piece totals — the pytest compares
+    Σ total_pieces / Σ total_freq against BPE at equal vocab."""
+    wt, pieces, _stats = _unigram_learn(docs, params)
+    sizes = _viterbi_ps(wt, pieces, params).select(
+        "freq", F.size("ps").alias("n_pieces")
+    )
+    return sizes.groupBy("n_pieces").agg(
+        F.count(F.lit(1)).alias("n_word_types"),
+        F.sum("freq").alias("total_freq"),
+        F.sum(F.col("freq") * F.col("n_pieces")).cast("bigint").alias(
+            "total_pieces"
+        ),
+    )

@@ -7658,6 +7658,129 @@ SQL_TX_BPE_ENCODE = _bpe_encode_oracle_sql(10)
 REGISTRY["tx_bpe_encode"] = (q_tx_bpe_encode, SQL_TX_BPE_ENCODE)
 
 
+def q_tx_unigram_tok(spark, sf_dir):
+    """TX+ (beyond-reference, VERDICT r10 item 6): SentencePiece-style
+    UNIGRAM-LM tokenizer induction (functions/text.py:unigram_token_stats,
+    Kudo 2018's unigram model with hard EM) — the EM-over-word-types
+    sibling that completes the tokenizer family next to BPE's merge
+    learning: seed pieces scored by count×length, then 3 hard-EM rounds
+    of per-word Viterbi best-segmentation (exact-decimal DP costs,
+    longest-piece tie-break) and count re-estimation with add-0.5
+    smoothing over the fixed piece set.  Returns the learned vocabulary
+    head (rank, piece, n, p).
+
+    Plan: ONE corpus scan reduces to the word-TYPE table; each round is
+    per-row array-fold DP (no joins — the piece table broadcasts) + one
+    vocab-sized map-combinable count + a 1-row totals broadcast, lineage
+    cut per round.  The oracle unrolls the identical DP position-by-
+    position and round-by-round as chained CTEs (~90, generated) over
+    the SAME shared cost expressions (text.unigram_cost0_sql/
+    unigram_cost_sql/unigram_prob_sql)."""
+    return tx.unigram_token_stats(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_oracle_sql() -> str:
+    p = tx.UNIGRAM_PARAMS
+    L, MP, R = p["max_word_len"], p["max_piece_len"], p["rounds"]
+    cost0, cost, prob = (
+        tx.unigram_cost0_sql(), tx.unigram_cost_sql(), tx.unigram_prob_sql()
+    )
+    ctes = [
+        f"""wt AS MATERIALIZED (
+  SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+    FROM documents WHERE text IS NOT NULL
+  ) WHERE length(word) BETWEEN 1 AND {L} GROUP BY word)""",
+        f"""grid AS MATERIALIZED (
+  SELECT word, freq, e, l, substr(word, e - l + 1, l) AS piece FROM (
+    SELECT word, freq, e, unnest(generate_series(1, least({MP}, e))) AS l FROM (
+      SELECT word, freq, unnest(generate_series(1, length(word))) AS e FROM wt)))""",
+        """c0t AS MATERIALIZED (
+  SELECT piece, CAST(SUM(freq) AS BIGINT) AS c0 FROM grid GROUP BY piece)""",
+        f"""pset AS MATERIALIZED (
+  SELECT piece, c0 FROM c0t WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, c0 FROM (
+    SELECT piece, c0 FROM c0t WHERE length(piece) >= 2 AND c0 >= {p["seed_min"]}
+    ORDER BY c0 * length(piece) DESC, piece ASC LIMIT {p["seed_cap"]}))""",
+        f"""p0 AS MATERIALIZED (
+  SELECT piece, {cost0} AS cost
+  FROM pset, (SELECT CAST(SUM(c0) AS BIGINT) AS tot0 FROM pset) t)""",
+    ]
+    for r in range(1, R + 1):
+        prev = "p0" if r == 1 else f"p{r - 1}"
+        ctes.append(
+            f"""cand_{r} AS MATERIALIZED (
+  SELECT g.word, g.e AS ei, g.l, pr.cost
+  FROM grid g JOIN {prev} pr ON pr.piece = g.piece)"""
+        )
+        ctes.append(
+            f"f_{r}_0 AS (SELECT word, 0 AS i,"
+            f" CAST(0 AS DECIMAL(28,9)) AS best, 0 AS bl FROM wt)"
+        )
+        for i in range(1, L + 1):
+            lo = max(0, i - MP)
+            prevs = " UNION ALL ".join(
+                f"SELECT * FROM f_{r}_{j}" for j in range(lo, i)
+            )
+            # stored best is re-cast to DECIMAL(28,9) per step, matching
+            # the Spark fold (keeps chained decimal widths bounded in
+            # both engines; values fit, so the cast is lossless)
+            ctes.append(
+                f"""f_{r}_{i} AS MATERIALIZED (
+  SELECT word, i, best, bl FROM (
+    SELECT c.word, {i} AS i,
+           CAST(pv.best + c.cost AS DECIMAL(28,9)) AS best, c.l AS bl,
+           ROW_NUMBER() OVER (PARTITION BY c.word
+             ORDER BY pv.best + c.cost ASC, c.l DESC) AS rn
+    FROM cand_{r} c JOIN ({prevs}) pv
+      ON pv.word = c.word AND pv.i = {i} - c.l
+    WHERE c.ei = {i}) WHERE rn = 1)"""
+            )
+        st_union = " UNION ALL ".join(
+            f"SELECT * FROM f_{r}_{i}" for i in range(1, L + 1)
+        )
+        ctes.append(f"st_{r} AS MATERIALIZED ({st_union})")
+        ctes.append(
+            f"bt_{r}_0 AS (SELECT word, freq, CAST(NULL AS VARCHAR) AS piece,"
+            f" length(word) AS pos FROM wt)"
+        )
+        for s in range(1, L + 1):
+            ctes.append(
+                f"""bt_{r}_{s} AS MATERIALIZED (
+  SELECT b.word, b.freq, substr(b.word, b.pos - st.bl + 1, st.bl) AS piece,
+         b.pos - st.bl AS pos
+  FROM bt_{r}_{s - 1} b JOIN st_{r} st ON st.word = b.word AND st.i = b.pos
+  WHERE b.pos > 0)"""
+            )
+        seg_union = " UNION ALL ".join(
+            f"SELECT piece, freq FROM bt_{r}_{s}" for s in range(1, L + 1)
+        )
+        ctes.append(
+            f"""cnt_{r} AS MATERIALIZED (
+  SELECT p.piece, CAST(COALESCE(s.n, 0) AS BIGINT) AS n
+  FROM (SELECT piece FROM pset) p LEFT JOIN (
+    SELECT piece, SUM(freq) AS n FROM ({seg_union})
+    WHERE piece IS NOT NULL GROUP BY piece) s USING (piece))"""
+        )
+        ctes.append(
+            f"""p{r} AS MATERIALIZED (
+  SELECT piece, {cost} AS cost, n, totn, np
+  FROM cnt_{r}, (SELECT CAST(SUM(n) AS BIGINT) AS totn,
+                        CAST(COUNT(*) AS BIGINT) AS np FROM cnt_{r}) t)"""
+        )
+    final = f"""SELECT rank, piece, n, p FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS INTEGER) AS rank,
+         piece, n, {prob} AS p FROM p{R})
+WHERE rank <= {p["top_n"]} ORDER BY rank"""
+    return "WITH " + ",\n".join(ctes) + "\n" + final
+
+
+SQL_TX_UNIGRAM_TOK = _unigram_oracle_sql()
+
+REGISTRY["tx_unigram_tok"] = (q_tx_unigram_tok, SQL_TX_UNIGRAM_TOK)
+
+
 def q_tx_quality_sweep(spark, sf_dir):
     """TX+ (beyond-reference): quality-threshold sweep — for every cutoff
     on a 0.001 grid (``floor(quality·1000)``, ≤1001 distinct buckets),
