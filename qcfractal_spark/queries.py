@@ -8138,7 +8138,7 @@ REGISTRY["tx_quality_sweep"] = (q_tx_quality_sweep, SQL_TX_QUALITY_SWEEP)
 #    "tx_text_stats", "u6_mixture_sample", "w1_window_lag",
 #]  (end r9 roster ledger)
 
-_DRIVER_WINDOW = [
+# ---- Round-10 rotation, now rotated out; ledger kept:
     # ---- Round-10 rotation (VERDICT r9 item 1), computed from
     # tools/stale_stamps.py over the recorded artifacts.  Step IN:
     # (a) every query whose implementation or oracle changed after its
@@ -8190,25 +8190,82 @@ _DRIVER_WINDOW = [
     # ceil(162 / (50 - ~5 newcomer/changed slots per round)) = 4 rounds —
     # tools/stale_stamps.py computes the policy from the registry size.
     # --- (a) changed after their r9 stamp (5) ---
-    "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
-    "st_stream_urldedup", "pipe_prepare",
+#    "tx_html_extract", "dd_url_dedup", "tx_domain_stats",
+#    "st_stream_urldedup", "pipe_prepare",
     # --- (b) round-10 newcomers (8) ---
-    "tx_kn_lm", "tx_kn_mod", "tx_bpe_merges", "tx_bpe_encode",
-    "pipe_export", "pk_site_cap", "u13_coreset", "st_stream_export",
+#    "tx_kn_lm", "tx_kn_mod", "tx_bpe_merges", "tx_bpe_encode",
+#    "pipe_export", "pk_site_cap", "u13_coreset", "st_stream_export",
     # --- (c) r06 leftovers, all 15 (VERDICT r9 item 1) ---
-    "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
-    "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
-    "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
-    "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
-    "tx_repetition", "u3_distinct", "u5_stratified_sample",
+#    "a13_manybody_levels", "a2_status_counts", "a4_union_counts",
+#    "dd_contamination_neardup", "dd_simhash", "f9_content_hash",
+#    "h6_forecast_revenue", "j12_element_at", "p4_tuple_in",
+#    "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
+#    "tx_repetition", "u3_distinct", "u5_stratified_sample",
     # --- (d) r07 cohort, alphabetically-first 22 of 46 hash-green ---
-    "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
-    "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
-    "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
-    "dd_source_overlap", "dd_substring", "g1_pagerank",
-    "h4_order_priority", "j14_interval", "j16_adaptive_salted",
-    "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
-    "pk_pack", "s6_delete_survivors",
+#    "a23_corr", "dd_cap_duplicates", "dd_cluster", "dd_cluster_rep",
+#    "dd_embed", "dd_incremental_labels", "dd_minhash_estimate",
+#    "dd_minhash_lsh", "dd_prefix_filter", "dd_semdedup",
+#    "dd_source_overlap", "dd_substring", "g1_pagerank",
+#    "h4_order_priority", "j14_interval", "j16_adaptive_salted",
+#    "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
+#    "pk_pack", "s6_delete_survivors",
+# ]  (end r10 roster ledger)
+
+_DRIVER_WINDOW = [
+    # ---- Round-11 rotation (the r10 ledger's pre-recorded plan).
+    # Step IN:
+    # (a) the 25-entry RESERVED CORE recorded in the r10 ledger above —
+    #     the r07 hash-green leftovers + a24_heavy_hitters (rows-only by
+    #     design) + the five r10 displacements; nothing older than r08
+    #     remains stamped after this round;
+    # (b) the round-11 newcomers, never driver-stamped (3):
+    #     s11_schema_evolution (MutableTable migration lifecycle under
+    #     the hash gate), j2_subspec_join (2-level spec chain via the
+    #     join-elision builder, VERDICT r10 item 4), tx_unigram_tok
+    #     (SentencePiece-style unigram-LM tokenizer, VERDICT r10 item 6);
+    # (c) every query whose implementation or oracle changed after its
+    #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
+    #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
+    #     ADVICE), pipe_export (tmp-then-rename export swap + PSL-aware
+    #     staleness marker), s6_delete_survivors + s3_insert_dedup_table
+    #     + t10_incremental_rollup (the MutableTable optimistic-CAS
+    #     commit protocol rewrote their mutation path — s7/st_rollup_
+    #     stream, the other MutableTable consumers, re-stamp under (a));
+    # (d) the 16 alphabetically-first r08-stamped hash-green queries —
+    #     the next-oldest cohort (a8_status_gate among them, closing
+    #     VERDICT r10 item 5's re-stamp requirement).
+    # Step OUT: the 41 remaining r10 stamps and 38 r09 stamps (all
+    # freshly green within two rounds), plus the 24 remaining r08
+    # queries: these are the RESERVED CORE of the r12 roster (they fit:
+    # 24 + r12 newcomers/changes + r09 fill ≤ 50): f12_hour_percentiles,
+    # j13_asof, j15_salted_join, j5_one_hop, j6_membership, j9_anti_join,
+    # mol_identifiers, pk_bfd_pack, pk_bin_pack, pk_domain_cap,
+    # pk_length_buckets, s2_bulk_get, s8_snapshot_roundtrip,
+    # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
+    # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
+    # tx_quality_clf, u12_interleave, v1_variant_rollup.
+    # After r11 stamps: registry = 165; staleness floor stays
+    # ceil(165/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # --- (a) the r11 reserved core (25) ---
+    "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
+    "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
+    "sim_outliers", "sim_topk", "st_ann_serve", "st_rollup_stream",
+    "st_stream_incremental", "st_stream_span", "st_stream_substring",
+    "t11_scd2", "t12_islands", "tx_doc_freq", "tx_source_kl", "tx_tfidf",
+    "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
+    "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
+    "a24_heavy_hitters",
+    # --- (b) round-11 newcomers (3) ---
+    "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
+    # --- (c) changed after their latest stamp (6) ---
+    "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
+    "s3_insert_dedup_table", "t10_incremental_rollup",
+    # --- (d) r08 cohort, alphabetically-first 16 of 40 ---
+    "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
+    "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
+    "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
+    "dd_incremental", "dd_jaccard_capped", "dd_lev_verify",
+    "dd_lsh_recall_eval", "dd_simhash_pairs",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
