@@ -395,13 +395,13 @@ def test_conflict_retry_merges_both_writers(spark, tmp_path):
     fired = {"done": False}
     orig_publish = a._publish
 
-    def racing_publish(stage, base, meta=None):
+    def racing_publish(stage, base, meta=None, **kw):
         if not fired["done"]:
             fired["done"] = True
             b.insert_dedup(
                 spark.createDataFrame([(2, "from_b")], "id long, v string"), ["id"]
             )
-        return orig_publish(stage, base, meta)
+        return orig_publish(stage, base, meta, **kw)
 
     a._publish = racing_publish
     out = a.insert_dedup(
@@ -428,13 +428,13 @@ def test_concurrent_same_key_serializes_like_on_conflict(spark, tmp_path):
     fired = {"done": False}
     orig_publish = a._publish
 
-    def racing_publish(stage, base, meta=None):
+    def racing_publish(stage, base, meta=None, **kw):
         if not fired["done"]:
             fired["done"] = True
             b.insert_dedup(
                 spark.createDataFrame([(7, "winner")], "id long, v string"), ["id"]
             )
-        return orig_publish(stage, base, meta)
+        return orig_publish(stage, base, meta, **kw)
 
     a._publish = racing_publish
     out = a.insert_dedup(
