@@ -7679,9 +7679,15 @@ def q_tx_unigram_tok(spark, sf_dir):
     return tx.unigram_token_stats(_t(spark, sf_dir, "documents"))
 
 
-def _unigram_oracle_sql() -> str:
+def _unigram_oracle_sql(encode_report: bool = False) -> str:
+    """Unrolled-CTE oracle for the unigram tokenizer.  With
+    ``encode_report`` the chain extends by ONE more E-step (segmenting
+    under the final round's costs) and aggregates the pieces-per-word
+    histogram instead of the vocabulary head — the tx_bpe_encode
+    sibling."""
     p = tx.UNIGRAM_PARAMS
-    L, MP, R = p["max_word_len"], p["max_piece_len"], p["rounds"]
+    L, MP = p["max_word_len"], p["max_piece_len"]
+    R = p["rounds"] + (1 if encode_report else 0)
     cost0, cost, prob = (
         tx.unigram_cost0_sql(), tx.unigram_cost_sql(), tx.unigram_prob_sql()
     )
@@ -7753,6 +7759,18 @@ def _unigram_oracle_sql() -> str:
   FROM bt_{r}_{s - 1} b JOIN st_{r} st ON st.word = b.word AND st.i = b.pos
   WHERE b.pos > 0)"""
             )
+        if encode_report and r == R:
+            # the extra E-step: report pieces-per-word, no M-step needed
+            sized = " UNION ALL ".join(
+                f"SELECT word, freq, piece FROM bt_{r}_{s}"
+                for s in range(1, L + 1)
+            )
+            ctes.append(
+                f"""segsz AS (
+  SELECT word, freq, COUNT(*) AS n_pieces FROM ({sized})
+  WHERE piece IS NOT NULL GROUP BY word, freq)"""
+            )
+            break
         seg_union = " UNION ALL ".join(
             f"SELECT piece, freq FROM bt_{r}_{s}" for s in range(1, L + 1)
         )
@@ -7769,7 +7787,14 @@ def _unigram_oracle_sql() -> str:
   FROM cnt_{r}, (SELECT CAST(SUM(n) AS BIGINT) AS totn,
                         CAST(COUNT(*) AS BIGINT) AS np FROM cnt_{r}) t)"""
         )
-    final = f"""SELECT rank, piece, n, p FROM (
+    if encode_report:
+        final = """SELECT CAST(n_pieces AS INTEGER) AS n_pieces,
+       CAST(COUNT(*) AS BIGINT) AS n_word_types,
+       CAST(SUM(freq) AS BIGINT) AS total_freq,
+       CAST(SUM(freq * n_pieces) AS BIGINT) AS total_pieces
+FROM segsz GROUP BY 1"""
+    else:
+        final = f"""SELECT rank, piece, n, p FROM (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY n DESC, piece ASC) AS INTEGER) AS rank,
          piece, n, {prob} AS p FROM p{R})
 WHERE rank <= {p["top_n"]} ORDER BY rank"""
@@ -7779,6 +7804,24 @@ WHERE rank <= {p["top_n"]} ORDER BY rank"""
 SQL_TX_UNIGRAM_TOK = _unigram_oracle_sql()
 
 REGISTRY["tx_unigram_tok"] = (q_tx_unigram_tok, SQL_TX_UNIGRAM_TOK)
+
+
+def q_tx_unigram_encode(spark, sf_dir):
+    """TX+ (beyond-reference): corpus encode under the learned unigram
+    vocabulary (functions/text.py:unigram_encode_report) — the
+    compression report that closes the unigram loop the way
+    tx_bpe_encode closes BPE's: after 3 hard-EM rounds, one more
+    Viterbi E-step segments every word type under the FINAL costs and
+    the pieces-per-word histogram (type counts, corpus frequency, total
+    emitted pieces) is aggregated once.  Same one-corpus-scan /
+    vocabulary-bound contract; the oracle extends the unrolled chain by
+    one E-step round."""
+    return tx.unigram_encode_report(_t(spark, sf_dir, "documents"))
+
+
+SQL_TX_UNIGRAM_ENCODE = _unigram_oracle_sql(encode_report=True)
+
+REGISTRY["tx_unigram_encode"] = (q_tx_unigram_encode, SQL_TX_UNIGRAM_ENCODE)
 
 
 def q_tx_quality_sweep(spark, sf_dir):
@@ -8218,11 +8261,16 @@ _DRIVER_WINDOW = [
     #     the r07 hash-green leftovers + a24_heavy_hitters (rows-only by
     #     design) + the five r10 displacements; nothing older than r08
     #     remains stamped after this round;
-    # (b) the round-11 newcomers, never driver-stamped (3):
+    # (b) the round-11 newcomers, never driver-stamped (4):
     #     s11_schema_evolution (MutableTable migration lifecycle under
     #     the hash gate), j2_subspec_join (2-level spec chain via the
     #     join-elision builder, VERDICT r10 item 4), tx_unigram_tok
-    #     (SentencePiece-style unigram-LM tokenizer, VERDICT r10 item 6);
+    #     (SentencePiece-style unigram-LM tokenizer, VERDICT r10 item 6),
+    #     tx_unigram_encode (pieces-per-word report under the learned
+    #     vocabulary — the tx_bpe_encode sibling; it displaces the 17th
+    #     alphabetical r08 fill slot, dd_simhash_pairs, whose banded
+    #     Hamming family is carried by the in-window dd_simhash pytests
+    #     ... dd_simhash_pairs joins the r12 reserved core);
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8243,9 +8291,10 @@ _DRIVER_WINDOW = [
     # pk_length_buckets, s2_bulk_get, s8_snapshot_roundtrip,
     # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
-    # tx_quality_clf, u12_interleave, v1_variant_rollup.
-    # After r11 stamps: registry = 165; staleness floor stays
-    # ceil(165/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # tx_quality_clf, u12_interleave, v1_variant_rollup,
+    # dd_simhash_pairs (displaced by the tx_unigram_encode newcomer).
+    # After r11 stamps: registry = 166; staleness floor stays
+    # ceil(166/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8255,17 +8304,18 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (3) ---
+    # --- (b) round-11 newcomers (4) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
+    "tx_unigram_encode",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 16 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 15 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
     "dd_incremental", "dd_jaccard_capped", "dd_lev_verify",
-    "dd_lsh_recall_eval", "dd_simhash_pairs",
+    "dd_lsh_recall_eval",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
