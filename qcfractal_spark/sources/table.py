@@ -191,7 +191,20 @@ class MutableTable:
         last: CommitConflictError | None = None
         for _ in range(max_retries):
             base = self.current_version()
-            stage, result = build(base)
+            try:
+                stage, result = build(base)
+            except Exception as exc:  # noqa: BLE001 — narrowed just below
+                if self.current_version() != base:
+                    # the base version was pruned by concurrent commits
+                    # while we were staging (depth-1 retention) — that is
+                    # a conflict, not a user error: retry on the fresh
+                    # version like any other CAS loser
+                    last = CommitConflictError(
+                        f"table {self.path}: base v{base} advanced/pruned "
+                        f"during staging ({type(exc).__name__})"
+                    )
+                    continue
+                raise
             ops = ops_fn(base) if ops_fn is not None else None
             try:
                 v = self._publish(stage, base, meta, schema_ops=ops)
