@@ -1146,3 +1146,51 @@ def kcenter_coreset(
         ).localCheckpoint(eager=False)
         cur.count()  # materialize + cut lineage, one job per step
     return spark.createDataFrame(centers, "rank int, vec_id long, radius double")
+
+
+def rrf_fuse(
+    ranked_a: DataFrame,
+    ranked_b: DataFrame,
+    id_col: str = "id",
+    k: int = 60,
+    top_n: int = 15,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009, the standard hybrid-
+    retrieval combiner): given two ranked lists ``(id, rank)`` — e.g. a
+    BM25 text arm and a cosine vector arm — score every id by
+    Σ 1/(k + rank) over the lists it appears in and return the fused
+    top ``top_n``.
+
+    Fusion is a FULL OUTER join on the id (an id ranked by only one arm
+    still scores — RRF's defining property), the reciprocal terms are
+    written in the identical shape on both engines (COALESCE(text) +
+    COALESCE(vector), 9-dp round), ties break on id ascending.
+
+    100 TB story: the arms are top-k lists — constant-size by contract —
+    so the fusion join is trivially small no matter the corpus; all the
+    scale lives in the arms themselves (the persisted inverted text
+    index and the partition-pruned IVF index), which is exactly how a
+    production hybrid retriever is layered.
+
+    Returns (rank, id, rrf, rank_a, rank_b).
+    """
+    a = ranked_a.select(F.col(id_col).alias("id"), F.col("rank").alias("rank_a"))
+    b = ranked_b.select(F.col(id_col).alias("id"), F.col("rank").alias("rank_b"))
+    fused = a.join(b, "id", "full_outer").select(
+        "id",
+        "rank_a",
+        "rank_b",
+        F.round(
+            F.coalesce(1.0 / (F.lit(k) + F.col("rank_a")), F.lit(0.0))
+            + F.coalesce(1.0 / (F.lit(k) + F.col("rank_b")), F.lit(0.0)),
+            9,
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col("id").asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= top_n)
+        .select("rank", "id", "rrf", "rank_a", "rank_b")
+    )

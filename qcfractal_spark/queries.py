@@ -3686,6 +3686,82 @@ ORDER BY bm25 DESC, doc_id ASC LIMIT 20
 REGISTRY["tx_bm25"] = (q_tx_bm25, SQL_TX_BM25)
 
 
+def q_sim_hybrid_rrf(spark, sf_dir):
+    """SIM+ (beyond-reference): HYBRID retrieval via reciprocal-rank
+    fusion (functions/similarity.py:rrf_fuse; Cormack et al. 2009) — the
+    combiner every modern retrieval/training-data pipeline runs on top
+    of its text and vector arms: the BM25 top-20 (tx_bm25's exact
+    pipeline) fused with the brute-force cosine top-20 against the
+    vec_id=0 query (sim_topk's arm, self excluded), score =
+    Σ 1/(60+rank), fused top-15.
+
+    The fusion join is FULL OUTER over two top-k lists — constant-size
+    by contract, so at 100 TB all the scale lives in the arms (the
+    persisted inverted text index and the partition-pruned IVF index);
+    this layering IS the production hybrid-retriever shape."""
+    from pyspark.sql import Window
+
+    text20 = q_tx_bm25(spark, sf_dir)
+    wt_ = Window.orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+    ta = (
+        text20.withColumn("rank", F.row_number().over(wt_).cast("int"))
+        .select(F.col("doc_id").alias("id"), "rank")
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    vec20 = sim.brute_force_topk(emb.where(F.col("vec_id") != 0), qvec, k=20)
+    wv = Window.orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    va = (
+        vec20.withColumn("rank", F.row_number().over(wv).cast("int"))
+        .select(F.col("vec_id").alias("id"), "rank")
+    )
+    return sim.rrf_fuse(ta, va, top_n=15)
+
+
+SQL_SIM_HYBRID_RRF = f"""
+WITH ta AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id ASC) AS INTEGER)
+           AS rank_a,
+         doc_id AS id
+  FROM ({SQL_TX_BM25}) t
+),
+q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+vscored AS (
+  SELECT e.vec_id,
+    ROUND(
+      list_dot_product(CAST(e.embedding AS DOUBLE[]), q.qv)
+      / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                               CAST(e.embedding AS DOUBLE[])))
+         * sqrt(list_dot_product(q.qv, q.qv))), 6) AS score
+  FROM embeddings e, q
+  WHERE e.vec_id <> 0
+),
+vb AS (SELECT vec_id, score FROM vscored
+       ORDER BY score DESC, vec_id ASC LIMIT 20),
+vr AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, vec_id ASC) AS INTEGER)
+           AS rank_b,
+         vec_id AS id
+  FROM vb
+),
+fused AS (
+  SELECT COALESCE(a.id, b.id) AS id, a.rank_a, b.rank_b,
+         ROUND(COALESCE(CAST(1.0 AS DOUBLE) / (60 + a.rank_a),
+                        CAST(0.0 AS DOUBLE))
+             + COALESCE(CAST(1.0 AS DOUBLE) / (60 + b.rank_b),
+                        CAST(0.0 AS DOUBLE)), 9) AS rrf
+  FROM ta a FULL OUTER JOIN vr b ON a.id = b.id
+)
+SELECT rank, id, rrf, rank_a, rank_b FROM (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY rrf DESC, id ASC) AS INTEGER) AS rank,
+         id, rrf, rank_a, rank_b
+  FROM fused
+) WHERE rank <= 15 ORDER BY rank
+"""
+
+REGISTRY["sim_hybrid_rrf"] = (q_sim_hybrid_rrf, SQL_SIM_HYBRID_RRF)
+
+
 def q_a18_cube_counts(spark, sf_dir):
     """A18 (beyond-reference): CUBE rollup over (lang, source) — all four
     grouping-set combinations in ONE pass (the generalization of the
@@ -8267,10 +8343,15 @@ _DRIVER_WINDOW = [
     #     join-elision builder, VERDICT r10 item 4), tx_unigram_tok
     #     (SentencePiece-style unigram-LM tokenizer, VERDICT r10 item 6),
     #     tx_unigram_encode (pieces-per-word report under the learned
-    #     vocabulary — the tx_bpe_encode sibling; it displaces the 17th
-    #     alphabetical r08 fill slot, dd_simhash_pairs, whose banded
-    #     Hamming family is carried by the in-window dd_simhash pytests
-    #     ... dd_simhash_pairs joins the r12 reserved core);
+    #     vocabulary — the tx_bpe_encode sibling), sim_hybrid_rrf
+    #     (reciprocal-rank fusion of the BM25 and cosine arms — the
+    #     hybrid-retrieval combiner).  The two extra newcomers displace
+    #     the last two alphabetical r08 fill slots, dd_simhash_pairs
+    #     (banded-Hamming family carried by the r10-stamped dd_simhash +
+    #     the winnowing pair family) and dd_lsh_recall_eval (the LSH
+    #     evaluation harness — its candidate pipelines are the
+    #     r10-stamped dd_minhash_lsh and dd_jaccard, plus its own
+    #     recall-bound pytests); both join the r12 reserved core;
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8292,9 +8373,10 @@ _DRIVER_WINDOW = [
     # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
     # tx_quality_clf, u12_interleave, v1_variant_rollup,
-    # dd_simhash_pairs (displaced by the tx_unigram_encode newcomer).
-    # After r11 stamps: registry = 166; staleness floor stays
-    # ceil(166/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # dd_simhash_pairs and dd_lsh_recall_eval (displaced by the
+    # tx_unigram_encode / sim_hybrid_rrf newcomers).
+    # After r11 stamps: registry = 167; staleness floor stays
+    # ceil(167/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8304,18 +8386,17 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (4) ---
+    # --- (b) round-11 newcomers (5) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
-    "tx_unigram_encode",
+    "tx_unigram_encode", "sim_hybrid_rrf",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 15 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 14 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
     "dd_incremental", "dd_jaccard_capped", "dd_lev_verify",
-    "dd_lsh_recall_eval",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -44,7 +44,7 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 # audit still verifies no CartesianProduct and that every OTHER join keeps
 # its strategy.
 SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir",
-                       "tx_bm25",
+                       "tx_bm25", "sim_hybrid_rrf",
                        # corpus-total token count (1-row scalar) crossed
                        # onto the per-(group,token) counts relation
                        "tx_source_kl",
@@ -124,6 +124,11 @@ SMJ_OK = {
                        # both sides fact-sized (labels persisted at ingest)
     "dd_prefix_filter",  # prefix-token self-join + verify joins: every
                          # side fact-sized (the AllPairs candidate rule)
+    "sim_hybrid_rrf",  # RRF fusion is a FULL OUTER join (an id ranked by
+                       # one arm still scores), which Spark cannot
+                       # broadcast by rule; both sides are top-k lists
+                       # (constant-size by contract).  Its embedded BM25
+                       # arm carries tx_bm25's scalar broadcast.
     "s9_snapshot_diff",  # snapshot diff is a FULL OUTER join (added needs
                          # the new side, removed the old), which Spark
                          # cannot broadcast by rule; both sides are
