@@ -469,3 +469,78 @@ def sliding_window_layout(
         start.alias("win_start"),
         F.least(F.lit(window).cast("long"), F.col("_n") - start).alias("win_len"),
     )
+
+
+# DoReMi-style domain-mixture reweighting (Xie et al. 2023, "DoReMi:
+# Optimizing Data Mixtures Speeds Up Language Model Pretraining" — the
+# public group-DRO update rule).  Shared hyperparameters + expression
+# strings: the oracle generator reads these, so the arms cannot drift.
+DOREMI_PARAMS = {"rounds": 5, "eta": 1.0, "smooth": 0.01}
+
+
+def doremi_init_sql() -> str:
+    return "ROUND(CAST(1.0 AS DOUBLE) / k, 9)"
+
+
+def doremi_w_sql(eta: float) -> str:
+    """Exponentiated-gradient step: w_k = alpha_k · exp(eta · excess_k),
+    9-dp rounded and DECIMAL-held so the normalization sum is exact."""
+    return (
+        f"CAST(ROUND(alpha * exp(CAST({eta!r} AS DOUBLE) * excess), 9)"
+        " AS DECIMAL(28,9))"
+    )
+
+
+def doremi_alpha_sql(smooth: float) -> str:
+    """Normalize + uniform smoothing: alpha'_k = (1−c)·w_k/Σw + c/K."""
+    c = f"CAST({smooth!r} AS DOUBLE)"
+    return (
+        f"ROUND((CAST(1.0 AS DOUBLE) - {c})"
+        f" * (CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)) + {c} / k, 9)"
+    )
+
+
+def doremi_weights(
+    dom: DataFrame,
+    rounds: int = 5,
+    eta: float = 1.0,
+    smooth: float = 0.01,
+) -> DataFrame:
+    """DoReMi domain reweighting over a per-domain loss relation
+    ``(source, loss, excess)``: ``rounds`` exponentiated-gradient updates
+    from the uniform mixture — domains with positive excess loss (harder
+    than the reference) are upweighted multiplicatively, then the mixture
+    renormalizes with a ``smooth``/K uniform floor so no domain starves.
+
+    In the paper the excess is re-measured between rounds by retraining
+    the proxy model; this op is the UPDATE MACHINERY with the excess held
+    by the caller (a production loop alternates external proxy training
+    with exactly this relation-level update).
+
+    100 TB story: the relation is K rows (one per domain) — every round
+    is a K-row projection plus a 1-row broadcast of the normalizer; the
+    only corpus-scale work is the per-domain loss the caller computes
+    (one LM-scoring scan).  Returns (source, loss, excess, weight)
+    ordered by source; weights sum to 1 up to 9-dp rounding.
+    """
+    # the caller's loss relation is corpus-derived: checkpoint the K-row
+    # result ONCE so the per-round normalizer jobs below never re-execute
+    # the LM cascade (and each round checkpoints its K rows, cutting the
+    # lineage like every other driver-loop op)
+    dom = dom.localCheckpoint(eager=True)
+    k_df = dom.agg(F.count(F.lit(1)).alias("k"))
+    cur = dom.crossJoin(F.broadcast(k_df)).withColumn(
+        "alpha", F.expr(doremi_init_sql())
+    )
+    for _ in range(rounds):
+        cur = cur.withColumn("w", F.expr(doremi_w_sql(eta)))
+        sw = cur.agg(F.sum("w").alias("sw"))
+        cur = (
+            cur.crossJoin(F.broadcast(sw))
+            .withColumn("alpha", F.expr(doremi_alpha_sql(smooth)))
+            .drop("w", "sw")
+            .localCheckpoint(eager=True)
+        )
+    return cur.select(
+        "source", "loss", "excess", F.col("alpha").alias("weight")
+    ).orderBy("source")

@@ -2686,6 +2686,123 @@ GROUP BY tf.doc_id
 REGISTRY["tx_unigram_lm"] = (q_tx_unigram_lm, SQL_TX_UNIGRAM)
 
 
+def q_u14_doremi(spark, sf_dir):
+    """U+ (beyond-reference): DoReMi domain-mixture reweighting
+    (functions/packing.py:doremi_weights; Xie et al. 2023's group-DRO
+    exponentiated-gradient rule) — the op that turns per-domain loss
+    into the training mixture: per-source token-weighted mean nll from
+    the corpus unigram LM (tx_unigram_lm's cascade with source carried —
+    aggregating tf per (source, term) is exactly the sum of the per-doc
+    relation), excess over the corpus-wide reference, then 5 update
+    rounds {w ∝ α·exp(η·excess); renormalize with a c/K uniform floor}.
+
+    Plan: ONE LM-scoring scan is the only corpus-scale work; the update
+    rounds are K-row projections (K = #domains) with 1-row normalizer
+    broadcasts.  The oracle unrolls the 5 rounds as chained CTEs over
+    the SAME shared expression strings (doremi_w_sql/doremi_alpha_sql),
+    and the 9-dp round + DECIMAL normalizer sum keeps every round
+    bit-identical across engines."""
+    from .functions.packing import DOREMI_PARAMS, doremi_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(tx.tokens(F.col("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    cf = tf.groupBy("term").agg(F.sum("tf").alias("cf"))
+    tot = cf.agg(F.sum("cf").alias("total"))
+    nll_term = F.round(-F.log2(F.col("cf") / F.col("total")), 9).cast(
+        "decimal(28,9)"
+    )
+    dom_raw = (
+        tf.join(F.broadcast(cf), "term")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("source")
+        .agg(
+            F.sum("tf").alias("ntok"),
+            F.sum(F.col("tf").cast("decimal(8,0)") * nll_term).alias("nsum"),
+        )
+    )
+    ref = dom_raw.agg(
+        F.round(
+            F.sum("nsum").cast("double") / F.sum("ntok"), 6
+        ).alias("ref_nll")
+    )
+    dom = (
+        dom_raw.crossJoin(F.broadcast(ref))
+        .select(
+            "source",
+            F.round(F.col("nsum").cast("double") / F.col("ntok"), 6).alias(
+                "loss"
+            ),
+            "ref_nll",
+        )
+        .withColumn(
+            "excess",
+            F.expr("GREATEST(CAST(0.0 AS DOUBLE), loss - ref_nll)"),
+        )
+        .drop("ref_nll")
+    )
+    p = DOREMI_PARAMS
+    return doremi_weights(
+        dom, rounds=p["rounds"], eta=p["eta"], smooth=p["smooth"]
+    )
+
+
+def _doremi_oracle_sql() -> str:
+    from .functions.packing import (
+        DOREMI_PARAMS,
+        doremi_alpha_sql,
+        doremi_init_sql,
+        doremi_w_sql,
+    )
+
+    p = DOREMI_PARAMS
+    ctes = [
+        f"toks AS (SELECT source, unnest({_TOKS_SQL}) AS term FROM documents)",
+        "tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf"
+        " FROM toks GROUP BY 1, 2)",
+        "cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1)",
+        "tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS total FROM cf)",
+        """domr AS MATERIALIZED (
+  SELECT source, CAST(SUM(tf.tf) AS BIGINT) AS ntok,
+         SUM(CAST(tf.tf AS DECIMAL(8,0))
+             * CAST(ROUND(-log2(CAST(cf.cf AS DOUBLE) / tot.total), 9)
+                    AS DECIMAL(28,9))) AS nsum
+  FROM tf JOIN cf USING (term) CROSS JOIN tot GROUP BY source)""",
+        "refm AS (SELECT ROUND(CAST(SUM(nsum) AS DOUBLE) / SUM(ntok), 6)"
+        " AS ref_nll FROM domr)",
+        """dom AS MATERIALIZED (
+  SELECT source, ROUND(CAST(nsum AS DOUBLE) / ntok, 6) AS loss,
+         GREATEST(CAST(0.0 AS DOUBLE),
+                  ROUND(CAST(nsum AS DOUBLE) / ntok, 6) - ref_nll) AS excess
+  FROM domr CROSS JOIN refm)""",
+        "kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM dom)",
+        f"d0 AS (SELECT source, loss, excess, k, {doremi_init_sql()} AS alpha"
+        f" FROM dom CROSS JOIN kk)",
+    ]
+    for r in range(1, p["rounds"] + 1):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT source, loss, excess, k, alpha,"
+            f" {doremi_w_sql(p['eta'])} AS w FROM d{r - 1})"
+        )
+        ctes.append(
+            f"d{r} AS (SELECT source, loss, excess, k,"
+            f" {doremi_alpha_sql(p['smooth'])} AS alpha"
+            f" FROM w{r} CROSS JOIN (SELECT SUM(w) AS sw FROM w{r}) t)"
+        )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + f"\nSELECT source, loss, excess, alpha AS weight FROM d{p['rounds']}"
+        " ORDER BY source"
+    )
+
+
+SQL_U14_DOREMI = _doremi_oracle_sql()
+
+REGISTRY["u14_doremi"] = (q_u14_doremi, SQL_U14_DOREMI)
+
+
 # Deterministic PII augmentation: the synthetic corpus contains no PII, so
 # both engines append the same derived contact block before scanning — the
 # regexes are exercised on real matches while the fixture stays untouched.
@@ -8351,7 +8468,11 @@ _DRIVER_WINDOW = [
     #     the winnowing pair family) and dd_lsh_recall_eval (the LSH
     #     evaluation harness — its candidate pipelines are the
     #     r10-stamped dd_minhash_lsh and dd_jaccard, plus its own
-    #     recall-bound pytests); both join the r12 reserved core;
+    #     recall-bound pytests), and u14_doremi (DoReMi domain-mixture
+    #     reweighting) displaces dd_lev_verify (the deliberately-
+    #     expensive edit-distance verify pass — gated by its own DP
+    #     pytests; the LSH candidate physics it verifies are the
+    #     r10-stamped dd_minhash_lsh); all three join the r12 core;
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8373,10 +8494,10 @@ _DRIVER_WINDOW = [
     # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
     # tx_quality_clf, u12_interleave, v1_variant_rollup,
-    # dd_simhash_pairs and dd_lsh_recall_eval (displaced by the
-    # tx_unigram_encode / sim_hybrid_rrf newcomers).
-    # After r11 stamps: registry = 167; staleness floor stays
-    # ceil(167/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # dd_simhash_pairs, dd_lsh_recall_eval and dd_lev_verify (displaced
+    # by the tx_unigram_encode / sim_hybrid_rrf / u14_doremi newcomers).
+    # After r11 stamps: registry = 168; staleness floor stays
+    # ceil(168/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8386,17 +8507,17 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (5) ---
+    # --- (b) round-11 newcomers (6) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
-    "tx_unigram_encode", "sim_hybrid_rrf",
+    "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 14 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 13 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
-    "dd_incremental", "dd_jaccard_capped", "dd_lev_verify",
+    "dd_incremental", "dd_jaccard_capped",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
