@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "tx_unigram_encode",    # pieces-per-word report under the learned vocab
     "sim_hybrid_rrf",       # RRF hybrid retrieval (BM25 arm + cosine arm)
     "u14_doremi",           # DoReMi domain-mixture reweighting (5 EG rounds)
+    "pipe_funnel",          # stage-retention funnel over the prep pipeline
     "j2_subspec_join",      # 2-level spec chain via join-elision builder
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the

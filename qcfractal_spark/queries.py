@@ -4109,12 +4109,26 @@ def q_pipe_prepare(spark, sf_dir):
 
 
 def _pipe_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _pipe_ctes()
+        + """
+SELECT k.doc_id, k.source, k.n_tokens, k.quality
+FROM kept k LEFT JOIN lab l ON l.id = k.doc_id
+WHERE COALESCE(LEAST(l.id, l.mn), k.doc_id) = k.doc_id
+"""
+    )
+
+
+def _pipe_ctes() -> str:
+    """The shared prep-pipeline CTE chain (URL dedup → scoring → filter →
+    near-dup closure) — composed by both the pipe_prepare oracle and the
+    pipe_funnel stage-retention oracle, so the stages cannot drift."""
     from .functions import urls
 
     pairs_sql = _minhash_oracle_sql(source="kept")
     canon = urls.canonical_url_sql(_SYNTH_URL_SQL)
-    return f"""
-WITH RECURSIVE uu AS (
+    return f"""uu AS (
   SELECT doc_id, {canon} AS c FROM documents
 ),
 ukeep AS (SELECT MIN(doc_id) AS doc_id FROM uu GROUP BY c),
@@ -4164,16 +4178,130 @@ reach(src, dst) AS (
   UNION
   SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
 ),
-lab AS (SELECT src AS id, MIN(dst) AS mn FROM reach GROUP BY src)
-SELECT k.doc_id, k.source, k.n_tokens, k.quality
-FROM kept k LEFT JOIN lab l ON l.id = k.doc_id
-WHERE COALESCE(LEAST(l.id, l.mn), k.doc_id) = k.doc_id
-"""
+lab AS (SELECT src AS id, MIN(dst) AS mn FROM reach GROUP BY src)"""
 
 
 SQL_PIPE = _pipe_oracle_sql()
 
 REGISTRY["pipe_prepare"] = (q_pipe_prepare, SQL_PIPE)
+
+
+def q_pipe_funnel(spark, sf_dir):
+    """PIPE+ (beyond-reference observability): the stage-RETENTION
+    funnel over the prep pipeline — the report every data-curation run
+    publishes (the FineWeb/C4 papers lead with exactly this table): one
+    row per stage (raw → URL dedup → language+quality filter → near-dup
+    canonicalization) with exact surviving doc counts, token volumes,
+    and retention percentages.
+
+    The stage relations ARE q_pipe_prepare's stages (same functions,
+    same filter constants — and the oracle composes the same shared CTE
+    chain via _pipe_ctes, so the two queries cannot drift); each stage
+    aggregates to one row, unioned.  The expensive near-dup stage runs
+    once; the scored/kept relation is checkpoint-shared exactly as in
+    pipe_prepare.  100 TB story: four map-combinable count/sum
+    aggregates over relations the pipeline materializes anyway."""
+    from .functions import urls
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+
+    def _stage_agg(df, stage, name, tok_col):
+        return df.agg(
+            F.lit(stage).cast("int").alias("stage"),
+            F.lit(name).alias("name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum(tok_col).cast("bigint").alias("sum_tokens"),
+        )
+
+    s0 = _stage_agg(docs, 0, "raw", tx.token_count(t))
+    canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
+    keeper_ids = (
+        docs.select("doc_id", canon.alias("_canon"))
+        .groupBy("_canon")
+        .agg(F.min("doc_id").alias("doc_id"))
+    )
+    url_docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
+    s1 = _stage_agg(url_docs, 1, "url_dedup", tx.token_count(t))
+    kept = (
+        url_docs.select(
+            "doc_id",
+            "source",
+            "text",
+            tx.lang_id(t).alias("lang_pred"),
+            tx.quality_score(t).alias("quality"),
+            tx.token_count(t).alias("n_tokens"),
+        )
+        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.93))
+        .localCheckpoint(eager=False)
+    )
+    s2 = _stage_agg(kept, 2, "lang_quality", F.col("n_tokens"))
+    sigs = dd.minhash_signatures(kept)
+    edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=False)
+    comp = graph.connected_components(
+        edges, "id_a", "id_b", approx_edges=edges.count()
+    )
+    final = (
+        kept.withColumnRenamed("doc_id", "id")
+        .join(comp, "id", "left")
+        .where(F.coalesce("component", F.col("id")) == F.col("id"))
+    )
+    s3 = _stage_agg(final, 3, "neardup_canon", F.col("n_tokens"))
+    funnel = s0.unionByName(s1).unionByName(s2).unionByName(s3)
+    raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    return (
+        funnel.crossJoin(F.broadcast(raw))
+        .withColumn(
+            "retained_pct",
+            F.expr("ROUND(CAST(100.0 AS DOUBLE) * n_docs / n_raw, 6)"),
+        )
+        .select("stage", "name", "n_docs", "sum_tokens", "retained_pct")
+        .orderBy("stage")
+    )
+
+
+def _pipe_funnel_oracle_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _pipe_ctes()
+        + f""",
+final AS (
+  SELECT k.doc_id, k.n_tokens
+  FROM kept k LEFT JOIN lab l ON l.id = k.doc_id
+  WHERE COALESCE(LEAST(l.id, l.mn), k.doc_id) = k.doc_id
+),
+rawtok AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS sum_tokens
+  FROM documents
+),
+stages AS (
+  SELECT CAST(0 AS INTEGER) AS stage, 'raw' AS name, n_docs, sum_tokens
+  FROM rawtok
+  UNION ALL
+  SELECT CAST(1 AS INTEGER), 'url_dedup', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT)
+  FROM base
+  UNION ALL
+  SELECT CAST(2 AS INTEGER), 'lang_quality', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT)
+  FROM kept
+  UNION ALL
+  SELECT CAST(3 AS INTEGER), 'neardup_canon', CAST(COUNT(*) AS BIGINT),
+         CAST(SUM(n_tokens) AS BIGINT)
+  FROM final
+)
+SELECT stage, name, n_docs, sum_tokens,
+       ROUND(CAST(100.0 AS DOUBLE) * n_docs
+             / (SELECT COUNT(*) FROM documents), 6) AS retained_pct
+FROM stages ORDER BY stage
+"""
+    )
+
+
+SQL_PIPE_FUNNEL = _pipe_funnel_oracle_sql()
+
+REGISTRY["pipe_funnel"] = (q_pipe_funnel, SQL_PIPE_FUNNEL)
 
 
 def _train_shards_dir(spark, sf_dir: str) -> str:
@@ -8472,7 +8600,11 @@ _DRIVER_WINDOW = [
     #     reweighting) displaces dd_lev_verify (the deliberately-
     #     expensive edit-distance verify pass — gated by its own DP
     #     pytests; the LSH candidate physics it verifies are the
-    #     r10-stamped dd_minhash_lsh); all three join the r12 core;
+    #     r10-stamped dd_minhash_lsh), and pipe_funnel (the stage-
+    #     retention funnel report) displaces dd_jaccard_capped (its
+    #     df-capped pair family is carried by the r10-stamped
+    #     dd_jaccard/dd_winnow stamps + the cap pytests); all four join
+    #     the r12 core;
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8494,10 +8626,11 @@ _DRIVER_WINDOW = [
     # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
     # tx_quality_clf, u12_interleave, v1_variant_rollup,
-    # dd_simhash_pairs, dd_lsh_recall_eval and dd_lev_verify (displaced
-    # by the tx_unigram_encode / sim_hybrid_rrf / u14_doremi newcomers).
-    # After r11 stamps: registry = 168; staleness floor stays
-    # ceil(168/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify and
+    # dd_jaccard_capped (displaced by the tx_unigram_encode /
+    # sim_hybrid_rrf / u14_doremi / pipe_funnel newcomers).
+    # After r11 stamps: registry = 169; staleness floor stays
+    # ceil(169/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8507,17 +8640,17 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (6) ---
+    # --- (b) round-11 newcomers (7) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
-    "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi",
+    "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi", "pipe_funnel",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 13 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 12 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
-    "dd_incremental", "dd_jaccard_capped",
+    "dd_incremental",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

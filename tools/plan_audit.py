@@ -44,7 +44,7 @@ ALLPAIRS_OK = {"sim_cosine_pairs", "ds_missing_cells"}
 # audit still verifies no CartesianProduct and that every OTHER join keeps
 # its strategy.
 SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsir",
-                       "tx_bm25", "sim_hybrid_rrf",
+                       "tx_bm25", "sim_hybrid_rrf", "pipe_funnel",
                        # corpus-total token count (1-row scalar) crossed
                        # onto the per-(group,token) counts relation
                        "tx_source_kl",
@@ -94,6 +94,8 @@ SMJ_OK = {
     "dd_cluster",  # band join + component-label joins: fact-sized sides
     "pipe_prepare",  # same band/star joins as dd_cluster, over the filtered
                      # (checkpointed) subset whose stats Catalyst can't see
+    "pipe_funnel",  # composes the identical pipe_prepare stage chain; its
+                    # extra joins are the same band/star shapes
     "t10_incremental_rollup",  # rollup-merge is a FULL OUTER join (group
                                # birth via delta side, death via count=0),
                                # which Spark cannot broadcast by rule; both
