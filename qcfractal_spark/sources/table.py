@@ -231,6 +231,30 @@ class MutableTable:
                     continue
         return n
 
+    def history(self) -> list[dict]:
+        """Version history, newest first (the Delta DESCRIBE HISTORY
+        analog): one entry per retained version with its commit
+        timestamp, caller meta, and cumulative schema ops — read straight
+        from the ``v*/_meta.json`` files that published atomically with
+        the data."""
+        out = []
+        for e in sorted(os.listdir(self.path), reverse=True):
+            if not re.fullmatch(r"v\d{6}", e):
+                continue
+            entry = {"version": int(e[1:]), "ts": None, "meta": {}, "schema_ops": []}
+            try:
+                with open(os.path.join(self.path, e, "_meta.json")) as fh:
+                    j = json.load(fh)
+                entry.update(
+                    ts=j.get("ts"),
+                    meta=j.get("meta", {}),
+                    schema_ops=j.get("schema_ops", []),
+                )
+            except (FileNotFoundError, json.JSONDecodeError):
+                pass
+            out.append(entry)
+        return out
+
     def _commit(self, df: DataFrame, meta: dict | None = None) -> int:
         """Single-shot commit of a fully-built DataFrame (no re-read
         dependency — retry just re-stages the same relation).  Returns
@@ -300,7 +324,10 @@ class MutableTable:
           default means "NULL reads as default" for this column, Delta's
           metadata-default semantics.
         * ``widen``: cast to the wider type (physical files are already
-          uniform — widen commits rewrite, see :meth:`evolve`)."""
+          uniform — widen commits rewrite, see :meth:`evolve`).
+        * ``drop``: project the column away if any file still carries it
+          (metadata-only commits hardlink, so dropped columns linger
+          physically until the next rewrite)."""
         for op in ops:
             kind = op["op"]
             if kind == "rename":
@@ -324,6 +351,9 @@ class MutableTable:
             elif kind == "widen":
                 if op["name"] in df.columns:
                     df = df.withColumn(op["name"], F.col(op["name"]).cast(op["dtype"]))
+            elif kind == "drop":
+                if op["name"] in df.columns:
+                    df = df.drop(op["name"])
             else:
                 raise ValueError(f"unknown schema op {kind!r}")
         return df
@@ -344,12 +374,15 @@ class MutableTable:
           int32 vs int64 schemas, and postgres ALTER TYPE rewrites too);
           the op stays in the history as an idempotent read-time cast so
           time-travel reads of the pre-widen version reconcile.
+        * ``{"op": "drop", "name": ...}`` — METADATA-ONLY (Delta's
+          drop-column semantics: data files keep the bytes, reads project
+          the column away; the next full rewrite sheds them physically).
 
         Ops are validated against the current schema before committing;
         the CAS loop retries like any mutation."""
         new_ops = [dict(o) for o in ops]
         for o in new_ops:
-            if o.get("op") not in ("add", "rename", "widen"):
+            if o.get("op") not in ("add", "rename", "widen", "drop"):
                 raise ValueError(f"unknown schema op: {o!r}")
         needs_rewrite = any(o["op"] == "widen" for o in new_ops)
 
@@ -366,6 +399,8 @@ class MutableTable:
                     raise ValueError(f"rename: column {o['old']!r} does not exist")
                 if o["op"] == "widen" and o["name"] not in cols:
                     raise ValueError(f"widen: column {o['name']!r} does not exist")
+                if o["op"] == "drop" and o["name"] not in cols:
+                    raise ValueError(f"drop: column {o['name']!r} does not exist")
             if needs_rewrite:
                 df = self._reconcile(
                     self.read(base), new_ops

@@ -108,7 +108,7 @@ def test_combined_ops_and_validation(spark, tmp_path):
     with pytest.raises(ValueError, match="does not exist"):
         t.evolve([{"op": "rename", "old": "nope", "new": "x"}])
     with pytest.raises(ValueError, match="unknown schema op"):
-        t.evolve([{"op": "drop", "name": "n"}])
+        t.evolve([{"op": "retype", "name": "n"}])
 
 
 def test_partition_scoped_mutation_after_evolution(spark, tmp_path):
@@ -133,3 +133,37 @@ def test_partition_scoped_mutation_after_evolution(spark, tmp_path):
     assert n == 1
     rows = {r["id"]: r["flag"] for r in t.read().collect()}
     assert rows == {2: 0, 3: 0}
+
+
+def test_drop_column_is_metadata_only(spark, tmp_path):
+    t = _seed(spark, tmp_path, "drop")
+    v_files = {
+        os.stat(p).st_ino
+        for p in glob.glob(os.path.join(t._version_dir(0), "*.parquet"))
+    }
+    t.evolve([{"op": "drop", "name": "n"}])
+    v1_files = {
+        os.stat(p).st_ino
+        for p in glob.glob(os.path.join(t._version_dir(1), "*.parquet"))
+    }
+    assert v1_files == v_files  # hardlinked — bytes linger, reads project away
+    assert set(t.read().columns) == {"id", "v"}
+    # appends without the column coexist; a later add may reuse the name
+    t.insert_dedup(spark.createDataFrame([(3, "c")], "id long, v string"), ["id"])
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+    with pytest.raises(ValueError, match="does not exist"):
+        t.evolve([{"op": "drop", "name": "n"}])  # already dropped
+
+
+def test_history_reports_versions_and_ops(spark, tmp_path):
+    t = _seed(spark, tmp_path, "hist")
+    t.evolve([{"op": "add", "name": "tier", "dtype": "string", "default": "std"}])
+    t.insert_dedup(
+        spark.createDataFrame([(9, "z", 1, "gold")], "id long, v string, n int, tier string"),
+        ["id"],
+    )
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1]  # depth-1 retention: current + prev
+    assert all(e["ts"] is not None for e in h)
+    assert h[0]["schema_ops"] == h[1]["schema_ops"]  # ops carried forward
+    assert h[0]["schema_ops"][0]["op"] == "add"
