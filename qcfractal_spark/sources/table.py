@@ -392,11 +392,39 @@ class MutableTable:
                     f"table {self.path} has no committed version to evolve"
                 )
             cols = set(self.read(base).columns)
+            # physical names retired by a prior drop/rename are TOMBSTONED:
+            # metadata-only commits hardlink, so old files may still carry
+            # those bytes, and re-adding the same logical name would let
+            # mergeSchema resurrect them into the new column (the reason
+            # Delta uses column-mapping ids).  A rewrite (widen/compact/
+            # any mutation) sheds the physical column, but the op history
+            # is carried forever, so the name stays retired — rename the
+            # new column instead.
+            tombstoned = {
+                o["name"] for o in self._schema_ops(base) if o["op"] == "drop"
+            } | {
+                o["old"] for o in self._schema_ops(base) if o["op"] == "rename"
+            }
             for o in new_ops:
                 if o["op"] == "add" and o["name"] in cols:
                     raise ValueError(f"add: column {o['name']!r} already exists")
+                if o["op"] == "add" and o["name"] in tombstoned:
+                    raise ValueError(
+                        f"add: column name {o['name']!r} was retired by an "
+                        "earlier drop/rename (old files may still carry its "
+                        "bytes) — use a fresh name"
+                    )
                 if o["op"] == "rename" and o["old"] not in cols:
                     raise ValueError(f"rename: column {o['old']!r} does not exist")
+                if o["op"] == "rename" and o["new"] in cols:
+                    raise ValueError(
+                        f"rename: target column {o['new']!r} already exists"
+                    )
+                if o["op"] == "rename" and o["new"] in tombstoned:
+                    raise ValueError(
+                        f"rename: target name {o['new']!r} was retired by an "
+                        "earlier drop/rename — use a fresh name"
+                    )
                 if o["op"] == "widen" and o["name"] not in cols:
                     raise ValueError(f"widen: column {o['name']!r} does not exist")
                 if o["op"] == "drop" and o["name"] not in cols:

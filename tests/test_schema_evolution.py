@@ -167,3 +167,22 @@ def test_history_reports_versions_and_ops(spark, tmp_path):
     assert all(e["ts"] is not None for e in h)
     assert h[0]["schema_ops"] == h[1]["schema_ops"]  # ops carried forward
     assert h[0]["schema_ops"][0]["op"] == "add"
+
+
+def test_tombstoned_names_cannot_be_reused(spark, tmp_path):
+    """Metadata-only drop/rename leaves old files physically carrying the
+    column; re-adding the same name would let mergeSchema resurrect those
+    stale bytes into the new column — evolve must refuse."""
+    t = _seed(spark, tmp_path, "tomb")
+    t.evolve([{"op": "drop", "name": "n"}])
+    with pytest.raises(ValueError, match="retired"):
+        t.evolve([{"op": "add", "name": "n", "dtype": "int", "default": 0}])
+    t.evolve([{"op": "rename", "old": "v", "new": "label"}])
+    with pytest.raises(ValueError, match="retired"):
+        t.evolve([{"op": "add", "name": "v", "dtype": "string"}])
+    with pytest.raises(ValueError, match="retired"):
+        t.evolve([{"op": "rename", "old": "label", "new": "v"}])
+    # renaming onto a LIVE column is rejected too
+    t.evolve([{"op": "add", "name": "extra", "dtype": "int", "default": 1}])
+    with pytest.raises(ValueError, match="already exists"):
+        t.evolve([{"op": "rename", "old": "label", "new": "extra"}])
