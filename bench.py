@@ -148,6 +148,9 @@ BENCH_QUERIES = [
     # s11_schema_evolution is gate-only for the same reason: it times a
     # scratch table build + 3 evolution commits + an insert rewrite
     # (migration IO), not a query plan.
+    # tx_phrase_idx_incr is gate-only like dd_incremental: each call can
+    # time a scratch index build + append ahead of the probe; tx_phrase_idx
+    # benches the warm partition-pruned probe physics on the same layout.
     # s6_delete_survivors / s7_retention_survivors / dd_incremental /
     # dd_substring_incremental / st_session_custom — and the round-7
     # streaming gates st_stream_span / st_stream_substring /

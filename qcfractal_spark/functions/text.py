@@ -788,14 +788,43 @@ def write_text_index(
     a deployment additionally sorts within partitions by term (footer
     min/max pruning); the bucket directory prune is the first-order win
     and is plan-tested."""
+    _postings(docs, text_col, id_col, n_buckets).write.mode(
+        "overwrite"
+    ).partitionBy("bucket").parquet(path)
+
+
+def append_text_index(
+    docs: DataFrame,
+    path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 64,
+) -> None:
+    """INCREMENTAL posting append — the ingest arm that keeps the text
+    index current without re-indexing the corpus (the add-vs-train
+    contract the IVF index and the LSH label index already honor,
+    completing the triad's maintenance story): the new batch's postings
+    land as additional files inside the same term-bucket partition
+    directories (``mode("append")`` + partitionBy writes only the touched
+    buckets), so probes see old + new postings through the identical
+    partition-pruned scan.  The bucket derivation is shared with
+    :func:`write_text_index` — same hash, same ``n_buckets`` — and the
+    caller's staleness marker must record both (the _text_index_dir
+    contract), because an append under a different derivation would
+    scatter postings into unprobed buckets."""
+    _postings(docs, text_col, id_col, n_buckets).write.mode(
+        "append"
+    ).partitionBy("bucket").parquet(path)
+
+
+def _postings(docs: DataFrame, text_col: str, id_col: str, n_buckets: int) -> DataFrame:
     posting = docs.where(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(tokens(F.col(text_col))).alias("pos", "term"),
     )
-    posting = posting.withColumn(
+    return posting.withColumn(
         "bucket", F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets))
     )
-    posting.write.mode("overwrite").partitionBy("bucket").parquet(path)
 
 
 def _term_buckets(spark, terms, n_buckets: int):

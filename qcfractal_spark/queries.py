@@ -6289,6 +6289,54 @@ FROM p GROUP BY doc_id
 REGISTRY["tx_phrase_idx"] = (q_tx_phrase_idx, SQL_TX_PHRASE_IDX)
 
 
+def q_tx_phrase_idx_incr(spark, sf_dir):
+    """TX+ (beyond-reference): the INCREMENTAL arm of the persisted text
+    index (functions/text.py:append_text_index) — the corpus split
+    (doc_id % 10 != 0) is indexed once, the ingest batch (% 10 == 0)
+    APPENDS its postings into the same term-bucket partition dirs
+    (only touched buckets gain files; the corpus is never re-tokenized),
+    and the probe reads old + new postings through the identical
+    partition-pruned scan.  The oracle is the FULL-corpus phrase audit —
+    incremental build ≡ full build is exactly the equivalence the hash
+    gate pins (the dd_substring_incremental / dd_incremental_labels
+    contract applied to the text index, completing the ingest-artifact
+    triad's maintenance story)."""
+    import os as _os
+    import shutil as _shutil
+
+    from .functions.text import (
+        append_text_index,
+        phrase_hits_indexed,
+        write_text_index,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    path = _scratch_dir(sf_dir, "text_index_incr")
+    src = _os.path.join(sf_dir, "documents.parquet")
+    st = _os.stat(src)
+    fast = 1 if _os.environ.get("SPARK_GRAFT_FAST_HASH") == "1" else 0
+    n_buckets = 64
+    marker = f"{st.st_size}:{st.st_mtime_ns}:h{fast}:b{n_buckets}"
+    marker_path = _os.path.join(path, "source_marker")
+    valid = _os.path.exists(_os.path.join(path, "_SUCCESS"))
+    if valid:
+        try:
+            with open(marker_path) as fh:
+                valid = fh.read() == marker
+        except OSError:
+            valid = False
+    if not valid:
+        _shutil.rmtree(path, ignore_errors=True)
+        write_text_index(docs.where(F.col("doc_id") % 10 != 0), path)
+        append_text_index(docs.where(F.col("doc_id") % 10 == 0), path)
+        with open(marker_path, "w") as fh:
+            fh.write(marker)
+    return phrase_hits_indexed(spark, path, ["group", "slow", "spark"])
+
+
+REGISTRY["tx_phrase_idx_incr"] = (q_tx_phrase_idx_incr, SQL_TX_PHRASE_IDX)
+
+
 def q_a25_diversity(spark, sf_dir):
     """A+ (beyond-reference): corpus diversity report — the source-mix
     monitor a curation pipeline alerts on: per-source token shares rolled
@@ -8603,8 +8651,11 @@ _DRIVER_WINDOW = [
     #     r10-stamped dd_minhash_lsh), and pipe_funnel (the stage-
     #     retention funnel report) displaces dd_jaccard_capped (its
     #     df-capped pair family is carried by the r10-stamped
-    #     dd_jaccard/dd_winnow stamps + the cap pytests); all four join
-    #     the r12 core;
+    #     dd_jaccard/dd_winnow stamps + the cap pytests), and
+    #     tx_phrase_idx_incr (incremental text-index append) displaces
+    #     dd_incremental (the incremental-probe family is carried by the
+    #     r10-stamped dd_substring_incremental + dd_incremental_labels);
+    #     all five join the r12 core;
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8626,11 +8677,11 @@ _DRIVER_WINDOW = [
     # sim_hard_negatives, sim_index_stats, t2_enrichment, t8_funnel,
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
     # tx_quality_clf, u12_interleave, v1_variant_rollup,
-    # dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify and
-    # dd_jaccard_capped (displaced by the tx_unigram_encode /
-    # sim_hybrid_rrf / u14_doremi / pipe_funnel newcomers).
-    # After r11 stamps: registry = 169; staleness floor stays
-    # ceil(169/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
+    # dd_jaccard_capped and dd_incremental (displaced by the r11
+    # newcomers beyond the verdict list).
+    # After r11 stamps: registry = 170; staleness floor stays
+    # ceil(170/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8640,17 +8691,17 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (7) ---
+    # --- (b) round-11 newcomers (8) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
     "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi", "pipe_funnel",
+    "tx_phrase_idx_incr",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 12 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 11 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
     "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
-    "dd_incremental",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
