@@ -30,6 +30,13 @@ This is Delta's commit protocol shrunk to a filesystem: the _delta_log
 put-if-absent JSON commit becomes a claim-by-rename, and time-travel
 depth stays 1 (current + previous), matching ``change_feed``.
 
+Storage caveat (the honest 100-TB note): claim-by-rename is atomic on
+POSIX, HDFS and ABFS; S3 has no atomic rename, so there the claim step
+must be a conditional PUT (If-None-Match) of a version manifest or a
+DynamoDB-backed lock — exactly Delta's own S3 LogStore arrangement.
+Everything else here (unique staging, retry loop, reconciliation) is
+storage-agnostic.
+
 At 100 TB the rewrite would be partition-scoped (rewrite only partitions
 containing matched keys — the same physical plan Delta executes); the API
 below takes an optional ``partition_by`` so writes are partition-pruned.
