@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "sim_hybrid_rrf",       # RRF hybrid retrieval (BM25 arm + cosine arm)
     "u14_doremi",           # DoReMi domain-mixture reweighting (5 EG rounds)
     "pipe_funnel",          # stage-retention funnel over the prep pipeline
+    "o7_serial_claim",      # serial-group claim eligibility (anti-join + topk)
     "j2_subspec_join",      # 2-level spec chain via join-elision builder
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the

@@ -320,6 +320,68 @@ WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDIN
 """
 
 
+def q_o7_serial_claim(spark, sf_dir):
+    """O/T4+ (reference parity, internal_jobs/socket.py:453-468): the
+    INTERNAL-JOBS claim-eligibility shape — the reference's second task
+    queue, whose semantics differ from J7/O2's tag+priority claim:
+    waiting jobs are runnable only if their ``serial_group`` is NULL or
+    has NO member currently running (the NOT-IN-distinct-running-groups
+    exclusion that serializes same-group jobs), taken in
+    ``scheduled_date`` order.
+
+    Spark shape: the running-group set is a distinct projection of the
+    running slice — group-cardinality-sized, broadcast — and the
+    exclusion is a LEFT ANTI join (NULL groups never match an equi-key,
+    so NULL-group jobs stay eligible, exactly the reference's
+    ``IS NULL OR NOT IN`` disjunction); TakeOrdered tops the result.
+    The SKIP LOCKED concurrency half stays adjudicated to the
+    single-writer scheduler (SURVEY §2.7); this pins the SELECT.
+    Jobs synthesized from orders: status O=waiting / P=running,
+    serial_group NULL for every 5th customer else g(o_custkey % 37)."""
+    orders = _t(spark, sf_dir, "orders")
+    jobs = orders.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.col("o_orderstatus").alias("status"),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("g"), (F.col("o_custkey") % 37).cast("string")))
+        .alias("serial_group"),
+        F.col("o_orderdate").alias("scheduled_date"),
+    )
+    running_groups = (
+        jobs.where((F.col("status") == "P") & F.col("serial_group").isNotNull())
+        .select("serial_group")
+        .distinct()
+    )
+    eligible = jobs.where(F.col("status") == "O").join(
+        F.broadcast(running_groups), "serial_group", "left_anti"
+    )
+    return (
+        eligible.orderBy(F.col("scheduled_date").asc(), F.col("job_id").asc())
+        .limit(10)
+        .select("job_id", "serial_group", "scheduled_date")
+    )
+
+
+SQL_O7 = """
+WITH jobs AS (
+  SELECT o_orderkey AS job_id, o_orderstatus AS status,
+         CASE WHEN o_custkey % 5 = 0 THEN NULL
+              ELSE 'g' || CAST(o_custkey % 37 AS VARCHAR) END AS serial_group,
+         o_orderdate AS scheduled_date
+  FROM orders
+),
+running AS (
+  SELECT DISTINCT serial_group FROM jobs
+  WHERE status = 'P' AND serial_group IS NOT NULL
+)
+SELECT job_id, serial_group, scheduled_date FROM jobs
+WHERE status = 'O'
+  AND (serial_group IS NULL
+       OR serial_group NOT IN (SELECT serial_group FROM running))
+ORDER BY scheduled_date ASC, job_id ASC LIMIT 10
+"""
+
+
 def q_j2_subspec_join(spark, sf_dir):
     """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
     chain record → spec → subspec through the join-ELISION builder
@@ -1082,6 +1144,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "p8_int_or_name": (q_p8_int_or_name, SQL_P8),
     "j1_dim_join": (q_j1_dim_join, SQL_J1),
     "j2_subspec_join": (q_j2_subspec_join, SQL_J2),
+    "o7_serial_claim": (q_o7_serial_claim, SQL_O7),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),
@@ -8654,8 +8717,12 @@ _DRIVER_WINDOW = [
     #     dd_jaccard/dd_winnow stamps + the cap pytests), and
     #     tx_phrase_idx_incr (incremental text-index append) displaces
     #     dd_incremental (the incremental-probe family is carried by the
-    #     r10-stamped dd_substring_incremental + dd_incremental_labels);
-    #     all five join the r12 core;
+    #     r10-stamped dd_substring_incremental + dd_incremental_labels),
+    #     and o7_serial_claim (the internal-jobs serial-group claim
+    #     eligibility, reference parity) displaces dd_common_ngrams (its
+    #     corpus n-gram rollup family is carried by the r10-stamped
+    #     dd_winnow/dd_jaccard gram pipelines + tx_doc_freq in-window);
+    #     all six join the r12 core;
     # (c) every query whose implementation or oracle changed after its
     #     latest stamp (6): tx_kn_mod (discounts clamped to [0,k], r10
     #     ADVICE), u13_coreset (mind==0 early-stop in both arms, r10
@@ -8678,10 +8745,10 @@ _DRIVER_WINDOW = [
     # t9_cohort_retention, tx_bm25, tx_boilerplate_ratio, tx_dsir,
     # tx_quality_clf, u12_interleave, v1_variant_rollup,
     # dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
-    # dd_jaccard_capped and dd_incremental (displaced by the r11
-    # newcomers beyond the verdict list).
-    # After r11 stamps: registry = 170; staleness floor stays
-    # ceil(170/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # dd_jaccard_capped, dd_incremental and dd_common_ngrams (displaced
+    # by the r11 newcomers beyond the verdict list).
+    # After r11 stamps: registry = 171; staleness floor stays
+    # ceil(171/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
     "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
     "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
@@ -8691,17 +8758,17 @@ _DRIVER_WINDOW = [
     "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
     "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
     "a24_heavy_hitters",
-    # --- (b) round-11 newcomers (8) ---
+    # --- (b) round-11 newcomers (9) ---
     "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
     "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi", "pipe_funnel",
-    "tx_phrase_idx_incr",
+    "tx_phrase_idx_incr", "o7_serial_claim",
     # --- (c) changed after their latest stamp (6) ---
     "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
     "s3_insert_dedup_table", "t10_incremental_rollup",
-    # --- (d) r08 cohort, alphabetically-first 11 of 40 ---
+    # --- (d) r08 cohort, alphabetically-first 10 of 40 ---
     "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
     "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
-    "a8_status_gate", "a9_argmin", "d1_value_call", "dd_common_ngrams",
+    "a8_status_gate", "a9_argmin", "d1_value_call",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
