@@ -84,7 +84,11 @@ class MutableTable:
         except FileNotFoundError:
             return None
         for e in entries:
-            if re.fullmatch(r"v\d{6}", e):
+            # \d{6,}: %06d zero-pads small versions but grows past six
+            # digits at v1000000 — a {6} anchor would make every version
+            # from one million on invisible, livelocking all later commits
+            # on a permanently re-claimed v1000000 (r11 ADVICE).
+            if re.fullmatch(r"v\d{6,}", e):
                 v = int(e[1:])
                 if best is None or v > best:
                     best = v
@@ -136,6 +140,20 @@ class MutableTable:
         except (FileNotFoundError, json.JSONDecodeError):
             return []
 
+    def _data_basenames(self, v: int) -> list[str]:
+        """Basenames of every parquet data file in version ``v`` —
+        recorded by add-with-default evolutions so read-time
+        reconciliation can scope the default to pre-add files only.
+        Basenames carry the write job's UUID (unique per write) and are
+        preserved by the hardlink commits, so they identify a file across
+        versions without content hashing."""
+        names: list[str] = []
+        for _root, _dirs, files in os.walk(self._version_dir(v)):
+            for f in files:
+                if f.endswith(".parquet"):
+                    names.append(f)
+        return sorted(names)
+
     def _publish(
         self,
         stage: str,
@@ -147,10 +165,17 @@ class MutableTable:
         onto it.  rename(2) onto an existing non-empty directory fails
         atomically, so exactly one concurrent writer wins each version;
         losers get :class:`CommitConflictError` with their stage cleaned
-        up.  The post-rename max check closes the ABA hole where a very
-        stale claim targets a version number that retention has already
-        pruned (claim succeeds but a NEWER version is current — the stale
-        commit must surface as a conflict, not vanish silently)."""
+        up.
+
+        ABA safety: pruned versions are TOMBSTONED, not deleted (see
+        :meth:`_prune` — the dir keeps ``_meta.json`` + a ``_pruned``
+        marker), so every version number that ever committed stays
+        occupied by a NON-EMPTY directory forever and a stale claim's
+        rename fails at the syscall.  The earlier post-rename
+        ``current_version() != v`` check is gone: it could fire on the
+        BENIGN race where a concurrent writer observed our fresh v and
+        committed v+1 before we re-checked, making us rmtree a version
+        that writer had already built on (r11 ADVICE, medium)."""
         v = 0 if base is None else base + 1
         ops = self._schema_ops(base) if schema_ops is None else schema_ops
         with open(os.path.join(stage, "_meta.json"), "w") as fh:
@@ -170,17 +195,47 @@ class MutableTable:
             raise CommitConflictError(
                 f"table {self.path}: v{v} was claimed by another writer"
             ) from exc
-        if self.current_version() != v:
-            # ABA: retention pruned v while we staged and a newer version
-            # exists — undo the stale claim and lose loudly.
-            shutil.rmtree(self._version_dir(v), ignore_errors=True)
-            raise CommitConflictError(
-                f"table {self.path}: v{v} is stale (newer version already current)"
-            )
-        # keep only current + previous version (time-travel depth 1)
-        for old in range(v - 1):
-            shutil.rmtree(self._version_dir(old), ignore_errors=True)
+        # keep data for current + previous only (time-travel depth 1);
+        # older versions tombstone in place.  Descending sweep from v-2
+        # stops at the first already-pruned version (dense history ⇒
+        # amortized O(1) per commit) and self-heals after a publisher
+        # that crashed between its rename and its prune.
+        w = v - 2
+        while w >= 0 and self._prune(w):
+            w -= 1
         return v
+
+    def _prune(self, v: int) -> bool:
+        """Tombstone version ``v``: delete its data entries but KEEP the
+        directory with ``_meta.json`` plus a ``_pruned`` marker.  The
+        non-empty dir makes the version number unclaimable forever —
+        rename(2) onto it fails — which is what closes the CAS ABA hole
+        (a fully deleted dir would let a very stale writer resurrect the
+        number with stale data).  ``history()`` keeps reporting pruned
+        versions' commit metadata; only the data is gone.  Returns True
+        if data was actually removed (False: already pruned / missing),
+        which is the publish sweep's stop signal.  Tombstones cost one
+        directory entry per historical commit — the same growth as a
+        Delta log; at very large commit counts the manifest/log would be
+        checkpointed, out of scope here."""
+        vdir = self._version_dir(v)
+        marker = os.path.join(vdir, "_pruned")
+        if not os.path.isdir(vdir) or os.path.exists(marker):
+            return False
+        for e in os.listdir(vdir):
+            if e in ("_meta.json", "_pruned"):
+                continue
+            p = os.path.join(vdir, e)
+            try:
+                if os.path.isdir(p):
+                    shutil.rmtree(p, ignore_errors=True)
+                else:
+                    os.remove(p)
+            except OSError:
+                continue
+        with open(marker, "w"):
+            pass
+        return True
 
     def _mutate(
         self,
@@ -243,12 +298,20 @@ class MutableTable:
         analog): one entry per retained version with its commit
         timestamp, caller meta, and cumulative schema ops — read straight
         from the ``v*/_meta.json`` files that published atomically with
-        the data."""
+        the data.  Pruned versions stay listed (their tombstone keeps the
+        meta) with ``pruned=True``.  Sorted by the PARSED version number,
+        not the directory name — lexicographic order misplaces the first
+        7-digit version (r11 ADVICE)."""
         out = []
-        for e in sorted(os.listdir(self.path), reverse=True):
-            if not re.fullmatch(r"v\d{6}", e):
-                continue
-            entry = {"version": int(e[1:]), "ts": None, "meta": {}, "schema_ops": []}
+        names = [e for e in os.listdir(self.path) if re.fullmatch(r"v\d{6,}", e)]
+        for e in sorted(names, key=lambda n: int(n[1:]), reverse=True):
+            entry = {
+                "version": int(e[1:]),
+                "ts": None,
+                "meta": {},
+                "schema_ops": [],
+                "pruned": os.path.exists(os.path.join(self.path, e, "_pruned")),
+            }
             try:
                 with open(os.path.join(self.path, e, "_meta.json")) as fh:
                     j = json.load(fh)
@@ -308,6 +371,10 @@ class MutableTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError(f"table {self.path} has no committed version")
+        if os.path.exists(os.path.join(self._version_dir(v), "_pruned")):
+            raise FileNotFoundError(
+                f"table {self.path}: v{v} has been pruned (time-travel depth 1)"
+            )
         ops = self._schema_ops(v) if _ops is None else _ops
         if not ops:
             return self.spark.read.parquet(self._version_dir(v))
@@ -327,9 +394,15 @@ class MutableTable:
           name (mergeSchema surfaces both, NULL-filled) — coalesce old
           into new, drop old.
         * ``add``: files written before the add lack the column (NULL
-          after mergeSchema) — fill with the declared default.  A declared
-          default means "NULL reads as default" for this column, Delta's
-          metadata-default semantics.
+          after mergeSchema) — fill with the declared default.  This is
+          Delta's EXISTENCE-default: the op records the basenames of the
+          files that predate the add (``pre_files``, stable across
+          hardlinked versions), and only rows read from those files are
+          filled — a row written with an explicit NULL *after* the add
+          reads back NULL, not the default (r11 ADVICE: the earlier
+          column-wide coalesce silently rewrote such NULLs).  Ops
+          recorded before this fix lack ``pre_files`` and keep the old
+          column-wide coalesce, as their docstring then declared.
         * ``widen``: cast to the wider type (physical files are already
           uniform — widen commits rewrite, see :meth:`evolve`).
         * ``drop``: project the column away if any file still carries it
@@ -351,10 +424,26 @@ class MutableTable:
                 if name not in df.columns:
                     df = df.withColumn(name, F.lit(default).cast(dtype))
                 elif default is not None:
-                    df = df.withColumn(
-                        name,
-                        F.coalesce(F.col(name), F.lit(default).cast(dtype)),
-                    )
+                    fill = F.coalesce(F.col(name), F.lit(default).cast(dtype))
+                    pre = op.get("pre_files")
+                    if pre is not None:
+                        # existence-default: fill only rows physically
+                        # read from pre-add files (basenames are unique
+                        # per Spark write job and survive hardlinking);
+                        # post-add explicit NULLs stay NULL.  The isin
+                        # list is file-count-sized — at very large file
+                        # counts this would join a file manifest instead.
+                        base_name = F.element_at(
+                            F.split(F.input_file_name(), "/"), -1
+                        )
+                        df = df.withColumn(
+                            name,
+                            F.when(base_name.isin(list(pre)), fill).otherwise(
+                                F.col(name)
+                            ),
+                        )
+                    else:
+                        df = df.withColumn(name, fill)
             elif kind == "widen":
                 if op["name"] in df.columns:
                     df = df.withColumn(op["name"], F.col(op["name"]).cast(op["dtype"]))
@@ -456,9 +545,24 @@ class MutableTable:
                     os.link(src, dst)
             return stage, None
 
-        return self._mutate(
-            build, ops_fn=lambda base: self._schema_ops(base) + new_ops
-        )
+        def enriched_ops(base):
+            # add-with-default ops record the base version's data-file
+            # basenames so the default fills exactly the files that
+            # physically lack the column (existence-default; see
+            # _reconcile).  Recomputed per CAS retry against the fresh
+            # base.  A widen in the same evolution rewrites every file,
+            # so none of the recorded names survive into the new version
+            # and the fill is correctly a no-op.
+            ops = [dict(o) for o in new_ops]
+            pre = None
+            for o in ops:
+                if o["op"] == "add" and o.get("default") is not None:
+                    if pre is None:
+                        pre = self._data_basenames(base)
+                    o["pre_files"] = pre
+            return self._schema_ops(base) + ops
+
+        return self._mutate(build, ops_fn=enriched_ops)
 
     # -- mutations (each = one optimistic-CAS commit; conflicts retry) -------
 

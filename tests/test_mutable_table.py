@@ -490,3 +490,50 @@ def test_vacuum_stages_sweeps_only_old(spark, tmp_path):
     assert t.vacuum_stages(min_age_sec=3600) == 1
     assert not os.path.exists(crashed)
     assert os.path.exists(fresh)
+
+
+def test_pruned_version_tombstone_blocks_stale_reclaim(spark, tmp_path):
+    """r11 ADVICE (medium): pruned versions tombstone in place (dir kept
+    non-empty), so a very stale writer's claim-by-rename onto a pruned
+    version number fails at the syscall — the ABA that previously made
+    _publish rmtree a just-committed version cannot arise, and no
+    post-rename delete exists anymore."""
+    import os
+
+    t = MutableTable(spark, str(tmp_path / "aba"))
+    for i in range(4):  # v0..v3; v0, v1 pruned by the depth-1 sweep
+        t.overwrite(spark.createDataFrame([(i,)], "id long"))
+    v1 = t._version_dir(1)
+    assert os.path.exists(os.path.join(v1, "_pruned"))
+    assert os.path.exists(os.path.join(v1, "_meta.json"))
+    # a stale claim targeting the pruned slot fails atomically
+    stale = t._stage_df(spark.createDataFrame([(99,)], "id long"))
+    with pytest.raises(OSError):
+        os.rename(stale, v1)
+    # pruned data is really gone, meta/history are not
+    with pytest.raises(FileNotFoundError):
+        t.read(version=1)
+    hist = t.history()
+    assert [e["version"] for e in hist] == [3, 2, 1, 0]
+    assert [e["pruned"] for e in hist] == [False, False, True, True]
+    assert {r["id"] for r in t.read(version=2).collect()} == {2}
+
+
+def test_seven_digit_versions_are_visible(spark, tmp_path):
+    """r11 ADVICE: v1000000 renders as 7 digits; current_version() and
+    history() must parse it (a {6} regex anchor livelocked every commit
+    after the millionth on a permanently re-claimed v1000000)."""
+    import json
+    import os
+
+    p = tmp_path / "bigv"
+    p.mkdir()
+    for v in (999999, 1000000):
+        d = p / f"v{v:06d}"
+        d.mkdir()
+        (d / "_meta.json").write_text(
+            json.dumps({"version": v, "ts": 1.0, "meta": {}, "schema_ops": []})
+        )
+    t = MutableTable(spark, str(p))
+    assert t.current_version() == 1000000
+    assert [e["version"] for e in t.history()] == [1000000, 999999]

@@ -163,10 +163,15 @@ def test_history_reports_versions_and_ops(spark, tmp_path):
         ["id"],
     )
     h = t.history()
-    assert [e["version"] for e in h] == [2, 1]  # depth-1 retention: current + prev
+    # every version stays listed (pruned ones tombstone in place keeping
+    # their meta); data retention is still depth 1: v0 is pruned.
+    assert [e["version"] for e in h] == [2, 1, 0]
+    assert [e["pruned"] for e in h] == [False, False, True]
     assert all(e["ts"] is not None for e in h)
     assert h[0]["schema_ops"] == h[1]["schema_ops"]  # ops carried forward
     assert h[0]["schema_ops"][0]["op"] == "add"
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
 
 
 def test_tombstoned_names_cannot_be_reused(spark, tmp_path):
@@ -186,3 +191,23 @@ def test_tombstoned_names_cannot_be_reused(spark, tmp_path):
     t.evolve([{"op": "add", "name": "extra", "dtype": "int", "default": 1}])
     with pytest.raises(ValueError, match="already exists"):
         t.evolve([{"op": "rename", "old": "label", "new": "extra"}])
+
+
+def test_add_default_is_existence_default_not_null_rewrite(spark, tmp_path):
+    """r11 ADVICE: the declared default fills only files that physically
+    predate the add — a row written with an EXPLICIT NULL after the
+    evolution must read back NULL, not the default."""
+    t = _seed(spark, tmp_path, "exdef")
+    t.evolve([{"op": "add", "name": "tier", "dtype": "string", "default": "std"}])
+    t.insert_dedup(
+        spark.createDataFrame(
+            [(3, "c", 30, None)], "id long, v string, n int, tier string"
+        ),
+        ["id"],
+    )
+    rows = {r["id"]: r["tier"] for r in t.read().collect()}
+    assert rows == {1: "std", 2: "std", 3: None}
+    # and the recorded op carries the pre-add file manifest
+    ops = t._schema_ops(t.current_version())
+    add = [o for o in ops if o["op"] == "add"][0]
+    assert add.get("pre_files"), "add-with-default must record pre_files"
