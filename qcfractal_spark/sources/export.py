@@ -113,6 +113,28 @@ def training_shard_rows(
     )
 
 
+def recover_export(spark, path: str) -> bool:
+    """Crash recovery for the two-rename swap below (r11 ADVICE): the
+    swap has a window — after ``rename(path -> .export_old_<leaf>)``,
+    before ``rename(.export_tmp_<leaf> -> path)`` — where a crash leaves
+    NO visible dataset (both siblings are dot-prefixed and invisible to
+    partition discovery).  If ``path`` is missing but the ``old`` sibling
+    exists, restore it and return True; otherwise return False.  Called
+    automatically at the start of every export; deployments should also
+    call it at reader startup if a crashed exporter is possible."""
+    from .layout import _hadoop_fs
+
+    fs, hpath = _hadoop_fs(spark, path)
+    jpath = spark._jvm.org.apache.hadoop.fs.Path
+    parent = hpath.getParent()
+    if parent is None:
+        return False
+    old = jpath(parent, f".export_old_{hpath.getName()}")
+    if not fs.exists(hpath) and fs.exists(old):
+        return bool(fs.rename(old, hpath))
+    return False
+
+
 def export_training_shards(survivors: DataFrame, path: str, **kw) -> str:
     """Write the export relation partitioned by ``shard``, committed via
     a write-to-tmp-then-rename swap (the compact_small_files pointer-swap
@@ -121,12 +143,23 @@ def export_training_shards(survivors: DataFrame, path: str, **kw) -> str:
     would see a missing or partial dataset).  The rewrite lands in a
     DOT-prefixed sibling (invisible to partition discovery), then swaps
     in with two renames; a reader holding the old file list keeps a
-    consistent snapshot, and a failed swap rolls back.  Returns ``path``.
-    """
+    consistent snapshot, and a swap whose rename RETURNS false rolls
+    back.  Returns ``path``.
+
+    Crash window (r11 ADVICE, documented honestly): between the two
+    renames a crash leaves both siblings dot-prefixed — no visible
+    dataset.  :func:`recover_export` restores the ``old`` sibling in that
+    state; it runs at the start of every export, so the next export (or
+    an explicit reader-side call) self-heals.  The gap-free alternative
+    is the MutableTable versioned-dir scheme (current = max version, no
+    pointerless moment), which ``sources/table.py`` provides when the
+    export needs to be a mutable table rather than a swap-published
+    artifact."""
     from .layout import _hadoop_fs
 
     rows = training_shard_rows(survivors, **kw)
     spark = survivors.sparkSession
+    recover_export(spark, path)
     fs, hpath = _hadoop_fs(spark, path)
     jpath = spark._jvm.org.apache.hadoop.fs.Path
     parent = hpath.getParent()

@@ -174,6 +174,7 @@ class ServiceLoop:
     iterate_fn: object  # (state, results: dict[int, float]) -> (state, specs, done)
     deps: set = field(default_factory=set)  # outstanding dependency record_ids
     results: dict = field(default_factory=dict)  # record_id -> returned value
+    specs: dict = field(default_factory=dict)  # record_id -> spawning spec
     history: list = field(default_factory=list)  # per-iteration state snapshots
     status: str = "running"
     _next_ids: list = field(default_factory=lambda: [0, 0])  # [task_id, record_id] seeds
@@ -193,14 +194,18 @@ class ServiceLoop:
     def spawn(self, specs, tag: str = "service", program: str = "prog") -> list[int]:
         """Fan a list of dependency specs out as queue tasks + waiting
         records; returns the new record ids.  Each spec is an opaque
-        payload recorded alongside the task (the reference inserts
-        service_dependency rows + task rows in one transaction)."""
+        payload recorded alongside the task in ``self.specs[record_id]``
+        (the reference inserts service_dependency rows + task rows in
+        one transaction) — so ``iterate_fn`` / workers can associate a
+        finished dependency's result with the spec that produced it
+        (r11 ADVICE: specs were previously discarded)."""
         from datetime import datetime as _dt
 
         spark = self.queue.tasks.sparkSession
         new_rids = []
         rows = []
-        for i, _spec in enumerate(specs):
+        spec_list = list(specs)
+        for i, _spec in enumerate(spec_list):
             self._next_ids[0] += 1
             self._next_ids[1] += 1
             tid, rid = self._next_ids
@@ -223,9 +228,10 @@ class ServiceLoop:
             "sort_date timestamp, available boolean, required_programs array<string>",
         )
         self.queue.tasks = self.queue.tasks.unionByName(new_df)
-        for r in rows:
+        for r, spec in zip(rows, spec_list):
             self.queue.statuses[r[1]] = "waiting"
             self.deps.add(r[1])
+            self.specs[r[1]] = spec
             new_rids.append(r[1])
         return new_rids
 
@@ -238,6 +244,15 @@ class ServiceLoop:
         advanced (or finished) this cycle."""
         if not self.gate_fired():
             return False
+        missing = sorted(r for r in self.deps if r not in self.results)
+        if missing:
+            # a dependency reached 'complete' without record_result —
+            # a worker bug; fail with the record ids instead of the
+            # bare KeyError this used to raise (r11 ADVICE)
+            raise RuntimeError(
+                f"service dependencies {missing} completed without a "
+                "recorded result (worker must call record_result)"
+            )
         finished = {r: self.results[r] for r in self.deps}
         self.deps.clear()
         new_state, specs, done = self.iterate_fn(dict(self.service_state), finished)

@@ -130,3 +130,36 @@ def test_reexport_swaps_atomically(spark, tmp_path):
     assert leftovers == []
     assert len(fh.read()) > 0  # old snapshot bytes still readable
     fh.close()
+
+
+def test_crash_window_recovery_restores_old_export(spark, tmp_path):
+    """r11 ADVICE: a crash between the swap's two renames leaves both
+    siblings dot-prefixed — no visible dataset.  recover_export restores
+    the old artifact, and the next export self-heals the same state."""
+    from qcfractal_spark.sources.export import recover_export
+
+    surv = _survivors(spark)
+    path = str(tmp_path / "shards5")
+    export_training_shards(surv, path, n_shards=4)
+    n0 = spark.read.parquet(path).count()
+
+    # simulate the crash: path was renamed to .export_old_<leaf>, the
+    # tmp->path rename never ran
+    old = os.path.join(os.path.dirname(path), ".export_old_" + os.path.basename(path))
+    os.rename(path, old)
+    assert not os.path.exists(path)
+
+    assert recover_export(spark, path) is True
+    assert spark.read.parquet(path).count() == n0
+    assert recover_export(spark, path) is False  # idempotent no-op now
+
+    # the export itself also self-heals before swapping
+    os.rename(path, old)
+    export_training_shards(_survivors(spark, n=120), path, n_shards=4)
+    assert spark.read.parquet(path).count() == 120
+    leftovers = [
+        p
+        for p in os.listdir(os.path.dirname(path))
+        if p.startswith((".export_tmp_", ".export_old_"))
+    ]
+    assert leftovers == []

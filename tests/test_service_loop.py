@@ -164,3 +164,30 @@ def test_reaped_claim_keeps_gate_closed(spark):
     _drain(queue, loop, "live", values)
     assert set(values) == set(loop.deps)  # live worker got ALL deps, once each
     assert loop.iterate()
+
+
+def test_spawn_records_specs_and_iterate_fails_loudly_on_missing_result(spark):
+    """r11 ADVICE: each spawned dependency's spec is retrievable by its
+    record id (the reference's service_dependency row), and a dependency
+    that reaches 'complete' without record_result fails iterate() with a
+    clear error instead of a bare KeyError."""
+    import pytest
+
+    queue = _empty_queue(spark)
+    queue.register_manager("w1", programs=["prog"], tags=["service"])
+    loop = ServiceLoop(
+        queue=queue,
+        service_state={"level": 0, "total": 0.0},
+        iterate_fn=_mbe_iterate,
+    )
+    rids = loop.spawn([{"frag": "a"}, {"frag": "b"}])
+    assert [loop.specs[r] for r in rids] == [{"frag": "a"}, {"frag": "b"}]
+
+    # complete the deps but "forget" to record one result
+    claims = queue.claim("w1", limit=10)
+    for row in claims:
+        if row["record_id"] == rids[0]:
+            loop.record_result(rids[0], 1.0)
+        queue.return_task("w1", row["id"], row["record_id"], ok=True)
+    with pytest.raises(RuntimeError, match=f"{rids[1]}.*without a"):
+        loop.iterate()
