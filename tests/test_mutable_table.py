@@ -537,3 +537,109 @@ def test_seven_digit_versions_are_visible(spark, tmp_path):
     t = MutableTable(spark, str(p))
     assert t.current_version() == 1000000
     assert [e["version"] for e in t.history()] == [1000000, 999999]
+
+
+# -- S3-safe manifest claim strategy (VERDICT r11 item 1) ---------------------
+
+
+def test_manifest_claim_two_writers_race_one_wins_renameless(spark, tmp_path):
+    """The manifest strategy's claim is an exclusive create (put-if-absent
+    — S3's conditional PUT), NOT a rename: with os.rename forbidden
+    entirely (the rename-less mock FS), two writers racing the same base
+    version produce exactly one winner and one CommitConflictError, and
+    the winner's data is what reads back."""
+    import threading
+
+    from qcfractal_spark.sources import table as table_mod
+    from qcfractal_spark.sources.table import CommitConflictError
+
+    t = MutableTable(spark, str(tmp_path / "mrace"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(0, "seed")], "id long, v string"))
+    base = t.current_version()
+    stages = [
+        t._stage_df(spark.createDataFrame([(i, f"w{i}")], "id long, v string"))
+        for i in (1, 2)
+    ]
+
+    def no_rename(*a, **k):
+        raise AssertionError("os.rename must not be used by the manifest claim")
+
+    results: list = [None, None]
+    barrier = threading.Barrier(2)
+
+    def run(i):
+        barrier.wait()
+        try:
+            results[i] = ("ok", t._publish(stages[i], base))
+        except CommitConflictError as e:
+            results[i] = ("conflict", e)
+
+    orig = table_mod.os.rename
+    table_mod.os.rename = no_rename
+    try:
+        threads = [threading.Thread(target=run, args=(i,)) for i in (0, 1)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+    finally:
+        table_mod.os.rename = orig
+
+    outcomes = sorted(r[0] for r in results)
+    assert outcomes == ["conflict", "ok"], results
+    winner = [i for i in (0, 1) if results[i][0] == "ok"][0]
+    assert {r["v"] for r in t.read().collect()} == {f"w{winner + 1}"}
+    # the loser's stage was cleaned up; the winner's stage IS the data dir
+    assert t.current_version() == base + 1
+
+
+def test_manifest_threaded_mutations_no_lost_update(spark, tmp_path):
+    """Four concurrent insert_dedup writers on a manifest-strategy table:
+    the CAS retry loop serializes them — all rows survive, versions are
+    dense, and no v%06d directory is ever created."""
+    import os
+    import threading
+
+    t = MutableTable(spark, str(tmp_path / "mthread"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(0, "seed")], "id long, v string"))
+    errs: list = []
+    barrier = threading.Barrier(4)
+
+    def writer(i):
+        w = MutableTable(spark, t.path, commit_strategy="manifest")
+        barrier.wait()
+        try:
+            w.insert_dedup(
+                spark.createDataFrame([(i + 1, f"w{i}")], "id long, v string"),
+                ["id"],
+            )
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(4)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert errs == []
+    assert {r["id"] for r in t.read().collect()} == {0, 1, 2, 3, 4}
+    assert t.current_version() == 4  # dense serial order, no lost update
+    assert not any(
+        e.startswith("v") and e[1:].isdigit() for e in os.listdir(t.path)
+    )
+
+
+def test_manifest_time_travel_prune_and_vacuum(spark, tmp_path):
+    """Manifest arm keeps the full commit history in _commits (Delta-log
+    growth), prunes data to depth 1, never re-claims a version number,
+    and vacuum never sweeps a committed stage dir."""
+    t = MutableTable(spark, str(tmp_path / "mttl"), commit_strategy="manifest")
+    for i in range(4):
+        t.overwrite(spark.createDataFrame([(i,)], "id long"))
+    assert [e["version"] for e in t.history()] == [3, 2, 1, 0]
+    assert [e["pruned"] for e in t.history()] == [False, False, True, True]
+    assert {r["id"] for r in t.read(version=2).collect()} == {2}
+    with pytest.raises(FileNotFoundError):
+        t.read(version=0)
+    assert t.vacuum_stages(min_age_sec=0.0) == 0  # committed stages kept
+    assert {r["id"] for r in t.read().collect()} == {3}

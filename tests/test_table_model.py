@@ -50,7 +50,10 @@ def test_mutations_with_evolution_match_dict_model(spark, tmp_path_factory, scri
 
     def _row(i, v):
         if evolved:
-            return (i, v, None)  # tier defaults at read time
+            # existence-default (r11 ADVICE): an EXPLICIT NULL written
+            # after the add reads back NULL — only pre-add files fill
+            # with the default
+            return (i, v, None)
         return (i, v)
 
     for step_no, step in enumerate(script):
@@ -73,7 +76,7 @@ def test_mutations_with_evolution_match_dict_model(spark, tmp_path_factory, scri
             for i, v in rows:
                 model[i] = {"v": v}
                 if evolved:
-                    model[i]["tier"] = "std"  # NULL reads as the default
+                    model[i]["tier"] = None  # explicit NULL stays NULL
         elif kind == "delete":
             ids = step[1]
             t.delete_ids(ids, "id")
