@@ -66,9 +66,10 @@ class SingleWriterQueue:
 
     def claim(self, manager: str, limit: int) -> list[dict]:
         """Claim up to ``limit`` tasks for ``manager`` (tasks/socket.py:303-358):
-        eligibility + per-tag priority top-k run as a Spark plan; the
-        serialized section below only filters already-claimed/finished ids
-        and records the new claims.
+        eligibility (including the claimed/finished exclusion) + per-tag
+        priority top-k run as a Spark plan bounded by the claim size; the
+        serialized section below only records the new claims (the id
+        guard inside the loop is same-call defense, not the filter).
 
         Tags are claimed SEQUENTIALLY in the manager's preference order —
         the reference iterates the manager's tag list and fills the
@@ -79,13 +80,25 @@ class SingleWriterQueue:
         st = self.managers[manager]
         out: list[dict] = []
         tag_passes = ["*"] if "*" in st.tags else list(st.tags)
+        # fold the claimed/finished exclusion into the ELIGIBILITY frame
+        # so the top-k (and the collect) stays claim-sized instead of
+        # history-sized (r11 VERDICT: the old margin term
+        # `remaining + len(claimed) + len(finished)` grew every claim as
+        # tasks finished — the reference never sees this because it
+        # DELETEs task rows on completion, keeping its LIMIT claim-sized;
+        # the isin compiles to an In/InSet predicate pushed to the scan,
+        # and at deployment scale it is an anti-join against the
+        # broadcast claimed-set Delta table).
+        taken = set(self.claimed) | self.finished
+        frame = self.tasks
+        if taken:
+            frame = frame.where(~F.col("id").isin(sorted(taken)))
         for tag in tag_passes:
             remaining = limit - len(out)
             if remaining <= 0:
                 break
-            margin = remaining + len(self.claimed) + len(self.finished)
             eligible = priority_claim_topk(
-                self.tasks, margin, tags=[tag], available_programs=st.programs
+                frame, remaining, tags=[tag], available_programs=st.programs
             )
             # collect() returns rows in nondeterministic partition order;
             # the reference claims strictly by priority DESC, sort_date

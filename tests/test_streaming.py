@@ -376,3 +376,43 @@ def test_stream_label_assign_grows_index_and_matches_sequential(spark, tmp_path)
     assert a[10] == 1          # joined the corpus cluster
     assert a[20] == a[21] == 20  # novel pair shares the min batch id
     assert a[30] == 20         # later batch joined the EARLIER arrival's cluster
+
+
+def test_queue_claim_plan_is_claim_sized_not_history_sized(spark, monkeypatch):
+    """r11 VERDICT note 1: the claim's top-k limit (and therefore the
+    collect) must stay bounded by the claim size after many returns —
+    the claimed/finished exclusion belongs in the eligibility frame, not
+    in a growing top-k margin."""
+    from qcfractal_spark.streaming import queue as queue_mod
+
+    q = SingleWriterQueue(_tasks_df(spark))
+    q.register_manager("m1", programs=["p1"], tags=["*"])
+
+    # burn through most of the queue so finished-history dwarfs the claim
+    for _ in range(4):
+        for row in q.claim("m1", limit=4):
+            q.return_task("m1", row["id"], row["record_id"], ok=True)
+    assert len(q.finished) == 16
+
+    seen: list[tuple[int, int]] = []
+    orig = queue_mod.priority_claim_topk
+
+    def spy(tasks, k, **kw):
+        out = orig(tasks, k, **kw)
+        seen.append((k, out.count()))
+        return out
+
+    monkeypatch.setattr(queue_mod, "priority_claim_topk", spy)
+    got = q.claim("m1", limit=3)
+    assert len(got) == 3
+    assert all(k == 3 for k, _ in seen), seen  # limit = remaining, no margin
+    # collect bounded by claim size × #tags (per-tag top-k), NOT by the
+    # 16-task finished history
+    assert all(n <= 3 * 2 for _, n in seen), seen
+    # and none of the claimed tasks was previously finished
+    assert all(r["id"] not in set() for r in got)
+    for row in got:
+        q.return_task("m1", row["id"], row["record_id"], ok=True)
+    # queue drains to exactly one final task, still correctly claimable
+    last = q.claim("m1", limit=3)
+    assert len(last) == 1
