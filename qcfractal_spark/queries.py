@@ -382,6 +382,137 @@ ORDER BY scheduled_date ASC, job_id ASC LIMIT 10
 """
 
 
+def q_o8_waiting_reason(spark, sf_dir):
+    """O8 (VERDICT r11 item 3; reference record_socket.py:1574-1629,
+    route record_routes.py:72): the "why is my record still waiting"
+    diagnostic, set-oriented — the reference classifies ONE record by
+    walking the active-manager list; here ALL records classify in one
+    plan (operators/diagnostics.py:waiting_reasons): eligible records
+    LEFT-join the broadcast manager table, per-pair verdicts are the P7
+    program-subset algebra + tag membership, and a groupBy folds them
+    into the reference's exact reason strings with per-verdict counts
+    (the set fold of its ``details`` dict).
+
+    Records/tasks synthesized from orders: status O→waiting, P→running,
+    else complete; every 50th record is a service; every 97th lacks a
+    task row (the developer-error arm); tag t{custkey%6}; programs
+    psi4 (+dftd3 if custkey%3==0, +mp2 if custkey%7==0).  The manager
+    fixture is 5 literal rows, one inactive — operator-count-sized,
+    broadcast; the record side never shuffles, so the plan is linear in
+    |records| at any scale."""
+    from .operators.diagnostics import waiting_reasons
+
+    orders = _t(spark, sf_dir, "orders")
+    req = F.array_compact(
+        F.array(
+            F.lit("psi4"),
+            F.when(F.col("o_custkey") % 3 == 0, F.lit("dftd3")),
+            F.when(F.col("o_custkey") % 7 == 0, F.lit("mp2")),
+        )
+    )
+    recs = orders.select(
+        F.col("o_orderkey").alias("record_id"),
+        F.when(F.col("o_orderstatus") == "O", F.lit("waiting"))
+        .when(F.col("o_orderstatus") == "P", F.lit("running"))
+        .otherwise(F.lit("complete"))
+        .alias("status"),
+        (F.col("o_orderkey") % 50 == 0).alias("is_service"),
+        F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string"))
+        .otherwise(F.concat(F.lit("t"), (F.col("o_custkey") % 6).cast("string")))
+        .alias("compute_tag"),
+        F.when(
+            F.col("o_orderkey") % 97 == 0, F.lit(None).cast("array<string>")
+        )
+        .otherwise(req)
+        .alias("required_programs"),
+    )
+    managers = spark.createDataFrame(
+        [
+            ("m1", ["psi4", "dftd3", "mp2"], ["t0", "t1"], True),
+            ("m2", ["psi4"], ["*"], True),
+            ("m3", ["psi4", "dftd3"], ["t2", "t3"], True),
+            ("m4", ["psi4", "dftd3", "mp2"], ["t4"], True),
+            ("m5", ["psi4", "dftd3", "mp2"], ["*"], False),
+        ],
+        "m_name string, m_programs array<string>, m_tags array<string>, "
+        "m_active boolean",
+    )
+    return waiting_reasons(recs, managers)
+
+
+SQL_O8 = """
+WITH recs AS (
+  SELECT o_orderkey AS record_id,
+         CASE o_orderstatus WHEN 'O' THEN 'waiting'
+                            WHEN 'P' THEN 'running'
+                            ELSE 'complete' END AS status,
+         (o_orderkey % 50 = 0) AS is_service,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE 't' || CAST(o_custkey % 6 AS VARCHAR) END AS compute_tag,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE list_filter(
+                     ['psi4',
+                      CASE WHEN o_custkey % 3 = 0 THEN 'dftd3' END,
+                      CASE WHEN o_custkey % 7 = 0 THEN 'mp2' END],
+                     x -> x IS NOT NULL) END AS required_programs
+  FROM orders
+),
+managers AS (
+  SELECT * FROM (VALUES
+    ('m1', ['psi4','dftd3','mp2'], ['t0','t1'], TRUE),
+    ('m2', ['psi4'], ['*'], TRUE),
+    ('m3', ['psi4','dftd3'], ['t2','t3'], TRUE),
+    ('m4', ['psi4','dftd3','mp2'], ['t4'], TRUE),
+    ('m5', ['psi4','dftd3','mp2'], ['*'], FALSE)
+  ) AS t(m_name, m_programs, m_tags, m_active)
+),
+early AS (
+  SELECT record_id,
+         CASE WHEN is_service THEN 'Record is a service'
+              WHEN status <> 'waiting' THEN 'Record is not waiting'
+              ELSE 'Missing task? This is a developer error' END AS reason,
+         CAST(0 AS BIGINT) AS n_missing_programs,
+         CAST(0 AS BIGINT) AS n_wrong_tag,
+         CAST(0 AS BIGINT) AS n_busy
+  FROM recs
+  WHERE is_service OR status <> 'waiting' OR compute_tag IS NULL
+),
+pairs AS (
+  SELECT r.record_id,
+         CASE WHEN m.m_name IS NULL THEN NULL
+              WHEN len(list_filter(r.required_programs,
+                                   x -> NOT list_contains(m.m_programs, x))) > 0
+                THEN 'missing_programs'
+              WHEN NOT (list_contains(m.m_tags, r.compute_tag)
+                        OR list_contains(m.m_tags, '*'))
+                THEN 'wrong_tag'
+              ELSE 'busy' END AS v
+  FROM recs r
+  LEFT JOIN (SELECT * FROM managers WHERE m_active) m ON TRUE
+  WHERE NOT r.is_service AND r.status = 'waiting' AND r.compute_tag IS NOT NULL
+),
+agg AS (
+  SELECT record_id,
+         CAST(COALESCE(SUM(CASE WHEN v = 'missing_programs' THEN 1 END), 0) AS BIGINT)
+           AS n_missing_programs,
+         CAST(COALESCE(SUM(CASE WHEN v = 'wrong_tag' THEN 1 END), 0) AS BIGINT)
+           AS n_wrong_tag,
+         CAST(COALESCE(SUM(CASE WHEN v = 'busy' THEN 1 END), 0) AS BIGINT)
+           AS n_busy,
+         COUNT(v) AS n_mgr
+  FROM pairs GROUP BY record_id
+)
+SELECT record_id, reason, n_missing_programs, n_wrong_tag, n_busy FROM early
+UNION ALL
+SELECT record_id,
+       CASE WHEN n_mgr = 0 THEN 'No active managers'
+            WHEN n_busy > 0 THEN 'Waiting for a free manager'
+            ELSE 'No manager matches programs & tags' END AS reason,
+       n_missing_programs, n_wrong_tag, n_busy
+FROM agg
+"""
+
+
 def q_j2_subspec_join(spark, sf_dir):
     """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
     chain record → spec → subspec through the join-ELISION builder
@@ -1145,6 +1276,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j1_dim_join": (q_j1_dim_join, SQL_J1),
     "j2_subspec_join": (q_j2_subspec_join, SQL_J2),
     "o7_serial_claim": (q_o7_serial_claim, SQL_O7),
+    "o8_waiting_reason": (q_o8_waiting_reason, SQL_O8),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),

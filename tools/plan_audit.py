@@ -81,7 +81,12 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        "tx_kn_mod",
                        # 1-row (tot_docs, tot_toks) scalar crossed onto
                        # the ≤1001-row threshold-bucket relation (0.001 grid)
-                       "tx_quality_sweep"}
+                       "tx_quality_sweep",
+                       # waiting-reason manager walk: LEFT join on TRUE
+                       # against the broadcast 4-row active-manager table
+                       # (LEFT so zero-manager classifies; build side is
+                       # operator-count-sized by contract)
+                       "o8_waiting_reason"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
