@@ -283,31 +283,71 @@ def spec_chain_join(
     sides BEFORE the broadcast, shrinking what ships.
 
     Returns the record columns plus the requested spec/subspec columns.
+    Delegates to :func:`spec_chain_join_n`, the N-level generalization
+    (VERDICT r11 item 4) — the reference also has 3-level chains
+    (torsiondrive/neb/gridoptimization → optimization_spec → qc_spec).
     """
-    spec_cols = list(spec_cols or [])
-    subspec_cols = list(subspec_cols or [])
-    need_sub = subspec_filter is not None or bool(subspec_cols)
-    need_spec = need_sub or spec_filter is not None or bool(spec_cols)
+    return spec_chain_join_n(
+        records,
+        [
+            {
+                "df": spec,
+                "key": record_spec_key,
+                "cols": spec_cols,
+                "filter": spec_filter,
+            },
+            {
+                "df": subspec,
+                "key": spec_subspec_key,
+                "cols": subspec_cols,
+                "filter": subspec_filter,
+            },
+        ],
+    )
+
+
+def spec_chain_join_n(records: DataFrame, levels: Sequence[dict]) -> DataFrame:
+    """N-level specification chain with join ELISION (VERDICT r11 item 4;
+    the reference's 3-level chains: torsiondrive/neb/gridoptimization →
+    optimization_spec → qc_spec, e.g.
+    torsiondrive/record_socket.py — the same lazily-built statement shape
+    as the 2-level J2).
+
+    ``levels[i]`` is ``{"df": DataFrame, "key": (parent_col, child_col),
+    "cols": [...], "filter": Column | None}`` — ``key[0]`` names the join
+    column on the PARENT side (the record relation for level 0, level
+    i-1's df otherwise), ``key[1]`` the column on this level's df.
+
+    Elision rule, matching the reference: level i joins iff it is needed
+    itself (``filter``/``cols``) OR it bridges to a deeper needed level —
+    i.e. the chain joins exactly levels ``0..deepest_needed`` and nothing
+    past it; with nothing needed, the plan is the bare record scan (zero
+    joins).  Every joined level is broadcast and filtered BEFORE the
+    broadcast, so the record side never shuffles at any depth.
+    """
+    lvls = [
+        {
+            "df": l["df"],
+            "key": l["key"],
+            "cols": list(l.get("cols") or []),
+            "filter": l.get("filter"),
+        }
+        for l in levels
+    ]
+    deepest = -1
+    for i, l in enumerate(lvls):
+        if l["filter"] is not None or l["cols"]:
+            deepest = i
     rec_cols = [records[c] for c in records.columns]
     out = records
-    if need_spec:
-        s = spec.where(spec_filter) if spec_filter is not None else spec
-        out = out.join(
-            F.broadcast(s), records[record_spec_key[0]] == s[record_spec_key[1]]
-        )
-        if need_sub:
-            ss = (
-                subspec.where(subspec_filter)
-                if subspec_filter is not None
-                else subspec
-            )
-            out = out.join(
-                F.broadcast(ss), s[spec_subspec_key[0]] == ss[spec_subspec_key[1]]
-            )
-            return out.select(
-                *rec_cols,
-                *[s[c] for c in spec_cols],
-                *[ss[c] for c in subspec_cols],
-            )
-        return out.select(*rec_cols, *[s[c] for c in spec_cols])
-    return out.select(*rec_cols)
+    parent = records
+    joined: list[tuple[DataFrame, list[str]]] = []
+    for i in range(deepest + 1):
+        l = lvls[i]
+        d = l["df"].where(l["filter"]) if l["filter"] is not None else l["df"]
+        out = out.join(F.broadcast(d), parent[l["key"][0]] == d[l["key"][1]])
+        joined.append((d, l["cols"]))
+        parent = d
+    return out.select(
+        *rec_cols, *[d[c] for d, cols in joined for c in cols]
+    )

@@ -551,6 +551,61 @@ WHERE n_name >= 'J' AND r_name IN ('ASIA', 'EUROPE')
 """
 
 
+def q_j17_spec_chain3(spark, sf_dir):
+    """J2's 3-LEVEL analog (VERDICT r11 item 4; the reference's
+    torsiondrive/neb/gridoptimization → optimization_spec → qc_spec
+    chains, SURVEY §2.3 J2 row) through the N-level elision builder
+    (operators/joins.py:spec_chain_join_n).  orders → customer → nation
+    → region stands in for record → spec → subspec → subsubspec; every
+    level carries a filter and a projection so the full 3-join chain
+    materializes — each level broadcast and pre-filtered, the record
+    (orders) side never shuffles.  Depth-wise elision (0/1/2/3 joins)
+    is pinned by tests/test_spec_chain.py plan assertions."""
+    from .operators.joins import spec_chain_join_n
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    out = spec_chain_join_n(
+        orders.select("o_orderkey", "o_orderstatus", "o_custkey"),
+        [
+            {
+                "df": cust,
+                "key": ("o_custkey", "c_custkey"),
+                "cols": ["c_mktsegment"],
+                "filter": F.col("c_mktsegment").isin("BUILDING", "MACHINERY"),
+            },
+            {
+                "df": nation,
+                "key": ("c_nationkey", "n_nationkey"),
+                "cols": ["n_name"],
+                "filter": F.col("n_name") >= "J",
+            },
+            {
+                "df": region,
+                "key": ("n_regionkey", "r_regionkey"),
+                "cols": ["r_name"],
+                "filter": F.col("r_name").isin("ASIA", "EUROPE"),
+            },
+        ],
+    )
+    return out.select(
+        "o_orderkey", "o_orderstatus", "c_mktsegment", "n_name", "r_name"
+    )
+
+
+SQL_J17 = """
+SELECT o_orderkey, o_orderstatus, c_mktsegment, n_name, r_name
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+  AND n_name >= 'J' AND r_name IN ('ASIA', 'EUROPE')
+"""
+
+
 def q_j9_anti_join(spark, sf_dir):
     """J9/U4: anti-join — keys with no match (insert dedup "missing" set,
     helpers.py:663-694): customers with no high-value order."""
@@ -1275,6 +1330,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "p8_int_or_name": (q_p8_int_or_name, SQL_P8),
     "j1_dim_join": (q_j1_dim_join, SQL_J1),
     "j2_subspec_join": (q_j2_subspec_join, SQL_J2),
+    "j17_spec_chain3": (q_j17_spec_chain3, SQL_J17),
     "o7_serial_claim": (q_o7_serial_claim, SQL_O7),
     "o8_waiting_reason": (q_o8_waiting_reason, SQL_O8),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
