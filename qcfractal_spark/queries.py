@@ -513,6 +513,120 @@ FROM agg
 """
 
 
+def q_o9_service_replay(spark, sf_dir):
+    """T5 under the hash gate (VERDICT r11 item 5; reference
+    services/socket.py:65-300): an end-to-end ServiceLoop replay — a
+    3-level service (fan-out 3/2/1, the many-body shape) driven through
+    SingleWriterQueue claim/return cycles, where each dependency's
+    "computation" is a decimal-exact aggregate over an events bucket
+    (``SUM(value::decimal)`` for ``event_id % 7 == (3·level+i) % 7``).
+    The returned relation is the per-iteration state history (consumed
+    count, consumed sum, cumulative service total, done flag) plus the
+    record-status fold read from the REAL queue statuses — the
+    g1_pagerank iterative-oracle pattern applied to queue state.  One
+    Spark scan computes all six bucket results (7-row collect); every
+    other value is queue/service machinery whose outcome the unrolled
+    oracle CTEs recompute independently.  Workers associate results to
+    specs via ``ServiceLoop.specs`` (the r11 ADVICE fix)."""
+    from decimal import Decimal
+
+    from .streaming.queue import ServiceLoop, SingleWriterQueue
+
+    events = _t(spark, sf_dir, "events")
+    buckets = {
+        int(r["b"]): r["s"]
+        for r in events.groupBy((F.col("event_id") % 7).alias("b"))
+        .agg(F.sum(F.col("value").cast("decimal(20,6)")).alias("s"))
+        .collect()
+    }
+    fan = {0: 3, 1: 2, 2: 1}
+
+    def iterate(state, results):
+        level = state["level"]
+        total = state["total"] + sum(results.values(), Decimal(0))
+        if level >= 3:
+            return {"level": level, "total": total}, [], True
+        specs = [(3 * level + i) % 7 for i in range(fan[level])]
+        return {"level": level + 1, "total": total}, specs, False
+
+    queue = SingleWriterQueue(
+        tasks=spark.createDataFrame(
+            [],
+            "id long, record_id long, compute_tag string, compute_priority int, "
+            "sort_date timestamp, available boolean, required_programs array<string>",
+        )
+    )
+    queue.register_manager("m", programs=["prog"], tags=["*"])
+    loop = ServiceLoop(
+        queue=queue,
+        service_state={"level": 0, "total": Decimal(0)},
+        iterate_fn=iterate,
+    )
+    rows = []
+    prev_total = Decimal(0)
+    while loop.status == "running":
+        if not loop.iterate():
+            raise RuntimeError("service gate failed to fire")  # pragma: no cover
+        h = loop.history[-1]
+        total = h["state"]["total"]
+        n_complete = sum(
+            1 for s in queue.statuses.values() if s == "complete"
+        )
+        rows.append(
+            (
+                len(loop.history) - 1,
+                len(h["consumed"]),
+                float(total - prev_total),
+                float(total),
+                bool(h["done"]),
+                n_complete,
+            )
+        )
+        prev_total = total
+        if h["done"]:
+            break
+        for t in queue.claim("m", limit=10):
+            rid = t["record_id"]
+            loop.record_result(rid, buckets.get(loop.specs[rid], Decimal(0)))
+            queue.return_task("m", t["id"], rid, ok=True)
+    return spark.createDataFrame(
+        rows,
+        "iteration bigint, n_consumed bigint, consumed_sum double, "
+        "total double, done boolean, n_complete bigint",
+    )
+
+
+SQL_O9 = """
+WITH b AS (
+  SELECT CAST(event_id % 7 AS BIGINT) AS bucket,
+         SUM(CAST(value AS DECIMAL(20,6))) AS s
+  FROM events GROUP BY 1
+),
+v AS (
+  SELECT
+    COALESCE(MAX(CASE WHEN bucket = 0 THEN s END), 0) AS s0,
+    COALESCE(MAX(CASE WHEN bucket = 1 THEN s END), 0) AS s1,
+    COALESCE(MAX(CASE WHEN bucket = 2 THEN s END), 0) AS s2,
+    COALESCE(MAX(CASE WHEN bucket = 3 THEN s END), 0) AS s3,
+    COALESCE(MAX(CASE WHEN bucket = 4 THEN s END), 0) AS s4,
+    COALESCE(MAX(CASE WHEN bucket = 6 THEN s END), 0) AS s6
+  FROM b
+)
+SELECT CAST(0 AS BIGINT) AS iteration, CAST(0 AS BIGINT) AS n_consumed,
+       CAST(0 AS DOUBLE) AS consumed_sum, CAST(0 AS DOUBLE) AS total,
+       FALSE AS done, CAST(0 AS BIGINT) AS n_complete
+UNION ALL
+SELECT 1, 3, CAST(s0 + s1 + s2 AS DOUBLE), CAST(s0 + s1 + s2 AS DOUBLE),
+       FALSE, 3 FROM v
+UNION ALL
+SELECT 2, 2, CAST(s3 + s4 AS DOUBLE), CAST(s0 + s1 + s2 + s3 + s4 AS DOUBLE),
+       FALSE, 5 FROM v
+UNION ALL
+SELECT 3, 1, CAST(s6 AS DOUBLE),
+       CAST(s0 + s1 + s2 + s3 + s4 + s6 AS DOUBLE), TRUE, 6 FROM v
+"""
+
+
 def q_j2_subspec_join(spark, sf_dir):
     """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
     chain record → spec → subspec through the join-ELISION builder
@@ -1333,6 +1447,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "j17_spec_chain3": (q_j17_spec_chain3, SQL_J17),
     "o7_serial_claim": (q_o7_serial_claim, SQL_O7),
     "o8_waiting_reason": (q_o8_waiting_reason, SQL_O8),
+    "o9_service_replay": (q_o9_service_replay, SQL_O9),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),

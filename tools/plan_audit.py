@@ -208,7 +208,12 @@ BOUNDED_COLLECT_OK = {
 # not representative, audit is covered by operator tests.
 SKIP = {"j8_closure", "g1_pagerank", "tx_bpe_merges",
         "tx_bpe_encode", "u13_coreset", "tx_unigram_tok",
-        "tx_unigram_encode", "u14_doremi"}  # iterative driver
+        "tx_unigram_encode", "u14_doremi",
+        # service-loop replay: the relation is assembled from per-
+        # iteration Spark aggregate results (queue claims + one bucket
+        # scan); the bucket aggregate and claim top-k plans are audited
+        # via t3/o2's shapes and the queue pytests
+        "o9_service_replay"}  # iterative driver
 # loops: the returned DataFrame is the last loop step over checkpointed
 # scans.  tx_unigram_tok's per-word candidate collect_list is bounded by
 # max_word_len × max_piece_len = 48 entries (UNIGRAM_PARAMS) and its two
