@@ -525,6 +525,105 @@ def ivf_topk_batch(
     )
 
 
+def ivf_recall_by_probe(
+    queries: DataFrame,
+    assigned: DataFrame,
+    centroids: Sequence[Sequence[float]],
+    k: int = 10,
+    probe_levels: Sequence[int] = (1, 2, 4, 8, 16),
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "embedding",
+    round_to: int = 6,
+) -> DataFrame:
+    """Measured recall@k of the IVF probe at EVERY probe budget in one
+    pass — the tuning report a deployment runs before fixing ``n_probe``
+    corpus-wide (the :func:`~..queries.q_dd_lsh_recall_eval` methodology
+    on the vector side).
+
+    Identity that makes one scan suffice: restricting candidates to a
+    subset can only IMPROVE a surviving row's rank, so a row of the exact
+    (brute-force) top-k is in the IVF top-k at probe budget ``p`` iff its
+    inverted list ranks ≤ ``p`` for that query — no per-budget top-k
+    reruns, hits(p) is a cumulative count over the truth rows.  Recall is
+    therefore monotone in ``p`` by construction and exactly 1.0 once
+    ``p`` ≥ n_centroids (every list rank qualifies).
+
+    Plan: queries × broadcast centroid table → per-query list rank (same
+    cosine + tie-break as :func:`ivf_topk_batch`, so the measured curve
+    describes exactly what serving does); ONE equi-join of the (tiny,
+    broadcast) ranked-probe table with the assigned vectors on ``_cid``
+    — the fact side never shuffles and, against a persisted index, the
+    truth pass is the only full-list scan, bounded by the query SAMPLE
+    size, not the corpus.  Truth = per-query window top-k; the report
+    folds truth × probe-budget literals (|sample|·k·|levels| rows).
+    """
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
+    cent_df = spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("_qv"),
+    )
+    ranked = (
+        q.join(F.broadcast(cent_df))
+        .select(
+            "query_id",
+            "_qv",
+            "cid",
+            cosine(F.col("_qv"), F.col("centroid")).alias("_cs"),
+        )
+        .withColumn(
+            "_prank",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(
+                    F.col("_cs").desc(), F.col("cid").asc()
+                )
+            ),
+        )
+        .select("query_id", "_qv", F.col("cid").alias("_cid"), "_prank")
+    )
+    scored = assigned.join(F.broadcast(ranked), on="_cid").select(
+        "query_id",
+        F.col(id_col),
+        "_prank",
+        F.round(cosine(F.col(vec_col), F.col("_qv")), round_to).alias("score"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    truth = (
+        scored.withColumn("_rk", F.row_number().over(wk))
+        .where(F.col("_rk") <= k)
+        .select("query_id", "_prank")
+    )
+    levels = F.explode(
+        F.array(*[F.lit(int(p)) for p in probe_levels])
+    ).alias("n_probe")
+    return (
+        truth.select("query_id", "_prank", levels)
+        .groupBy("n_probe")
+        .agg(
+            F.countDistinct("query_id").alias("n_queries"),
+            F.sum(
+                F.when(F.col("_prank") <= F.col("n_probe"), 1).otherwise(0)
+            ).alias("n_hits"),
+        )
+        .select(
+            "n_probe",
+            "n_queries",
+            "n_hits",
+            F.round(
+                F.col("n_hits") / (F.lit(k) * F.col("n_queries")), round_to
+            ).alias("recall"),
+        )
+        .orderBy("n_probe")
+    )
+
+
 def knn_join_bucketed(
     left: DataFrame,
     right: DataFrame,

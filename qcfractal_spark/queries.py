@@ -4440,6 +4440,25 @@ def q_pipe_prepare(spark, sf_dir):
     rationale as _capped_shingles).  The oracle replays all five stages —
     URL canonicalization, scoring arithmetic, banding, and a
     recursive-CTE closure — in DuckDB."""
+    stages = pipe_stage_relations(spark, sf_dir)
+    return stages["final"].select(
+        F.col("id").alias("doc_id"), "source", "n_tokens", "quality"
+    )
+
+
+def pipe_stage_relations(spark, sf_dir) -> dict:
+    """The prep pipeline's stage relations, built ONCE and shared by the
+    pipeline output (q_pipe_prepare consumes ``final``) and the
+    stage-retention funnel (q_pipe_funnel folds all four) — the
+    executable form of "relations the pipeline materializes anyway": a
+    run that already holds these frames hands them to the funnel and
+    pays only four map-combinable aggregates, zero recomputed stages
+    (equality between the reuse and recompute arms is pytest-pinned).
+
+    Returns {"raw": all documents, "url_docs": post URL-dedup,
+    "kept": post language+quality filter (carries ``n_tokens``),
+    "final": near-dup cluster representatives (``doc_id`` renamed
+    ``id``)}."""
     from .functions import urls
 
     docs = _t(spark, sf_dir, "documents")
@@ -4449,10 +4468,10 @@ def q_pipe_prepare(spark, sf_dir):
         .groupBy("_canon")
         .agg(F.min("doc_id").alias("doc_id"))
     )
-    docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
+    url_docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
     t = F.col("text")
     kept = (
-        docs.select(
+        url_docs.select(
             "doc_id",
             "source",
             "text",
@@ -4466,12 +4485,12 @@ def q_pipe_prepare(spark, sf_dir):
     sigs = dd.minhash_signatures(kept)
     edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=False)
     comp = graph.connected_components(edges, "id_a", "id_b", approx_edges=edges.count())
-    return (
+    final = (
         kept.withColumnRenamed("doc_id", "id")
         .join(comp, "id", "left")
         .where(F.coalesce("component", F.col("id")) == F.col("id"))
-        .select(F.col("id").alias("doc_id"), "source", "n_tokens", "quality")
     )
+    return {"raw": docs, "url_docs": url_docs, "kept": kept, "final": final}
 
 
 def _pipe_oracle_sql() -> str:
@@ -4552,7 +4571,7 @@ SQL_PIPE = _pipe_oracle_sql()
 REGISTRY["pipe_prepare"] = (q_pipe_prepare, SQL_PIPE)
 
 
-def q_pipe_funnel(spark, sf_dir):
+def q_pipe_funnel(spark, sf_dir, stages=None):
     """PIPE+ (beyond-reference observability): the stage-RETENTION
     funnel over the prep pipeline — the report every data-curation run
     publishes (the FineWeb/C4 papers lead with exactly this table): one
@@ -4560,16 +4579,18 @@ def q_pipe_funnel(spark, sf_dir):
     canonicalization) with exact surviving doc counts, token volumes,
     and retention percentages.
 
-    The stage relations ARE q_pipe_prepare's stages (same functions,
-    same filter constants — and the oracle composes the same shared CTE
-    chain via _pipe_ctes, so the two queries cannot drift); each stage
-    aggregates to one row, unioned.  The expensive near-dup stage runs
-    once; the scored/kept relation is checkpoint-shared exactly as in
-    pipe_prepare.  100 TB story: four map-combinable count/sum
-    aggregates over relations the pipeline materializes anyway."""
-    from .functions import urls
-
-    docs = _t(spark, sf_dir, "documents")
+    The stage relations ARE q_pipe_prepare's stages — both consume ONE
+    shared builder (pipe_stage_relations; and the oracle composes the
+    same shared CTE chain via _pipe_ctes, so the two queries cannot
+    drift); each stage aggregates to one row, unioned.  The expensive
+    near-dup stage runs once; the scored/kept relation is
+    checkpoint-shared exactly as in pipe_prepare.  A pipeline run that
+    already holds the stage frames passes them via ``stages`` and the
+    funnel recomputes NOTHING (reuse ≡ recompute, pytest-pinned).
+    100 TB story: four map-combinable count/sum aggregates over
+    relations the pipeline materializes anyway."""
+    if stages is None:
+        stages = pipe_stage_relations(spark, sf_dir)
     t = F.col("text")
 
     def _stage_agg(df, stage, name, tok_col):
@@ -4580,41 +4601,12 @@ def q_pipe_funnel(spark, sf_dir):
             F.sum(tok_col).cast("bigint").alias("sum_tokens"),
         )
 
-    s0 = _stage_agg(docs, 0, "raw", tx.token_count(t))
-    canon = urls.canonical_url(F.expr(_SYNTH_URL_EXPR))
-    keeper_ids = (
-        docs.select("doc_id", canon.alias("_canon"))
-        .groupBy("_canon")
-        .agg(F.min("doc_id").alias("doc_id"))
-    )
-    url_docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
-    s1 = _stage_agg(url_docs, 1, "url_dedup", tx.token_count(t))
-    kept = (
-        url_docs.select(
-            "doc_id",
-            "source",
-            "text",
-            tx.lang_id(t).alias("lang_pred"),
-            tx.quality_score(t).alias("quality"),
-            tx.token_count(t).alias("n_tokens"),
-        )
-        .where((F.col("lang_pred") == "en") & (F.col("quality") >= 0.93))
-        .localCheckpoint(eager=False)
-    )
-    s2 = _stage_agg(kept, 2, "lang_quality", F.col("n_tokens"))
-    sigs = dd.minhash_signatures(kept)
-    edges = dd.minhash_lsh_star_edges(sigs).localCheckpoint(eager=False)
-    comp = graph.connected_components(
-        edges, "id_a", "id_b", approx_edges=edges.count()
-    )
-    final = (
-        kept.withColumnRenamed("doc_id", "id")
-        .join(comp, "id", "left")
-        .where(F.coalesce("component", F.col("id")) == F.col("id"))
-    )
-    s3 = _stage_agg(final, 3, "neardup_canon", F.col("n_tokens"))
+    s0 = _stage_agg(stages["raw"], 0, "raw", tx.token_count(t))
+    s1 = _stage_agg(stages["url_docs"], 1, "url_dedup", tx.token_count(t))
+    s2 = _stage_agg(stages["kept"], 2, "lang_quality", F.col("n_tokens"))
+    s3 = _stage_agg(stages["final"], 3, "neardup_canon", F.col("n_tokens"))
     funnel = s0.unionByName(s1).unionByName(s2).unionByName(s3)
-    raw = docs.agg(F.count(F.lit(1)).alias("n_raw"))
+    raw = stages["raw"].agg(F.count(F.lit(1)).alias("n_raw"))
     return (
         funnel.crossJoin(F.broadcast(raw))
         .withColumn(
@@ -7578,6 +7570,93 @@ SELECT vec_id, score FROM scored ORDER BY score DESC, vec_id ASC LIMIT 10
 REGISTRY["sim_filtered_topk"] = (q_sim_filtered_topk, SQL_SIM_FILTERED)
 
 
+def q_sim_ivf_recall_eval(spark, sf_dir):
+    """SIM+ (beyond-reference): IVF probe-budget evaluation — recall@10
+    vs brute-force truth at EVERY probe budget (1/2/4/8/16) over a
+    deterministic ~2% query sample (vec_id % 50 == 3), in one pass
+    (functions/similarity.py:ivf_recall_by_probe).  The vector-side
+    twin of dd_lsh_recall_eval: the report a deployment reads before
+    fixing ``n_probe`` corpus-wide, measured against the PERSISTED
+    index (shared _ivf_index_dir artifact — the quantizer never
+    re-runs), so the curve describes exactly what serving does.  The
+    truth scan is bounded by the query sample, not the corpus; the
+    probe-rank table broadcasts; the oracle replays the identical
+    k-means build via the shared _ivf_build_parts CTEs."""
+    path = _ivf_index_dir(spark, sf_dir)
+    cent = {
+        r["cid"]: list(r["centroid"])
+        for r in spark.read.parquet(f"{path}/centroids").collect()
+    }
+    centroids = [cent[i] for i in range(len(cent))]
+    vectors = spark.read.parquet(f"{path}/vectors")
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return sim.ivf_recall_by_probe(qs, vectors, centroids, k=10)
+
+
+def _ivf_recall_oracle_sql(n_centroids: int = 16, n_iter: int = 2,
+                           dim: int = 64, k: int = 10, mod: int = 50,
+                           rem: int = 3,
+                           levels: tuple = (1, 2, 4, 8, 16)) -> str:
+    """DuckDB mirror of q_sim_ivf_recall_eval: the shared k-means build
+    (_ivf_build_parts, byte-identical quantizer replay), per-query
+    centroid ranks, brute-force truth top-k, and the cumulative
+    hits-per-budget fold (a truth row is an IVF hit at budget p iff its
+    list ranks <= p — same identity as the Spark plan)."""
+    parts = _ivf_build_parts(n_centroids, n_iter, dim)
+    cf = f"c{n_iter}"
+    parts.append(
+        f"qs AS (SELECT vec_id AS query_id, v AS qv FROM e "
+        f"WHERE vec_id % {mod} = {rem})"
+    )
+    parts.append(f"""cr AS (
+  SELECT query_id, qv, cid, prank FROM (
+    SELECT q.query_id, q.qv, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+                              ORDER BY list_dot_product(c.v, q.qv)
+                                       / (sqrt(list_dot_product(q.qv, q.qv))
+                                          * sqrt(list_dot_product(c.v, c.v))) DESC,
+                                       c.cid ASC) AS prank
+    FROM qs q, {cf} c) t
+)""")
+    parts.append(f"""sc AS (
+  SELECT r.query_id, a.vec_id, r.prank,
+         ROUND(list_dot_product(a.v, r.qv)
+               / (sqrt(list_dot_product(a.v, a.v))
+                  * sqrt(list_dot_product(r.qv, r.qv))), 6) AS score
+  FROM afin a JOIN cr r ON r.cid = a.cid
+)""")
+    parts.append(f"""truth AS (
+  SELECT query_id, prank FROM (
+    SELECT query_id, prank,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, vec_id ASC) AS rk
+    FROM sc) t WHERE rk <= {k}
+)""")
+    lv = ", ".join(f"({p})" for p in levels)
+    body = ",\n".join(parts)
+    return f"""{body},
+lv AS (SELECT * FROM (VALUES {lv}) t(n_probe))
+SELECT lv.n_probe,
+       COUNT(DISTINCT truth.query_id) AS n_queries,
+       CAST(SUM(CASE WHEN truth.prank <= lv.n_probe THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       ROUND(CAST(SUM(CASE WHEN truth.prank <= lv.n_probe THEN 1 ELSE 0 END)
+                  AS DOUBLE)
+             / ({k} * COUNT(DISTINCT truth.query_id)), 6) AS recall
+FROM truth, lv
+GROUP BY lv.n_probe
+ORDER BY n_probe
+"""
+
+
+SQL_SIM_IVF_RECALL = _ivf_recall_oracle_sql()
+
+REGISTRY["sim_ivf_recall_eval"] = (q_sim_ivf_recall_eval, SQL_SIM_IVF_RECALL)
+
+
 def q_dd_cap_duplicates(spark, sf_dir):
     """DD+ (beyond-reference): soft dedup by duplicate capping — keep at
     most 2 members of every near-dup cluster (seeded-hash rank, so the
@@ -8989,7 +9068,7 @@ REGISTRY["tx_quality_sweep"] = (q_tx_quality_sweep, SQL_TX_QUALITY_SWEEP)
 #    "pk_pack", "s6_delete_survivors",
 # ]  (end r10 roster ledger)
 
-_DRIVER_WINDOW = [
+# ---- Round-11 rotation, now rotated out; ledger kept:
     # ---- Round-11 rotation (the r10 ledger's pre-recorded plan).
     # Step IN:
     # (a) the 25-entry RESERVED CORE recorded in the r10 ledger above —
@@ -9053,25 +9132,94 @@ _DRIVER_WINDOW = [
     # After r11 stamps: registry = 171; staleness floor stays
     # ceil(171/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r11 reserved core (25) ---
-    "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
-    "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
-    "sim_outliers", "sim_topk", "st_ann_serve", "st_rollup_stream",
-    "st_stream_incremental", "st_stream_span", "st_stream_substring",
-    "t11_scd2", "t12_islands", "tx_doc_freq", "tx_source_kl", "tx_tfidf",
-    "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
-    "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
-    "a24_heavy_hitters",
+#    "pk_sliding_windows", "s7_retention_survivors", "s9_snapshot_diff",
+#    "sim_filtered_topk", "sim_ivf_topk", "sim_multiprobe_topk",
+#    "sim_outliers", "sim_topk", "st_ann_serve", "st_rollup_stream",
+#    "st_stream_incremental", "st_stream_span", "st_stream_substring",
+#    "t11_scd2", "t12_islands", "tx_doc_freq", "tx_source_kl", "tx_tfidf",
+#    "tx_unigram_lm", "u10_weighted_sample", "u11_curriculum",
+#    "u7_epoch_shuffle", "u8_group_sample_k", "u9_leak_split",
+#    "a24_heavy_hitters",
     # --- (b) round-11 newcomers (9) ---
-    "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
-    "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi", "pipe_funnel",
-    "tx_phrase_idx_incr", "o7_serial_claim",
+#    "s11_schema_evolution", "j2_subspec_join", "tx_unigram_tok",
+#    "tx_unigram_encode", "sim_hybrid_rrf", "u14_doremi", "pipe_funnel",
+#    "tx_phrase_idx_incr", "o7_serial_claim",
     # --- (c) changed after their latest stamp (6) ---
-    "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
-    "s3_insert_dedup_table", "t10_incremental_rollup",
+#    "tx_kn_mod", "u13_coreset", "pipe_export", "s6_delete_survivors",
+#    "s3_insert_dedup_table", "t10_incremental_rollup",
     # --- (d) r08 cohort, alphabetically-first 10 of 40 ---
-    "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
-    "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
-    "a8_status_gate", "a9_argmin", "d1_value_call",
+#    "a15_properties_df", "a18_cube_counts", "a19_approx_distinct",
+#    "a20_salted_agg", "a21_histogram", "a25_diversity", "a7_json_rollup",
+#    "a8_status_gate", "a9_argmin", "d1_value_call",
+# ]  (end r11 roster ledger)
+
+_DRIVER_WINDOW = [
+    # ---- Round-12 rotation (the r11 ledger's pre-recorded plan + this
+    # round's code changes), computed from tools/stale_stamps.py.
+    # Step IN:
+    # (a) the 30-entry RESERVED CORE recorded in the r11 ledger above —
+    #     the 24 r08-stamped leftovers plus the six r11 displacements
+    #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
+    #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
+    #     older than r09 remains stamped after this round;
+    # (b) the round-12 newcomers, never driver-stamped (4):
+    #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
+    #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
+    #     o9_service_replay (the T5 ServiceLoop replay under the hash
+    #     gate, item 5), sim_ivf_recall_eval (the IVF probe-budget
+    #     recall sweep, item 6);
+    # (c) every query whose implementation changed after its latest
+    #     stamp (11): the six MutableTable consumers — the S3-safe
+    #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
+    #     add-default fixes rewrote the commit path under
+    #     s3_insert_dedup_table, s6_delete_survivors,
+    #     s7_retention_survivors, s11_schema_evolution, st_rollup_stream
+    #     and t10_incremental_rollup; the two export consumers —
+    #     export.py's crash-window recovery arm touched pipe_export and
+    #     st_stream_export; pipe_prepare + pipe_funnel (the shared
+    #     pipe_stage_relations builder refactor and the funnel's
+    #     stages= reuse arm, VERDICT r11 item 8); and j2_subspec_join
+    #     (spec_chain_join now delegates to the N-level generalization).
+    # (d) the 5 alphabetically-first r09-stamped hash-green queries —
+    #     the next-oldest cohort.
+    # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
+    # freshly green within two rounds), plus the 40 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (40 + r13
+    # newcomers/changes + r10 fill ≤ 50): a17_group_centroid,
+    # a22_approx_quantiles, a5_two_col_counts, a6_access_summary,
+    # dd_containment, dd_contamination, dd_exact, dd_jaccard,
+    # dd_span_dedup, dd_substring_incremental, dd_winnow,
+    # ds_missing_cells, h1_pricing_summary, h3_top_revenue,
+    # j10_count_join, j1_dim_join, j4_semi_join, o2_priority_topk,
+    # p5_json_extract, p7_array_overlap, p8_int_or_name, s10_compact,
+    # s1_scan_project, s4_upsert_classify, sim_ivf_batch_topk,
+    # sim_knn_join, sim_lsh_topk, sim_pq_topk, st_sessionize,
+    # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
+    # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
+    # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
+    # After r12 stamps: registry = 175; staleness floor stays
+    # ceil(175/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # --- (a) the r12 reserved core (30) ---
+    "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
+    "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
+    "pk_bin_pack", "pk_domain_cap", "pk_length_buckets", "s2_bulk_get",
+    "s8_snapshot_roundtrip", "sim_hard_negatives", "sim_index_stats",
+    "t2_enrichment", "t8_funnel", "t9_cohort_retention", "tx_bm25",
+    "tx_boilerplate_ratio", "tx_dsir", "tx_quality_clf", "u12_interleave",
+    "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
+    "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
+    "dd_common_ngrams",
+    # --- (b) round-12 newcomers (4) ---
+    "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
+    "sim_ivf_recall_eval",
+    # --- (c) changed after their latest stamp (11) ---
+    "s3_insert_dedup_table", "s6_delete_survivors",
+    "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
+    "t10_incremental_rollup", "pipe_export", "st_stream_export",
+    "pipe_prepare", "pipe_funnel", "j2_subspec_join",
+    # --- (d) r09 cohort, alphabetically-first 5 of 45 ---
+    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum", "a14_pivot",
+    "a16_dedup_batch",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

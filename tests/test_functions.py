@@ -237,6 +237,49 @@ def test_ivf_topk_recall_vs_brute_force(spark):
     assert len(got & exact) >= 5, f"recall collapsed: {got & exact}"
 
 
+def test_ivf_recall_by_probe_monotone_exact_and_matches_serving(spark):
+    """The one-pass probe-budget sweep (ivf_recall_by_probe) must be
+    monotone in n_probe, hit exactly 1.0 once every list is probed, and
+    agree with the DIRECT serving path: hits at budget p == the measured
+    |ivf_topk_batch(p) ∩ brute truth| — the cumulative-count identity is
+    an optimization, not a different metric."""
+    from qcfractal_spark.catalog import load_table
+    from qcfractal_spark.functions import similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    assigned, centroids = sim.ivf_assignments(emb, n_centroids=16)
+    assigned = assigned.localCheckpoint(eager=True)
+    qs = emb.where(F.col("vec_id") % 50 == 3).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    rows = {
+        r["n_probe"]: r
+        for r in sim.ivf_recall_by_probe(qs, assigned, centroids, k=10).collect()
+    }
+    assert sorted(rows) == [1, 2, 4, 8, 16]
+    recalls = [rows[p]["recall"] for p in (1, 2, 4, 8, 16)]
+    assert recalls == sorted(recalls), f"not monotone: {recalls}"
+    assert recalls[-1] == 1.0
+    assert recalls[0] > 0.0  # the nearest list alone finds something
+    nq = rows[1]["n_queries"]
+    assert nq == 10 and all(r["n_queries"] == nq for r in rows.values())
+    # serving-path agreement at a mid budget: n_probe=16 probes every
+    # list, so its batch top-k IS the brute-force truth.
+    ivf4 = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk_batch(
+            qs, assigned, centroids, k=10, n_probe=4
+        ).collect()
+    }
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in sim.ivf_topk_batch(
+            qs, assigned, centroids, k=10, n_probe=16
+        ).collect()
+    }
+    assert rows[4]["n_hits"] == len(ivf4 & exact)
+
+
 def test_cdc_unicode_parity_with_duckdb_replay(spark, duck):
     """The CDC oracle must agree with the operator beyond ASCII: Spark
     length/substr and DuckDB length/substring both count CHARACTERS, and

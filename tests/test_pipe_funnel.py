@@ -20,3 +20,27 @@ def test_funnel_is_monotone_and_consistent(spark):
     assert abs(rows[0]["retained_pct"] - 100.0) < 1e-9
     prep_fn, _ = REGISTRY["pipe_prepare"]
     assert rows[3]["n_docs"] == prep_fn(spark, SF_SMOKE).count()
+
+
+def test_funnel_reuses_pipeline_stage_relations(spark):
+    """The "relations the pipeline materializes anyway" claim,
+    executable: handing a pipeline run's MATERIALIZED stage frames to
+    the funnel yields the identical report, and the reuse arm touches
+    no pipeline stage — its plan is four aggregates over the
+    checkpointed frames (no minhash/closure recompute)."""
+    from qcfractal_spark.queries import pipe_stage_relations, q_pipe_funnel
+
+    stages = pipe_stage_relations(spark, SF_SMOKE)
+    # a real pipeline run holds these materialized; make that explicit
+    stages = {k: df.localCheckpoint(eager=True) for k, df in stages.items()}
+    reuse = sorted(
+        tuple(r) for r in q_pipe_funnel(spark, SF_SMOKE, stages=stages).collect()
+    )
+    fresh = sorted(
+        tuple(r) for r in q_pipe_funnel(spark, SF_SMOKE).collect()
+    )
+    assert reuse == fresh
+    # the reuse arm never re-derives a pipeline stage: every scan in its
+    # plan reads an existing RDD, not the documents parquet
+    plan = q_pipe_funnel(spark, SF_SMOKE, stages=stages)._jdf.queryExecution().executedPlan().toString()
+    assert "parquet" not in plan.lower()

@@ -52,6 +52,10 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # is the n_centroids-row centroid table (16 rows) — the
                        # per-query probe ranking, constant-size by design
                        "sim_ivf_batch_topk",
+                       # same centroid fan-out, plus the truth×probe-budget
+                       # fold (BNLJ build side = the 5-literal level array
+                       # exploded over the |sample|·k truth rows)
+                       "sim_ivf_recall_eval",
                        # source-pair skeleton: non-equi (a < b) self-pairing of
                        # the broadcast #sources-row dimension — constant-size
                        "dd_source_overlap",
