@@ -140,6 +140,7 @@ BENCH_QUERIES = [
     "j17_spec_chain3",      # 3-level spec chain via the N-level elision builder
     "o9_service_replay",    # T5 service replay (1 bucket scan + queue cycles)
     "sim_ivf_recall_eval",  # IVF probe-budget recall sweep (persisted index)
+    "o10_manager_reap",     # heartbeat reap report (groupBy + broadcast dim)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

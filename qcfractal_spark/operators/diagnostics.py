@@ -119,3 +119,67 @@ def waiting_reasons(records: DataFrame, managers: DataFrame) -> DataFrame:
         "n_busy",
     )
     return early.unionByName(classified)
+
+
+def reap_dead_managers(
+    managers: DataFrame, records: DataFrame, cutoff_epoch: int
+) -> DataFrame:
+    """Heartbeat-based manager reap, set-oriented (reference
+    managers/socket.py:325-350 check_manager_heartbeats →
+    :126-186 deactivate(modified_before, reason="missing heartbeat") →
+    record_socket.py:932-973 reset_assigned).
+
+    The reference runs this as a periodic job: active managers whose
+    ``modified_on`` predates the heartbeat window flip to inactive, and
+    each dead manager's assigned RUNNING, non-service records reset to
+    waiting ("Recycling N incomplete tasks").  Here both steps fold into
+    one report — per manager: post-reap status, deactivation reason
+    ('missing heartbeat' only for newly-reaped; already-inactive
+    managers keep a NULL reason, their historical reason isn't ours to
+    invent), and the recycle count.
+
+    ``managers``: ``m_name, m_status ('active'|'inactive'),
+    m_modified_on`` (epoch seconds as BIGINT — the reference compares
+    datetimes; epoch comparison is the identical algebra with zero
+    timezone hazard).  ``records``: ``record_id, status, is_service,
+    manager_name`` (NULL when unassigned).
+
+    Plan shape at scale: the only corpus-sized work is one
+    map-combinable groupBy on ``manager_name`` over the
+    running/non-service slice (filters reach the scan); the resulting
+    per-manager counts are operator-count-sized and broadcast into the
+    (tiny) manager dimension — the record side never joins row-by-row.
+    """
+    is_dead = (F.col("m_status") == "active") & (
+        F.col("m_modified_on") < F.lit(int(cutoff_epoch))
+    )
+    counts = (
+        records.where(
+            (F.col("status") == "running")
+            & (~F.col("is_service"))
+            & F.col("manager_name").isNotNull()
+        )
+        .groupBy("manager_name")
+        .agg(F.count(F.lit(1)).alias("_n_running"))
+    )
+    return (
+        managers.withColumn("_dead", is_dead)
+        .join(
+            F.broadcast(counts),
+            F.col("m_name") == F.col("manager_name"),
+            "left",
+        )
+        .select(
+            "m_name",
+            F.when(F.col("_dead") | (F.col("m_status") == "inactive"), "inactive")
+            .otherwise("active")
+            .alias("status_after"),
+            F.when(F.col("_dead"), F.lit("missing heartbeat"))
+            .otherwise(F.lit(None).cast("string"))
+            .alias("reason"),
+            F.when(F.col("_dead"), F.coalesce(F.col("_n_running"), F.lit(0)))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("n_recycled"),
+        )
+    )

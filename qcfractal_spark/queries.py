@@ -627,6 +627,101 @@ SELECT 3, 1, CAST(s6 AS DOUBLE),
 """
 
 
+def q_o10_manager_reap(spark, sf_dir):
+    """O10 (reference managers/socket.py:325-350 →
+    check_manager_heartbeats → :126-186 deactivate(modified_before,
+    'missing heartbeat') → record_socket.py:932-973 reset_assigned):
+    the heartbeat reap as ONE set-oriented report
+    (operators/diagnostics.py:reap_dead_managers) — per manager:
+    post-reap status, deactivation reason, and how many of its RUNNING
+    non-service records recycle back to waiting (the reference's
+    "Recycling N incomplete tasks" log line, computed instead of
+    logged).
+
+    Fixtures synthesized deterministically: managers from supplier
+    (every 7th already inactive; m_modified_on = epoch +
+    (s_suppkey %% 97)h, cutoff at +48h so staleness varies), records
+    from orders (O→waiting/P→running/else complete, every 50th a
+    service, managers assigned round-robin by custkey to all
+    non-waiting records).  Scale shape: one map-combinable groupBy on
+    manager_name over the filter-pruned running slice; the per-manager
+    counts broadcast into the operator-count-sized manager dim — the
+    record side never joins row-by-row."""
+    from .operators.diagnostics import reap_dead_managers
+
+    sup = _t(spark, sf_dir, "supplier")
+    orders = _t(spark, sf_dir, "orders")
+    nsupp = sup.count()
+    managers = sup.select(
+        F.concat(F.lit("mgr"), F.col("s_suppkey").cast("string")).alias("m_name"),
+        F.when(F.col("s_suppkey") % 7 == 0, F.lit("inactive"))
+        .otherwise(F.lit("active"))
+        .alias("m_status"),
+        (F.lit(1700000000) + (F.col("s_suppkey") % 97) * 3600)
+        .cast("bigint")
+        .alias("m_modified_on"),
+    )
+    status = (
+        F.when(F.col("o_orderstatus") == "O", F.lit("waiting"))
+        .when(F.col("o_orderstatus") == "P", F.lit("running"))
+        .otherwise(F.lit("complete"))
+    )
+    records = orders.select(
+        F.col("o_orderkey").alias("record_id"),
+        status.alias("status"),
+        (F.col("o_orderkey") % 50 == 0).alias("is_service"),
+        F.when(F.col("o_orderstatus") == "O", F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(
+                F.lit("mgr"), (F.col("o_custkey") % nsupp + 1).cast("string")
+            )
+        )
+        .alias("manager_name"),
+    )
+    return reap_dead_managers(managers, records, 1700000000 + 48 * 3600)
+
+
+SQL_O10 = """
+WITH managers AS (
+  SELECT 'mgr' || CAST(s_suppkey AS VARCHAR) AS m_name,
+         CASE WHEN s_suppkey % 7 = 0 THEN 'inactive' ELSE 'active' END
+           AS m_status,
+         1700000000 + (s_suppkey % 97) * 3600 AS m_modified_on
+  FROM supplier
+),
+recs AS (
+  SELECT o_orderkey AS record_id,
+         CASE o_orderstatus WHEN 'O' THEN 'waiting'
+                            WHEN 'P' THEN 'running'
+                            ELSE 'complete' END AS status,
+         (o_orderkey % 50 = 0) AS is_service,
+         CASE WHEN o_orderstatus = 'O' THEN NULL
+              ELSE 'mgr' || CAST(o_custkey % (SELECT COUNT(*) FROM supplier)
+                                 + 1 AS VARCHAR) END AS manager_name
+  FROM orders
+),
+counts AS (
+  SELECT manager_name, COUNT(*) AS n_running
+  FROM recs
+  WHERE status = 'running' AND NOT is_service AND manager_name IS NOT NULL
+  GROUP BY manager_name
+)
+SELECT m.m_name,
+       CASE WHEN (m.m_status = 'active'
+                  AND m.m_modified_on < 1700000000 + 48 * 3600)
+                 OR m.m_status = 'inactive'
+            THEN 'inactive' ELSE 'active' END AS status_after,
+       CASE WHEN m.m_status = 'active'
+                 AND m.m_modified_on < 1700000000 + 48 * 3600
+            THEN 'missing heartbeat' END AS reason,
+       CAST(CASE WHEN m.m_status = 'active'
+                      AND m.m_modified_on < 1700000000 + 48 * 3600
+                 THEN COALESCE(c.n_running, 0) ELSE 0 END AS BIGINT)
+         AS n_recycled
+FROM managers m LEFT JOIN counts c ON c.manager_name = m.m_name
+"""
+
+
 def q_j2_subspec_join(spark, sf_dir):
     """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
     chain record → spec → subspec through the join-ELISION builder
@@ -1448,6 +1543,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "o7_serial_claim": (q_o7_serial_claim, SQL_O7),
     "o8_waiting_reason": (q_o8_waiting_reason, SQL_O8),
     "o9_service_replay": (q_o9_service_replay, SQL_O9),
+    "o10_manager_reap": (q_o10_manager_reap, SQL_O10),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),
@@ -9162,12 +9258,16 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (4):
+    # (b) the round-12 newcomers, never driver-stamped (5):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
     #     gate, item 5), sim_ivf_recall_eval (the IVF probe-budget
-    #     recall sweep, item 6);
+    #     recall sweep, item 6), o10_manager_reap (the heartbeat reap
+    #     report — T4's manager-death arm under the hash gate; it
+    #     displaces the 5th r09 fill slot a16_dedup_batch, whose keyed
+    #     dedup family is carried by the in-window s3_insert_dedup_table
+    #     + the r10-stamped dd_exact; a16 joins the r13 core);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9183,9 +9283,10 @@ _DRIVER_WINDOW = [
     # (d) the 5 alphabetically-first r09-stamped hash-green queries —
     #     the next-oldest cohort.
     # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
-    # freshly green within two rounds), plus the 40 remaining r09
-    # queries: these are the RESERVED CORE of the r13 roster (40 + r13
-    # newcomers/changes + r10 fill ≤ 50): a17_group_centroid,
+    # freshly green within two rounds), plus the 41 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (41 + r13
+    # newcomers/changes + r10 fill ≤ 50): a16_dedup_batch (displaced
+    # by o10_manager_reap), a17_group_centroid,
     # a22_approx_quantiles, a5_two_col_counts, a6_access_summary,
     # dd_containment, dd_contamination, dd_exact, dd_jaccard,
     # dd_span_dedup, dd_substring_incremental, dd_winnow,
@@ -9197,8 +9298,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 175; staleness floor stays
-    # ceil(175/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 176; staleness floor stays
+    # ceil(176/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9209,17 +9310,17 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (4) ---
+    # --- (b) round-12 newcomers (5) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
-    "sim_ivf_recall_eval",
+    "sim_ivf_recall_eval", "o10_manager_reap",
     # --- (c) changed after their latest stamp (11) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
     "pipe_prepare", "pipe_funnel", "j2_subspec_join",
-    # --- (d) r09 cohort, alphabetically-first 5 of 45 ---
+    # --- (d) r09 cohort, alphabetically-first 4 of 45 (the 5th slot
+    #     yields to o10_manager_reap, see (b)) ---
     "a10_map_agg", "a11_sample_keys", "a12_weighted_sum", "a14_pivot",
-    "a16_dedup_batch",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
