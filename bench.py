@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "o9_service_replay",    # T5 service replay (1 bucket scan + queue cycles)
     "sim_ivf_recall_eval",  # IVF probe-budget recall sweep (persisted index)
     "o10_manager_reap",     # heartbeat reap report (groupBy + broadcast dim)
+    "tx_pr_curve",          # classifier PR curve (bucket agg + curve window)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -316,6 +316,72 @@ def source_kl_divergence(
     )
 
 
+def pr_curve(
+    scored: DataFrame,
+    score_col: str = "score",
+    label_col: str = "y",
+    bucket_decimals: int = 4,
+) -> DataFrame:
+    """Precision/recall/F1 at EVERY score threshold — the calibration
+    curve a pipeline reads before fixing a classifier cutoff (the
+    labeled sibling of the unlabeled quality-threshold retention sweep):
+    each output row answers "if I keep score ≥ t, what precision and
+    recall do I get against the gold labels?".
+
+    Distributed-AUC shape: ONE map-combinable groupBy reduces the corpus
+    to ≤ 10^bucket_decimals + 1 threshold-bucket rows (scores floored to
+    a fixed grid — integer bucket keys, so cross-engine float rounding
+    can never split a bucket); cumulative TP/FP are a window over THAT
+    bounded relation, never the corpus, and the positive total is a
+    1-row broadcast.  Works at any corpus size because everything after
+    the first aggregate is threshold-grid-sized.
+
+    ``label_col`` must be 0/1 int; ``score_col`` a double in [0, 1].
+    Returns ``threshold, tp, fp, precision, recall, f1`` (descending
+    thresholds; metrics rounded to 6).
+    """
+    from pyspark.sql import Window
+
+    scale = 10 ** bucket_decimals
+    per_t = (
+        scored.select(
+            F.floor(F.col(score_col) * scale).cast("long").alias("_b"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_b")
+        .agg(
+            F.sum("_y").alias("_pos"),
+            F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
+        )
+    )
+    w = Window.orderBy(F.col("_b").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    tot = per_t.agg(F.sum("_pos").alias("_tot_pos"))
+    return (
+        per_t.withColumn("tp", F.sum("_pos").over(w).cast("bigint"))
+        .withColumn("fp", F.sum("_neg").over(w).cast("bigint"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            (F.col("_b").cast("double") / scale).alias("threshold"),
+            "tp",
+            "fp",
+            F.round(F.col("tp") / (F.col("tp") + F.col("fp")), 6).alias(
+                "precision"
+            ),
+            F.when(
+                F.col("_tot_pos") > 0,
+                F.round(F.col("tp") / F.col("_tot_pos"), 6),
+            ).alias("recall"),
+            F.round(
+                (2 * F.col("tp"))
+                / (2 * F.col("tp") + F.col("fp") + (F.col("_tot_pos") - F.col("tp"))),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
 def heavy_hitters_mg(
     df: DataFrame,
     text_col: str = "text",

@@ -8809,6 +8809,67 @@ FROM cum CROSS JOIN tot
 REGISTRY["tx_quality_sweep"] = (q_tx_quality_sweep, SQL_TX_QUALITY_SWEEP)
 
 
+def q_tx_pr_curve(spark, sf_dir):
+    """TX+ (beyond-reference): classifier calibration curve — precision/
+    recall/F1 of the English-stopword-density score against the corpus's
+    GOLD ``lang`` labels at every 1e-4 threshold bucket
+    (functions/text.py:pr_curve).  The labeled sibling of
+    tx_quality_sweep: that one answers "how much survives a cutoff",
+    this one answers "how RIGHT is the classifier at each cutoff" — the
+    evaluation every langid/quality/PII filter runs on a labeled sample
+    before a corpus-wide pass.
+
+    Plan: one scan computes (density bucket, is_en) scan-side; a
+    map-combinable hash agg reduces the corpus to ≤10k bucket rows;
+    cumulative TP/FP are a window over that bucket relation (never the
+    corpus); the positive total broadcasts.  Buckets are integer floors,
+    so cross-engine float rounding cannot split one."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    scored = docs.select(
+        (
+            tx.stopword_hits(t, "en")
+            / F.greatest(tx.token_count(t), F.lit(1))
+        ).alias("score"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    return tx.pr_curve(scored, "score", "y", bucket_decimals=4)
+
+
+SQL_TX_PR_CURVE = f"""
+WITH base AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         CAST(floor({_sql_stop_hits(_EN)} * 1.0
+                    / greatest(len({_TOKS_SQL}), 1) * 10000) AS BIGINT) AS b
+  FROM documents WHERE text IS NOT NULL
+),
+per_t AS (
+  SELECT b, CAST(SUM(y) AS BIGINT) AS pos,
+         CAST(SUM(1 - y) AS BIGINT) AS neg
+  FROM base GROUP BY b
+),
+tot AS (SELECT CAST(SUM(pos) AS BIGINT) AS tot_pos FROM per_t),
+cum AS (
+  SELECT b,
+         CAST(SUM(pos) OVER (ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS tp,
+         CAST(SUM(neg) OVER (ORDER BY b DESC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS fp
+  FROM per_t
+)
+SELECT CAST(c.b AS DOUBLE) / 10000 AS threshold, c.tp, c.fp,
+       ROUND(c.tp * 1.0 / (c.tp + c.fp), 6) AS precision,
+       CASE WHEN t.tot_pos > 0
+            THEN ROUND(c.tp * 1.0 / t.tot_pos, 6) END AS recall,
+       ROUND(2.0 * c.tp / (2 * c.tp + c.fp + (t.tot_pos - c.tp)), 6) AS f1
+FROM cum c, tot t
+"""
+
+REGISTRY["tx_pr_curve"] = (q_tx_pr_curve, SQL_TX_PR_CURVE)
+
+
 # --------------------------------------------------------------------------
 # Registry ordering: the driver's correctness gate records the FIRST 50
 # entries only, so the window below is curated to hold every flagship
@@ -9258,7 +9319,7 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (5):
+    # (b) the round-12 newcomers, never driver-stamped (6):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
@@ -9267,7 +9328,11 @@ _DRIVER_WINDOW = [
     #     report — T4's manager-death arm under the hash gate; it
     #     displaces the 5th r09 fill slot a16_dedup_batch, whose keyed
     #     dedup family is carried by the in-window s3_insert_dedup_table
-    #     + the r10-stamped dd_exact; a16 joins the r13 core);
+    #     + the r10-stamped dd_exact; a16 joins the r13 core), and
+    #     tx_pr_curve (the labeled classifier-calibration curve — it
+    #     displaces the 4th fill slot a14_pivot, whose pivot family is
+    #     carried by the in-window a15_properties_df stamp (r11) +
+    #     compile_values pytests; a14 joins the r13 core);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9283,9 +9348,10 @@ _DRIVER_WINDOW = [
     # (d) the 5 alphabetically-first r09-stamped hash-green queries —
     #     the next-oldest cohort.
     # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
-    # freshly green within two rounds), plus the 41 remaining r09
-    # queries: these are the RESERVED CORE of the r13 roster (41 + r13
-    # newcomers/changes + r10 fill ≤ 50): a16_dedup_batch (displaced
+    # freshly green within two rounds), plus the 42 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (42 + r13
+    # newcomers/changes + r10 fill ≤ 50): a14_pivot (displaced by
+    # tx_pr_curve), a16_dedup_batch (displaced
     # by o10_manager_reap), a17_group_centroid,
     # a22_approx_quantiles, a5_two_col_counts, a6_access_summary,
     # dd_containment, dd_contamination, dd_exact, dd_jaccard,
@@ -9298,8 +9364,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 176; staleness floor stays
-    # ceil(176/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 177; staleness floor stays
+    # ceil(177/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9310,17 +9376,17 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (5) ---
+    # --- (b) round-12 newcomers (6) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
-    "sim_ivf_recall_eval", "o10_manager_reap",
+    "sim_ivf_recall_eval", "o10_manager_reap", "tx_pr_curve",
     # --- (c) changed after their latest stamp (11) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
     "pipe_prepare", "pipe_funnel", "j2_subspec_join",
-    # --- (d) r09 cohort, alphabetically-first 4 of 45 (the 5th slot
-    #     yields to o10_manager_reap, see (b)) ---
-    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum", "a14_pivot",
+    # --- (d) r09 cohort, alphabetically-first 3 of 45 (the 4th/5th
+    #     slots yield to tx_pr_curve / o10_manager_reap, see (b)) ---
+    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

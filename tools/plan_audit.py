@@ -86,6 +86,9 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # 1-row (tot_docs, tot_toks) scalar crossed onto
                        # the ≤1001-row threshold-bucket relation (0.001 grid)
                        "tx_quality_sweep",
+                       # 1-row positive-total scalar crossed onto the
+                       # ≤10k-row threshold-bucket relation (1e-4 grid)
+                       "tx_pr_curve",
                        # waiting-reason manager walk: LEFT join on TRUE
                        # against the broadcast 4-row active-manager table
                        # (LEFT so zero-manager classifies; build side is
