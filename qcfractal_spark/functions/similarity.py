@@ -978,6 +978,79 @@ def pq_codes(
     )
 
 
+def pq_distortion_report(
+    coded: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-(subspace, code) quantization health: population and mean
+    squared reconstruction error — the report that decides whether the
+    PQ geometry (m, ksub) is adequate before committing a corpus-wide
+    encode, and the drift alarm afterwards (rising MSE on fresh arrivals
+    = codebooks trained on stale data; the FAISS index-health readout on
+    the compressed domain, sibling of the IVF list report).
+
+    ``coded`` carries BOTH the raw vector and its ``codes`` array — the
+    ingest-artifact shape (codes are stored alongside vectors exactly
+    like the IVF ``_cid`` column, so at scale no join precedes this).
+    Plan: one scan explodes each vector into its m (subspace, code,
+    subvector) cells; the m·ksub codebook-cell table broadcasts; the
+    per-cell squared error rounds then sums as DECIMAL (engine-order-
+    independent), one map-combinable groupBy on m·ksub keys.
+    """
+    m = len(codebooks)
+    ksub = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    spark = coded.sparkSession
+    cb = spark.createDataFrame(
+        [
+            (j, c, [float(x) for x in codebooks[j][c]])
+            for j in range(m)
+            for c in range(ksub)
+        ],
+        "subspace int, code int, _cent array<double>",
+    )
+    cells = coded.select(
+        F.col(vec_col).cast("array<double>").alias("_v"),
+        F.col("codes").alias("_codes"),
+    ).select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("subspace"),
+                        F.slice("_v", j * dsub + 1, dsub).alias("_s"),
+                        F.element_at("_codes", j + 1).alias("code"),
+                    )
+                    for j in range(m)
+                ]
+            )
+        ).alias("_c")
+    ).select("_c.subspace", "_c.code", "_c._s")
+    sqd = (
+        dot(F.col("_s"), F.col("_s"))
+        - 2 * dot(F.col("_s"), F.col("_cent"))
+        + dot(F.col("_cent"), F.col("_cent"))
+    )
+    return (
+        cells.join(F.broadcast(cb), ["subspace", "code"])
+        .select(
+            "subspace",
+            "code",
+            F.round(sqd, round_to).cast("decimal(28,6)").alias("_d"),
+        )
+        .groupBy("subspace", "code")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.sum("_d").cast("double") / F.count(F.lit(1)), round_to
+            ).alias("mse"),
+        )
+    )
+
+
 def pq_adc_table(
     codebooks: list[list[list[float]]], query_vec: Sequence[float]
 ) -> list[list[float]]:

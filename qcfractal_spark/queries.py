@@ -3644,6 +3644,56 @@ SQL_SIM_PQ = _pq_oracle_sql()
 REGISTRY["sim_pq_topk"] = (q_sim_pq_topk, SQL_SIM_PQ)
 
 
+def q_sim_pq_distortion(spark, sf_dir):
+    """SIM+ (beyond-reference): PQ quantization-health report — per
+    (subspace, code): population and mean squared reconstruction error
+    (functions/similarity.py:pq_distortion_report).  The compressed-
+    domain sibling of sim_index_stats: the number that decides whether
+    (m, ksub) is adequate before a corpus-wide encode, and the drift
+    alarm afterwards.  Same demo geometry as sim_pq_topk (m=2, ksub=8)
+    so the oracle replay composes the shared _pq_build_parts CTEs;
+    codes travel WITH the vectors (the ingest-artifact shape — at scale
+    no join precedes the report)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = sim.pq_train(emb, m=2, ksub=8, n_iter=1)
+    coded = emb.join(sim.pq_codes(emb, books), "vec_id")
+    return sim.pq_distortion_report(coded, books)
+
+
+def _pq_distortion_oracle_sql(m: int = 2, ksub: int = 8, dim: int = 64) -> str:
+    """Per-(subspace, code) reconstruction MSE over the shared PQ build
+    replay: round-then-DECIMAL-sum per cell, so the mean is engine-
+    order-independent."""
+    parts = [
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings)"
+    ] + _pq_build_parts(m, ksub, dim)
+    for j in range(m):
+        parts.append(f"""d_{j} AS (
+  SELECT {j} AS subspace, a.cid AS code,
+         CAST(ROUND(list_dot_product(t.s, t.s)
+                    - 2 * list_dot_product(t.s, c.c)
+                    + list_dot_product(c.c, c.c), 6) AS DECIMAL(28,6)) AS d
+  FROM s{j} t
+  JOIN afin_{j} a ON a.vec_id = t.vec_id
+  JOIN cb1_{j} c ON c.cid = a.cid
+)""")
+    union = " UNION ALL ".join(f"SELECT * FROM d_{j}" for j in range(m))
+    body = ",\n".join(parts)
+    return f"""{body}
+SELECT subspace, CAST(code AS INT) AS code,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(CAST(SUM(d) AS DOUBLE) / COUNT(*), 6) AS mse
+FROM ({union}) cells
+GROUP BY subspace, code
+"""
+
+
+SQL_SIM_PQ_DISTORTION = _pq_distortion_oracle_sql()
+
+REGISTRY["sim_pq_distortion"] = (q_sim_pq_distortion, SQL_SIM_PQ_DISTORTION)
+
+
 def q_sim_ivfpq_topk(spark, sf_dir):
     """IVF-PQ composed ANN — the FAISS deployment shape at 100 TB: the
     coarse quantizer partition-prunes to the ``n_probe`` nearest inverted
@@ -9319,7 +9369,7 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (6):
+    # (b) the round-12 newcomers, never driver-stamped (7):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
@@ -9332,7 +9382,12 @@ _DRIVER_WINDOW = [
     #     tx_pr_curve (the labeled classifier-calibration curve — it
     #     displaces the 4th fill slot a14_pivot, whose pivot family is
     #     carried by the in-window a15_properties_df stamp (r11) +
-    #     compile_values pytests; a14 joins the r13 core);
+    #     compile_values pytests; a14 joins the r13 core), and
+    #     sim_pq_distortion (the PQ quantization-health report — it
+    #     displaces the 3rd fill slot a12_weighted_sum, whose weighted-
+    #     sum family is carried by the in-window a7_json_rollup stamp
+    #     (r11) + the decimal-sum discipline pytests; a12 joins the r13
+    #     core);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9348,9 +9403,10 @@ _DRIVER_WINDOW = [
     # (d) the 5 alphabetically-first r09-stamped hash-green queries —
     #     the next-oldest cohort.
     # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
-    # freshly green within two rounds), plus the 42 remaining r09
-    # queries: these are the RESERVED CORE of the r13 roster (42 + r13
-    # newcomers/changes + r10 fill ≤ 50): a14_pivot (displaced by
+    # freshly green within two rounds), plus the 43 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (43 + r13
+    # newcomers/changes + r10 fill ≤ 50): a12_weighted_sum (displaced
+    # by sim_pq_distortion), a14_pivot (displaced by
     # tx_pr_curve), a16_dedup_batch (displaced
     # by o10_manager_reap), a17_group_centroid,
     # a22_approx_quantiles, a5_two_col_counts, a6_access_summary,
@@ -9364,8 +9420,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 177; staleness floor stays
-    # ceil(177/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 178; staleness floor stays
+    # ceil(178/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9376,17 +9432,19 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (6) ---
+    # --- (b) round-12 newcomers (7) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
     "sim_ivf_recall_eval", "o10_manager_reap", "tx_pr_curve",
+    "sim_pq_distortion",
     # --- (c) changed after their latest stamp (11) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
     "pipe_prepare", "pipe_funnel", "j2_subspec_join",
-    # --- (d) r09 cohort, alphabetically-first 3 of 45 (the 4th/5th
-    #     slots yield to tx_pr_curve / o10_manager_reap, see (b)) ---
-    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum",
+    # --- (d) r09 cohort, alphabetically-first 2 of 45 (the 3rd/4th/5th
+    #     slots yield to sim_pq_distortion / tx_pr_curve /
+    #     o10_manager_reap, see (b)) ---
+    "a10_map_agg", "a11_sample_keys",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)

@@ -280,6 +280,47 @@ def test_ivf_recall_by_probe_monotone_exact_and_matches_serving(spark):
     assert rows[4]["n_hits"] == len(ivf4 & exact)
 
 
+def test_pq_distortion_report_populations_and_zero_mse(spark):
+    """The PQ health report's populations must equal the encoder's
+    per-(subspace, code) counts, and a corpus that IS its own codebook
+    (every vector a duplicate of a centroid) reconstructs with exactly
+    zero MSE."""
+    from qcfractal_spark.functions import similarity as sim
+
+    # real corpus: populations agree with pq_codes
+    from qcfractal_spark.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = sim.pq_train(emb, m=2, ksub=8, n_iter=1)
+    codes = sim.pq_codes(emb, books).localCheckpoint(eager=True)
+    coded = emb.join(codes, "vec_id")
+    rep = sim.pq_distortion_report(coded, books).collect()
+    n_total = emb.count()
+    for j in (0, 1):
+        assert sum(r["n"] for r in rep if r["subspace"] == j) == n_total
+    pops = {(r["subspace"], r["code"]): r["n"] for r in rep}
+    for j in (0, 1):
+        got = {
+            (j, r["c"]): r["cnt"]
+            for r in codes.selectExpr(f"codes[{j}] AS c")
+            .groupBy("c")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .collect()
+        }
+        assert got == {k: v for k, v in pops.items() if k[0] == j}
+    assert all(r["mse"] >= 0.0 for r in rep)
+
+    # self-codebook corpus: exact reconstruction
+    base = [[1.0, 2.0, 3.0, 4.0], [5.0, 6.0, 7.0, 8.0]]
+    rows = [(i, base[i % 2]) for i in range(20)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    b2 = sim.pq_train(tiny, m=2, ksub=2, n_iter=1)
+    coded2 = tiny.join(sim.pq_codes(tiny, b2), "vec_id")
+    rep2 = sim.pq_distortion_report(coded2, b2).collect()
+    assert all(r["mse"] == 0.0 for r in rep2)
+    assert sum(r["n"] for r in rep2) == 40  # 20 vectors x 2 subspaces
+
+
 def test_cdc_unicode_parity_with_duckdb_replay(spark, duck):
     """The CDC oracle must agree with the operator beyond ASCII: Spark
     length/substr and DuckDB length/substring both count CHARACTERS, and
