@@ -143,6 +143,7 @@ BENCH_QUERIES = [
     "o10_manager_reap",     # heartbeat reap report (groupBy + broadcast dim)
     "tx_pr_curve",          # classifier PR curve (bucket agg + curve window)
     "sim_pq_distortion",    # PQ quantization-health report (decimal-exact MSE)
+    "j18_project_list",     # project inventory (pre-agg counts + dim joins)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

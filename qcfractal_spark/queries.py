@@ -815,6 +815,77 @@ WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
 """
 
 
+def q_j18_project_list(spark, sf_dir):
+    """J18 (reference project_socket.py:158-204 ``list()``): the project
+    inventory — every project with its record count, dataset count, and
+    owner username.  The reference's exact shape is the scale-correct
+    one and is kept verbatim: both counts PRE-AGGREGATE in their own
+    relation (GROUP BY project_id — map-combinable, never a
+    fact × dim row explosion), then LEFT-join into the tiny project
+    dimension with COALESCE 0, plus a LEFT join to users (isouter —
+    ownerless projects list with a NULL username).
+
+    Fixtures: projects from nation (owner = region user, every 5th
+    ownerless), users from region, project-records from orders
+    (custkey % 25), project-datasets from supplier (suppkey % 25)."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    orders = _t(spark, sf_dir, "orders")
+    sup = _t(spark, sf_dir, "supplier")
+    projects = nation.select(
+        F.col("n_nationkey").alias("project_id"),
+        F.col("n_name").alias("project_name"),
+        F.when(F.col("n_nationkey") % 5 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("n_regionkey"))
+        .alias("owner_user_id"),
+    )
+    users = region.select(
+        F.col("r_regionkey").alias("user_id"),
+        F.lower(F.col("r_name")).alias("username"),
+    )
+    rec_counts = (
+        orders.groupBy((F.col("o_custkey") % 25).alias("project_id"))
+        .agg(F.count(F.lit(1)).alias("_rc"))
+    )
+    ds_counts = (
+        sup.groupBy((F.col("s_suppkey") % 25).alias("project_id"))
+        .agg(F.count(F.lit(1)).alias("_dc"))
+    )
+    return (
+        projects.join(F.broadcast(rec_counts), "project_id", "left")
+        .join(F.broadcast(ds_counts), "project_id", "left")
+        .join(F.broadcast(users), F.col("owner_user_id") == F.col("user_id"), "left")
+        .select(
+            "project_id",
+            "project_name",
+            F.coalesce("_rc", F.lit(0)).cast("bigint").alias("record_count"),
+            F.coalesce("_dc", F.lit(0)).cast("bigint").alias("dataset_count"),
+            F.col("username").alias("owner_user"),
+        )
+    )
+
+
+SQL_J18 = """
+WITH rc AS (
+  SELECT o_custkey % 25 AS project_id, COUNT(*) AS record_count
+  FROM orders GROUP BY 1
+),
+dc AS (
+  SELECT s_suppkey % 25 AS project_id, COUNT(*) AS dataset_count
+  FROM supplier GROUP BY 1
+)
+SELECT n.n_nationkey AS project_id, n.n_name AS project_name,
+       CAST(COALESCE(rc.record_count, 0) AS BIGINT) AS record_count,
+       CAST(COALESCE(dc.dataset_count, 0) AS BIGINT) AS dataset_count,
+       lower(r.r_name) AS owner_user
+FROM nation n
+LEFT JOIN rc ON rc.project_id = n.n_nationkey
+LEFT JOIN dc ON dc.project_id = n.n_nationkey
+LEFT JOIN region r
+  ON n.n_nationkey % 5 <> 0 AND r.r_regionkey = n.n_regionkey
+"""
+
+
 def q_j9_anti_join(spark, sf_dir):
     """J9/U4: anti-join — keys with no match (insert dedup "missing" set,
     helpers.py:663-694): customers with no high-value order."""
@@ -1544,6 +1615,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "o8_waiting_reason": (q_o8_waiting_reason, SQL_O8),
     "o9_service_replay": (q_o9_service_replay, SQL_O9),
     "o10_manager_reap": (q_o10_manager_reap, SQL_O10),
+    "j18_project_list": (q_j18_project_list, SQL_J18),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),
@@ -9369,7 +9441,7 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (7):
+    # (b) the round-12 newcomers, never driver-stamped (8):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
@@ -9387,7 +9459,11 @@ _DRIVER_WINDOW = [
     #     displaces the 3rd fill slot a12_weighted_sum, whose weighted-
     #     sum family is carried by the in-window a7_json_rollup stamp
     #     (r11) + the decimal-sum discipline pytests; a12 joins the r13
-    #     core);
+    #     core), and j18_project_list (the project-inventory join,
+    #     reference project_socket.list parity — it displaces the 2nd
+    #     fill slot a11_sample_keys, whose DISTINCT-ON sample family is
+    #     carried by the in-window a9_argmin stamp (r11); a11 joins the
+    #     r13 core);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9403,9 +9479,10 @@ _DRIVER_WINDOW = [
     # (d) the 5 alphabetically-first r09-stamped hash-green queries —
     #     the next-oldest cohort.
     # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
-    # freshly green within two rounds), plus the 43 remaining r09
-    # queries: these are the RESERVED CORE of the r13 roster (43 + r13
-    # newcomers/changes + r10 fill ≤ 50): a12_weighted_sum (displaced
+    # freshly green within two rounds), plus the 44 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (44 + r13
+    # newcomers/changes + r10 fill ≤ 50): a11_sample_keys (displaced by
+    # j18_project_list), a12_weighted_sum (displaced
     # by sim_pq_distortion), a14_pivot (displaced by
     # tx_pr_curve), a16_dedup_batch (displaced
     # by o10_manager_reap), a17_group_centroid,
@@ -9420,8 +9497,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 178; staleness floor stays
-    # ceil(178/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 179; staleness floor stays
+    # ceil(179/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9432,19 +9509,19 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (7) ---
+    # --- (b) round-12 newcomers (8) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
     "sim_ivf_recall_eval", "o10_manager_reap", "tx_pr_curve",
-    "sim_pq_distortion",
+    "sim_pq_distortion", "j18_project_list",
     # --- (c) changed after their latest stamp (11) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
     "pipe_prepare", "pipe_funnel", "j2_subspec_join",
-    # --- (d) r09 cohort, alphabetically-first 2 of 45 (the 3rd/4th/5th
-    #     slots yield to sim_pq_distortion / tx_pr_curve /
-    #     o10_manager_reap, see (b)) ---
-    "a10_map_agg", "a11_sample_keys",
+    # --- (d) r09 cohort, alphabetically-first 1 of 45 (the 2nd-5th
+    #     slots yield to j18_project_list / sim_pq_distortion /
+    #     tx_pr_curve / o10_manager_reap, see (b)) ---
+    "a10_map_agg",
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
