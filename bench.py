@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "tx_pr_curve",          # classifier PR curve (bucket agg + curve window)
     "sim_pq_distortion",    # PQ quantization-health report (decimal-exact MSE)
     "j18_project_list",     # project inventory (pre-agg counts + dim joins)
+    "o11_status_replay",    # status transition-matrix replay (CASE algebra)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -183,3 +183,81 @@ def reap_dead_managers(
             .alias("n_recycled"),
         )
     )
+
+
+# the reference's status-transition matrices (record_socket.py):
+#   _cancel_common forward ops (:1093-1190) — applicable statuses and the
+#   new status each op writes; running records DEMOTE to waiting before
+#   the backup row is written (:1149-1152), so the later revert restores
+#   waiting, never running;
+#   _revert_common (:975-1073) — undelete/uncancel/uninvalidate pop the
+#   backup row and restore old_status; reset (:1190-1195) applies to
+#   error only and needs no backup.
+_STATUSES = [
+    "waiting", "running", "complete", "error",
+    "cancelled", "invalid", "deleted",
+]
+_FORWARD = {
+    "delete": (set(_STATUSES) - {"deleted"}, "deleted"),      # :1204-1246
+    "cancel": ({"waiting", "running", "error"}, "cancelled"),  # :1274-1305
+    "invalidate": ({"complete"}, "invalid"),                   # :1310-1339
+    "reset": ({"error"}, "waiting"),                           # :1190-1195
+}
+
+
+def status_transition_replay(records: DataFrame, op_col: str = "op") -> DataFrame:
+    """Replay the reference's record status machine over a whole record
+    set — forward op, then the matching revert — and fold the outcomes
+    per (op, original status).
+
+    Each input row carries a record's ``status`` and the ``op`` applied
+    to it ('delete' | 'cancel' | 'invalidate' | 'reset').  Semantics
+    per the reference matrices above: an inapplicable status REJECTS
+    (the reference's "cannot be cancelled/deleted/invalidated" error
+    row, status untouched, nothing reverted); an applicable one updates
+    — running first demotes to waiting (manager cleared), the
+    pre-image lands in the backup table, and the matching revert op
+    (undelete/uncancel/uninvalidate) restores exactly that backup, so
+    ``cancel → uncancel`` of a RUNNING record ends at waiting, not
+    running.  ``reset`` is its own forward op (error → waiting, no
+    backup, no inverse).
+
+    Pure CASE algebra over one scan + one map-combinable groupBy on
+    (op × status × outcome) keys — |ops|·|statuses| result rows at any
+    corpus scale.
+    """
+    op = F.col(op_col)
+    status = F.col("status")
+    accepted = F.lit(False)
+    new_status = F.lit(None).cast("string")
+    for name, (applicable, target) in _FORWARD.items():
+        hit = (op == name) & status.isin(*sorted(applicable))
+        accepted = F.when(hit, F.lit(True)).otherwise(accepted)
+        new_status = F.when(hit, F.lit(target)).otherwise(new_status)
+    demoted = F.when(status == "running", F.lit("waiting")).otherwise(status)
+    backup = F.when(accepted & (op != "reset"), demoted).otherwise(
+        F.lit(None).cast("string")
+    )
+    after_forward = F.when(accepted, new_status).otherwise(status)
+    after_revert = (
+        F.when(~accepted, status)
+        .when(op == "reset", F.lit("waiting"))  # no inverse; stays reset
+        .otherwise(backup)
+    )
+    return (
+        records.select(
+            op.alias("op"),
+            status.alias("original_status"),
+            F.when(accepted, F.lit("updated"))
+            .otherwise(F.lit("rejected"))
+            .alias("outcome"),
+            after_forward.alias("after_forward"),
+            backup.alias("backup_status"),
+            after_revert.alias("after_revert"),
+        )
+        .groupBy(
+            "op", "original_status", "outcome", "after_forward",
+            "backup_status", "after_revert",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -722,6 +722,76 @@ FROM managers m LEFT JOIN counts c ON c.manager_name = m.m_name
 """
 
 
+def q_o11_status_replay(spark, sf_dir):
+    """O11 (reference record_socket.py:975-1400 — the reset/cancel/
+    invalidate/delete state machine of test_record_status_changes): the
+    full transition matrix replayed set-oriented
+    (operators/diagnostics.py:status_transition_replay) — every record
+    gets a forward op and its matching revert, outcomes folded per
+    (op, original status): rejects where the status isn't applicable,
+    the running→waiting demotion before backup, and backup-exact
+    restore (cancel→uncancel of a RUNNING record ends at waiting —
+    the reference's documented behavior, not a simplification).
+
+    Fixture: status = custkey-mod over all 7 reference statuses, op =
+    orderkey-mod over the 4 ops.  One scan, pure CASE algebra, one
+    map-combinable groupBy on |ops|·|statuses| keys — constant-size
+    output at any corpus scale."""
+    from .operators.diagnostics import status_transition_replay
+
+    orders = _t(spark, sf_dir, "orders")
+    ops = F.array(
+        F.lit("delete"), F.lit("cancel"), F.lit("invalidate"), F.lit("reset")
+    )
+    sts = F.array(
+        F.lit("waiting"), F.lit("running"), F.lit("complete"), F.lit("error"),
+        F.lit("cancelled"), F.lit("invalid"), F.lit("deleted"),
+    )
+    recs = orders.select(
+        F.element_at(ops, (F.col("o_orderkey") % 4 + 1).cast("int")).alias("op"),
+        F.element_at(sts, (F.col("o_custkey") % 7 + 1).cast("int")).alias(
+            "status"
+        ),
+    )
+    return status_transition_replay(recs)
+
+
+SQL_O11 = """
+WITH recs AS (
+  SELECT CASE o_orderkey % 4 WHEN 0 THEN 'delete' WHEN 1 THEN 'cancel'
+              WHEN 2 THEN 'invalidate' ELSE 'reset' END AS op,
+         CASE o_custkey % 7 WHEN 0 THEN 'waiting' WHEN 1 THEN 'running'
+              WHEN 2 THEN 'complete' WHEN 3 THEN 'error'
+              WHEN 4 THEN 'cancelled' WHEN 5 THEN 'invalid'
+              ELSE 'deleted' END AS status
+  FROM orders
+),
+ev AS (
+  SELECT op, status,
+    CASE WHEN op = 'delete' AND status <> 'deleted' THEN TRUE
+         WHEN op = 'cancel' AND status IN ('waiting','running','error')
+           THEN TRUE
+         WHEN op = 'invalidate' AND status = 'complete' THEN TRUE
+         WHEN op = 'reset' AND status = 'error' THEN TRUE
+         ELSE FALSE END AS accepted,
+    CASE op WHEN 'delete' THEN 'deleted' WHEN 'cancel' THEN 'cancelled'
+            WHEN 'invalidate' THEN 'invalid' ELSE 'waiting' END AS target,
+    CASE WHEN status = 'running' THEN 'waiting' ELSE status END AS demoted
+  FROM recs
+)
+SELECT op, status AS original_status,
+       CASE WHEN accepted THEN 'updated' ELSE 'rejected' END AS outcome,
+       CASE WHEN accepted THEN target ELSE status END AS after_forward,
+       CASE WHEN accepted AND op <> 'reset' THEN demoted END AS backup_status,
+       CASE WHEN NOT accepted THEN status
+            WHEN op = 'reset' THEN 'waiting'
+            ELSE demoted END AS after_revert,
+       COUNT(*) AS n
+FROM ev
+GROUP BY 1, 2, 3, 4, 5, 6
+"""
+
+
 def q_j2_subspec_join(spark, sf_dir):
     """J2 as its OWN gated row (VERDICT r10 item 4): the 2-level spec
     chain record → spec → subspec through the join-ELISION builder
@@ -1616,6 +1686,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "o9_service_replay": (q_o9_service_replay, SQL_O9),
     "o10_manager_reap": (q_o10_manager_reap, SQL_O10),
     "j18_project_list": (q_j18_project_list, SQL_J18),
+    "o11_status_replay": (q_o11_status_replay, SQL_O11),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),
@@ -9441,7 +9512,7 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (8):
+    # (b) the round-12 newcomers, never driver-stamped (9):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
@@ -9463,7 +9534,12 @@ _DRIVER_WINDOW = [
     #     reference project_socket.list parity — it displaces the 2nd
     #     fill slot a11_sample_keys, whose DISTINCT-ON sample family is
     #     carried by the in-window a9_argmin stamp (r11); a11 joins the
-    #     r13 core);
+    #     r13 core), and o11_status_replay (the reset/cancel/invalidate
+    #     transition-matrix replay — it displaces the 1st fill slot
+    #     a10_map_agg, whose r09 stamp stays green and within the
+    #     4-round staleness floor until r13, where the whole r09 cohort
+    #     re-enters as the reserved core; with the fill exhausted,
+    #     further newcomers would displace core entries — none do);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9479,9 +9555,10 @@ _DRIVER_WINDOW = [
     # (d) the 5 alphabetically-first r09-stamped hash-green queries —
     #     the next-oldest cohort.
     # Step OUT: the 41 remaining r11 stamps and 43 r10 stamps (all
-    # freshly green within two rounds), plus the 44 remaining r09
-    # queries: these are the RESERVED CORE of the r13 roster (44 + r13
-    # newcomers/changes + r10 fill ≤ 50): a11_sample_keys (displaced by
+    # freshly green within two rounds), plus the 45 remaining r09
+    # queries: these are the RESERVED CORE of the r13 roster (45 + r13
+    # newcomers/changes + r10 fill ≤ 50): a10_map_agg (displaced by
+    # o11_status_replay), a11_sample_keys (displaced by
     # j18_project_list), a12_weighted_sum (displaced
     # by sim_pq_distortion), a14_pivot (displaced by
     # tx_pr_curve), a16_dedup_batch (displaced
@@ -9497,8 +9574,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 179; staleness floor stays
-    # ceil(179/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 180; staleness floor stays
+    # ceil(180/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9509,19 +9586,20 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (8) ---
+    # --- (b) round-12 newcomers (9) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
     "sim_ivf_recall_eval", "o10_manager_reap", "tx_pr_curve",
-    "sim_pq_distortion", "j18_project_list",
+    "sim_pq_distortion", "j18_project_list", "o11_status_replay",
     # --- (c) changed after their latest stamp (11) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
     "pipe_prepare", "pipe_funnel", "j2_subspec_join",
-    # --- (d) r09 cohort, alphabetically-first 1 of 45 (the 2nd-5th
-    #     slots yield to j18_project_list / sim_pq_distortion /
-    #     tx_pr_curve / o10_manager_reap, see (b)) ---
-    "a10_map_agg",
+    # --- (d) r09 fill: exhausted — all 5 slots yield to the r12
+    #     newcomers beyond the verdict list (o11_status_replay /
+    #     j18_project_list / sim_pq_distortion / tx_pr_curve /
+    #     o10_manager_reap, see (b)); the full r09 cohort of 45 is the
+    #     r13 reserved core ---
 ]
 
 assert len(_DRIVER_WINDOW) == 50, len(_DRIVER_WINDOW)
