@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "sim_pq_distortion",    # PQ quantization-health report (decimal-exact MSE)
     "j18_project_list",     # project inventory (pre-agg counts + dim joins)
     "o11_status_replay",    # status transition-matrix replay (CASE algebra)
+    "u15_temperature_mix",  # temperature-scaled domain mixture (sqrt powers)
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

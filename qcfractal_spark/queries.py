@@ -3408,6 +3408,94 @@ SQL_U14_DOREMI = _doremi_oracle_sql()
 REGISTRY["u14_doremi"] = (q_u14_doremi, SQL_U14_DOREMI)
 
 
+def q_u15_temperature_mix(spark, sf_dir):
+    """U+ (beyond-reference): temperature-scaled domain mixture — the
+    multilingual-LM sampling baseline (mT5/XLM-R style: w_i ∝ n_i^τ,
+    τ < 1 upsamples the tail) reported at every τ in one pass, beside
+    u14_doremi's learned mixture.  Per (source, τ): token count, the
+    normalized sampling weight, and the boost over the natural (τ=1)
+    share — the table a pretraining run reads to pick its τ.
+
+    Float discipline: τ ∈ {0.25, 0.5, 0.75, 1} so every power is a
+    composition of IEEE-correctly-rounded sqrt ops (no libm pow, which
+    is NOT guaranteed identical across engines); each term rounds to
+    6 dp then sums as DECIMAL, so the normalizer is engine-order-
+    independent.  Plan: ONE map-combinable token-count scan reduces the
+    corpus to |sources| rows; everything after is domain-count-sized."""
+    docs = _t(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.sum(tx.token_count(F.col("text"))).alias("n_tokens")
+    )
+    x = F.col("n_tokens").cast("double")
+    powers = {
+        "0.25": F.sqrt(F.sqrt(x)),
+        "0.5": F.sqrt(x),
+        "0.75": F.sqrt(x) * F.sqrt(F.sqrt(x)),
+        "1.0": x,
+    }
+    terms = per_src.select(
+        "source",
+        "n_tokens",
+        F.explode(
+            F.map_from_arrays(
+                F.array(*[F.lit(t) for t in powers]),
+                F.array(
+                    *[
+                        F.round(p, 6).cast("decimal(28,6)")
+                        for p in powers.values()
+                    ]
+                ),
+            )
+        ).alias("tau", "_term"),
+    )
+    tots = terms.groupBy("tau").agg(F.sum("_term").alias("_tot"))
+    nat = per_src.agg(F.sum("n_tokens").alias("_nat_tot"))
+    return (
+        terms.join(F.broadcast(tots), "tau")
+        .crossJoin(F.broadcast(nat))
+        .select(
+            "source",
+            F.col("tau").cast("double").alias("tau"),
+            "n_tokens",
+            F.round(
+                F.col("_term").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("weight"),
+            F.round(
+                (F.col("_term").cast("double") / F.col("_tot").cast("double"))
+                / (F.col("n_tokens") / F.col("_nat_tot")),
+                6,
+            ).alias("boost"),
+        )
+    )
+
+
+SQL_U15 = f"""
+WITH per_src AS (
+  SELECT source, CAST(SUM(len({_TOKS_SQL})) AS BIGINT) AS n_tokens
+  FROM documents d GROUP BY source
+),
+terms AS (
+  SELECT source, n_tokens, t.tau,
+         CAST(ROUND(CASE t.tau
+             WHEN 0.25 THEN sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+             WHEN 0.5  THEN sqrt(CAST(n_tokens AS DOUBLE))
+             WHEN 0.75 THEN sqrt(CAST(n_tokens AS DOUBLE))
+                            * sqrt(sqrt(CAST(n_tokens AS DOUBLE)))
+             ELSE CAST(n_tokens AS DOUBLE) END, 6) AS DECIMAL(28,6)) AS term
+  FROM per_src, (VALUES (0.25), (0.5), (0.75), (1.0)) t(tau)
+),
+tots AS (SELECT tau, SUM(term) AS tot FROM terms GROUP BY tau),
+nat AS (SELECT SUM(n_tokens) AS nat_tot FROM per_src)
+SELECT te.source, CAST(te.tau AS DOUBLE) AS tau, te.n_tokens,
+       ROUND(CAST(te.term AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6) AS weight,
+       ROUND((CAST(te.term AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+             / (te.n_tokens * 1.0 / n.nat_tot), 6) AS boost
+FROM terms te JOIN tots tt ON tt.tau = te.tau, nat n
+"""
+
+REGISTRY["u15_temperature_mix"] = (q_u15_temperature_mix, SQL_U15)
+
+
 # Deterministic PII augmentation: the synthetic corpus contains no PII, so
 # both engines append the same derived contact block before scanning — the
 # regexes are exercised on real matches while the fixture stays untouched.
@@ -9512,7 +9600,7 @@ _DRIVER_WINDOW = [
     #     (dd_simhash_pairs, dd_lsh_recall_eval, dd_lev_verify,
     #     dd_jaccard_capped, dd_incremental, dd_common_ngrams); nothing
     #     older than r09 remains stamped after this round;
-    # (b) the round-12 newcomers, never driver-stamped (9):
+    # (b) the round-12 newcomers, never driver-stamped (10):
     #     o8_waiting_reason (the waiting-reason diagnostic, VERDICT r11
     #     item 3), j17_spec_chain3 (3-level spec-chain elision, item 4),
     #     o9_service_replay (the T5 ServiceLoop replay under the hash
@@ -9538,8 +9626,14 @@ _DRIVER_WINDOW = [
     #     transition-matrix replay — it displaces the 1st fill slot
     #     a10_map_agg, whose r09 stamp stays green and within the
     #     4-round staleness floor until r13, where the whole r09 cohort
-    #     re-enters as the reserved core; with the fill exhausted,
-    #     further newcomers would displace core entries — none do);
+    #     re-enters as the reserved core), and u15_temperature_mix (the
+    #     temperature-scaled mixture baseline beside u14_doremi — with
+    #     the r09 fill exhausted it takes the (c) slot of pipe_prepare,
+    #     whose r12 change is the MECHANICAL extraction of its stages
+    #     into pipe_stage_relations: output identity is pinned by the
+    #     funnel reuse≡recompute pytest and re-verified hash-green in
+    #     this round's full tools/check.py sf0.01 run, so its r10 stamp
+    #     remains truthful; pipe_prepare re-enters with the r13 core);
     # (c) every query whose implementation changed after its latest
     #     stamp (11): the six MutableTable consumers — the S3-safe
     #     manifest claim strategy + the r11-ADVICE ABA/version-parse/
@@ -9574,8 +9668,8 @@ _DRIVER_WINDOW = [
     # t13_thread_assembly, t3_hourly_rollup, tx_bigram_lm,
     # tx_phrase_hits, tx_phrase_idx, tx_pii, tx_pmi_bigrams,
     # tx_quality_sweep, tx_text_stats, u6_mixture_sample, w1_window_lag.
-    # After r12 stamps: registry = 180; staleness floor stays
-    # ceil(180/45) = 4 rounds (tools/stale_stamps.py computes it).
+    # After r12 stamps: registry = 181; staleness floor stays
+    # ceil(181/45) = 4 rounds (tools/stale_stamps.py computes it).
     # --- (a) the r12 reserved core (30) ---
     "f12_hour_percentiles", "j13_asof", "j15_salted_join", "j5_one_hop",
     "j6_membership", "j9_anti_join", "mol_identifiers", "pk_bfd_pack",
@@ -9586,15 +9680,17 @@ _DRIVER_WINDOW = [
     "v1_variant_rollup", "dd_simhash_pairs", "dd_lsh_recall_eval",
     "dd_lev_verify", "dd_jaccard_capped", "dd_incremental",
     "dd_common_ngrams",
-    # --- (b) round-12 newcomers (9) ---
+    # --- (b) round-12 newcomers (10) ---
     "o8_waiting_reason", "j17_spec_chain3", "o9_service_replay",
     "sim_ivf_recall_eval", "o10_manager_reap", "tx_pr_curve",
     "sim_pq_distortion", "j18_project_list", "o11_status_replay",
-    # --- (c) changed after their latest stamp (11) ---
+    "u15_temperature_mix",
+    # --- (c) changed after their latest stamp (10; pipe_prepare
+    #     yields its slot to u15, see (b)) ---
     "s3_insert_dedup_table", "s6_delete_survivors",
     "s7_retention_survivors", "s11_schema_evolution", "st_rollup_stream",
     "t10_incremental_rollup", "pipe_export", "st_stream_export",
-    "pipe_prepare", "pipe_funnel", "j2_subspec_join",
+    "pipe_funnel", "j2_subspec_join",
     # --- (d) r09 fill: exhausted — all 5 slots yield to the r12
     #     newcomers beyond the verdict list (o11_status_replay /
     #     j18_project_list / sim_pq_distortion / tx_pr_curve /

@@ -89,6 +89,9 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # 1-row positive-total scalar crossed onto the
                        # ≤10k-row threshold-bucket relation (1e-4 grid)
                        "tx_pr_curve",
+                       # 1-row natural-total scalar crossed onto the
+                       # |sources|×4 temperature-term relation
+                       "u15_temperature_mix",
                        # waiting-reason manager walk: LEFT join on TRUE
                        # against the broadcast 4-row active-manager table
                        # (LEFT so zero-manager classifies; build side is
