@@ -7950,15 +7950,17 @@ REGISTRY["sim_filtered_topk"] = (q_sim_filtered_topk, SQL_SIM_FILTERED)
 def q_sim_ivf_recall_eval(spark, sf_dir):
     """SIM+ (beyond-reference): IVF probe-budget evaluation — recall@10
     vs brute-force truth at EVERY probe budget (1/2/4/8/16) over a
-    deterministic ~2% query sample (vec_id % 50 == 3), in one pass
-    (functions/similarity.py:ivf_recall_by_probe).  The vector-side
-    twin of dd_lsh_recall_eval: the report a deployment reads before
-    fixing ``n_probe`` corpus-wide, measured against the PERSISTED
-    index (shared _ivf_index_dir artifact — the quantizer never
-    re-runs), so the curve describes exactly what serving does.  The
-    truth scan is bounded by the query sample, not the corpus; the
-    probe-rank table broadcasts; the oracle replays the identical
-    k-means build via the shared _ivf_build_parts CTEs."""
+    deterministic query panel (vec_id % 50 == 3 AND vec_id < 2000), in
+    one pass (functions/similarity.py:ivf_recall_by_probe).  The
+    vector-side twin of dd_lsh_recall_eval: the report a deployment
+    reads before fixing ``n_probe`` corpus-wide, measured against the
+    PERSISTED index (shared _ivf_index_dir artifact — the quantizer
+    never re-runs), so the curve describes exactly what serving does.
+    The panel is a FIXED budget (≤40 queries at every sf), so the truth
+    pass costs budget × corpus — linear in the corpus across any
+    scale-up, never sample²; the probe-rank table broadcasts; the
+    oracle replays the identical k-means build via the shared
+    _ivf_build_parts CTEs."""
     path = _ivf_index_dir(spark, sf_dir)
     cent = {
         r["cid"]: list(r["centroid"])
@@ -7967,9 +7969,9 @@ def q_sim_ivf_recall_eval(spark, sf_dir):
     centroids = [cent[i] for i in range(len(cent))]
     vectors = spark.read.parquet(f"{path}/vectors")
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.where(F.col("vec_id") % 50 == 3).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
+    qs = emb.where(
+        (F.col("vec_id") % 50 == 3) & (F.col("vec_id") < 2000)
+    ).select(F.col("vec_id").alias("query_id"), "embedding")
     return sim.ivf_recall_by_probe(qs, vectors, centroids, k=10)
 
 
@@ -7986,7 +7988,7 @@ def _ivf_recall_oracle_sql(n_centroids: int = 16, n_iter: int = 2,
     cf = f"c{n_iter}"
     parts.append(
         f"qs AS (SELECT vec_id AS query_id, v AS qv FROM e "
-        f"WHERE vec_id % {mod} = {rem})"
+        f"WHERE vec_id % {mod} = {rem} AND vec_id < 2000)"
     )
     parts.append(f"""cr AS (
   SELECT query_id, qv, cid, prank FROM (
