@@ -544,3 +544,65 @@ def stream_shard_append(
         .otherwise(F.lit("test"))
         .alias("split"),
     )
+
+
+def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) -> bool:
+    """One idempotent heartbeat micro-batch merge — the streaming arm of
+    the manager-liveness write path (reference managers/socket.py:64-124:
+    ``heartbeat``/``update_resource_stats`` bump ``modified_on``; only an
+    ACTIVE manager may heartbeat — an inactive one gets an error, so an
+    inactive row's clock never moves here either).
+
+    ``batch_df`` carries ``m_name, hb_ts`` (epoch seconds).  The merge is
+    per-batch max per manager (micro-batch-sized aggregate) joined into
+    the manager dimension with GREATEST, so replays and out-of-order
+    heartbeats can never move a clock backwards; the epoch id commits in
+    the same atomic pointer swap as the version (the
+    maintain_rollup_stream exactly-once discipline), so an at-least-once
+    foreachBatch redelivery is skipped.  Downstream, the batch reap
+    operator (operators/diagnostics.py:reap_dead_managers) runs
+    UNCHANGED against the refreshed table — stream maintains the clock,
+    the periodic job decides.
+
+    Returns True if applied, False if skipped (empty or replayed epoch).
+    """
+    if not batch_df.head(1):
+        return False
+    last = managers_table.current_meta().get("hb_epoch")
+    if last is not None and epoch_id <= last:
+        return False
+    latest = batch_df.groupBy("m_name").agg(F.max("hb_ts").alias("_hb"))
+    current = managers_table.read()
+    merged = current.join(F.broadcast(latest), "m_name", "left").select(
+        "m_name",
+        "m_status",
+        F.when(
+            (F.col("m_status") == "active") & F.col("_hb").isNotNull(),
+            F.greatest(F.col("m_modified_on"), F.col("_hb")),
+        )
+        .otherwise(F.col("m_modified_on"))
+        .cast("bigint")
+        .alias("m_modified_on"),
+    )
+    managers_table.overwrite(merged, meta={"hb_epoch": epoch_id})
+    return True
+
+
+def maintain_heartbeat_stream(
+    stream: DataFrame, managers_table, checkpoint_dir: str
+):
+    """Maintain the manager dimension's ``m_modified_on`` clock from an
+    arriving heartbeat stream (availableNow foreachBatch →
+    :func:`merge_heartbeat_batch`); one checkpoint dir per managers
+    table for its lifetime, same as maintain_rollup_stream.  Returns the
+    StreamingQuery handle."""
+
+    def _merge(batch_df: DataFrame, epoch_id: int) -> None:
+        merge_heartbeat_batch(managers_table, batch_df, epoch_id)
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -1,0 +1,92 @@
+"""Streaming heartbeat maintenance — the manager-liveness write path:
+the stream advances only ACTIVE managers' clocks, never backwards,
+replayed epochs are skipped, and the batch reap operator consumes the
+refreshed table unchanged (stream maintains the clock, the periodic
+job decides)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from qcfractal_spark.operators.diagnostics import reap_dead_managers
+from qcfractal_spark.sources.table import MutableTable
+from qcfractal_spark.streaming.ingest import (
+    maintain_heartbeat_stream,
+    merge_heartbeat_batch,
+)
+
+SCHEMA_M = "m_name string, m_status string, m_modified_on bigint"
+SCHEMA_HB = "m_name string, hb_ts bigint"
+
+
+def _seed(spark, path):
+    t = MutableTable(spark, path)
+    t.overwrite(
+        spark.createDataFrame(
+            [
+                ("m1", "active", 100),
+                ("m2", "active", 100),
+                ("m3", "inactive", 100),
+            ],
+            SCHEMA_M,
+        )
+    )
+    return t
+
+
+def test_heartbeat_stream_advances_clocks_and_feeds_reap(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _seed(spark, os.path.join(d, "managers"))
+        land = os.path.join(d, "landing")
+        spark.createDataFrame(
+            [("m1", 500), ("m1", 450), ("m3", 900)], SCHEMA_HB
+        ).coalesce(1).write.parquet(land)
+        stream = spark.readStream.schema(SCHEMA_HB).parquet(land)
+        q = maintain_heartbeat_stream(
+            stream, t, os.path.join(d, "ckpt")
+        )
+        q.awaitTermination(120)
+        rows = {r["m_name"]: r for r in t.read().collect()}
+        assert rows["m1"]["m_modified_on"] == 500  # max of the batch
+        assert rows["m2"]["m_modified_on"] == 100  # no heartbeat
+        assert rows["m3"]["m_modified_on"] == 100  # inactive: clock frozen
+
+        # the batch reap consumes the refreshed table unchanged:
+        # cutoff 400 -> m2 (active, stale) dies; m1 survives
+        rep = {
+            r["m_name"]: r for r in reap_dead_managers(t.read(), _empty_records(spark), 400).collect()
+        }
+        assert rep["m1"]["status_after"] == "active"
+        assert rep["m2"]["status_after"] == "inactive"
+        assert rep["m2"]["reason"] == "missing heartbeat"
+
+
+def _empty_records(spark):
+    return spark.createDataFrame(
+        [], "record_id long, status string, is_service boolean, manager_name string"
+    )
+
+
+def test_heartbeat_merge_is_idempotent_and_monotone(spark):
+    with tempfile.TemporaryDirectory() as d:
+        t = _seed(spark, os.path.join(d, "managers"))
+        batch = spark.createDataFrame([("m1", 300)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True
+        # at-least-once redelivery of the same epoch: skipped
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is False
+        assert {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}[
+            "m1"
+        ] == 300
+        # an out-of-order LATER epoch carrying an OLDER timestamp can
+        # never move the clock backwards (GREATEST merge)
+        stale = spark.createDataFrame([("m1", 200)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, stale, epoch_id=1) is True
+        assert {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}[
+            "m1"
+        ] == 300
+        # empty batch: skipped without burning the epoch guard
+        empty = spark.createDataFrame([], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, empty, epoch_id=2) is False
