@@ -564,6 +564,12 @@ def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) ->
     UNCHANGED against the refreshed table — stream maintains the clock,
     the periodic job decides.
 
+    The epoch guard is an optimization, not the safety: an unrelated
+    commit on the managers table (a reap writing statuses) replaces the
+    meta dict and drops ``hb_epoch``, after which a redelivered batch
+    re-applies — harmlessly, because the GREATEST merge is idempotent
+    (pytest-pinned).  Exactly-once here means exactly-once EFFECT.
+
     Returns True if applied, False if skipped (empty or replayed epoch).
     """
     if not batch_df.head(1):

@@ -90,3 +90,29 @@ def test_heartbeat_merge_is_idempotent_and_monotone(spark):
         # empty batch: skipped without burning the epoch guard
         empty = spark.createDataFrame([], SCHEMA_HB)
         assert merge_heartbeat_batch(t, empty, epoch_id=2) is False
+
+
+def test_heartbeat_reapply_after_unrelated_commit_is_harmless(spark):
+    """An unrelated table commit (a reap writing statuses) replaces the
+    meta dict and drops the hb_epoch guard; a redelivered batch then
+    re-applies — and must be a no-op on the clocks (GREATEST merge):
+    exactly-once EFFECT survives the lost guard."""
+    with tempfile.TemporaryDirectory() as d:
+        t = _seed(spark, os.path.join(d, "managers"))
+        batch = spark.createDataFrame([("m1", 300)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True
+        # unrelated commit: flip m2's status; meta (and hb_epoch) replaced
+        t.overwrite(
+            t.read().withColumn(
+                "m_status",
+                F.when(F.col("m_name") == "m2", "inactive").otherwise(
+                    F.col("m_status")
+                ),
+            ),
+            meta={"reason": "reap"},
+        )
+        assert t.current_meta().get("hb_epoch") is None
+        before = {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True  # re-applied
+        after = {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}
+        assert after == before  # no clock moved: idempotent effect
