@@ -611,14 +611,20 @@ def ivf_recall_by_probe(
             F.sum(
                 F.when(F.col("_prank") <= F.col("n_probe"), 1).otherwise(0)
             ).alias("n_hits"),
+            # denominator = the ACTUAL truth-set size, not k·n_queries:
+            # a corpus (or filtered candidate set) smaller than k has
+            # fewer than k truth rows per query, and dividing by k would
+            # understate recall and break the =1.0-at-all-probes
+            # invariant exactly when the index is fine
+            F.count(F.lit(1)).alias("_n_truth"),
         )
         .select(
             "n_probe",
             "n_queries",
             "n_hits",
-            F.round(
-                F.col("n_hits") / (F.lit(k) * F.col("n_queries")), round_to
-            ).alias("recall"),
+            F.round(F.col("n_hits") / F.col("_n_truth"), round_to).alias(
+                "recall"
+            ),
         )
         .orderBy("n_probe")
     )

@@ -8024,7 +8024,7 @@ SELECT lv.n_probe,
             AS BIGINT) AS n_hits,
        ROUND(CAST(SUM(CASE WHEN truth.prank <= lv.n_probe THEN 1 ELSE 0 END)
                   AS DOUBLE)
-             / ({k} * COUNT(DISTINCT truth.query_id)), 6) AS recall
+             / COUNT(*), 6) AS recall
 FROM truth, lv
 GROUP BY lv.n_probe
 ORDER BY n_probe

@@ -109,27 +109,44 @@ class MutableTable:
         with open(self._manifest_path(v)) as fh:
             return json.load(fh)
 
+    def _manifest_versions(self) -> list[int]:
+        """Committed version numbers in the manifest arm — the ONE
+        ``_commits`` listing/parse loop (current_version, history and
+        the vacuum sweep all consume it; three hand-rolled copies is how
+        the 7-digit regex bug survived r10)."""
+        try:
+            entries = os.listdir(os.path.join(self.path, "_commits"))
+        except FileNotFoundError:
+            return []
+        out = []
+        for e in entries:
+            m = re.fullmatch(r"v(\d{6,})\.json", e)
+            if m:
+                out.append(int(m.group(1)))
+        return out
+
+    def _committed_stages(self) -> set[str]:
+        """Stage-dir basenames named by ANY manifest (manifest arm) —
+        these hold live committed data and are never sweepable."""
+        out: set[str] = set()
+        for v in self._manifest_versions():
+            try:
+                out.add(self._read_manifest(v)["stage"])
+            except (OSError, json.JSONDecodeError, KeyError):
+                continue
+        return out
+
     def current_version(self) -> int | None:
         """Max committed version — the CAS truth.  Rename arm: a
         ``v%06d`` dir only ever appears via the atomic rename of a
         fully-written stage, so presence implies completeness (crashed
         writers leave only dot-prefixed stage dirs, swept by
         :meth:`vacuum_stages`).  Manifest arm: max ``_commits/v*.json``
-        — a manifest only appears via the exclusive create that IS the
-        commit."""
+        — a manifest only ever appears via the atomic link of a
+        fully-written body, so presence implies completeness there too."""
         if self.commit_strategy == "manifest":
-            best = None
-            try:
-                entries = os.listdir(os.path.join(self.path, "_commits"))
-            except FileNotFoundError:
-                return None
-            for e in entries:
-                m = re.fullmatch(r"v(\d{6,})\.json", e)
-                if m:
-                    v = int(m.group(1))
-                    if best is None or v > best:
-                        best = v
-            return best
+            vs = self._manifest_versions()
+            return max(vs) if vs else None
         best = None
         try:
             entries = os.listdir(self.path)
@@ -238,12 +255,18 @@ class MutableTable:
         that writer had already built on (r11 ADVICE, medium).
 
         Manifest arm (``commit_strategy="manifest"``, the S3-safe claim):
-        no rename at all — the claim is the EXCLUSIVE CREATE of
-        ``_commits/v{N}.json`` naming the stage dir (put-if-absent; on S3
-        one conditional PUT).  Losers get :exc:`FileExistsError` from the
-        kernel and surface the same :class:`CommitConflictError`.
-        Manifests persist forever, so stale re-claims of pruned numbers
-        are impossible by construction."""
+        no rename at all — the claim is the atomic LINK of a
+        fully-written temp manifest onto ``_commits/v{N}.json`` naming
+        the stage dir (link(2) fails if the target exists, so a manifest
+        is VISIBLE iff its body is COMPLETE; an exclusive-create-then-
+        write pair would leave a crash window where a claimed-but-empty
+        manifest poisons every read of the table and stalls the prune
+        sweep).  On S3 the analog is one conditional PUT of the full
+        object — atomic by the storage contract.  Losers get
+        :exc:`FileExistsError` from the kernel and surface the same
+        :class:`CommitConflictError`.  Manifests persist forever, so
+        stale re-claims of pruned numbers are impossible by
+        construction."""
         v = 0 if base is None else base + 1
         ops = self._schema_ops(base) if schema_ops is None else schema_ops
         with open(os.path.join(stage, "_meta.json"), "w") as fh:
@@ -257,20 +280,39 @@ class MutableTable:
                 f"table {self.path}: version advanced past v{v - 1} before publish"
             )
         if self.commit_strategy == "manifest":
-            # serialize first so the exclusive create lands the whole
-            # body in one write (on S3: one conditional PUT of the full
-            # object — atomic by the storage contract)
+            # vacuum guard: a live writer's stage must never age past the
+            # sweep threshold between staging and claim — stamp the stage
+            # NOW so its age is measured from just before the claim (the
+            # sweep additionally re-checks the committed set per
+            # candidate; see vacuum_stages).
+            try:
+                os.utime(stage)
+            except OSError:
+                pass
             body = json.dumps(
                 {"version": v, "ts": time.time(), "stage": os.path.basename(stage)}
             )
+            # write the FULL body to a hidden temp, fsync, then link onto
+            # the version name — claimed iff complete, no partial window
+            tmp = os.path.join(
+                self.path, "_commits", f".m_{os.getpid()}_{uuid.uuid4().hex[:8]}"
+            )
+            with open(tmp, "w") as fh:
+                fh.write(body)
+                fh.flush()
+                os.fsync(fh.fileno())
             try:
-                with open(self._manifest_path(v), "x") as fh:
-                    fh.write(body)
+                os.link(tmp, self._manifest_path(v))
             except FileExistsError as exc:
                 shutil.rmtree(stage, ignore_errors=True)
                 raise CommitConflictError(
                     f"table {self.path}: v{v} was claimed by another writer"
                 ) from exc
+            finally:
+                try:
+                    os.remove(tmp)
+                except OSError:
+                    pass
         else:
             try:
                 os.rename(stage, self._version_dir(v))
@@ -297,8 +339,10 @@ class MutableTable:
         (a fully deleted dir would let a very stale writer resurrect the
         number with stale data).  ``history()`` keeps reporting pruned
         versions' commit metadata; only the data is gone.  Returns True
-        if data was actually removed (False: already pruned / missing),
-        which is the publish sweep's stop signal.  Tombstones cost one
+        if this call did the tombstoning (False: already tombstoned /
+        missing — leftover entries from a crashed earlier prune are
+        still swept on that path), which is the publish sweep's stop
+        signal.  Tombstones cost one
         directory entry per historical commit — the same growth as a
         Delta log; at very large commit counts the manifest/log would be
         checkpointed, out of scope here."""
@@ -307,8 +351,18 @@ class MutableTable:
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             return False
         marker = os.path.join(vdir, "_pruned")
-        if not os.path.isdir(vdir) or os.path.exists(marker):
+        if not os.path.isdir(vdir):
             return False
+        already = os.path.exists(marker)
+        if not already:
+            # marker FIRST: a crash mid-delete then presents the
+            # documented "has been pruned" FileNotFoundError to readers,
+            # never an opaque empty-dir AnalysisException; the leftover
+            # data entries are swept by the next call below (which still
+            # returns False — the publish sweep's stop signal — so the
+            # descending sweep's amortized-O(1) contract holds).
+            with open(marker, "w"):
+                pass
         for e in os.listdir(vdir):
             if e in ("_meta.json", "_pruned"):
                 continue
@@ -320,9 +374,7 @@ class MutableTable:
                     os.remove(p)
             except OSError:
                 continue
-        with open(marker, "w"):
-            pass
-        return True
+        return not already
 
     def _mutate(
         self,
@@ -367,20 +419,22 @@ class MutableTable:
         """Sweep crashed writers' leftover staging dirs (the
         compact_small_files crash-leftover contract).  Age-gated so a
         LIVE concurrent writer's stage is never yanked from under it.
+
         Manifest arm: committed versions LIVE in their stage dirs, so
-        only stages no manifest references are sweepable."""
-        committed: set[str] = set()
-        if self.commit_strategy == "manifest":
-            try:
-                for e in os.listdir(os.path.join(self.path, "_commits")):
-                    if re.fullmatch(r"v\d{6,}\.json", e):
-                        try:
-                            with open(os.path.join(self.path, "_commits", e)) as fh:
-                                committed.add(json.load(fh)["stage"])
-                        except (OSError, json.JSONDecodeError, KeyError):
-                            continue
-            except FileNotFoundError:
-                pass
+        only stages no manifest references are sweepable — and because a
+        stage can BECOME committed after this sweep lists the committed
+        set (a CAS-retrying writer claiming late), the set is re-read
+        immediately before every deletion.  The writer side cooperates:
+        ``_publish`` re-stamps the stage's mtime just before its claim,
+        so a stage that is both older than ``min_age_sec`` AND
+        uncommitted at the recheck has no live writer unless a single
+        claim attempt itself outlasts the threshold (the residual window
+        is the utime→link gap, microseconds against a 1 h default).
+        Crash-leftover temp manifests (``_commits/.m_*`` — written but
+        never linked) are swept under the same age gate."""
+        committed: set[str] = (
+            self._committed_stages() if self.commit_strategy == "manifest" else set()
+        )
         n = 0
         now = time.time()
         for e in os.listdir(self.path):
@@ -388,10 +442,28 @@ class MutableTable:
                 p = os.path.join(self.path, e)
                 try:
                     if now - os.path.getmtime(p) >= min_age_sec:
+                        if (
+                            self.commit_strategy == "manifest"
+                            and e in self._committed_stages()
+                        ):
+                            continue  # claimed since the snapshot: live data
                         shutil.rmtree(p, ignore_errors=True)
                         n += 1
                 except OSError:
                     continue
+        if self.commit_strategy == "manifest":
+            cdir = os.path.join(self.path, "_commits")
+            try:
+                for e in os.listdir(cdir):
+                    if e.startswith(".m_"):
+                        p = os.path.join(cdir, e)
+                        try:
+                            if now - os.path.getmtime(p) >= min_age_sec:
+                                os.remove(p)
+                        except OSError:
+                            continue
+            except FileNotFoundError:
+                pass
         return n
 
     def history(self) -> list[dict]:
@@ -405,14 +477,7 @@ class MutableTable:
         7-digit version (r11 ADVICE)."""
         out = []
         if self.commit_strategy == "manifest":
-            versions = []
-            try:
-                for e in os.listdir(os.path.join(self.path, "_commits")):
-                    m = re.fullmatch(r"v(\d{6,})\.json", e)
-                    if m:
-                        versions.append(int(m.group(1)))
-            except FileNotFoundError:
-                pass
+            versions = self._manifest_versions()
         else:
             versions = [
                 int(e[1:])
@@ -687,8 +752,26 @@ class MutableTable:
 
     def overwrite(self, df: DataFrame, meta: dict | None = None) -> int:
         """Replace the table with ``df`` — last-writer-wins by intent, so
-        a conflict retry re-stages the same relation unchanged."""
+        a conflict retry re-stages the same relation unchanged.  If the
+        replacement DERIVES from the table's current contents, use
+        :meth:`transform` instead: an external read()-then-overwrite()
+        pair silently clobbers any commit that lands between the two."""
         return self._commit(df, meta=meta)
+
+    def transform(
+        self, fn: Callable[[DataFrame], DataFrame], meta: dict | None = None
+    ) -> int:
+        """Read-modify-write under the CAS loop: ``fn`` maps the current
+        relation to its replacement and is RE-RUN against the fresh
+        snapshot whenever a concurrent commit wins the race — the safe
+        form of read()-then-overwrite() for merges that must compose
+        with other writers (e.g. a heartbeat merge racing the reap's
+        status write).  Returns the published version."""
+
+        def build(base):
+            return self._stage_df(fn(self.read())), None
+
+        return self._mutate(build, meta=meta)
 
     def compact(
         self,

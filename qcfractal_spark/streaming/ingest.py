@@ -570,6 +570,15 @@ def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) ->
     re-applies — harmlessly, because the GREATEST merge is idempotent
     (pytest-pinned).  Exactly-once here means exactly-once EFFECT.
 
+    The commit goes through :meth:`MutableTable.transform` — the CAS
+    read-modify-write — NOT read()-then-overwrite(): the managers table
+    has another writer by design (the periodic reap flips statuses), and
+    a plain overwrite built from a pre-reap snapshot would win the race
+    and resurrect a just-deactivated manager.  Under transform, the
+    losing side re-reads the post-reap snapshot and re-merges, so the
+    reap's statuses always survive a concurrent heartbeat
+    (pytest-pinned).
+
     Returns True if applied, False if skipped (empty or replayed epoch).
     """
     if not batch_df.head(1):
@@ -578,19 +587,22 @@ def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) ->
     if last is not None and epoch_id <= last:
         return False
     latest = batch_df.groupBy("m_name").agg(F.max("hb_ts").alias("_hb"))
-    current = managers_table.read()
-    merged = current.join(F.broadcast(latest), "m_name", "left").select(
-        "m_name",
-        "m_status",
-        F.when(
-            (F.col("m_status") == "active") & F.col("_hb").isNotNull(),
-            F.greatest(F.col("m_modified_on"), F.col("_hb")),
+    latest = latest.localCheckpoint(eager=True)  # one plan per retry, not per read
+
+    def merge(current: DataFrame) -> DataFrame:
+        return current.join(F.broadcast(latest), "m_name", "left").select(
+            "m_name",
+            "m_status",
+            F.when(
+                (F.col("m_status") == "active") & F.col("_hb").isNotNull(),
+                F.greatest(F.col("m_modified_on"), F.col("_hb")),
+            )
+            .otherwise(F.col("m_modified_on"))
+            .cast("bigint")
+            .alias("m_modified_on"),
         )
-        .otherwise(F.col("m_modified_on"))
-        .cast("bigint")
-        .alias("m_modified_on"),
-    )
-    managers_table.overwrite(merged, meta={"hb_epoch": epoch_id})
+
+    managers_table.transform(merge, meta={"hb_epoch": epoch_id})
     return True
 
 

@@ -280,6 +280,29 @@ def test_ivf_recall_by_probe_monotone_exact_and_matches_serving(spark):
     assert rows[4]["n_hits"] == len(ivf4 & exact)
 
 
+def test_ivf_recall_small_corpus_denominator(spark):
+    """Recall divides by the ACTUAL truth-set size: a corpus smaller
+    than k still reaches exactly 1.0 at all-probes (a k·n_queries
+    denominator would cap recall at |corpus|/k and read as an index
+    that never achieves full recall)."""
+    from qcfractal_spark.functions import similarity as sim
+
+    rows = [(i, [float(i + 1), float((i * 3) % 7), 1.0, 0.5]) for i in range(7)]
+    tiny = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    assigned, centroids = sim.ivf_assignments(tiny, n_centroids=4)
+    qs = tiny.select(F.col("vec_id").alias("query_id"), "embedding")
+    out = {
+        r["n_probe"]: r
+        for r in sim.ivf_recall_by_probe(
+            qs, assigned, centroids, k=10, probe_levels=(1, 2, 4)
+        ).collect()
+    }
+    assert out[4]["recall"] == 1.0  # all probes == exact, even with 7 < k
+    assert out[4]["n_hits"] == 7 * 7  # every truth row (7 per query) hits
+    recalls = [out[p]["recall"] for p in (1, 2, 4)]
+    assert recalls == sorted(recalls)
+
+
 def test_pq_distortion_report_populations_and_zero_mse(spark):
     """The PQ health report's populations must equal the encoder's
     per-(subspace, code) counts, and a corpus that IS its own codebook

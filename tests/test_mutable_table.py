@@ -4,6 +4,8 @@ version swap atomicity)."""
 
 from __future__ import annotations
 
+import json
+import os
 import tempfile
 from datetime import datetime
 
@@ -643,3 +645,82 @@ def test_manifest_time_travel_prune_and_vacuum(spark, tmp_path):
         t.read(version=0)
     assert t.vacuum_stages(min_age_sec=0.0) == 0  # committed stages kept
     assert {r["id"] for r in t.read().collect()} == {3}
+
+
+def test_manifest_claim_is_visible_iff_complete(spark, tmp_path):
+    """The manifest claim is an atomic link of a FULLY-WRITTEN body —
+    there is no window where a claimed-but-partial manifest exists, and
+    a crash before the link (a leftover .m_ temp) is invisible to
+    current_version()/read() and swept by vacuum."""
+    t = MutableTable(spark, str(tmp_path / "mcl"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    cdir = os.path.join(t.path, "_commits")
+    # every visible manifest parses and names an existing stage
+    for e in os.listdir(cdir):
+        if e.startswith("v"):
+            with open(os.path.join(cdir, e)) as fh:
+                m = json.load(fh)
+            assert os.path.isdir(os.path.join(t.path, m["stage"]))
+    # simulate a writer that crashed between temp-write and link
+    orphan = os.path.join(cdir, ".m_dead_writer")
+    with open(orphan, "w") as fh:
+        fh.write('{"version": 99, "stage": ".stage_gone"}')
+    assert t.current_version() == 0  # temp is not a commit
+    assert {r["id"] for r in t.read().collect()} == {1}
+    os.utime(orphan, (0, 0))  # age it past any threshold
+    t.vacuum_stages(min_age_sec=1.0)
+    assert not os.path.exists(orphan)  # crash leftovers are swept
+
+
+def test_vacuum_rechecks_commit_status_before_delete(spark, tmp_path):
+    """A stage that becomes COMMITTED between the vacuum's committed-set
+    snapshot and the deletion must survive: the sweep re-reads the
+    committed set immediately before each rmtree (without the recheck, a
+    slow CAS-retrying writer's claim could land after the snapshot and
+    the sweep would destroy the live data of a committed version)."""
+    t = MutableTable(spark, str(tmp_path / "mvr"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(1,)], "id long"))
+    live_stage = os.path.basename(t._resolve_dir(t.current_version()))
+    # backdate the committed stage so the age gate alone would delete it
+    os.utime(os.path.join(t.path, live_stage), (0, 0))
+
+    # simulate the late-claim race: the snapshot call sees an EMPTY
+    # committed set, the per-candidate recheck sees the truth
+    calls = {"n": 0}
+    orig = MutableTable._committed_stages
+
+    def racy(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return set()  # the stale snapshot
+        return orig(self)
+
+    MutableTable._committed_stages = racy
+    try:
+        t.vacuum_stages(min_age_sec=1.0)
+    finally:
+        MutableTable._committed_stages = orig
+    assert calls["n"] >= 2  # the recheck actually ran
+    assert {r["id"] for r in t.read().collect()} == {1}  # data survived
+
+
+def test_prune_crash_window_keeps_documented_error(spark, tmp_path):
+    """_prune writes the tombstone marker BEFORE deleting data, so a
+    crash mid-delete presents the documented 'has been pruned'
+    FileNotFoundError to readers (never an opaque empty-dir scan error),
+    and the next sweep cleans the leftovers while preserving the stop
+    signal."""
+    t = MutableTable(spark, str(tmp_path / "mpc"))
+    for i in range(2):
+        t.overwrite(spark.createDataFrame([(i,)], "id long"))
+    # simulate a prune that crashed after the marker, before the delete:
+    vdir = t._resolve_dir(0)
+    with open(os.path.join(vdir, "_pruned"), "w"):
+        pass
+    assert any(e not in ("_meta.json", "_pruned") for e in os.listdir(vdir))
+    with pytest.raises(FileNotFoundError, match="pruned"):
+        t.read(version=0)
+    # the next sweep call: returns False (stop signal) but sweeps leftovers
+    assert t._prune(0) is False
+    assert sorted(os.listdir(vdir)) == ["_meta.json", "_pruned"]
+    assert [e["pruned"] for e in t.history()] == [False, True]

@@ -116,3 +116,42 @@ def test_heartbeat_reapply_after_unrelated_commit_is_harmless(spark):
         assert merge_heartbeat_batch(t, batch, epoch_id=0) is True  # re-applied
         after = {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}
         assert after == before  # no clock moved: idempotent effect
+
+
+def test_heartbeat_merge_never_clobbers_a_concurrent_reap(spark):
+    """The clobber race, interleaved deterministically: a reap commits
+    m1 active->inactive AFTER the heartbeat merge has read its snapshot
+    but BEFORE its publish.  The merge goes through the CAS transform,
+    so its first publish conflicts and the retry re-merges against the
+    POST-reap snapshot: the reap's status survives, and the dead
+    manager's clock does not move (a plain read-then-overwrite would
+    resurrect m1 as active with a fresh clock)."""
+    with tempfile.TemporaryDirectory() as d:
+        t = _seed(spark, os.path.join(d, "managers"))
+        reaper = MutableTable(spark, os.path.join(d, "managers"))
+        fired = {"done": False}
+        orig_publish = t._publish
+
+        def racing_publish(stage, base, meta=None, **kw):
+            if not fired["done"]:
+                fired["done"] = True
+                reaper.transform(
+                    lambda cur: cur.withColumn(
+                        "m_status",
+                        F.when(F.col("m_name") == "m1", "inactive").otherwise(
+                            F.col("m_status")
+                        ),
+                    ),
+                    meta={"reason": "reap"},
+                )
+            return orig_publish(stage, base, meta, **kw)
+
+        t._publish = racing_publish
+        batch = spark.createDataFrame([("m1", 500), ("m2", 500)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True
+        t._publish = orig_publish
+
+        rows = {r["m_name"]: r for r in t.read().collect()}
+        assert rows["m1"]["m_status"] == "inactive"  # the reap survived
+        assert rows["m1"]["m_modified_on"] == 100  # dead clock frozen
+        assert rows["m2"]["m_modified_on"] == 500  # live clock advanced

@@ -410,7 +410,7 @@ def test_queue_claim_plan_is_claim_sized_not_history_sized(spark, monkeypatch):
     # 16-task finished history
     assert all(n <= 3 * 2 for _, n in seen), seen
     # and none of the claimed tasks was previously finished
-    assert all(r["id"] not in set() for r in got)
+    assert all(r["id"] not in q.finished for r in got)
     for row in got:
         q.return_task("m1", row["id"], row["record_id"], ok=True)
     # queue drains to exactly one final task, still correctly claimable
