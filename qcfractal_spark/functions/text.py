@@ -354,6 +354,11 @@ def pr_curve(
             F.sum(F.lit(1) - F.col("_y")).alias("_neg"),
         )
     )
+    # checkpoint the bucket table: the total-positives aggregate and the
+    # cumulative window both derive from it, and without the cut each
+    # branch re-scans the corpus (r12 ADVICE) — the grid is ≤ scale+1
+    # rows, so materializing it is free
+    per_t = per_t.localCheckpoint(eager=True)
     w = Window.orderBy(F.col("_b").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )

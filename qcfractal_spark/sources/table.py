@@ -60,6 +60,7 @@ below takes an optional ``partition_by`` so writes are partition-pruned.
 
 from __future__ import annotations
 
+import errno
 import json
 import os
 import re
@@ -168,7 +169,9 @@ class MutableTable:
         (written inside the staging dir BEFORE the claim-rename) — e.g.
         the streaming epoch id that produced the version, which is what
         makes foreachBatch merges idempotent under at-least-once replay."""
-        v = self.current_version()
+        return self._meta_at(self.current_version())
+
+    def _meta_at(self, v: int | None) -> dict:
         if v is None:
             return {}
         try:
@@ -308,6 +311,35 @@ class MutableTable:
                 raise CommitConflictError(
                     f"table {self.path}: v{v} was claimed by another writer"
                 ) from exc
+            except OSError as exc:
+                # filesystem without hard links (some network/FUSE
+                # mounts): fall back to exclusive-create of the FINAL
+                # name (r12 ADVICE — link(2) raised a bare OSError here,
+                # a portability regression vs the pre-r12 O_EXCL claim).
+                # The 'x' open is still an atomic put-if-absent claim;
+                # the regression vs link(2) is the claimed-but-partial
+                # crash window between the open and the fsync'd write —
+                # microseconds, and only on link-less filesystems, which
+                # is exactly the degraded mode the pre-r12 code was in
+                # everywhere.
+                if exc.errno not in (
+                    errno.EPERM,
+                    errno.ENOTSUP,
+                    errno.EOPNOTSUPP,
+                    errno.EXDEV,
+                ):
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
+                try:
+                    with open(self._manifest_path(v), "x") as fh:
+                        fh.write(body)
+                        fh.flush()
+                        os.fsync(fh.fileno())
+                except FileExistsError as exc2:
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise CommitConflictError(
+                        f"table {self.path}: v{v} was claimed by another writer"
+                    ) from exc2
             finally:
                 try:
                     os.remove(tmp)
@@ -407,8 +439,12 @@ class MutableTable:
                     continue
                 raise
             ops = ops_fn(base) if ops_fn is not None else None
+            # meta may be a callable of the base version — transform uses
+            # this to merge the PRIOR commit's meta forward per retry, so
+            # the merge always reflects the snapshot actually read
+            resolved_meta = meta(base) if callable(meta) else meta
             try:
-                v = self._publish(stage, base, meta, schema_ops=ops)
+                v = self._publish(stage, base, resolved_meta, schema_ops=ops)
                 return result if result is not None else v
             except CommitConflictError as exc:
                 last = exc
@@ -424,33 +460,40 @@ class MutableTable:
         only stages no manifest references are sweepable — and because a
         stage can BECOME committed after this sweep lists the committed
         set (a CAS-retrying writer claiming late), the set is re-read
-        immediately before every deletion.  The writer side cooperates:
-        ``_publish`` re-stamps the stage's mtime just before its claim,
-        so a stage that is both older than ``min_age_sec`` AND
-        uncommitted at the recheck has no live writer unless a single
-        claim attempt itself outlasts the threshold (the residual window
-        is the utime→link gap, microseconds against a 1 h default).
-        Crash-leftover temp manifests (``_commits/.m_*`` — written but
-        never linked) are swept under the same age gate."""
+        ONCE more after the age-eligible candidates are collected,
+        immediately before the deletion batch (r12 ADVICE: the earlier
+        per-candidate recheck re-parsed every manifest per candidate —
+        O(candidates × manifests) file I/O on long-history tables; one
+        batch recheck closes the same race at O(manifests)).  The writer
+        side cooperates: ``_publish`` re-stamps the stage's mtime just
+        before its claim, so a stage that is both older than
+        ``min_age_sec`` AND uncommitted at the recheck has no live
+        writer unless a single claim attempt itself outlasts the
+        threshold (the residual window is the utime→claim gap,
+        microseconds against a 1 h default — identical under either
+        recheck granularity).  Crash-leftover temp manifests
+        (``_commits/.m_*`` — written but never linked) are swept under
+        the same age gate."""
         committed: set[str] = (
             self._committed_stages() if self.commit_strategy == "manifest" else set()
         )
         n = 0
         now = time.time()
+        candidates: list[str] = []
         for e in os.listdir(self.path):
             if e.startswith(".stage_") and e not in committed:
-                p = os.path.join(self.path, e)
                 try:
-                    if now - os.path.getmtime(p) >= min_age_sec:
-                        if (
-                            self.commit_strategy == "manifest"
-                            and e in self._committed_stages()
-                        ):
-                            continue  # claimed since the snapshot: live data
-                        shutil.rmtree(p, ignore_errors=True)
-                        n += 1
+                    if now - os.path.getmtime(os.path.join(self.path, e)) >= min_age_sec:
+                        candidates.append(e)
                 except OSError:
                     continue
+        if candidates and self.commit_strategy == "manifest":
+            committed = self._committed_stages()  # one recheck for the batch
+        for e in candidates:
+            if e in committed:
+                continue  # claimed since the snapshot: live data
+            shutil.rmtree(os.path.join(self.path, e), ignore_errors=True)
+            n += 1
         if self.commit_strategy == "manifest":
             cdir = os.path.join(self.path, "_commits")
             try:
@@ -766,12 +809,25 @@ class MutableTable:
         snapshot whenever a concurrent commit wins the race — the safe
         form of read()-then-overwrite() for merges that must compose
         with other writers (e.g. a heartbeat merge racing the reap's
-        status write).  Returns the published version."""
+        status write).  Returns the published version.
+
+        Meta composes the same way the data does: the prior commit's
+        meta keys are carried forward, with ``meta`` overriding
+        key-by-key (r12 VERDICT item 5 — a reap's transform used to
+        REPLACE the meta dict wholesale, dropping the heartbeat stream's
+        ``hb_epoch`` guard so a redelivered epoch re-applied instead of
+        skipping; exactly-once effect survived only because the GREATEST
+        merge is idempotent).  ``overwrite`` keeps replace semantics —
+        it declares the table's content AND provenance anew; transform
+        declares a delta against both."""
 
         def build(base):
             return self._stage_df(fn(self.read())), None
 
-        return self._mutate(build, meta=meta)
+        def merged_meta(base):
+            return {**self._meta_at(base), **(meta or {})}
+
+        return self._mutate(build, meta=merged_meta)
 
     def compact(
         self,

@@ -564,11 +564,16 @@ def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) ->
     UNCHANGED against the refreshed table — stream maintains the clock,
     the periodic job decides.
 
-    The epoch guard is an optimization, not the safety: an unrelated
-    commit on the managers table (a reap writing statuses) replaces the
-    meta dict and drops ``hb_epoch``, after which a redelivered batch
-    re-applies — harmlessly, because the GREATEST merge is idempotent
-    (pytest-pinned).  Exactly-once here means exactly-once EFFECT.
+    The epoch guard survives unrelated writers: ``transform`` commits
+    carry the prior commit's meta keys forward (r12 VERDICT item 5), so
+    a reap transform that lands between heartbeat batches preserves
+    ``hb_epoch`` and a redelivered epoch is SKIPPED, not re-applied
+    (pytest-pinned).  The guard is still an optimization, not the
+    safety: an ``overwrite`` (which declares provenance anew) does drop
+    it, after which a redelivered batch re-applies — harmlessly, because
+    the GREATEST merge is idempotent (pytest-pinned).  Exactly-once here
+    means exactly-once EFFECT, with exactly-once SKIP whenever the meta
+    chain is unbroken.
 
     The commit goes through :meth:`MutableTable.transform` — the CAS
     read-modify-write — NOT read()-then-overwrite(): the managers table
@@ -590,16 +595,23 @@ def merge_heartbeat_batch(managers_table, batch_df: DataFrame, epoch_id: int) ->
     latest = latest.localCheckpoint(eager=True)  # one plan per retry, not per read
 
     def merge(current: DataFrame) -> DataFrame:
-        return current.join(F.broadcast(latest), "m_name", "left").select(
-            "m_name",
-            "m_status",
-            F.when(
-                (F.col("m_status") == "active") & F.col("_hb").isNotNull(),
-                F.greatest(F.col("m_modified_on"), F.col("_hb")),
+        # withColumn + drop, not a fixed select: the merge touches ONLY
+        # m_modified_on, so any additional columns the manager dimension
+        # carries (resource stats, versions — the reference's manager row
+        # has a dozen) must ride through untouched (r12 ADVICE: a fixed
+        # 3-column select silently dropped them on the first heartbeat)
+        return (
+            current.join(F.broadcast(latest), "m_name", "left")
+            .withColumn(
+                "m_modified_on",
+                F.when(
+                    (F.col("m_status") == "active") & F.col("_hb").isNotNull(),
+                    F.greatest(F.col("m_modified_on"), F.col("_hb")),
+                )
+                .otherwise(F.col("m_modified_on"))
+                .cast("bigint"),
             )
-            .otherwise(F.col("m_modified_on"))
-            .cast("bigint")
-            .alias("m_modified_on"),
+            .drop("_hb")
         )
 
     managers_table.transform(merge, meta={"hb_epoch": epoch_id})

@@ -53,6 +53,17 @@ class SingleWriterQueue:
     # DELETEs the task row on completion, tasks/socket.py update_completed;
     # errored tasks stay out until an explicit user reset re-inserts them)
     finished: set[int] = field(default_factory=set)
+    # exclusion-strategy knobs (r12 VERDICT item 1): small taken-sets
+    # compile to an InSet predicate pushed to the scan; past the
+    # threshold the exclusion becomes a broadcast LEFT ANTI join, whose
+    # plan size is CONSTANT in the history (the join's local relation
+    # carries data rows, not a parsed expression tree).  Once the
+    # finished set passes ``compact_after``, return_task folds it out of
+    # the snapshot entirely — the Spark analog of the reference DELETEing
+    # the task row on completion (tasks/socket.py:352-365) — so neither
+    # the driver set nor any plan carries lifetime history.
+    isin_exclusion_max: int = 128
+    compact_after: int = 4096
 
     def register_manager(
         self, name: str, programs: Sequence[str], tags: Sequence[str]
@@ -63,6 +74,54 @@ class SingleWriterQueue:
 
     def heartbeat(self, name: str) -> None:
         self.managers[name].last_heartbeat = datetime.now(timezone.utc)
+
+    def _taken_df(self, taken: set) -> DataFrame:
+        return self.tasks.sparkSession.createDataFrame(
+            [(int(t),) for t in sorted(taken)], "id long"
+        )
+
+    def _eligible_frame(self) -> DataFrame:
+        """The tasks snapshot minus live claims and finished history —
+        the relation every claim's top-k runs over.
+
+        Exclusion strategy by taken-set size (r12 VERDICT item 1 — the
+        previous unconditional ``~isin`` compiled a predicate LITERAL
+        that grew with lifetime history):
+
+        * ≤ ``isin_exclusion_max``: ``~isin`` — an In/InSet predicate
+          pushed into the scan, the cheapest shape while small;
+        * above it: broadcast LEFT ANTI join against the taken-ids frame
+          — the deployment shape (anti-join against the claimed-set
+          Delta table), whose expression tree is constant-size no matter
+          how many tasks ever finished.  No shuffle on the task side:
+          the taken frame broadcasts.
+        """
+        taken = set(self.claimed) | self.finished
+        if not taken:
+            return self.tasks
+        if len(taken) <= self.isin_exclusion_max:
+            return self.tasks.where(~F.col("id").isin(sorted(taken)))
+        return self.tasks.join(F.broadcast(self._taken_df(taken)), "id", "left_anti")
+
+    def compact_finished(self) -> int:
+        """DELETE-equivalent: fold the finished set out of the tasks
+        snapshot (broadcast anti-join, then an eager localCheckpoint so
+        the filtered relation — not its growing lineage — becomes the
+        new snapshot) and clear the set.  This is the Spark analog of
+        the reference deleting task rows on completion
+        (tasks/socket.py:352-365): after compaction neither the driver's
+        exclusion set nor any executed plan mentions the history.
+        return_task triggers it automatically past ``compact_after``;
+        callers running long-lived queues may also invoke it on a
+        schedule.  Returns the number of ids compacted away."""
+        n = len(self.finished)
+        if n == 0:
+            return 0
+        self.tasks = self.tasks.join(
+            F.broadcast(self._taken_df(self.finished)), "id", "left_anti"
+        ).localCheckpoint(eager=True)
+        self.finished.clear()
+        return n
 
     def claim(self, manager: str, limit: int) -> list[dict]:
         """Claim up to ``limit`` tasks for ``manager`` (tasks/socket.py:303-358):
@@ -85,14 +144,8 @@ class SingleWriterQueue:
         # history-sized (r11 VERDICT: the old margin term
         # `remaining + len(claimed) + len(finished)` grew every claim as
         # tasks finished — the reference never sees this because it
-        # DELETEs task rows on completion, keeping its LIMIT claim-sized;
-        # the isin compiles to an In/InSet predicate pushed to the scan,
-        # and at deployment scale it is an anti-join against the
-        # broadcast claimed-set Delta table).
-        taken = set(self.claimed) | self.finished
-        frame = self.tasks
-        if taken:
-            frame = frame.where(~F.col("id").isin(sorted(taken)))
+        # DELETEs task rows on completion, keeping its LIMIT claim-sized)
+        frame = self._eligible_frame()
         for tag in tag_passes:
             remaining = limit - len(out)
             if remaining <= 0:
@@ -130,6 +183,8 @@ class SingleWriterQueue:
         # its completed status with 'running' on the next claim.
         self.finished.add(task_id)
         self.statuses[record_id] = "complete" if ok else "error"
+        if len(self.finished) >= self.compact_after:
+            self.compact_finished()
 
     def reap_dead_managers(self, max_age: timedelta) -> list[int]:
         """Return tasks of managers whose heartbeat is stale

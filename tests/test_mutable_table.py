@@ -724,3 +724,55 @@ def test_prune_crash_window_keeps_documented_error(spark, tmp_path):
     assert t._prune(0) is False
     assert sorted(os.listdir(vdir)) == ["_meta.json", "_pruned"]
     assert [e["pruned"] for e in t.history()] == [False, True]
+
+
+def test_manifest_claim_falls_back_without_hardlinks(spark, tmp_path):
+    """r12 ADVICE: on filesystems without hard links (some network/FUSE
+    mounts) link(2) raises EPERM/ENOTSUP — the manifest claim must fall
+    back to the exclusive-create ('x') put-if-absent instead of
+    surfacing a bare OSError, and the fallback claim must still lose
+    cleanly (CommitConflictError) when the version is already taken."""
+    import errno as _errno
+
+    from qcfractal_spark.sources import table as table_mod
+    from qcfractal_spark.sources.table import CommitConflictError
+
+    t = MutableTable(spark, str(tmp_path / "mnolink"), commit_strategy="manifest")
+
+    def no_link(*a, **k):
+        raise OSError(_errno.EPERM, "Operation not permitted")
+
+    orig = table_mod.os.link
+    table_mod.os.link = no_link
+    try:
+        t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+        t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+        assert t.current_version() == 1
+        assert {r["v"] for r in t.read().collect()} == {"b"}
+        # no crash-leftover temp manifests accumulate under the fallback
+        leftovers = [
+            e
+            for e in os.listdir(os.path.join(t.path, "_commits"))
+            if e.startswith(".m_")
+        ]
+        assert leftovers == []
+        # a stale claim of an already-taken version still conflicts
+        stage = t._stage_df(spark.createDataFrame([(3, "c")], "id long, v string"))
+        with pytest.raises(CommitConflictError):
+            t._publish(stage, base=0)  # v1 already claimed
+        assert {r["v"] for r in t.read().collect()} == {"b"}
+    finally:
+        table_mod.os.link = orig
+
+    # an UNRELATED OSError from link(2) must still surface, not be
+    # silently downgraded to the fallback
+    def eio_link(*a, **k):
+        raise OSError(_errno.EIO, "I/O error")
+
+    table_mod.os.link = eio_link
+    try:
+        with pytest.raises(OSError) as ei:
+            t.overwrite(spark.createDataFrame([(4, "d")], "id long, v string"))
+        assert ei.value.errno == _errno.EIO
+    finally:
+        table_mod.os.link = orig

@@ -155,3 +155,68 @@ def test_heartbeat_merge_never_clobbers_a_concurrent_reap(spark):
         assert rows["m1"]["m_status"] == "inactive"  # the reap survived
         assert rows["m1"]["m_modified_on"] == 100  # dead clock frozen
         assert rows["m2"]["m_modified_on"] == 500  # live clock advanced
+
+
+def test_epoch_guard_survives_reap_transform(spark):
+    """r12 VERDICT item 5: a reap that commits through transform carries
+    the prior commit's meta keys forward, so the heartbeat epoch guard
+    SURVIVES the unrelated commit and a redelivered epoch is skipped —
+    exactly-once SKIP, not merely exactly-once effect."""
+    with tempfile.TemporaryDirectory() as d:
+        t = _seed(spark, os.path.join(d, "managers"))
+        batch = spark.createDataFrame([("m1", 300)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True
+        # unrelated transform commit: the reap flips m2's status
+        t.transform(
+            lambda cur: cur.withColumn(
+                "m_status",
+                F.when(F.col("m_name") == "m2", "inactive").otherwise(
+                    F.col("m_status")
+                ),
+            ),
+            meta={"reason": "reap"},
+        )
+        meta = t.current_meta()
+        assert meta.get("reason") == "reap"
+        assert meta.get("hb_epoch") == 0  # guard carried forward
+        # the redelivered epoch is SKIPPED, and no clock moves
+        before = {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is False
+        after = {r["m_name"]: r["m_modified_on"] for r in t.read().collect()}
+        assert after == before
+        # a genuinely NEW epoch still applies on top of the merged meta
+        assert merge_heartbeat_batch(
+            t, spark.createDataFrame([("m1", 700)], SCHEMA_HB), epoch_id=1
+        ) is True
+        assert t.current_meta().get("hb_epoch") == 1
+        assert t.current_meta().get("reason") == "reap"  # still carried
+
+
+def test_heartbeat_merge_preserves_extra_manager_columns(spark):
+    """r12 ADVICE: the merge touches only m_modified_on — additional
+    manager-dimension columns (resource stats, versions) must ride
+    through the heartbeat commit untouched, and column order must be
+    stable."""
+    with tempfile.TemporaryDirectory() as d:
+        t = MutableTable(spark, os.path.join(d, "managers"))
+        t.overwrite(
+            spark.createDataFrame(
+                [
+                    ("m1", "active", 100, 4, "0.5.0"),
+                    ("m2", "inactive", 100, 8, "0.4.9"),
+                ],
+                "m_name string, m_status string, m_modified_on bigint, "
+                "n_workers int, client_version string",
+            )
+        )
+        batch = spark.createDataFrame([("m1", 500), ("m2", 500)], SCHEMA_HB)
+        assert merge_heartbeat_batch(t, batch, epoch_id=0) is True
+        got = t.read()
+        assert got.columns == [
+            "m_name", "m_status", "m_modified_on", "n_workers", "client_version"
+        ]
+        rows = {r["m_name"]: r for r in got.collect()}
+        assert rows["m1"]["m_modified_on"] == 500  # active clock advanced
+        assert rows["m2"]["m_modified_on"] == 100  # inactive frozen
+        assert rows["m1"]["n_workers"] == 4 and rows["m1"]["client_version"] == "0.5.0"
+        assert rows["m2"]["n_workers"] == 8 and rows["m2"]["client_version"] == "0.4.9"

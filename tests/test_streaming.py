@@ -416,3 +416,82 @@ def test_queue_claim_plan_is_claim_sized_not_history_sized(spark, monkeypatch):
     # queue drains to exactly one final task, still correctly claimable
     last = q.claim("m1", limit=3)
     assert len(last) == 1
+
+
+def test_queue_exclusion_antijoin_arm_past_threshold(spark):
+    """r12 VERDICT item 1: past isin_exclusion_max the claimed/finished
+    exclusion switches from an In-list predicate to a broadcast LEFT
+    ANTI join — same set semantics, constant-size expression tree."""
+    q = SingleWriterQueue(_tasks_df(spark), isin_exclusion_max=2, compact_after=10**9)
+    q.register_manager("m1", programs=["p1"], tags=["*"])
+    got1 = q.claim("m1", limit=5)
+    for row in got1:
+        q.return_task("m1", row["id"], row["record_id"], ok=True)
+    assert len(q.finished) == 5  # > isin_exclusion_max: anti-join arm live
+    plan = q._eligible_frame()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    got2 = q.claim("m1", limit=5)
+    assert {r["id"] for r in got2}.isdisjoint({r["id"] for r in got1})
+    assert len(got2) == 5
+
+
+def test_queue_claim_plan_bounded_after_10k_finished(spark):
+    """The executed eligibility plan after 10k finished tasks carries NO
+    In-list literal over the history — the exclusion is a broadcast
+    anti-join whose plan size is constant in lifetime throughput — and a
+    claim still returns only never-finished tasks."""
+    from datetime import datetime as _dt
+
+    n_hist, n_live = 10_000, 50
+    rows = [
+        (i, 100_000 + i, "t1", i % 3, _dt(2024, 1, 1 + (i % 5)), True, ["p1"])
+        for i in range(n_hist + n_live)
+    ]
+    tasks = spark.createDataFrame(
+        rows,
+        "id long, record_id long, compute_tag string, compute_priority int, "
+        "sort_date timestamp, available boolean, required_programs array<string>",
+    )
+    q = SingleWriterQueue(tasks, compact_after=10**9)
+    q.register_manager("m1", programs=["p1"], tags=["*"])
+    q.finished = set(range(n_hist))  # simulated lifetime history
+
+    frame = q._eligible_frame()
+    plan = frame._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    # no In/InSet literal over the history anywhere in the executed plan
+    assert "INSET" not in plan and " IN (" not in plan.upper()
+    # the whole plan string stays small — a 10k-id literal would be >50kB
+    assert len(plan) < 10_000, len(plan)
+
+    got = q.claim("m1", limit=3)
+    assert len(got) == 3
+    assert all(r["id"] >= n_hist for r in got)
+
+    # DELETE-equivalent compaction: history leaves the snapshot AND the
+    # driver set; the eligibility frame needs no exclusion at all
+    q.claimed.clear()  # release the 3 live claims for the count check
+    q.claim_records.clear()
+    assert q.compact_finished() == n_hist
+    assert q.finished == set()
+    assert q.tasks.count() == n_live
+    plan2 = q._eligible_frame()._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in plan2 and "INSET" not in plan2
+
+
+def test_queue_auto_compacts_finished_past_threshold(spark):
+    """return_task folds finished history out of the snapshot once it
+    passes compact_after — the reference's task-row DELETE — and the
+    queue keeps claiming correctly afterwards."""
+    q = SingleWriterQueue(_tasks_df(spark), compact_after=4)
+    q.register_manager("m1", programs=["p1"], tags=["*"])
+    seen = set()
+    for _ in range(2):
+        for row in q.claim("m1", limit=4):
+            seen.add(row["id"])
+            q.return_task("m1", row["id"], row["record_id"], ok=True)
+        assert q.finished == set()  # compacted at the threshold
+    assert q.tasks.count() == 20 - 8
+    nxt = q.claim("m1", limit=20)
+    assert {r["id"] for r in nxt}.isdisjoint(seen)
+    assert len(nxt) == 12
