@@ -146,6 +146,8 @@ BENCH_QUERIES = [
     "j18_project_list",     # project inventory (pre-agg counts + dim joins)
     "o11_status_replay",    # status transition-matrix replay (CASE algebra)
     "u15_temperature_mix",  # temperature-scaled domain mixture (sqrt powers)
+    "o12_waiting_details",  # per-manager detail strings (broadcast fan-out)
+    "s12_contributed_values",  # dataset-keyed contributed-values arrays
     # dd_lsh_recall_eval is gate-only: it deliberately runs the QUADRATIC
     # exact-truth join on the sample (the evaluation's cost model is the
     # sample size knob, not the corpus); dd_jaccard/dd_minhash_lsh bench

@@ -402,6 +402,11 @@ def q_o8_waiting_reason(spark, sf_dir):
     |records| at any scale."""
     from .operators.diagnostics import waiting_reasons
 
+    recs, managers = _waiting_fixture(spark, sf_dir)
+    return waiting_reasons(recs, managers)
+
+
+def _waiting_fixture(spark, sf_dir):
     orders = _t(spark, sf_dir, "orders")
     req = F.array_compact(
         F.array(
@@ -437,7 +442,7 @@ def q_o8_waiting_reason(spark, sf_dir):
         "m_name string, m_programs array<string>, m_tags array<string>, "
         "m_active boolean",
     )
-    return waiting_reasons(recs, managers)
+    return recs, managers
 
 
 SQL_O8 = """
@@ -510,6 +515,73 @@ SELECT record_id,
             ELSE 'No manager matches programs & tags' END AS reason,
        n_missing_programs, n_wrong_tag, n_busy
 FROM agg
+"""
+
+
+def q_o12_waiting_details(spark, sf_dir):
+    """O12 (r12 VERDICT item 3; reference record_socket.py:1617-1626):
+    the per-manager ``details`` dict of get_waiting_reason — for every
+    eligible waiting record, one row per active manager with the
+    reference's exact detail string (missing-programs set rendered
+    sorted, the deterministic member of the reference's hash-ordered set
+    repr; tag-rejection with the quoted tag; "Manager is busy").  Same
+    record/manager fixture as o8_waiting_reason; the drill-down arm
+    beside its counts fold (operators/diagnostics.py:
+    waiting_reason_details).  Plan: broadcast manager table, record side
+    never shuffles; fan-out |waiting| × |active managers| is the
+    documented drill-down contract (filter record ids first at fleet
+    scale)."""
+    from .operators.diagnostics import waiting_reason_details
+
+    recs, managers = _waiting_fixture(spark, sf_dir)
+    return waiting_reason_details(recs, managers)
+
+
+SQL_O12 = """
+WITH recs AS (
+  SELECT o_orderkey AS record_id,
+         CASE o_orderstatus WHEN 'O' THEN 'waiting'
+                            WHEN 'P' THEN 'running'
+                            ELSE 'complete' END AS status,
+         (o_orderkey % 50 = 0) AS is_service,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE 't' || CAST(o_custkey % 6 AS VARCHAR) END AS compute_tag,
+         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+              ELSE list_filter(
+                     ['psi4',
+                      CASE WHEN o_custkey % 3 = 0 THEN 'dftd3' END,
+                      CASE WHEN o_custkey % 7 = 0 THEN 'mp2' END],
+                     x -> x IS NOT NULL) END AS required_programs
+  FROM orders
+),
+managers AS (
+  SELECT * FROM (VALUES
+    ('m1', ['psi4','dftd3','mp2'], ['t0','t1'], TRUE),
+    ('m2', ['psi4'], ['*'], TRUE),
+    ('m3', ['psi4','dftd3'], ['t2','t3'], TRUE),
+    ('m4', ['psi4','dftd3','mp2'], ['t4'], TRUE),
+    ('m5', ['psi4','dftd3','mp2'], ['*'], FALSE)
+  ) AS t(m_name, m_programs, m_tags, m_active)
+)
+SELECT r.record_id, m.m_name,
+       CASE
+         WHEN len(list_filter(r.required_programs,
+                              x -> NOT list_contains(m.m_programs, x))) > 0
+           THEN 'Manager missing programs: {' ||
+                array_to_string(
+                  list_transform(
+                    list_sort(list_filter(r.required_programs,
+                                 x -> NOT list_contains(m.m_programs, x))),
+                    x -> '''' || x || ''''),
+                  ', ') || '}'
+         WHEN NOT (list_contains(m.m_tags, r.compute_tag)
+                   OR list_contains(m.m_tags, '*'))
+           THEN 'Manager does not handle tag "' || r.compute_tag || '"'
+         ELSE 'Manager is busy'
+       END AS detail
+FROM recs r
+JOIN (SELECT * FROM managers WHERE m_active) m ON TRUE
+WHERE NOT r.is_service AND r.status = 'waiting' AND r.compute_tag IS NOT NULL
 """
 
 
@@ -1687,6 +1759,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "o10_manager_reap": (q_o10_manager_reap, SQL_O10),
     "j18_project_list": (q_j18_project_list, SQL_J18),
     "o11_status_replay": (q_o11_status_replay, SQL_O11),
+    "o12_waiting_details": (q_o12_waiting_details, SQL_O12),
     "j4_semi_join": (q_j4_semi_join, SQL_J4),
     "j9_anti_join": (q_j9_anti_join, SQL_J9),
     "j10_count_join": (q_j10_count_join, SQL_J10),
@@ -2660,6 +2733,103 @@ FROM uniq GROUP BY entry
 """
 
 REGISTRY["a15_properties_df"] = (q_a15_properties_df, SQL_A15)
+
+
+def q_s12_contributed_values(spark, sf_dir):
+    """S12 (r12 VERDICT item 4; reference dataset_socket.py:326-336
+    get_contributed_values keyed SELECT, served to the client as
+    ``fetch_contributed_values`` / the ``ContributedValues`` model —
+    dataset_models.py:2439-2460, 63-80): the last unmapped
+    client-analytics surface — a dataset-keyed fetch returning, per
+    contribution NAME, the entry-aligned value arrays (``index`` = entry
+    names, ``values`` = the numbers, pairwise aligned) plus the
+    theory-level/units metadata, which is exactly what compile_values
+    (A14) consumes client-side.
+
+    Fixture: contributions synthesized from lineitem — dataset_id =
+    l_suppkey % 4 (the query fetches dataset 1, the reference's WHERE
+    dataset_id = :id), name energy/gradient_norm by linenumber parity,
+    entry 'e{orderkey}_{linenumber}', value = extendedprice in integer
+    cents (exact), pre-aggregated per (name, entry) since synthetic
+    lineitem repeats linenumbers.  Arrays serialize to canonical JSON
+    (the a10 map discipline) so both engines hash the same bytes.
+
+    Plan: dataset filter pushed to the scan, one partial-agg per
+    (name, entry), one per-name collect bounded by |entries| — the
+    reference returns these arrays as one JSONB blob per name, so the
+    per-name row IS the deployment-scale unit."""
+    li = _t(spark, sf_dir, "lineitem")
+    base = (
+        li.where(F.col("l_suppkey") % 4 == 1)
+        .select(
+            F.when(F.col("l_linenumber") % 2 == 0, F.lit("energy"))
+            .otherwise(F.lit("gradient_norm"))
+            .alias("name"),
+            F.concat(
+                F.lit("e"),
+                F.col("l_orderkey").cast("string"),
+                F.lit("_"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("entry"),
+            # extendedprice is DOUBLE in the testdata: *100 lands an
+            # epsilon off the integer, and Spark's double->bigint cast
+            # TRUNCATES while DuckDB's ROUNDS - round explicitly on
+            # both sides so the cents are the same exact integers
+            F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("cents"),
+        )
+        .groupBy("name", "entry")
+        .agg(F.sum("cents").cast("bigint").alias("val"))
+    )
+    ents = F.sort_array(
+        F.collect_list(F.struct(F.col("entry").alias("e"), F.col("val").alias("v")))
+    )
+    return (
+        base.groupBy("name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_entries"),
+            F.to_json(F.transform(ents, lambda s: s["e"])).alias("index_json"),
+            F.to_json(F.transform(ents, lambda s: s["v"])).alias("values_json"),
+        )
+        .select(
+            "name",
+            F.when(F.col("name") == "energy", F.lit("hf/sto-3g"))
+            .otherwise(F.lit("b3lyp/def2-svp"))
+            .alias("theory_level"),
+            F.lit("cents").alias("units"),
+            "n_entries",
+            "index_json",
+            "values_json",
+        )
+    )
+
+
+SQL_S12 = """
+WITH base AS (
+  SELECT CASE WHEN l_linenumber % 2 = 0 THEN 'energy'
+              ELSE 'gradient_norm' END AS name,
+         'e' || CAST(l_orderkey AS VARCHAR) || '_'
+             || CAST(l_linenumber AS VARCHAR) AS entry,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS val
+  FROM lineitem WHERE l_suppkey % 4 = 1
+  GROUP BY 1, 2
+),
+rolled AS (
+  SELECT name,
+         CAST(COUNT(*) AS BIGINT) AS n_entries,
+         list_sort(array_agg(struct_pack(e := entry, v := val))) AS ents
+  FROM base GROUP BY 1
+)
+SELECT name,
+       CASE WHEN name = 'energy' THEN 'hf/sto-3g'
+            ELSE 'b3lyp/def2-svp' END AS theory_level,
+       'cents' AS units,
+       n_entries,
+       to_json(list_transform(ents, x -> x.e)) AS index_json,
+       to_json(list_transform(ents, x -> x.v)) AS values_json
+FROM rolled
+"""
+
+REGISTRY["s12_contributed_values"] = (q_s12_contributed_values, SQL_S12)
 
 
 def q_st_sessionize(spark, sf_dir):
@@ -6633,29 +6803,183 @@ def q_pk_bfd_pack(spark, sf_dir):
     """PK+ (beyond-reference): exact best-fit-decreasing packing
     (functions/packing.py:bfd_pack) — the tighter, sequential arm of
     pk_bin_pack, run per (source, shard) group via applyInPandas with a
-    bisect-probed sorted bin table (O(n log n) per group).  BFD's bin
-    state is inherently order-dependent, so no SELECT-only oracle exists
-    (rows-only driver gate); the algebraic contracts — every bin sum ≤
-    capacity, waste ≤ the bucketed layout's and ≤ the pad-to-capacity
-    baseline's, bit-identical re-runs, 11/9-style tightness on a known
-    instance — are pinned by tests/test_packing.py."""
-    from .functions.packing import bfd_pack
+    bisect-probed sorted bin table (O(n log n) per group).
 
+    BFD's bin state is inherently order-dependent, so its per-doc
+    assignment has no SELECT-only replay — but its CORRECTNESS is fully
+    SQL-checkable as invariants (r12 VERDICT item 2, retiring the last
+    non-sketch rows-only gate).  This query emits one row per (source,
+    shard) where every column is either derivable from the INPUT alone
+    (doc/token/oversize counts, the bin-count lower bound, the bucketed
+    arm's exact padding — all replayed by the DuckDB oracle) or an
+    invariant VERDICT the oracle pins to TRUE:
+
+    * ``capacity_ok`` — every non-oversize bin sums ≤ capacity and every
+      oversize doc sits alone in its bin;
+    * ``bins_dense`` — per group, local_bin ids are exactly 0..n_bins-1;
+    * ``bins_lb_ok`` — n_bins ≥ ceil(fit_tokens/capacity) + n_oversize,
+      the information-theoretic floor any valid packing obeys;
+    * ``pad_le_singleton`` — BFD padding ≤ the one-doc-per-bin baseline
+      (guaranteed: n_fit_bins ≤ n_fit_docs);
+    * ``pad_le_ffd`` — BFD padding ≤ the bucketed-FFD arm's on the same
+      group (the 11/9·OPT-class tightness claim, checked per group).
+
+    A buggy BFD (capacity overflow, skipped bin id, lost doc, looser
+    packing) flips a boolean or shifts an exact count and the driver
+    hash goes red; the per-doc bin table itself stays pinned by
+    tests/test_packing.py (best-fit rule exactness, determinism).
+    100 TB shape: both packing arms are one shuffle each on the group
+    key; everything aggregated here is map-combinable."""
+    from .functions.packing import bfd_pack, bin_pack_layout
+
+    cap = 1024
     docs = (
         _t(spark, sf_dir, "documents")
         .where(F.col("text").isNotNull())
         .select("source", "doc_id", tx.token_count(F.col("text")).alias("_n_tok"))
     )
     per_doc = bfd_pack(
-        docs, token_col="_n_tok", capacity=1024,
+        docs, token_col="_n_tok", capacity=cap,
         part_col="source", id_col="doc_id", n_shards=4,
     )
-    return per_doc.select(
-        "source", "shard", "doc_id", "n_tokens", "local_bin", "oversize"
+    bins = per_doc.groupBy("source", "shard", "local_bin").agg(
+        F.count(F.lit(1)).alias("b_docs"),
+        F.sum("n_tokens").alias("b_tokens"),
+        F.max(F.col("oversize").cast("int")).alias("b_oversize"),
+    )
+    binstats = bins.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("_n_bins"),
+        F.min("local_bin").alias("_min_bin"),
+        F.max("local_bin").alias("_max_bin"),
+        F.bool_and(
+            F.when(F.col("b_oversize") == 1, F.col("b_docs") == 1).otherwise(
+                F.col("b_tokens") <= cap
+            )
+        ).alias("capacity_ok"),
+        F.coalesce(
+            F.sum(
+                F.when(F.col("b_oversize") == 0, F.lit(cap) - F.col("b_tokens"))
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("_bfd_pad"),
+        F.coalesce(
+            F.sum(F.when(F.col("b_oversize") == 0, F.lit(1))), F.lit(0)
+        ).alias("_n_fit_bins"),
+    )
+    docstats = per_doc.groupBy("source", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("sum_tokens"),
+        F.sum(F.col("oversize").cast("long")).cast("bigint").alias("n_oversize"),
+        F.coalesce(
+            F.sum(F.when(~F.col("oversize"), F.col("n_tokens"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("_fit_tokens"),
+        F.coalesce(
+            F.sum(F.when(~F.col("oversize"), F.lit(1))), F.lit(0)
+        ).alias("_n_fit_docs"),
+    )
+    # the bucketed-FFD comparison arm: same docs, same shard hash, exact
+    # padding per (source, shard) — replayed verbatim by the oracle's
+    # window math (the hash-green pk_bin_pack algebra, aggregated up)
+    ffd_bins = (
+        bin_pack_layout(
+            docs, token_col="_n_tok", capacity=cap, bucket_width=64,
+            part_col="source", id_col="doc_id", n_shards=4,
+        )
+        .groupBy("source", "shard", "bucket", "local_bin")
+        .agg(F.sum("n_tokens").alias("fb_tokens"))
+    )
+    ffd = ffd_bins.groupBy("source", "shard").agg(
+        F.sum(F.greatest(F.lit(0).cast("long"), F.lit(cap) - F.col("fb_tokens")))
+        .cast("bigint")
+        .alias("ffd_pad")
+    )
+    lb = (
+        F.ceil(F.col("_fit_tokens").cast("double") / F.lit(float(cap)))
+        + F.col("n_oversize")
+    ).cast("bigint")
+    return (
+        docstats.join(binstats, ["source", "shard"])
+        .join(ffd, ["source", "shard"])
+        .select(
+            "source",
+            "shard",
+            "n_docs",
+            "sum_tokens",
+            "n_oversize",
+            lb.alias("lb_bins"),
+            "ffd_pad",
+            "capacity_ok",
+            (
+                (F.col("_min_bin") == 0)
+                & (F.col("_max_bin") == F.col("_n_bins") - 1)
+            ).alias("bins_dense"),
+            (F.col("_n_bins") >= lb).alias("bins_lb_ok"),
+            (
+                F.col("_bfd_pad")
+                <= F.col("_n_fit_docs") * cap - F.col("_fit_tokens")
+            ).alias("pad_le_singleton"),
+            (F.col("_bfd_pad") <= F.col("ffd_pad")).alias("pad_le_ffd"),
+        )
     )
 
 
-REGISTRY["pk_bfd_pack"] = (q_pk_bfd_pack, None)
+SQL_PK_BFD_PACK = f"""
+WITH d AS (
+  SELECT source, doc_id, CAST(len({_TOKS_SQL}) AS BIGINT) AS n
+  FROM documents WHERE text IS NOT NULL
+),
+s AS (
+  SELECT source, doc_id, n,
+         CAST(floor(n / 64.0) AS BIGINT) AS bucket,
+         ('0x' || substr(md5('pk:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 4
+           AS shard
+  FROM d
+),
+k AS (
+  SELECT *,
+         GREATEST(1, CAST(floor(1024.0 / ((bucket + 1) * 64)) AS BIGINT))
+           AS bin_docs,
+         ROW_NUMBER() OVER (
+           PARTITION BY source, shard, bucket ORDER BY n DESC, doc_id
+         ) AS rn
+  FROM s
+),
+ffd_bins AS (
+  SELECT source, shard, bucket,
+         CAST(floor((rn - 1) / bin_docs) AS BIGINT) AS local_bin,
+         CAST(SUM(n) AS BIGINT) AS fb_tokens
+  FROM k GROUP BY 1, 2, 3, 4
+),
+ffd AS (
+  SELECT source, shard,
+         CAST(SUM(GREATEST(0, 1024 - fb_tokens)) AS BIGINT) AS ffd_pad
+  FROM ffd_bins GROUP BY 1, 2
+),
+docstats AS (
+  SELECT source, shard,
+         COUNT(*) AS n_docs,
+         CAST(SUM(n) AS BIGINT) AS sum_tokens,
+         CAST(SUM(CASE WHEN n > 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize,
+         CAST(SUM(CASE WHEN n <= 1024 THEN n ELSE 0 END) AS BIGINT) AS fit_tokens
+  FROM s GROUP BY 1, 2
+)
+SELECT ds.source, ds.shard, ds.n_docs, ds.sum_tokens, ds.n_oversize,
+       CAST(CAST(ceil(ds.fit_tokens / 1024.0) AS BIGINT) + ds.n_oversize
+            AS BIGINT) AS lb_bins,
+       f.ffd_pad,
+       TRUE AS capacity_ok,
+       TRUE AS bins_dense,
+       TRUE AS bins_lb_ok,
+       TRUE AS pad_le_singleton,
+       TRUE AS pad_le_ffd
+FROM docstats ds JOIN ffd f USING (source, shard)
+"""
+
+REGISTRY["pk_bfd_pack"] = (q_pk_bfd_pack, SQL_PK_BFD_PACK)
 
 
 
@@ -9594,7 +9918,58 @@ REGISTRY["tx_pr_curve"] = (q_tx_pr_curve, SQL_TX_PR_CURVE)
 # ]  (end r11 roster ledger)
 
 _DRIVER_WINDOW = [
-    # ---- Round-12 rotation (the r11 ledger's pre-recorded plan + this
+    # ---- Round-13 rotation, computed from tools/stale_stamps.py — the
+    # r12 ledger's pre-recorded plan lands EXACTLY:
+    # Step IN:
+    # (a) the r13 reserved core — the full 45-query r09-stamped cohort
+    #     the r12 ledger set aside (including the five r12 displacements
+    #     a10_map_agg, a11_sample_keys, a12_weighted_sum, a14_pivot,
+    #     a16_dedup_batch); after this round nothing older than r10
+    #     remains stamped;
+    # (b) the round-13 newcomers, never driver-stamped (2):
+    #     o12_waiting_details (the per-manager detail-string drill-down,
+    #     r12 VERDICT item 3) and s12_contributed_values (the
+    #     dataset-keyed contributed-values fetch, item 4);
+    # (c) every query whose implementation or oracle changed after its
+    #     r12 stamp (3): pk_bfd_pack (rows-only → invariant oracle, r12
+    #     VERDICT item 2 — the query now emits the SQL-checkable
+    #     invariant summary), o8_waiting_reason (waiting_reasons now
+    #     pre-aggregates managers into (programs, tags) classes, nit 2),
+    #     tx_pr_curve (pr_curve checkpoints its bucket grid, r12
+    #     ADVICE).  The r13 table.py/queue.py changes touch NO registry
+    #     plan: the hardlink fallback fires only on link-less
+    #     filesystems, the vacuum batch-recheck and transform meta-merge
+    #     live outside every registry query's path (rollup/heartbeat
+    #     streams commit via overwrite/foreachBatch pytest arms), and
+    #     the queue claim arms are pytest-gated (T4 has no oracle-shaped
+    #     query by design).
+    # Step OUT: the 50 r12 stamps (all freshly green except the three
+    # re-entering under (c)) and the 40 r10 + 41 r11 stamps (within the
+    # 4-round floor; they form the r14/r15 reserved cores).
+    # 45 + 2 + 3 = 50, zero fill slots this round.
+    # --- (a) the r13 reserved core (45, r09 cohort) ---
+    "a10_map_agg", "a11_sample_keys", "a12_weighted_sum", "a14_pivot",
+    "a16_dedup_batch", "a17_group_centroid", "a22_approx_quantiles",
+    "a5_two_col_counts", "a6_access_summary", "dd_containment",
+    "dd_contamination", "dd_exact", "dd_jaccard", "dd_span_dedup",
+    "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
+    "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
+    "j1_dim_join", "j4_semi_join", "o2_priority_topk", "p5_json_extract",
+    "p7_array_overlap", "p8_int_or_name", "s10_compact",
+    "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
+    "sim_knn_join", "sim_lsh_topk", "sim_pq_topk", "st_sessionize",
+    "t13_thread_assembly", "t3_hourly_rollup", "tx_bigram_lm",
+    "tx_phrase_hits", "tx_phrase_idx", "tx_pii", "tx_pmi_bigrams",
+    "tx_quality_sweep", "tx_text_stats", "u6_mixture_sample",
+    "w1_window_lag",
+    # --- (b) round-13 newcomers (2) ---
+    "o12_waiting_details", "s12_contributed_values",
+    # --- (c) changed after their r12 stamp (3) ---
+    "pk_bfd_pack", "o8_waiting_reason", "tx_pr_curve",
+]
+
+_R12_WINDOW_LEDGER = [
+    # ---- Round-12 rotation (the r11 ledger's pre-recorded plan + that
     # round's code changes), computed from tools/stale_stamps.py.
     # Step IN:
     # (a) the 30-entry RESERVED CORE recorded in the r11 ledger above —

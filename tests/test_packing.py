@@ -1,9 +1,11 @@
 """Bin-packing contracts (bin_pack_layout, bfd_pack): validity, waste
 ordering vs the baselines, determinism, shard behavior, and BFD tightness
 on a constructed instance.  The bucketed layout additionally has a DuckDB
-oracle via the registry (pk_bin_pack); BFD is sequential by nature, so
-these algebraic gates ARE its correctness story (pk_bfd_pack is rows-only
-at the driver)."""
+oracle via the registry (pk_bin_pack); BFD's per-doc assignment is
+sequential by nature, so these algebraic gates pin the bin table itself,
+while the registry's pk_bfd_pack gates the same invariants (capacity,
+dense bins, bin-count lower bound, padding ≤ FFD/singleton baselines) as
+hash-checked SQL columns at the driver (r12 VERDICT item 2)."""
 
 from __future__ import annotations
 

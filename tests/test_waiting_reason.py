@@ -99,3 +99,102 @@ def test_star_tag_matches_any(spark):
         [("m1", ["psi4"], ["*"], True)],
     )
     assert got[1]["reason"] == R_FREE_MANAGER
+
+
+def _reference_details(rec_tag, rec_programs, managers):
+    """Driver-side replay of the reference's detail loop
+    (record_socket.py:1617-1626) with the set repr canonicalized to
+    sorted order — the deterministic member of the reference's
+    hash-ordered output class."""
+    out = {}
+    rec_programs = set(rec_programs)
+    for m_name, m_programs, m_tags, m_active in managers:
+        if not m_active:
+            continue
+        missing = sorted(rec_programs - set(m_programs))
+        if missing:
+            rendered = "{" + ", ".join(f"'{p}'" for p in missing) + "}"
+            out[m_name] = f"Manager missing programs: {rendered}"
+        elif rec_tag not in m_tags and "*" not in m_tags:
+            out[m_name] = f'Manager does not handle tag "{rec_tag}"'
+        else:
+            out[m_name] = "Manager is busy"
+    return out
+
+
+def test_details_byte_match_reference_formats(spark):
+    """r12 VERDICT item 3: waiting_reason_details emits the reference's
+    per-manager detail strings byte-for-byte (sorted set rendering),
+    covering all three verdicts plus the multi-element missing set."""
+    from qcfractal_spark.operators.diagnostics import waiting_reason_details
+
+    mgrs = [
+        ("m1", ["psi4"], ["t0"], True),          # missing dftd3+mp2
+        ("m2", ["psi4", "dftd3", "mp2"], ["t9"], True),  # wrong tag
+        ("m3", ["psi4", "dftd3", "mp2"], ["*"], True),   # busy
+        ("m4", ["psi4", "dftd3", "mp2"], ["*"], False),  # inactive: absent
+    ]
+    recs = [(1, "waiting", False, "t0", ["psi4", "mp2", "dftd3"])]
+    got = {
+        r["m_name"]: r["detail"]
+        for r in waiting_reason_details(
+            spark.createDataFrame(recs, REC_SCHEMA),
+            spark.createDataFrame(mgrs, MGR_SCHEMA),
+        ).collect()
+    }
+    want = _reference_details("t0", ["psi4", "mp2", "dftd3"], mgrs)
+    assert got == want
+    assert got["m1"] == "Manager missing programs: {'dftd3', 'mp2'}"
+    assert got["m2"] == 'Manager does not handle tag "t0"'
+    assert got["m3"] == "Manager is busy"
+    assert "m4" not in got
+
+    # short-circuited records produce no detail rows (reference returns
+    # a bare reason before the manager walk)
+    early = [
+        (2, "waiting", True, "t0", ["psi4"]),
+        (3, "complete", False, "t0", ["psi4"]),
+        (4, "waiting", False, None, None),
+    ]
+    assert (
+        waiting_reason_details(
+            spark.createDataFrame(early, REC_SCHEMA),
+            spark.createDataFrame(mgrs, MGR_SCHEMA),
+        ).count()
+        == 0
+    )
+
+
+def test_counts_fold_managers_into_classes(spark):
+    """r12 VERDICT nit 2: the counts fold pre-aggregates managers into
+    distinct (programs, tags) classes — a fleet of identical managers
+    contributes ONE pair row weighted by multiplicity, and the counts
+    still report per-MANAGER totals."""
+    from pyspark.sql import functions as F
+
+    mgrs = [
+        (f"m{i}", ["psi4"], ["*"], True) for i in range(7)  # one class ×7
+    ] + [
+        ("mx", ["psi4", "dftd3"], ["t9"], True),  # second class ×1
+    ]
+    recs = [(1, "waiting", False, "t0", ["psi4", "dftd3"])]
+    rec_df = spark.createDataFrame(recs, REC_SCHEMA)
+    out = _run(spark, recs, mgrs)
+    # 7 identical managers each miss dftd3; mx has the programs but the
+    # wrong tag
+    assert out[1]["n_missing_programs"] == 7
+    assert out[1]["n_wrong_tag"] == 1
+    assert out[1]["reason"] == R_NO_MATCH
+
+    # the executed plan's broadcast side is the CLASS relation: its
+    # aggregate folds 8 manager rows to 2 before the record join
+    df = waiting_reasons(rec_df, spark.createDataFrame(mgrs, MGR_SCHEMA))
+    classes = (
+        spark.createDataFrame(mgrs, MGR_SCHEMA)
+        .where(F.col("m_active"))
+        .groupBy("m_programs", "m_tags")
+        .count()
+    )
+    assert classes.count() == 2
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "Aggregate" in plan  # the class fold is in the plan, pre-join

@@ -95,8 +95,16 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # waiting-reason manager walk: LEFT join on TRUE
                        # against the broadcast 4-row active-manager table
                        # (LEFT so zero-manager classifies; build side is
-                       # operator-count-sized by contract)
-                       "o8_waiting_reason"}
+                       # operator-count-sized by contract — and since r13
+                       # further folded into distinct (programs, tags)
+                       # classes, so the fan-out is |records| x |classes|)
+                       "o8_waiting_reason",
+                       # the per-manager detail drill-down: INNER join on
+                       # TRUE against the same broadcast 4-row manager
+                       # table (details exist only when managers do; the
+                       # fan-out IS the output contract, filter-first at
+                       # fleet scale per the operator docstring)
+                       "o12_waiting_details"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -211,6 +219,11 @@ BOUNDED_COLLECT_OK = {
     # telemetry groups (per-spec access buckets), documented in
     # operators/aggregates.py:percentile_disc.
     "a6_access_summary",
+    # contributed-values arrays: one (entry, value) struct per dataset
+    # entry, pre-deduped per (name, entry) — bounded by |dataset entries|
+    # per contribution name, which IS the reference's unit (it stores the
+    # same arrays as one JSONB blob per name, dataset_models.py:63-80).
+    "s12_contributed_values",
 }
 
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
