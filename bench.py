@@ -259,6 +259,18 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1).rstrip(".")) if m else None
+    # Optional subset (the sf10 spot-decade protocol, r12 VERDICT item 6):
+    # a comma-separated SPARK_GRAFT_BENCH_QUERIES runs only those names —
+    # the driver's full-suite contract is unchanged when the var is unset.
+    only = os.environ.get("SPARK_GRAFT_BENCH_QUERIES")
+    bench_queries = (
+        [q.strip() for q in only.split(",") if q.strip()] if only else BENCH_QUERIES
+    )
+    # Runs per query (default 2, best-of): the sf10 spot decade uses 1 —
+    # at multi-minute per-query durations the first-run JIT/footer costs
+    # the best-of-2 rule exists to amortize are sub-percent noise, and a
+    # second run would double a ~1 h measurement for nothing.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2")))
     # Load marker (VERDICT r10 item 1): two consecutive rounds the driver
     # record regressed while quiet same-code runs held ≤1.0×, and the
     # load attribution was narrative.  Recording loadavg at run start
@@ -281,11 +293,11 @@ def main() -> None:
     # error, keep going, and still emit the JSON line for what ran.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in bench_queries:
         fn, _ = REGISTRY[name]
         best = float("inf")
         try:
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 force(fn(spark, sf_dir))
                 best = min(best, time.time() - t0)
