@@ -216,6 +216,12 @@ INTENTIONAL_CHANGES = {
     # richer again (dd_url_dedup ~0.43 → ~0.51 s).
     "dd_url_dedup": "r9 PSL-true domains + widened TLD mix; r10 private section",
     "tx_domain_stats": "r9 PSL-true domains + widened TLD mix; r10 private section",
+    # r13: rows-only per-doc dump → invariant-oracle summary that runs BOTH
+    # packing arms (BFD + the bucketed-FFD comparison baseline) plus the
+    # per-group invariant fold — roughly the two arms' former costs added
+    # (0.65 + 0.7 → ~1.45 s at sf0.1), a richer query by design (r12
+    # VERDICT item 2).
+    "pk_bfd_pack": "r13 invariant oracle: BFD + FFD comparison arm in one query",
 }
 
 

@@ -468,8 +468,13 @@ def minhash_lsh_candidates(
     banded = _banded(signatures, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
+    # MERGE hint (r13 spot-decade lesson): both sides of the band
+    # self-join are the banded CORPUS, so the strategy must be
+    # shuffle-on-bucket at any size — a checkpointed/exploded input's
+    # size statistic underestimates and the planner would broadcast one
+    # corpus side (the dd_winnow OOM class; fits at sf1, dies at 10×).
     return (
-        a.join(b, on=["band_idx", "band_key"])
+        a.join(b.hint("merge"), on=["band_idx", "band_key"])
         .where(F.col("a.id") < F.col("b.id"))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
@@ -716,8 +721,16 @@ def winnow_pairs(
     # first action both computes and persists it (no separate job).
     fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     a, b = fps.alias("a"), fps.alias("b")
+    # MERGE hint: the checkpointed fp relation's size statistic is the
+    # PRE-materialization estimate (scan-projection-sized), so the planner
+    # happily broadcast the corpus-sized fingerprint table — fine at sf1
+    # (~0.7 GB build), fatal at sf10 (the r13 spot decade's dd_winnow OOM:
+    # "Not enough memory to build and broadcast").  Both sides of this
+    # self-join scale with the corpus by definition, so the join strategy
+    # must be shuffle-on-fp at ANY size — exactly the LSH band join's
+    # exchange envelope, never a broadcast.
     return (
-        a.join(b, on="fp")
+        a.join(b.hint("merge"), on="fp")
         .where(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("n_common"))
@@ -1081,9 +1094,11 @@ def simhash_candidate_pairs(
         ).alias("_band_idx", "_band_key"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # MERGE hint: corpus-sized on both sides — shuffle on the band
+    # bucket at any size, never a stats-misled broadcast (r13).
     return (
         a.join(
-            b,
+            b.hint("merge"),
             (F.col("a._band_idx") == F.col("b._band_idx"))
             & (F.col("a._band_key") == F.col("b._band_key"))
             & (F.col("a.id") < F.col("b.id")),
@@ -1208,9 +1223,13 @@ def minhash_estimate_pairs(
         F.lit(0),
         lambda acc, v: acc + v,
     )
+    # MERGE hints: the signature relations are the corpus and the
+    # candidate list is corpus-proportional — both hydration joins
+    # shuffle on the id key; nothing here may broadcast on a
+    # checkpoint-misled size estimate (r13).
     return (
-        cand.join(sa, on="id_a")
-        .join(sb, on="id_b")
+        cand.join(sa.hint("merge"), on="id_a")
+        .join(sb.hint("merge"), on="id_b")
         .select(
             "id_a",
             "id_b",

@@ -638,10 +638,19 @@ def knn_join_bucketed(
     id_col: str = "vec_id",
     n_planes: int = 6,
     dim: int | None = None,
+    broadcast_left: bool = False,
 ) -> DataFrame:
     """Approximate kNN join: bucket both sides by hyperplane LSH, join on
     bucket, per-left top-k by cosine.  The join is bucket-local (equi-join on
-    the bucket key) — the only shape that survives a 100 TB × 100 TB kNN."""
+    the bucket key) — the only shape that survives a 100 TB × 100 TB kNN.
+
+    Strategy (r13 spot-decade lesson): ``right`` is the corpus and must
+    NEVER be the broadcast build side — the planner's scan-sized estimate
+    picked exactly that here (BuildRight over the full vector table, the
+    dd_winnow OOM class), so the corpus side carries a MERGE hint.  When
+    ``left`` is a bounded probe batch (the serving shape), pass
+    ``broadcast_left=True`` to build the small side instead — a
+    batch-sized broadcast equi-join, no corpus shuffle at all."""
     from pyspark.sql import Window
 
     if dim is None:
@@ -658,7 +667,9 @@ def knn_join_bucketed(
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     scored = (
-        lb.join(rb, on="_bucket")
+        (F.broadcast(lb).join(rb, on="_bucket")
+         if broadcast_left
+         else lb.join(rb.hint("merge"), on="_bucket"))
         .where(F.col("left_id") != F.col("right_id"))
         .withColumn("score", F.round(cosine(F.col("_lvec"), F.col("_rvec")), 6))
     )
@@ -698,8 +709,13 @@ def embed_neardup_pairs(
         lsh_bucket(F.col(vec_col), planes).alias("_bucket"),
     )
     a, b = sides.alias("a"), sides.alias("b")
+    # MERGE hint (r13 spot-decade lesson, the dd_winnow OOM class): both
+    # sides of this self-join are the full vector corpus, so the strategy
+    # must be shuffle-on-bucket at any size — without the hint the
+    # planner's scan-sized estimate broadcast one corpus side (fine at
+    # sf1, an OOM waiting at 10×).
     return (
-        a.join(b, on="_bucket")
+        a.join(b.hint("merge"), on="_bucket")
         .where(F.col("a.id") < F.col("b.id"))
         .withColumn(
             "score", F.round(cosine(F.col("a._v"), F.col("b._v")), 6)

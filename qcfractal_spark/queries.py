@@ -1715,10 +1715,12 @@ def q_sim_ivf_topk(spark, sf_dir):
 def q_sim_knn_join(spark, sf_dir):
     """Bucketed approximate kNN self-join (top-3 neighbors per vector for
     the first 200 vectors; bucket-local pair generation — the only join
-    shape that survives kNN at 100 TB; exact-hash check vs SQL_SIM_KNN)."""
+    shape that survives kNN at 100 TB; exact-hash check vs SQL_SIM_KNN).
+    The 200-vector probe side is the broadcast build (``broadcast_left``,
+    the serving shape) — the corpus side never broadcasts (r13)."""
     emb = _t(spark, sf_dir, "embeddings")
     left = emb.where(F.col("vec_id") < 200)
-    return sim.knn_join_bucketed(left, emb, k=3)
+    return sim.knn_join_bucketed(left, emb, k=3, broadcast_left=True)
 
 
 def q_mm_features(spark, sf_dir):
@@ -5616,10 +5618,16 @@ def q_dd_lev_verify(spark, sf_dir):
 
     The composition IS the 100 TB design: the O(n·m) edit-distance DP is
     unaffordable across all pairs, affordable across LSH candidates (a
-    vanishing fraction).  The joins hydrate only the candidate ids' texts
-    (broadcast of the pair list against the corpus scan), so full
-    documents never shuffle for non-candidates.  Both engines implement
-    classical Levenshtein — integer output, exact parity."""
+    vanishing fraction).  Text hydration is two id-keyed SHUFFLE joins of
+    the candidate list against the corpus scan — the candidate relation
+    is the small side but still corpus-PROPORTIONAL, so nothing here is
+    force-broadcast (r13: the earlier broadcast-the-pairs form made the
+    planner broadcast the full TEXT table on the second join — the
+    dd_winnow OOM class; with accurate shuffle-side stats AQE may still
+    demote either join to broadcast when the candidate side is truly
+    small, which is the right call made with the right numbers).  Both
+    engines implement classical Levenshtein — integer output, exact
+    parity."""
     docs = _t(spark, sf_dir, "documents")
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
     pairs = dd.minhash_lsh_candidates(sigs)
@@ -5630,8 +5638,8 @@ def q_dd_lev_verify(spark, sf_dir):
     # Two empty texts collide in every LSH band; 0/0 is NaN on Spark but an
     # error/NULL on DuckDB — guard to NULL on both engines (NULLIF in SQL).
     return (
-        ta.join(F.broadcast(pairs), "id_a")
-        .join(tb, "id_b")
+        pairs.join(ta.hint("merge"), "id_a")
+        .join(tb.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -9931,26 +9939,40 @@ _DRIVER_WINDOW = [
     #     r12 VERDICT item 3) and s12_contributed_values (the
     #     dataset-keyed contributed-values fetch, item 4);
     # (c) every query whose implementation or oracle changed after its
-    #     r12 stamp (3): pk_bfd_pack (rows-only → invariant oracle, r12
-    #     VERDICT item 2 — the query now emits the SQL-checkable
+    #     latest stamp (5): pk_bfd_pack (rows-only → invariant oracle,
+    #     r12 VERDICT item 2 — the query now emits the SQL-checkable
     #     invariant summary), o8_waiting_reason (waiting_reasons now
     #     pre-aggregates managers into (programs, tags) classes, nit 2),
     #     tx_pr_curve (pr_curve checkpoints its bucket grid, r12
-    #     ADVICE).  The r13 table.py/queue.py changes touch NO registry
-    #     plan: the hardlink fallback fires only on link-less
-    #     filesystems, the vacuum batch-recheck and transform meta-merge
-    #     live outside every registry query's path (rollup/heartbeat
-    #     streams commit via overwrite/foreachBatch pytest arms), and
-    #     the queue claim arms are pytest-gated (T4 has no oracle-shaped
-    #     query by design).
-    # Step OUT: the 50 r12 stamps (all freshly green except the three
-    # re-entering under (c)) and the 40 r10 + 41 r11 stamps (within the
-    # 4-round floor; they form the r14/r15 reserved cores).
-    # 45 + 2 + 3 = 50, zero fill slots this round.
-    # --- (a) the r13 reserved core (45, r09 cohort) ---
+    #     ADVICE), and the two corpus-broadcast fixes from the sf10 spot
+    #     decade (dd_winnow's OOM class): dd_embed (r10 stamp;
+    #     embed_neardup_pairs now merge-hints its bucket self-join) and
+    #     dd_lev_verify (r12 stamp; text hydration is now two id-keyed
+    #     shuffle joins, nothing force-broadcast).  They displace the
+    #     core's tx_phrase_hits (exact-phrase family carried in-window
+    #     by tx_phrase_idx — the persisted-index arm probing the same
+    #     posting algebra) and dd_containment (gate-only template-corpus
+    #     query; the shingle-join family is carried in-window by
+    #     dd_jaccard); both displaced r09 stamps MUST take r14 slots —
+    #     the 5-round floor reaches r09 at r15.  dd_winnow and
+    #     sim_knn_join also changed (merge hint / broadcast_left) and
+    #     are already in (a).  The other r13 table.py/queue.py changes
+    #     touch NO registry plan: the hardlink fallback fires only on
+    #     link-less filesystems, the vacuum batch-recheck and transform
+    #     meta-merge live outside every registry query's path, and the
+    #     queue claim arms are pytest-gated (T4 has no oracle-shaped
+    #     query by design).  dd_jaccard_capped's sf10 fix is session
+    #     memory sizing only (no plan change) — its r12 stamp stands.
+    # Step OUT: the 50 r12 stamps (all freshly green except the
+    # re-entering (c) members) and the 40 r10 + 41 r11 stamps (within
+    # the 5-round floor; they form the r14/r15 reserved cores, headed by
+    # the two displaced r09 queries above).
+    # 43 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) the r13 reserved core (43 of the 45-query r09 cohort;
+    #     tx_phrase_hits + dd_containment displaced, see (c)) ---
     "a10_map_agg", "a11_sample_keys", "a12_weighted_sum", "a14_pivot",
     "a16_dedup_batch", "a17_group_centroid", "a22_approx_quantiles",
-    "a5_two_col_counts", "a6_access_summary", "dd_containment",
+    "a5_two_col_counts", "a6_access_summary",
     "dd_contamination", "dd_exact", "dd_jaccard", "dd_span_dedup",
     "dd_substring_incremental", "dd_winnow", "ds_missing_cells",
     "h1_pricing_summary", "h3_top_revenue", "j10_count_join",
@@ -9959,13 +9981,14 @@ _DRIVER_WINDOW = [
     "s1_scan_project", "s4_upsert_classify", "sim_ivf_batch_topk",
     "sim_knn_join", "sim_lsh_topk", "sim_pq_topk", "st_sessionize",
     "t13_thread_assembly", "t3_hourly_rollup", "tx_bigram_lm",
-    "tx_phrase_hits", "tx_phrase_idx", "tx_pii", "tx_pmi_bigrams",
+    "tx_phrase_idx", "tx_pii", "tx_pmi_bigrams",
     "tx_quality_sweep", "tx_text_stats", "u6_mixture_sample",
     "w1_window_lag",
     # --- (b) round-13 newcomers (2) ---
     "o12_waiting_details", "s12_contributed_values",
-    # --- (c) changed after their r12 stamp (3) ---
+    # --- (c) changed after their latest stamp (5) ---
     "pk_bfd_pack", "o8_waiting_reason", "tx_pr_curve",
+    "dd_embed", "dd_lev_verify",
 ]
 
 _R12_WINDOW_LEDGER = [

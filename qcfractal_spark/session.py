@@ -82,7 +82,13 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local[N] runs every executor thread inside the driver JVM, so
+        # this IS the executor memory: 8g split across 32 concurrent
+        # tasks starved execution memory at sf10 (the r13 spot decade's
+        # dd_jaccard_capped UNABLE_TO_ACQUIRE_MEMORY) on a 128 GiB box.
+        # 48g ≈ 1.5g/task — the per-executor sizing a real cluster would
+        # run — while leaving headroom for the OS cache and the oracle.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in SESSION_CONTRACT_CONFS.items():

@@ -136,6 +136,15 @@ SMJ_OK = {
                              # SMJ is the legitimate at-scale plan)
     "dd_minhash_estimate",  # band self-join + two id-keyed signature joins:
                             # every side fact-sized
+    "dd_simhash_pairs",  # banded Hamming self-join: both sides fact-sized
+                         # (r13: merge-hinted — the checkpointed signature
+                         # stats misled the planner into broadcasting one
+                         # corpus side, the dd_winnow OOM class)
+    "dd_lev_verify",  # candidate ⋈ texts hydration: the candidate list is
+                      # corpus-proportional and the text sides are the
+                      # corpus — both id-keyed joins shuffle (r13; the old
+                      # broadcast-the-pairs form made the planner broadcast
+                      # the full TEXT table on the second join)
     "dd_source_overlap",  # (fp, source) self-join: both sides fact-sized;
                           # the matrix-assembly left join's build side is the
                           # post-agg sources²-row pair table whose stats the
