@@ -299,6 +299,24 @@ def main() -> None:
     # error, keep going, and still emit the JSON line for what ran.
     times: dict[str, float] = {}
     errors: dict[str, str] = {}
+    import gc as _gc
+
+    def _release_dead_blocks() -> None:
+        """Per-query isolation (r13): several queries localCheckpoint
+        corpus-sized intermediates, and the blocks of a RELEASED
+        DataFrame are only freed when a GC collects its references —
+        with a 48g heap that can be minutes away, so query N+1 would
+        contend with query N's orphaned blocks (measured 51 s clean vs
+        158 s dirty on the same query).  A resident service reaches the
+        same steady state through spark.cleaner.periodicGC; forcing the
+        collection between queries measures each plan, not its
+        predecessor's garbage."""
+        _gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:  # noqa: BLE001 — measurement aid only
+            pass
+
     for name in bench_queries:
         fn, _ = REGISTRY[name]
         best = float("inf")
@@ -307,6 +325,7 @@ def main() -> None:
                 t0 = time.time()
                 force(fn(spark, sf_dir))
                 best = min(best, time.time() - t0)
+                _release_dead_blocks()
             times[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — isolate, report, continue
             msg = f"{type(exc).__name__}: {exc}"

@@ -9963,6 +9963,13 @@ _DRIVER_WINDOW = [
     #     queue claim arms are pytest-gated (T4 has no oracle-shaped
     #     query by design).  dd_jaccard_capped's sf10 fix is session
     #     memory sizing only (no plan change) — its r12 stamp stands.
+    #     The merge-hint sweep also touched dd_minhash_lsh,
+    #     dd_minhash_estimate, dd_simhash_pairs and dd_lsh_recall_eval
+    #     (join STRATEGY only, identical output relation — the r12
+    #     pipe_prepare mechanical-change precedent): their stamps stand,
+    #     re-verified hash-green in this round's full tools/check.py
+    #     sf0.01 run, and all four (r10/r12 stamps) re-enter with their
+    #     cohorts inside the 5-round floor regardless.
     # Step OUT: the 50 r12 stamps (all freshly green except the
     # re-entering (c) members) and the 40 r10 + 41 r11 stamps (within
     # the 5-round floor; they form the r14/r15 reserved cores, headed by

@@ -89,6 +89,15 @@ def build_session(
         # 48g ≈ 1.5g/task — the per-executor sizing a real cluster would
         # run — while leaving headroom for the OS cache and the oracle.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # With a large heap, JVM GCs become rare — and Spark's
+        # ContextCleaner only releases DEAD localCheckpoint/broadcast
+        # blocks when a GC collects their references, so a long-lived
+        # session accumulates gigabytes of orphaned storage blocks that
+        # evict/spill live work (measured r13: the same sf1 query ran
+        # 51 s in a clean session and 158 s right after a checkpoint-
+        # heavy predecessor).  Tighten the periodic-GC floor from the
+        # 30 min default so cleanup latency is bounded.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.ui.enabled", "false")
     )
     for k, v in SESSION_CONTRACT_CONFS.items():
