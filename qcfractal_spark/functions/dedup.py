@@ -710,16 +710,35 @@ def winnow_pairs(
     k: int = 8,
     w: int = 4,
     min_common: int = 2,
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup candidate pairs from shared winnowing fingerprints: docs
     sharing ≥ ``min_common`` selected fingerprints.  Pair generation is
     fingerprint-bucket-local (equi-join on fp) — same shuffle envelope as
     the LSH band join, with winnowing's shared-substring guarantee instead
-    of a probabilistic bound."""
+    of a probabilistic bound.
+
+    ``max_doc_freq`` is the hot-fingerprint cap (the dd_jaccard_capped
+    pattern, r13): a fingerprint selected by more than ``f`` documents is
+    boilerplate (license headers, templates) and contributes O(f²) pair
+    rows per bucket — the sf1→sf10 decade measured the uncapped join's
+    output growing superlinearly (exponent +1.37) purely from such
+    cross-document shared fingerprints.  The cap costs one extra
+    map-combinable count aggregate and bounds every bucket's pair fan-out
+    at ``f²``; production corpora should set it (≈100-1000), the default
+    ``None`` keeps the exact exhaustive semantics the oracle replays."""
     # Materialize the fingerprint set once — the self-join would otherwise
     # re-run the explode+hash+window pipeline for both sides.  Lazy: the
     # first action both computes and persists it (no separate job).
     fps = winnow_fingerprints(df, text_col, id_col, k, w).localCheckpoint(eager=False)
+    if max_doc_freq is not None:
+        keep = (
+            fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .where(F.col("_df") <= int(max_doc_freq))
+            .select("fp")
+        )
+        fps = fps.join(keep.hint("merge"), on="fp")
     a, b = fps.alias("a"), fps.alias("b")
     # MERGE hint: the checkpointed fp relation's size statistic is the
     # PRE-materialization estimate (scan-projection-sized), so the planner
