@@ -51,7 +51,7 @@ BENCH_QUERIES = [
     "j13_asof",             # as-of join (union + window carry-forward)
     "j14_interval",         # bucketized interval join + per-left agg
     "h6_forecast_revenue",  # single-scan filter-sum (pushdown showcase)
-    "dd_simhash_pairs",     # banded Hamming pair join
+    "dd_simhash_scaled",    # corpus-scaled banded Hamming pair join (r14)
     "dd_contamination",     # 13-gram benchmark leak scan
     "a17_group_centroid",   # group-wise embedding centroids
     "tx_tfidf",             # TF-IDF top terms (explode + broadcast df + window)
@@ -81,7 +81,7 @@ BENCH_QUERIES = [
     "j6_membership",        # dataset-membership fact-to-record join
     "dd_jaccard_capped",    # rare-shingle candidates (df-capped pair join)
     "pipe_prepare",         # end-to-end prep: filter -> near-dup CC -> canon
-    "dd_winnow",            # winnowing fingerprints + bucket-local pairs
+    "dd_winnow_capped",     # winnowing fingerprints, df-capped pair join (r14)
     "dd_substring",         # CDC arbitrary-offset duplicate substrings
     "v1_variant_rollup",    # VARIANT typed-property extraction + rollup
     "u7_epoch_shuffle",     # sharded deterministic epoch shuffle
@@ -176,8 +176,11 @@ BENCH_QUERIES = [
     # dd_minhash_lsh kernel over a split corpus.
     # dd_containment is gate-only: on this ~2k-shingle template corpus the
     # exact shingle join is quadratic by construction (see q_dd_containment
-    # docstring); dd_winnow and dd_jaccard_capped are the benched
-    # substring-dup scale paths.
+    # docstring); dd_winnow_capped and dd_jaccard_capped are the benched
+    # substring-dup scale paths — their UNCAPPED arms (dd_winnow,
+    # dd_jaccard) are gate-only after the sf10 decade measured the
+    # uncapped pair joins' output growing superlinearly (exponent 1.37 /
+    # quadratic) on this duplicate-rich fixture (r13 VERDICT item 1).
     # dd_prefix_filter is gate-only for the same reason: it returns ALL
     # >=0.8-Jaccard pairs EXACTLY, and on this template corpus that truth
     # is itself quadratic in near-dup cluster size (32k pairs from 500
@@ -227,11 +230,14 @@ INTENTIONAL_CHANGES = {
 
 def is_regressed(now: float, baseline: float) -> bool:
     """Regression rule, factored out for unit testing (tests/test_bench_guard.py):
-    flag only when BOTH the ratio (>2x) and an absolute floor (>0.5s delta)
-    are exceeded — sub-second queries jitter past 2x on a loaded machine
-    (p2_p3_filter_page false-flagged in round 4), and a 0.3s -> 0.7s blip is
-    measurement noise, not a plan regression."""
-    return baseline > 0.05 and now > 2.0 * baseline and (now - baseline) > 0.5
+    flag only when BOTH the ratio (>1.5x) and an absolute floor (>0.5s delta)
+    are exceeded — sub-second queries jitter past the ratio on a loaded
+    machine (p2_p3_filter_page false-flagged in round 4), and a
+    0.3s -> 0.7s blip is measurement noise, not a plan regression.
+    r14 (VERDICT r13 item 9): threshold tightened 2.0x -> 1.5x — the old
+    gate let v1_variant_rollup drift 1.97x without a confirmation run;
+    the existing best-of-3 rerun absorbs the extra false-positive rate."""
+    return baseline > 0.05 and now > 1.5 * baseline and (now - baseline) > 0.5
 
 
 def find_regressions(times: dict, base_queries: dict, rerun=None) -> dict:
@@ -272,6 +278,16 @@ def main() -> None:
     bench_queries = (
         [q.strip() for q in only.split(",") if q.strip()] if only else BENCH_QUERIES
     )
+    # Validate subset names up front (r13 ADVICE): the REGISTRY lookup
+    # used to run outside the per-query try block, so one typo'd name
+    # raised KeyError and zeroed the whole suite — the exact failure the
+    # per-query isolation loop exists to prevent.
+    unknown = [q for q in bench_queries if q not in REGISTRY]
+    if unknown:
+        raise SystemExit(
+            f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: {unknown}; "
+            f"valid names are the keys of __spark_entry__.queries()"
+        )
     # Runs per query (default 2, best-of): the sf10 spot decade uses 1 —
     # at multi-minute per-query durations the first-run JIT/footer costs
     # the best-of-2 rule exists to amortize are sub-percent noise, and a

@@ -577,20 +577,38 @@ def minhash_lsh_star_edges(
     )
 
 
-def simhash(df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 32) -> DataFrame:
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 32,
+    wide_hash: bool | None = None,
+) -> DataFrame:
     """SimHash over token features: bit j of the hash is 1 iff the sum of
     ±1 votes (sign of bit j of each token's hash) is positive.
 
     Plan shape: explode distinct tokens → hash once → one groupBy(id) with
     ``bits`` sum aggregates (map-side combinable, codegen) → recombine the
-    bit votes into one long.  ``bits`` ≤ 32 because the portable base hash
-    is 32-bit."""
-    from .text import tokens
+    bit votes into one long.
 
+    ``bits`` ≤ 32 rides the 32-bit portable base hash; wider signatures
+    (corpus-scaled banding, r14) need more independent vote bits than 32,
+    so ``bits`` in (32, 60] switches to the 60-bit base hash
+    (``portable_hash60``).  ``wide_hash=True`` forces the 60-bit base even
+    for small ``bits`` — the corpus-scaled query uses it so the signature
+    CONSTRUCTION is identical at every scale factor and only the width
+    varies (one oracle template, no per-scale hash branch)."""
+    from .text import portable_hash60, tokens
+
+    if bits > 60:
+        raise ValueError(f"simhash supports at most 60 bits, got {bits}")
+    if wide_hash is None:
+        wide_hash = bits > 32
+    base = portable_hash60 if wide_hash else portable_hash64
     tok = df.select(
         F.col(id_col).alias("id"),
         F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("_tk"),
-    ).select("id", portable_hash64(F.col("_tk")).alias("_h"))
+    ).select("id", base(F.col("_tk")).alias("_h"))
     aggs = [
         F.sum(
             F.when(F.shiftright(F.col("_h"), j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
@@ -1072,6 +1090,38 @@ def incremental_cdc_duplicates(
         )
     )
     return vs_corpus.unionByName(within).dropDuplicates(["id", "start"])
+
+
+def scaled_band_bits(
+    n_docs: int,
+    bands: int = 4,
+    target_bucket_docs: int = 8,
+    min_bits: int = 8,
+    max_bits: int = 15,
+) -> int:
+    """Per-band bit width for corpus-scaled SimHash banding (r13 VERDICT
+    item 3): the band bucket space ``2^w`` must grow with the corpus or
+    bucket populations — and thus the bucket-local pair join's output —
+    grow superlinearly from birthday collisions alone (the sf10 decade
+    measured exponent 1.31 on the fixed-width setting as the corpus
+    passed ~10⁶ rows).
+
+    ``w = clamp(ceil(log2(n_docs / target_bucket_docs)), min_bits,
+    max_bits)`` puts the EXPECTED bucket population of hash-random (i.e.
+    non-duplicate) signatures at ≤ ``target_bucket_docs``: bucket load ≈
+    n / 2^w ≤ target, so per-bucket pair work is O(target²) and the total
+    candidate volume from collisions is linear in the corpus.  True
+    near-dup pairs are unaffected — pigeonhole exhaustiveness
+    (``max_hamming ≤ bands - 1``) depends only on the band COUNT, never
+    the width.  ``max_bits=15`` because the signature is ``bands × w``
+    bits and the portable wide hash is 60-bit (4 × 15); past ~10⁶ × 2^15
+    docs, add bands (and raise max_hamming coverage) rather than width."""
+    import math
+
+    if n_docs <= target_bucket_docs:
+        return min_bits
+    w = math.ceil(math.log2(n_docs / target_bucket_docs))
+    return max(min_bits, min(max_bits, w))
 
 
 def simhash_candidate_pairs(

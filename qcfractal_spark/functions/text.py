@@ -160,6 +160,22 @@ def portable_hash64(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
 
 
+def portable_hash60(col: Column) -> Column:
+    """60-bit variant of :func:`portable_hash64`: first 15 hex chars of
+    md5.  60 bits (not 64) so the value fits a SIGNED 64-bit integer in
+    both engines — 16 hex chars would overflow DuckDB's BIGINT cast for
+    digests ≥ 2^63.  DuckDB equivalent:
+    ``('0x' || substr(md5(x), 1, 15))::BIGINT``.  Feeds the
+    corpus-scaled SimHash banding (dedup.simhash with wide_hash), whose
+    band space must grow with log2(corpus) past the 32-bit hash's reach.
+
+    ``SPARK_GRAFT_FAST_HASH=1`` swaps in ``xxhash64`` masked to the same
+    non-negative 60-bit range, exactly as the 32-bit variant does."""
+    if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1":
+        return F.xxhash64(col).bitwiseAND(F.lit(0x0FFFFFFFFFFFFFFF))
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 # PII patterns kept RE2-and-Java compatible (no lookaround/backrefs) so the
 # DuckDB oracle runs the byte-identical regex.  \b is supported by both.
 PII_EMAIL_RE = r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"
@@ -357,8 +373,12 @@ def pr_curve(
     # checkpoint the bucket table: the total-positives aggregate and the
     # cumulative window both derive from it, and without the cut each
     # branch re-scans the corpus (r12 ADVICE) — the grid is ≤ scale+1
-    # rows, so materializing it is free
-    per_t = per_t.localCheckpoint(eager=True)
+    # rows, so materializing it is free.  eager=False (r13 ADVICE):
+    # eager triggered a Spark job at PLAN-CONSTRUCTION time for every
+    # library caller; lazy keeps building the DataFrame side-effect-free
+    # while the first action still materializes the grid once and both
+    # branches share the checkpointed blocks.
+    per_t = per_t.localCheckpoint(eager=False)
     w = Window.orderBy(F.col("_b").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -391,6 +411,7 @@ def heavy_hitters_mg(
     df: DataFrame,
     text_col: str = "text",
     k: int = 50,
+    candidates: bool = False,
 ) -> DataFrame:
     """Misra–Gries heavy hitters over the token stream — the mergeable-
     summary sketch (Agarwal et al. 2012) beside the built-in HLL (a19)
@@ -413,6 +434,12 @@ def heavy_hitters_mg(
     to when the vocabulary itself stops fitting the shuffle.
 
     Returns (token, est_count) — lower bounds, largest first.
+    ``candidates=True`` skips the final top-k cut and returns the FULL
+    merged candidate set (≤ k·partitions rows): the completeness
+    guarantee ("every token > N/(k+1) survives") holds for this set,
+    while the top-k cut can displace a barely-heavy token whose est was
+    eroded close to the bound — the invariant-oracle gate (a24) joins
+    the candidate set against exact counts, so it needs the uncut set.
     """
     import pandas as pd
 
@@ -437,12 +464,10 @@ def heavy_hitters_mg(
         )
 
     summaries = tok.mapInPandas(mg, "token string, est_count long")
-    return (
-        summaries.groupBy("token")
-        .agg(F.sum("est_count").alias("est_count"))
-        .orderBy(F.col("est_count").desc(), F.col("token").asc())
-        .limit(k)
-    )
+    merged = summaries.groupBy("token").agg(F.sum("est_count").alias("est_count"))
+    if candidates:
+        return merged
+    return merged.orderBy(F.col("est_count").desc(), F.col("token").asc()).limit(k)
 
 
 def bigram_lm_scores(docs: DataFrame, lam: float = 0.75) -> DataFrame:

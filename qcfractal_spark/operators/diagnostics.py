@@ -66,7 +66,14 @@ def waiting_reasons(records: DataFrame, managers: DataFrame) -> DataFrame:
     early_reason = (
         F.when(F.col("is_service"), F.lit(R_SERVICE))
         .when(F.col("status") != "waiting", F.lit(R_NOT_WAITING))
-        .when(F.col("compute_tag").isNull(), F.lit(R_MISSING_TASK))
+        .when(
+            # rec_tag is None OR rec_programs is None — both arms of the
+            # reference's missing-task short-circuit
+            # (record_socket.py:1606-1607), not just the tag
+            F.col("compute_tag").isNull()
+            | F.col("required_programs").isNull(),
+            F.lit(R_MISSING_TASK),
+        )
     )
     zero = F.lit(0).cast("bigint")
     early = records.where(early_reason.isNotNull()).select(
@@ -174,7 +181,12 @@ def waiting_reason_details(records: DataFrame, managers: DataFrame) -> DataFrame
     eligible = records.where(
         (~F.col("is_service"))
         & (F.col("status") == "waiting")
+        # both NULL arms short-circuit to 'Missing task' in the
+        # reference (record_socket.py:1606) and thus produce NO detail
+        # rows here — a tag-bearing record with NULL required_programs
+        # must not fall through to the manager walk
         & F.col("compute_tag").isNotNull()
+        & F.col("required_programs").isNotNull()
     )
     missing = F.array_sort(
         F.filter(

@@ -425,8 +425,13 @@ def _waiting_fixture(spark, sf_dir):
         F.when(F.col("o_orderkey") % 97 == 0, F.lit(None).cast("string"))
         .otherwise(F.concat(F.lit("t"), (F.col("o_custkey") % 6).cast("string")))
         .alias("compute_tag"),
+        # programs NULL on a DIFFERENT stripe than the tag (%89 vs %97):
+        # exercises the reference's OR'd missing-task short-circuit
+        # (record_socket.py:1606 — rec_tag IS NULL OR rec_programs IS
+        # NULL) on records where only ONE side is NULL (r13 ADVICE)
         F.when(
-            F.col("o_orderkey") % 97 == 0, F.lit(None).cast("array<string>")
+            (F.col("o_orderkey") % 97 == 0) | (F.col("o_orderkey") % 89 == 0),
+            F.lit(None).cast("array<string>"),
         )
         .otherwise(req)
         .alias("required_programs"),
@@ -454,7 +459,7 @@ WITH recs AS (
          (o_orderkey % 50 = 0) AS is_service,
          CASE WHEN o_orderkey % 97 = 0 THEN NULL
               ELSE 't' || CAST(o_custkey % 6 AS VARCHAR) END AS compute_tag,
-         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 89 = 0 THEN NULL
               ELSE list_filter(
                      ['psi4',
                       CASE WHEN o_custkey % 3 = 0 THEN 'dftd3' END,
@@ -480,7 +485,8 @@ early AS (
          CAST(0 AS BIGINT) AS n_wrong_tag,
          CAST(0 AS BIGINT) AS n_busy
   FROM recs
-  WHERE is_service OR status <> 'waiting' OR compute_tag IS NULL
+  WHERE is_service OR status <> 'waiting'
+     OR compute_tag IS NULL OR required_programs IS NULL
 ),
 pairs AS (
   SELECT r.record_id,
@@ -494,7 +500,8 @@ pairs AS (
               ELSE 'busy' END AS v
   FROM recs r
   LEFT JOIN (SELECT * FROM managers WHERE m_active) m ON TRUE
-  WHERE NOT r.is_service AND r.status = 'waiting' AND r.compute_tag IS NOT NULL
+  WHERE NOT r.is_service AND r.status = 'waiting'
+    AND r.compute_tag IS NOT NULL AND r.required_programs IS NOT NULL
 ),
 agg AS (
   SELECT record_id,
@@ -546,7 +553,7 @@ WITH recs AS (
          (o_orderkey % 50 = 0) AS is_service,
          CASE WHEN o_orderkey % 97 = 0 THEN NULL
               ELSE 't' || CAST(o_custkey % 6 AS VARCHAR) END AS compute_tag,
-         CASE WHEN o_orderkey % 97 = 0 THEN NULL
+         CASE WHEN o_orderkey % 97 = 0 OR o_orderkey % 89 = 0 THEN NULL
               ELSE list_filter(
                      ['psi4',
                       CASE WHEN o_custkey % 3 = 0 THEN 'dftd3' END,
@@ -581,7 +588,8 @@ SELECT r.record_id, m.m_name,
        END AS detail
 FROM recs r
 JOIN (SELECT * FROM managers WHERE m_active) m ON TRUE
-WHERE NOT r.is_service AND r.status = 'waiting' AND r.compute_tag IS NOT NULL
+WHERE NOT r.is_service AND r.status = 'waiting'
+  AND r.compute_tag IS NOT NULL AND r.required_programs IS NOT NULL
 """
 
 
@@ -2555,6 +2563,64 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+def q_dd_simhash_scaled(spark, sf_dir):
+    """DD+ (corpus-scaled arm, r14 — VERDICT r13 item 3): SimHash near-dup
+    pairs at Hamming ≤ 3 where the band width scales with the corpus:
+    ``w = scaled_band_bits(|docs|)`` per band, 4 bands, signature =
+    ``4w`` bits over the 60-bit portable base hash
+    (functions/dedup.py:scaled_band_bits).  The fixed-width
+    `dd_simhash_pairs` (4×8-bit bands) saturates its 2^8-per-band bucket
+    space past ~10⁶ docs — the sf10 decade measured exponent 1.31 of pure
+    birthday-collision growth; scaling ``2^w`` with the corpus holds the
+    expected bucket population at ≤ 8 docs, making collision candidates
+    linear while pigeonhole exhaustiveness (band COUNT ≥ hamming+1) keeps
+    the answer exact.  The count() that sizes the banding is one
+    aggregate-pushdown scan (parquet row-group stats), not a corpus read.
+    Oracle recomputes the same width from COUNT(*) and replays the
+    signature construction; the pair check is brute-force popcount —
+    banding is a plan detail the oracle need not share."""
+    docs = _t(spark, sf_dir, "documents")
+    w = dd.scaled_band_bits(docs.count())
+    sigs = dd.simhash(docs, bits=4 * w, wide_hash=True).localCheckpoint(
+        eager=True
+    )
+    return dd.simhash_candidate_pairs(sigs, bands=4, bits=4 * w)
+
+
+SQL_DD_SIMHASH_SCALED = f"""
+WITH params AS (
+  SELECT GREATEST(8, LEAST(15,
+           CAST(CEIL(LOG2(COUNT(*) / 8.0)) AS INTEGER))) AS w
+  FROM documents
+),
+docs AS (
+  SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents
+),
+tok AS (SELECT doc_id, unnest(toks) AS tk FROM docs),
+th AS (
+  SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok
+),
+bits AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN (h >> j) & 1 = 1 THEN 1 ELSE -1 END) AS s
+  FROM th, params, unnest(generate_series(0, 4 * w - 1)) AS u(j)
+  GROUP BY doc_id, j
+),
+s AS (
+  SELECT doc_id AS id,
+         CAST(SUM(CASE WHEN s > 0 THEN 1::BIGINT << j ELSE 0::BIGINT END)
+              AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.id AS id_a, b.id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM s a JOIN s b ON a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""
+
+REGISTRY["dd_simhash_scaled"] = (q_dd_simhash_scaled, SQL_DD_SIMHASH_SCALED)
+
+
 def q_a17_group_centroid(spark, sf_dir):
     """A17 (beyond-reference): group-wise embedding centroids — per-group
     per-dimension mean vector (the cluster-stats / IVF-retrain primitive),
@@ -3188,6 +3254,54 @@ HAVING COUNT(*) >= 2
 """
 
 REGISTRY["dd_winnow"] = (q_dd_winnow, SQL_DD_WINNOW)
+
+
+def q_dd_winnow_capped(spark, sf_dir):
+    """DD+ (bounded-bench arm, r14 — VERDICT r13 item 2): winnowing
+    fingerprints in the configuration that survives 100 TB — the
+    hot-fingerprint document-frequency cap (max_doc_freq=20) bounds every
+    bucket's pair fan-out at f², exactly the dd_jaccard→dd_jaccard_capped
+    precedent.  The uncapped `dd_winnow` is gate-only: the sf1→sf10 decade
+    measured its output growing at exponent 1.37 on this duplicate-rich
+    fixture (boilerplate fingerprints shared across O(corpus) docs), which
+    is the plan that melts at scale.  A fingerprint selected by >20 docs
+    is template text by construction; dropping it loses only pairs whose
+    ENTIRE overlap is boilerplate — near-dup pairs with any distinctive
+    shared substring keep ≥min_common rare fingerprints.  Oracle replays
+    the cap on the identical fingerprint set."""
+    docs = _t(spark, sf_dir, "documents")
+    return dd.winnow_pairs(docs, k=16, w=8, min_common=2, max_doc_freq=20)
+
+
+SQL_DD_WINNOW_CAPPED = r"""
+WITH docs AS (
+  SELECT doc_id AS id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+  FROM documents
+),
+h AS (
+  SELECT id, i,
+         ('0x' || substr(md5(substring(t, i, 16)), 1, 8))::BIGINT AS h,
+         length(t) - 15 AS n
+  FROM docs, unnest(generate_series(1, greatest(length(t) - 15, 1))) u(i)
+),
+wm AS (
+  SELECT id, i, n,
+         MIN(h) OVER (PARTITION BY id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+  FROM h
+),
+fp AS (SELECT DISTINCT id, wmin AS fp FROM wm WHERE i <= greatest(n - 7, 1)),
+rare AS (
+  SELECT id, fp FROM fp
+  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING COUNT(*) <= 20)
+)
+SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS n_common
+FROM rare a JOIN rare b ON a.fp = b.fp AND a.id < b.id
+GROUP BY 1, 2
+HAVING COUNT(*) >= 2
+"""
+
+REGISTRY["dd_winnow_capped"] = (q_dd_winnow_capped, SQL_DD_WINNOW_CAPPED)
 
 
 def q_dd_substring(spark, sf_dir):

@@ -57,6 +57,32 @@ def ensure_session_contract(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def _default_driver_memory() -> str:
+    """Default driver/executor heap: min(48g, ~40% of physical RAM).
+
+    local[N] runs every executor thread inside the driver JVM, so this
+    IS the executor memory.  48g ≈ 1.5g/task at 32 threads — the
+    per-executor sizing a real cluster would run — but hard-coding 48g
+    encoded the 128 GiB benchmark box into the library default (r13
+    ADVICE): on a smaller host the JVM still starts (Xmx is a cap) yet
+    heavy queries push the MACHINE into swap/OOM-killer territory
+    instead of failing with Spark's managed-memory errors.  Deriving
+    from MemTotal keeps the bench box at 48g while a 16 GiB laptop gets
+    ~6g; SPARK_GRAFT_DRIVER_MEM remains the explicit override.
+    """
+    try:
+        with open("/proc/meminfo") as fh:
+            for line in fh:
+                if line.startswith("MemTotal:"):
+                    total_gib = int(line.split()[1]) / (1024 * 1024)
+                    break
+            else:
+                return "8g"
+    except OSError:
+        return "8g"
+    return f"{max(2, min(48, int(total_gib * 0.4)))}g"
+
+
 def build_session(
     app_name: str = "qcfractal-spark",
     master: str | None = None,
@@ -82,13 +108,14 @@ def build_session(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        # local[N] runs every executor thread inside the driver JVM, so
-        # this IS the executor memory: 8g split across 32 concurrent
-        # tasks starved execution memory at sf10 (the r13 spot decade's
-        # dd_jaccard_capped UNABLE_TO_ACQUIRE_MEMORY) on a 128 GiB box.
-        # 48g ≈ 1.5g/task — the per-executor sizing a real cluster would
-        # run — while leaving headroom for the OS cache and the oracle.
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        # 8g split across 32 concurrent tasks starved execution memory
+        # at sf10 (the r13 spot decade's dd_jaccard_capped
+        # UNABLE_TO_ACQUIRE_MEMORY); the RAM-derived default gives the
+        # 128 GiB bench box 48g while staying safe on small hosts.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", _default_driver_memory()),
+        )
         # With a large heap, JVM GCs become rare — and Spark's
         # ContextCleaner only releases DEAD localCheckpoint/broadcast
         # blocks when a GC collects their references, so a long-lived

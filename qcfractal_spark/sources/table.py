@@ -340,6 +340,19 @@ class MutableTable:
                     raise CommitConflictError(
                         f"table {self.path}: v{v} was claimed by another writer"
                     ) from exc2
+                except BaseException:
+                    # a failure mid-write (e.g. ENOSPC) after the
+                    # exclusive create succeeded would leave a PARTIAL
+                    # v{N}.json claiming the version slot forever —
+                    # unparseable manifest, broken history()/time-travel
+                    # (r13 ADVICE).  Withdraw the claim before
+                    # re-raising so the slot stays contestable.
+                    try:
+                        os.unlink(self._manifest_path(v))
+                    except OSError:
+                        pass
+                    shutil.rmtree(stage, ignore_errors=True)
+                    raise
             finally:
                 try:
                     os.remove(tmp)

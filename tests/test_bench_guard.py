@@ -32,6 +32,16 @@ def test_sub_second_jitter_below_floor_never_flags():
     assert is_regressed(2.6, 1.0)
 
 
+def test_r14_tightened_ratio_catches_systematic_drift():
+    # the r13 escape: v1_variant_rollup drifted 0.59 -> 1.16s (1.97x) and
+    # the old 2x gate never asked for a confirmation run.  The 1.5x gate
+    # flags it (delta 0.57s > 0.5s floor).
+    assert is_regressed(1.16, 0.59)
+    # just under the ratio, or under the absolute floor -> still quiet
+    assert not is_regressed(0.85, 0.59)
+    assert not is_regressed(1.4, 1.0)
+
+
 def test_confirmation_failure_keeps_original_sample():
     def boom(q):
         raise RuntimeError("query crashed on rerun")

@@ -593,6 +593,53 @@ def test_simhash_pairs_pigeonhole_exhaustive(spark):
         dd.simhash_candidate_pairs(df, bands=4, max_hamming=4)
 
 
+def test_scaled_band_bits_bounds_bucket_population():
+    """r13 VERDICT item 3: the corpus-scaled band width must hold the
+    EXPECTED bucket population (n / 2^w) at or under the target inside
+    the unclamped range, so hash-collision candidate volume stays linear
+    in the corpus instead of birthday-quadratic."""
+    # unclamped region: expected population <= target
+    for n in (10_000, 50_000, 123_456, 200_000):
+        w = dd.scaled_band_bits(n, target_bucket_docs=8)
+        assert 8 <= w <= 15
+        assert n / (1 << w) <= 8, f"n={n}: 2^{w} buckets leaves load > 8"
+    # monotone in corpus size
+    widths = [dd.scaled_band_bits(n) for n in (10, 1_000, 100_000, 10**7)]
+    assert widths == sorted(widths)
+    # clamps: tiny corpora stay at the floor; the 60-bit hash caps at 15
+    assert dd.scaled_band_bits(1) == 8
+    assert dd.scaled_band_bits(500) == 8
+    assert dd.scaled_band_bits(10**9) == 15
+    # the sf10-decade failure point: ~10^6 docs needs 2^17 buckets by the
+    # formula, and w=15 (the cap) gives 32k buckets -> load ~31, still
+    # f-squared-bounded per bucket rather than the fixed width's ~3900
+    assert dd.scaled_band_bits(10**6) == 15
+
+
+def test_simhash_wide_hash_signature_matches_scaled_oracle_construction(spark):
+    """The wide-hash simhash signature is bit-for-bit the oracle's
+    construction: base = first 15 hex chars of md5 (60-bit), vote bits
+    j in [0, bits)."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta delta epsilon")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r["simhash"] for r in dd.simhash(docs, bits=40, wide_hash=True).collect()}
+
+    def py_sim(text, bits=40):
+        toks = sorted(set(text.split()))
+        votes = [0] * bits
+        for t in toks:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:15], 16)
+            for j in range(bits):
+                votes[j] += 1 if (h >> j) & 1 else -1
+        return sum(1 << j for j in range(bits) if votes[j] > 0)
+
+    assert got == {1: py_sim("alpha beta gamma"), 2: py_sim("alpha beta delta epsilon")}
+
+
 def test_contamination_report_counts_and_zero_hit(spark):
     corpus = spark.createDataFrame(
         [(1, "the quick brown fox jumps"), (2, "zzzzzzzzzzzzzzzzzz unique")],

@@ -776,3 +776,53 @@ def test_manifest_claim_falls_back_without_hardlinks(spark, tmp_path):
         assert ei.value.errno == _errno.EIO
     finally:
         table_mod.os.link = orig
+
+
+def test_fallback_write_failure_does_not_poison_version_slot(spark, tmp_path):
+    """r13 ADVICE: in the link-less fallback, a write failure AFTER the
+    exclusive create succeeded (e.g. ENOSPC mid-write) used to leave a
+    partial v{N}.json permanently claiming the slot with an unparseable
+    manifest.  The failed claim must be withdrawn: the error surfaces,
+    history() still parses, and the SAME version number is retaken by
+    the next commit."""
+    import errno as _errno
+
+    from qcfractal_spark.sources import table as table_mod
+
+    t = MutableTable(spark, str(tmp_path / "mnospc"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
+    assert t.current_version() == 0
+
+    def no_link(*a, **k):
+        raise OSError(_errno.EPERM, "Operation not permitted")
+
+    real_fsync = table_mod.os.fsync
+    calls = {"n": 0}
+
+    def enospc_on_fallback_fsync(fd):
+        # call #1 is the tmp-file write of the primary path; call #2 is
+        # the fallback manifest write — fail there, mid-claim
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise OSError(_errno.ENOSPC, "No space left on device")
+        return real_fsync(fd)
+
+    orig_link = table_mod.os.link
+    table_mod.os.link = no_link
+    table_mod.os.fsync = enospc_on_fallback_fsync
+    try:
+        with pytest.raises(OSError) as ei:
+            t.overwrite(spark.createDataFrame([(2, "b")], "id long, v string"))
+        assert ei.value.errno == _errno.ENOSPC
+    finally:
+        table_mod.os.fsync = real_fsync
+        table_mod.os.link = orig_link
+
+    # the slot was withdrawn: no partial manifest, history parses, and
+    # v1 is claimed by the NEXT commit instead of being poisoned
+    assert not os.path.exists(t._manifest_path(1))
+    assert t.current_version() == 0
+    assert [h["version"] for h in t.history()] == [0]
+    t.overwrite(spark.createDataFrame([(3, "c")], "id long, v string"))
+    assert t.current_version() == 1
+    assert {r["v"] for r in t.read().collect()} == {"c"}

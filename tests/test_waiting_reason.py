@@ -56,6 +56,32 @@ def test_early_short_circuits(spark):
     )
 
 
+def test_null_programs_is_missing_task_even_with_tag(spark):
+    """r13 ADVICE: the reference short-circuits to 'Missing task' when
+    rec_tag is None OR rec_programs is None (record_socket.py:1606) — a
+    record with a tag but NULL required_programs must not reach the
+    manager walk (size(NULL)=-1 would classify it wrong_tag/busy), and
+    must produce zero detail rows."""
+    from qcfractal_spark.operators.diagnostics import waiting_reason_details
+
+    recs = [(1, "waiting", False, "t0", None)]  # tag present, programs NULL
+    mgrs = [("m1", ["psi4"], ["*"], True)]
+    got = _run(spark, recs, mgrs)
+    assert got[1]["reason"] == R_MISSING_TASK
+    assert (
+        got[1]["n_missing_programs"],
+        got[1]["n_wrong_tag"],
+        got[1]["n_busy"],
+    ) == (0, 0, 0)
+    assert (
+        waiting_reason_details(
+            spark.createDataFrame(recs, REC_SCHEMA),
+            spark.createDataFrame(mgrs, MGR_SCHEMA),
+        ).count()
+        == 0
+    )
+
+
 def test_no_active_managers(spark):
     recs = [(1, "waiting", False, "t0", ["psi4"])]
     # zero managers at all, and only-inactive managers, both classify
