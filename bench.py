@@ -225,6 +225,14 @@ INTENTIONAL_CHANGES = {
     # (0.65 + 0.7 → ~1.45 s at sf0.1), a richer query by design (r12
     # VERDICT item 2).
     "pk_bfd_pack": "r13 invariant oracle: BFD + FFD comparison arm in one query",
+    # r14 (VERDICT r13 item 4): the three sketch queries converted from
+    # rows-only to invariant-oracle form — each now runs the EXACT
+    # counterpart beside the sketch in one query (COUNT DISTINCT for HLL,
+    # sorted-array discrete percentiles for GK, the exact token-count
+    # join for Misra-Gries), roughly doubling each gate's cost by design.
+    "a19_approx_distinct": "r14 invariant oracle: exact COUNT(DISTINCT) arm added",
+    "a22_approx_quantiles": "r14 invariant oracle: exact percentile_disc arm added",
+    "a24_heavy_hitters": "r14 invariant oracle: exact token-count join added",
 }
 
 

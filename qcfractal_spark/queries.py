@@ -4941,39 +4941,120 @@ def q_a19_approx_distinct(spark, sf_dir):
     event_type (rsd=1%).  At 100 TB exact COUNT(DISTINCT) is a full
     shuffle of every distinct value; the HLL sketch is a few KB per group,
     map-side mergeable, and the standard cardinality primitive of a
-    telemetry pipeline.  No SQL oracle by design — sketch estimates are
-    engine-specific (the driver records a rows-only check); the exactness
-    bound vs COUNT(DISTINCT) is pinned by tests/test_round4.py instead."""
+    telemetry pipeline.
+
+    r14 (VERDICT r13 item 4, the pk_bfd_pack pattern): the sketch estimate
+    itself is engine-specific, so the gated output carries only columns
+    the oracle can replay — the exact COUNT(DISTINCT), the group size —
+    plus ``within_envelope``, the sketch's accuracy VERDICT pinned to TRUE
+    (|approx − exact| ≤ max(5·rsd·exact, 1); HLL++ at rsd=1% is
+    deterministic for a given input, and a 5σ breach means the sketch is
+    broken, not unlucky).  A drifted/broken HLL flips the boolean and the
+    driver hash goes red; the envelope magnitude itself stays pinned by
+    tests/test_round4.py.  The exact arm rides the SAME single scan
+    (one groupBy computes both aggregates); at fleet scale the sketch-only
+    plan is the library call ``F.approx_count_distinct`` — this query is
+    the gate that proves it honest."""
     events = _t(spark, sf_dir, "events")
-    return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.01).alias("_approx"),
+            F.countDistinct("user_id").cast("bigint").alias("exact_users"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "exact_users",
+            (
+                F.abs(F.col("_approx") - F.col("exact_users"))
+                <= F.greatest(
+                    F.ceil(F.col("exact_users") * F.lit(0.05)), F.lit(1)
+                )
+            ).alias("within_envelope"),
+        )
     )
 
 
-REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, None)
+SQL_A19 = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_envelope
+FROM events GROUP BY event_type
+"""
+
+REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, SQL_A19)
 
 
 def q_a22_approx_quantiles(spark, sf_dir):
     """A22 (beyond-reference): sketch-based quantile profile per event type
     — approx_percentile (Greenwald-Khanna, relative error 0.001) for
     p50/p95/p99 of the value distribution.  The sketch companion of f12's
-    exact percentiles: exact percentile_disc needs every group's values on
-    one reducer (sortable, but a full shuffle of the column), while the GK
-    sketch is a bounded-size, map-side-mergeable summary — the only shape
-    that profiles a 100 TB telemetry column per dashboard refresh.  No SQL
-    oracle by design (sketch internals are engine-specific; the driver
-    records a rows-only check); the error bound vs the exact percentile is
-    pinned by tests/test_round4.py."""
+    exact percentiles: percentile_disc needs every group's values on one
+    reducer, while the GK sketch is a bounded-size, map-side-mergeable
+    summary — the only shape that profiles a 100 TB telemetry column per
+    dashboard refresh.
+
+    r14 (VERDICT r13 item 4): invariant-oracle form.  The gated output
+    carries the exact discrete percentiles (replayed by DuckDB
+    quantile_disc — the proven f12 correspondence), the group size, and
+    per-quantile booleans pinning the GK rank guarantee: the sketch value
+    must lie between the exact values at ranks ceil((p∓0.005)·n)∓1 — a
+    5× envelope over the sketch's 0.001 rank error plus one index of
+    discretization slack, so a correct sketch can never flip the boolean
+    while a mis-merged one (rank drift > 0.5 %) goes red at the driver.
+    The sorted-array pass that produces the exact columns is the gate's
+    cost, not the sketch's — the fleet-scale plan is the sketch aggregate
+    alone."""
     events = _t(spark, sf_dir, "events")
-    q = F.percentile_approx("value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(1000))
-    return events.groupBy("event_type").agg(
-        q.getItem(0).alias("p50"),
-        q.getItem(1).alias("p95"),
-        q.getItem(2).alias("p99"),
+    qs = F.percentile_approx(
+        "value", F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99)), F.lit(1000)
+    )
+    arr = F.array_sort(F.collect_list("value"))
+    agg = events.groupBy("event_type").agg(
+        qs.alias("_qs"), arr.alias("_arr")
+    )
+    n = F.size(F.col("_arr"))
+
+    def _at(rank):  # clamped 1-based element_at
+        return F.element_at(
+            F.col("_arr"), F.greatest(F.least(rank.cast("int"), n), F.lit(1))
+        )
+
+    def _exact(p):  # percentile_disc: smallest value with cum-fraction >= p
+        return _at(F.ceil(F.lit(p) * n))
+
+    def _ok(i, p):
+        lo = _at(F.ceil(F.lit(p - 0.005) * n) - 1)
+        hi = _at(F.ceil(F.lit(p + 0.005) * n) + 1)
+        a = F.col("_qs").getItem(i)
+        return (a >= lo) & (a <= hi)
+
+    return agg.select(
+        "event_type",
+        n.cast("bigint").alias("n_values"),
+        _exact(0.5).alias("p50_exact"),
+        _exact(0.95).alias("p95_exact"),
+        _exact(0.99).alias("p99_exact"),
+        _ok(0, 0.5).alias("p50_ok"),
+        _ok(1, 0.95).alias("p95_ok"),
+        _ok(2, 0.99).alias("p99_ok"),
     )
 
 
-REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
+SQL_A22 = """
+SELECT event_type,
+       CAST(COUNT(value) AS BIGINT) AS n_values,
+       quantile_disc(value, 0.5) AS p50_exact,
+       quantile_disc(value, 0.95) AS p95_exact,
+       quantile_disc(value, 0.99) AS p99_exact,
+       TRUE AS p50_ok, TRUE AS p95_ok, TRUE AS p99_ok
+FROM events GROUP BY event_type
+"""
+
+REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, SQL_A22)
 
 
 def q_mm_phash_dedup(spark, sf_dir):
@@ -8310,15 +8391,66 @@ REGISTRY["tx_source_kl"] = (q_tx_source_kl, SQL_TX_SOURCE_KL)
 def q_a24_heavy_hitters(spark, sf_dir):
     """A+ (beyond-reference): Misra–Gries heavy hitters over the token
     stream (functions/text.py:heavy_hitters_mg) — the custom mergeable
-    sketch beside the built-in HLL (a19) and GK (a22) rows-only entries.
-    Rows-only by design (estimates depend on partition boundaries); the
-    guarantee (every >N/(k+1) token present, undercount ≤ N/(k+1)) is
-    pinned by the error-bound pytest against the exact aggregation."""
+    sketch beside the built-in HLL (a19) and GK (a22).
+
+    r14 (VERDICT r13 item 4): invariant-oracle form — "superset of the
+    true heavy hitters, with count bounds".  MG's raw candidate set is
+    partition-dependent, but its GUARANTEE is deterministic: every token
+    with exact count > N/(k+1) survives the sketch.  So the gate joins
+    the UNCUT candidate set (candidates=True) to the exact token counts
+    and keeps exactly the true heavy hitters — a set the oracle computes
+    independently from scratch.  A sketch that LOSES a true heavy hitter
+    drops a row (rows-mismatch red); one whose estimate breaks either
+    bound (est ≤ exact, exact − est ≤ N/(k+1)) flips ``bounds_ok``.
+    Emitted columns are all oracle-replayable: token, exact_count,
+    n_total, the boolean.  The exact-count join is the gate's cost; the
+    fleet-scale monitor is the sketch alone (≤ k rows per partition on
+    the wire, corpus consumed scan-side)."""
     docs = _t(spark, sf_dir, "documents")
-    return tx.heavy_hitters_mg(docs, text_col="text", k=50)
+    k = 50
+    cands = tx.heavy_hitters_mg(docs, text_col="text", k=k, candidates=True)
+    exact = (
+        docs.where(F.col("text").isNotNull())
+        .select(F.explode(tx.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact_count"))
+    )
+    total = exact.agg(F.sum("exact_count").cast("bigint").alias("n_total"))
+    return (
+        cands.join(exact, on="token")
+        .crossJoin(F.broadcast(total))
+        # integer-exact threshold: exact > N/(k+1)  ⇔  exact·(k+1) > N
+        .where(F.col("exact_count") * F.lit(k + 1) > F.col("n_total"))
+        .select(
+            "token",
+            "exact_count",
+            "n_total",
+            (
+                (F.col("est_count") <= F.col("exact_count"))
+                & (
+                    (F.col("exact_count") - F.col("est_count"))
+                    * F.lit(k + 1)
+                    <= F.col("n_total")
+                )
+            ).alias("bounds_ok"),
+        )
+    )
 
 
-REGISTRY["a24_heavy_hitters"] = (q_a24_heavy_hitters, None)
+SQL_A24 = f"""
+WITH tok AS (
+  SELECT unnest({_TOKS_SQL}) AS token FROM documents WHERE text IS NOT NULL
+),
+ex AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS exact_count FROM tok GROUP BY token
+),
+tot AS (SELECT CAST(SUM(exact_count) AS BIGINT) AS n_total FROM ex)
+SELECT token, exact_count, n_total, TRUE AS bounds_ok
+FROM ex, tot
+WHERE exact_count * 51 > n_total
+"""
+
+REGISTRY["a24_heavy_hitters"] = (q_a24_heavy_hitters, SQL_A24)
 
 
 def q_sim_multiprobe_topk(spark, sf_dir):
