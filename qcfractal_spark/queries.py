@@ -2900,6 +2900,251 @@ FROM rolled
 REGISTRY["s12_contributed_values"] = (q_s12_contributed_values, SQL_S12)
 
 
+def q_s13_status_mutations(spark, sf_dir):
+    """S13 (r14, VERDICT r13 item 5): record status mutations as ACTUAL
+    MutableTable ops — cancel / invalidate / soft-delete / reset plus the
+    three reverts (uncancel / undelete / uninvalidate), with backup-row
+    semantics (operators/record_status.py; reference
+    record_socket.py:1190-1400, backup table record_db_models.py:67-82).
+
+    The o11 gate verified the transition ALGEBRA; this gate drives the
+    user-callable table ops end to end: a records fixture derived from
+    orders (status = orderkey%7 over all seven states, task columns per
+    the task lifecycle) is written to a scratch RecordStatusTable, a
+    deterministic 7-op script runs against DISJOINT id stripes
+    (orderkey%10: cancel 0-1, invalidate 2, delete 3-4, reset 5, then
+    uncancel 0, undelete 3, uninvalidate 2∩even-custkey), and the final
+    records relation + per-record backup depth is returned.  The oracle
+    replays the script as layered CASE algebra — every landed status,
+    cleared manager, deleted/recreated task column and backup count must
+    match, so a wrong applicability filter, a backup taken after (not
+    before) the running→waiting demotion, a pop that restores the wrong
+    stack entry, or task recreation for a service all hash red.
+
+    Scale shape: each op is one broadcast-semi join + CASE transform
+    commit (no per-row loop); the id stripes stand in for the
+    reference's explicit client id lists (bounded collects, the S2/S6
+    contract).  Gate-only: like the other mutation gates it times
+    scratch IO, not a query plan."""
+    import shutil
+
+    from .operators.record_status import RecordStatusTable
+
+    orders = _t(spark, sf_dir, "orders")
+    statuses = F.array(
+        *[F.lit(s) for s in (
+            "waiting", "running", "complete", "error",
+            "cancelled", "invalid", "deleted",
+        )]
+    )
+    st = F.element_at(statuses, (F.col("o_orderkey") % 7 + 1).cast("int"))
+    svc = F.col("o_orderkey") % 50 == 0
+    has_task = (~svc) & st.isin("waiting", "running", "error")
+    fix = orders.select(
+        F.col("o_orderkey").alias("record_id"),
+        st.alias("status"),
+        svc.alias("is_service"),
+        F.when((st == "running") & ~svc, F.lit("m1")).alias("manager_name"),
+        F.when(
+            has_task, F.concat(F.lit("t"), (F.col("o_custkey") % 6).cast("string"))
+        ).alias("compute_tag"),
+        F.when(has_task, (F.col("o_custkey") % 3).cast("int")).alias(
+            "compute_priority"
+        ),
+        F.when(has_task & (st == "waiting"), F.lit(True))
+        .when(has_task, F.lit(False))
+        .alias("task_available"),
+    )
+    path = _scratch_dir(sf_dir, "s13")
+    shutil.rmtree(path, ignore_errors=True)
+    table = RecordStatusTable(spark, path)
+    table.init(fix)
+
+    def stripe(*mods, extra=None):
+        cond = (F.col("o_orderkey") % 10).isin(*mods)
+        if extra is not None:
+            cond = cond & extra
+        return [r[0] for r in orders.where(cond).select("o_orderkey").collect()]
+
+    table.cancel(stripe(0, 1))
+    table.invalidate(stripe(2))
+    table.delete(stripe(3, 4))
+    table.reset(stripe(5))
+    table.uncancel(stripe(0))
+    table.undelete(stripe(3))
+    table.uninvalidate(stripe(2, extra=F.col("o_custkey") % 2 == 0))
+
+    nbk = table.read_backup().groupBy("record_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_backups")
+    )
+    return (
+        table.read()
+        .join(nbk, on="record_id", how="left")
+        .select(
+            "record_id",
+            "status",
+            "manager_name",
+            "compute_tag",
+            "compute_priority",
+            "task_available",
+            F.coalesce(F.col("n_backups"), F.lit(0).cast("bigint")).alias(
+                "n_backups"
+            ),
+        )
+    )
+
+
+SQL_S13 = """
+WITH base AS (
+  SELECT o_orderkey AS rid, o_custkey AS c,
+         o_orderkey % 10 AS stripe,
+         (o_orderkey % 50 = 0) AS svc,
+         ['waiting','running','complete','error','cancelled','invalid','deleted']
+           [CAST(o_orderkey % 7 AS INTEGER) + 1] AS st
+  FROM orders
+),
+b0 AS (
+  SELECT rid, c, stripe, svc, st,
+         CASE WHEN st = 'running' AND NOT svc THEN 'm1' END AS mgr,
+         CASE WHEN NOT svc AND st IN ('waiting','running','error')
+              THEN 't' || CAST(c % 6 AS VARCHAR) END AS tag,
+         CASE WHEN NOT svc AND st IN ('waiting','running','error')
+              THEN CAST(c % 3 AS INTEGER) END AS prio,
+         CASE WHEN NOT svc AND st = 'waiting' THEN TRUE
+              WHEN NOT svc AND st IN ('running','error') THEN FALSE END AS avail,
+         CAST(NULL AS VARCHAR) AS bk_st,
+         CAST(NULL AS VARCHAR) AS bk_tag,
+         CAST(NULL AS INTEGER) AS bk_prio,
+         0 AS nbk
+  FROM base
+),
+-- op1: cancel stripes 0,1 (waiting/running/error -> cancelled)
+h1 AS (SELECT *, stripe IN (0,1) AND st IN ('waiting','running','error') AS hit FROM b0),
+b1 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN 'cancelled' ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN NULL ELSE tag END AS tag,
+         CASE WHEN hit THEN NULL ELSE prio END AS prio,
+         CASE WHEN hit THEN NULL ELSE avail END AS avail,
+         CASE WHEN hit THEN (CASE WHEN st = 'running' THEN 'waiting' ELSE st END)
+              ELSE bk_st END AS bk_st,
+         CASE WHEN hit THEN tag ELSE bk_tag END AS bk_tag,
+         CASE WHEN hit THEN prio ELSE bk_prio END AS bk_prio,
+         nbk + CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h1
+),
+-- op2: invalidate stripe 2 (complete -> invalid)
+h2 AS (SELECT *, stripe = 2 AND st = 'complete' AS hit FROM b1),
+b2 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN 'invalid' ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN NULL ELSE tag END AS tag,
+         CASE WHEN hit THEN NULL ELSE prio END AS prio,
+         CASE WHEN hit THEN NULL ELSE avail END AS avail,
+         CASE WHEN hit THEN st ELSE bk_st END AS bk_st,
+         CASE WHEN hit THEN tag ELSE bk_tag END AS bk_tag,
+         CASE WHEN hit THEN prio ELSE bk_prio END AS bk_prio,
+         nbk + CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h2
+),
+-- op3: soft delete stripes 3,4 (anything-but-deleted -> deleted)
+h3 AS (SELECT *, stripe IN (3,4) AND st <> 'deleted' AS hit FROM b2),
+b3 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN 'deleted' ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN NULL ELSE tag END AS tag,
+         CASE WHEN hit THEN NULL ELSE prio END AS prio,
+         CASE WHEN hit THEN NULL ELSE avail END AS avail,
+         CASE WHEN hit THEN (CASE WHEN st = 'running' THEN 'waiting' ELSE st END)
+              ELSE bk_st END AS bk_st,
+         CASE WHEN hit THEN tag ELSE bk_tag END AS bk_tag,
+         CASE WHEN hit THEN prio ELSE bk_prio END AS bk_prio,
+         nbk + CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h3
+),
+-- op4: reset stripe 5 (error -> waiting; task kept, made available)
+h4 AS (SELECT *, stripe = 5 AND st = 'error' AS hit FROM b3),
+b4 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN 'waiting' ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         tag, prio,
+         CASE WHEN hit THEN (CASE WHEN NOT svc THEN TRUE END) ELSE avail END AS avail,
+         bk_st, bk_tag, bk_prio, nbk
+  FROM h4
+),
+-- op5: uncancel stripe 0 (cancelled with a backup -> pop)
+h5 AS (SELECT *, stripe = 0 AND st = 'cancelled' AND nbk > 0 AS hit FROM b4),
+b5 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN bk_st ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_tag END)
+              ELSE tag END AS tag,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_prio END)
+              ELSE prio END AS prio,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_st = 'waiting' END)
+              ELSE avail END AS avail,
+         CASE WHEN hit THEN NULL ELSE bk_st END AS bk_st,
+         CASE WHEN hit THEN NULL ELSE bk_tag END AS bk_tag,
+         CASE WHEN hit THEN NULL ELSE bk_prio END AS bk_prio,
+         nbk - CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h5
+),
+-- op6: undelete stripe 3
+h6 AS (SELECT *, stripe = 3 AND st = 'deleted' AND nbk > 0 AS hit FROM b5),
+b6 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN bk_st ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_tag END)
+              ELSE tag END AS tag,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_prio END)
+              ELSE prio END AS prio,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_st = 'waiting' END)
+              ELSE avail END AS avail,
+         CASE WHEN hit THEN NULL ELSE bk_st END AS bk_st,
+         CASE WHEN hit THEN NULL ELSE bk_tag END AS bk_tag,
+         CASE WHEN hit THEN NULL ELSE bk_prio END AS bk_prio,
+         nbk - CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h6
+),
+-- op7: uninvalidate stripe 2, even custkey
+h7 AS (SELECT *, stripe = 2 AND c % 2 = 0 AND st = 'invalid' AND nbk > 0 AS hit FROM b6),
+b7 AS (
+  SELECT rid, c, stripe, svc,
+         CASE WHEN hit THEN bk_st ELSE st END AS st,
+         CASE WHEN hit THEN NULL ELSE mgr END AS mgr,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_tag END)
+              ELSE tag END AS tag,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_prio END)
+              ELSE prio END AS prio,
+         CASE WHEN hit THEN (CASE WHEN NOT svc AND bk_st IN ('waiting','error')
+                                  THEN bk_st = 'waiting' END)
+              ELSE avail END AS avail,
+         nbk - CASE WHEN hit THEN 1 ELSE 0 END AS nbk
+  FROM h7
+)
+SELECT rid AS record_id, st AS status, mgr AS manager_name,
+       tag AS compute_tag, prio AS compute_priority, avail AS task_available,
+       CAST(nbk AS BIGINT) AS n_backups
+FROM b7
+"""
+
+REGISTRY["s13_status_mutations"] = (q_s13_status_mutations, SQL_S13)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
