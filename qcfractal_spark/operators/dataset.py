@@ -130,3 +130,105 @@ def snapshot_diff(
     return o.join(n, on=key_cols, how="full_outer").select(
         *key_cols, status.alias("diff_status")
     )
+
+
+# --------------------------------------------------------------------------
+# dataset clone / copy_from (r14, VERDICT r13 item 6;
+# base_dataset_socket.py:1668-1945)
+# --------------------------------------------------------------------------
+
+
+def copy_specifications_plan(
+    specs,
+    source_dataset_id,
+    destination_dataset_id,
+    specification_names=None,
+):
+    """Rows to INSERT for copy_specifications, plus the conflict set
+    (base_dataset_socket.py:1688-1754).
+
+    The reference outer-joins the destination's existing specs on
+    (name, specification_id): a same-name-same-id row is silently
+    SKIPPED (already there), a same-name-DIFFERENT-id row survives the
+    filter and blows up as an IntegrityError at insert.  Set-oriented:
+    classify instead — ``new`` is the insertable set, ``conflicts`` the
+    name-collision-different-id set the caller must reject (the
+    UserReportableError analog), so one bad name reports per-row instead
+    of aborting a fleet-sized copy.
+
+    Scale shape: both sides are pre-filtered to ONE dataset each before
+    the join, so the join operands are dataset-sized (small dims) and
+    Spark broadcasts the destination side.
+    """
+    src = specs.where(F.col("dataset_id") == source_dataset_id)
+    if specification_names is not None:
+        src = src.where(F.col("name").isin(*list(specification_names)))
+    dst = (
+        specs.where(F.col("dataset_id") == destination_dataset_id)
+        .select("name", F.col("specification_id").alias("_dst_spec_id"))
+    )
+    joined = src.join(F.broadcast(dst), on="name", how="left")
+    new = joined.where(F.col("_dst_spec_id").isNull()).select(
+        F.lit(destination_dataset_id).cast("long").alias("dataset_id"),
+        "name",
+        "description",
+        "specification_id",
+    )
+    conflicts = joined.where(
+        F.col("_dst_spec_id").isNotNull()
+        & (F.col("_dst_spec_id") != F.col("specification_id"))
+    ).select("name", "specification_id", "_dst_spec_id")
+    return {"new": new, "conflicts": conflicts}
+
+
+def copy_entries_plan(
+    entries,
+    source_dataset_id,
+    destination_dataset_id,
+    entry_names=None,
+):
+    """Rows to INSERT for copy_entries plus the name-conflict set
+    (base_dataset_socket.py:1668-1686: ANY same-name entry in the
+    destination is an IntegrityError — entries have no shared-id dedup
+    arm the way specifications do)."""
+    src = entries.where(F.col("dataset_id") == source_dataset_id)
+    if entry_names is not None:
+        src = src.where(F.col("entry_name").isin(*list(entry_names)))
+    dst_names = (
+        entries.where(F.col("dataset_id") == destination_dataset_id)
+        .select("entry_name")
+        .withColumn("_dst", F.lit(True))
+    )
+    joined = src.join(F.broadcast(dst_names), on="entry_name", how="left")
+    payload = [c for c in entries.columns if c not in ("dataset_id",)]
+    new = joined.where(F.col("_dst").isNull()).select(
+        F.lit(destination_dataset_id).cast("long").alias("dataset_id"), *payload
+    )
+    conflicts = joined.where(F.col("_dst").isNotNull()).select("entry_name")
+    return {"new": new, "conflicts": conflicts}
+
+
+def copy_record_items_plan(
+    record_items,
+    source_dataset_id,
+    destination_dataset_id,
+    entry_names=None,
+    specification_names=None,
+):
+    """Rows to INSERT for copy_record_items — the link copy (records are
+    NEVER duplicated; base_dataset_socket.py:1756-1800).  A plain
+    filtered re-keyed SELECT, exactly the reference's INSERT..FROM
+    SELECT."""
+    src = record_items.where(F.col("dataset_id") == source_dataset_id)
+    if entry_names is not None:
+        src = src.where(F.col("entry_name").isin(*list(entry_names)))
+    if specification_names is not None:
+        src = src.where(
+            F.col("specification_name").isin(*list(specification_names))
+        )
+    return src.select(
+        F.lit(destination_dataset_id).cast("long").alias("dataset_id"),
+        "entry_name",
+        "specification_name",
+        "record_id",
+    )

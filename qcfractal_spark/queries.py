@@ -3145,6 +3145,193 @@ FROM b7
 REGISTRY["s13_status_mutations"] = (q_s13_status_mutations, SQL_S13)
 
 
+def q_s14_dataset_clone(spark, sf_dir):
+    """S14 (r14, VERDICT r13 item 6): dataset clone + filtered copy_from
+    as actual multi-table ops (sources/dataset_store.py; reference
+    base_dataset_socket.py:1668-1945).
+
+    Fixture: two same-type datasets over scratch MutableTables —
+    'sp_main' (id 1) with entries e<custkey> for custkey<80 (payload =
+    mktsegment), one spec per order status (specification_id =
+    ascii(status)), and record items from orders with custkey<80;
+    'sp_other' (id 2) pre-seeded with NON-overlapping entries
+    x<custkey> (custkey<10) and ONE spec identical to a source spec in
+    both name and specification_id — the reference's silent same-name-
+    same-id skip arm (:1712-1730).
+
+    Ops: ``clone(1, 'sp_clone')`` (new dataset id 3, metadata copied,
+    full entries+specs+items copy — records never duplicated, the links
+    re-keyed) then ``copy_from(1→2, entry_names=[e0..e39],
+    copy_records=True)`` (the filtered arm: entries and items restricted
+    to the name list, the duplicate spec skipped, 'sF'/'sP' inserted).
+
+    Returns the tagged union of all four tables post-mutation; the
+    oracle replays both ops as pure SELECT+UNION algebra, so a missed
+    filter, a skipped-spec insert, a duplicated record id, or clone
+    metadata drift all hash red.  Gate-only (scratch-IO shaped, like
+    s13)."""
+    import shutil
+
+    from .sources.dataset_store import DATASET_SCHEMA, DatasetStore
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    datasets = spark.createDataFrame(
+        [
+            (1, "singlepoint", "sp_main", "the main set", "t0", 1),
+            (2, "singlepoint", "sp_other", "the other set", "t1", 2),
+        ],
+        DATASET_SCHEMA,
+    )
+    e_name = F.concat(F.lit("e"), F.col("c_custkey").cast("string"))
+    entries = (
+        cust.where(F.col("c_custkey") < 80)
+        .select(
+            F.lit(1).cast("long").alias("dataset_id"),
+            e_name.alias("entry_name"),
+            F.col("c_mktsegment").alias("payload"),
+        )
+        .unionByName(
+            cust.where(F.col("c_custkey") < 10).select(
+                F.lit(2).cast("long").alias("dataset_id"),
+                F.concat(F.lit("x"), F.col("c_custkey").cast("string")).alias(
+                    "entry_name"
+                ),
+                F.col("c_mktsegment").alias("payload"),
+            )
+        )
+    )
+    s_name = F.concat(F.lit("s"), F.col("o_orderstatus"))
+    specs = (
+        orders.select("o_orderstatus")
+        .dropDuplicates(["o_orderstatus"])
+        .select(
+            F.lit(1).cast("long").alias("dataset_id"),
+            s_name.alias("name"),
+            F.concat(F.lit("spec "), F.col("o_orderstatus")).alias("description"),
+            F.ascii(F.col("o_orderstatus")).cast("long").alias("specification_id"),
+        )
+        .unionByName(
+            spark.createDataFrame(
+                [(2, "sO", "spec O", ord("O"))],
+                "dataset_id long, name string, description string, "
+                "specification_id long",
+            )
+        )
+    )
+    items = orders.where(F.col("o_custkey") < 80).select(
+        F.lit(1).cast("long").alias("dataset_id"),
+        F.concat(F.lit("e"), F.col("o_custkey").cast("string")).alias("entry_name"),
+        F.concat(F.lit("s"), F.col("o_orderstatus")).alias("specification_name"),
+        F.col("o_orderkey").alias("record_id"),
+    )
+    path = _scratch_dir(sf_dir, "s14")
+    shutil.rmtree(path, ignore_errors=True)
+    store = DatasetStore(spark, path)
+    store.init(datasets, entries, specs, items)
+
+    new_id = store.clone(1, "sp_clone")
+    assert new_id == 3
+    store.copy_from(
+        1,
+        2,
+        entry_names=[f"e{k}" for k in range(40)],
+        copy_records=True,
+    )
+
+    d = store.datasets.read().select(
+        F.lit("dataset").alias("kind"),
+        "dataset_id",
+        F.col("name"),
+        F.col("dataset_type").alias("aux"),
+        F.lit(None).cast("long").alias("record_id"),
+    )
+    e = store.entries.read().select(
+        F.lit("entry").alias("kind"),
+        "dataset_id",
+        F.col("entry_name").alias("name"),
+        F.col("payload").alias("aux"),
+        F.lit(None).cast("long").alias("record_id"),
+    )
+    s = store.specs.read().select(
+        F.lit("spec").alias("kind"),
+        "dataset_id",
+        "name",
+        F.col("specification_id").cast("string").alias("aux"),
+        F.lit(None).cast("long").alias("record_id"),
+    )
+    i = store.record_items.read().select(
+        F.lit("item").alias("kind"),
+        "dataset_id",
+        F.col("entry_name").alias("name"),
+        F.col("specification_name").alias("aux"),
+        "record_id",
+    )
+    return d.unionByName(e).unionByName(s).unionByName(i)
+
+
+SQL_S14 = """
+WITH src_entries AS (
+  SELECT 'e' || CAST(c_custkey AS VARCHAR) AS entry_name,
+         c_mktsegment AS payload, c_custkey AS ck
+  FROM customer WHERE c_custkey < 80
+),
+other_entries AS (
+  SELECT 'x' || CAST(c_custkey AS VARCHAR) AS entry_name,
+         c_mktsegment AS payload
+  FROM customer WHERE c_custkey < 10
+),
+src_specs AS (
+  SELECT DISTINCT 's' || o_orderstatus AS name,
+         'spec ' || o_orderstatus AS description,
+         CAST(ascii(o_orderstatus) AS BIGINT) AS spec_id
+  FROM orders
+),
+src_items AS (
+  SELECT 'e' || CAST(o_custkey AS VARCHAR) AS entry_name,
+         's' || o_orderstatus AS specification_name,
+         o_orderkey AS record_id, o_custkey AS ck
+  FROM orders WHERE o_custkey < 80
+)
+-- datasets: the two originals plus the clone (metadata copied)
+SELECT 'dataset' AS kind, CAST(1 AS BIGINT) AS dataset_id,
+       'sp_main' AS name, 'singlepoint' AS aux, CAST(NULL AS BIGINT) AS record_id
+UNION ALL
+SELECT 'dataset', 2, 'sp_other', 'singlepoint', NULL
+UNION ALL
+SELECT 'dataset', 3, 'sp_clone', 'singlepoint', NULL
+-- entries
+UNION ALL
+SELECT 'entry', 1, entry_name, payload, NULL FROM src_entries
+UNION ALL
+SELECT 'entry', 2, entry_name, payload, NULL FROM other_entries
+UNION ALL
+SELECT 'entry', 2, entry_name, payload, NULL FROM src_entries WHERE ck < 40
+UNION ALL
+SELECT 'entry', 3, entry_name, payload, NULL FROM src_entries
+-- specs (ds2: the pre-seeded sO skips on same name+id; sF/sP copied)
+UNION ALL
+SELECT 'spec', 1, name, CAST(spec_id AS VARCHAR), NULL FROM src_specs
+UNION ALL
+SELECT 'spec', 2, 'sO', CAST(ascii('O') AS VARCHAR), NULL
+UNION ALL
+SELECT 'spec', 2, name, CAST(spec_id AS VARCHAR), NULL
+FROM src_specs WHERE name <> 'sO'
+UNION ALL
+SELECT 'spec', 3, name, CAST(spec_id AS VARCHAR), NULL FROM src_specs
+-- record items (links copied, never the records)
+UNION ALL
+SELECT 'item', 1, entry_name, specification_name, record_id FROM src_items
+UNION ALL
+SELECT 'item', 2, entry_name, specification_name, record_id
+FROM src_items WHERE ck < 40
+UNION ALL
+SELECT 'item', 3, entry_name, specification_name, record_id FROM src_items
+"""
+
+REGISTRY["s14_dataset_clone"] = (q_s14_dataset_clone, SQL_S14)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
