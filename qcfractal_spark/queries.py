@@ -10604,8 +10604,78 @@ REGISTRY["tx_pr_curve"] = (q_tx_pr_curve, SQL_TX_PR_CURVE)
 # ]  (end r11 roster ledger)
 
 _DRIVER_WINDOW = [
-    # ---- Round-13 rotation, computed from tools/stale_stamps.py — the
-    # r12 ledger's pre-recorded plan lands EXACTLY:
+    # ---- Round-14 rotation, computed from tools/stale_stamps.py.
+    # Step IN:
+    # (a) 39 of the 44-query r10-stamped cohort — the oldest stamps in
+    #     the registry (the r13 ledger's pre-recorded r14 reserved core).
+    #     Five displaced by the slots below, each with a fresh in-window
+    #     or recent-stamp carrier (the same five the r9 ledger displaced
+    #     under identical reasoning, all re-verified green in this
+    #     round's full tools/check.py sf0.01 run):
+    #       a2_status_counts  ⊂ a5_two_col_counts (r13 stamp, same
+    #                         grouped-count family);
+    #       a4_union_counts   ⊂ a5 + the union family in j8_closure
+    #                         (in-window under (a));
+    #       u3_distinct       trivial DISTINCT ⊂ j9_anti_join (r12);
+    #       j12_element_at    array-tail scalar ⊂ a9_argmin (r11);
+    #       f9_content_hash   canonicalization hash ⊂ mol_identifiers
+    #                         (r12);
+    #     all five MUST head the r15 roster (their r10 stamps hit the
+    #     5-round floor there).
+    # (b) the round-14 newcomers, never driver-stamped (4):
+    #     dd_winnow_capped (the df-capped winnowing arm, now the benched
+    #     default — VERDICT r13 item 2), dd_simhash_scaled (corpus-scaled
+    #     band width over the 60-bit portable hash, item 3),
+    #     s13_status_mutations (record status mutations as MutableTable
+    #     ops with backup semantics, item 5), s14_dataset_clone (dataset
+    #     clone/copy_from as multi-table ops, item 6);
+    # (c) the two displaced r09 stamps the r13 ledger mandated for r14:
+    #     tx_phrase_hits and dd_containment (the 5-round floor reaches
+    #     r09 at r15);
+    # (d) every query whose implementation or oracle changed after its
+    #     latest stamp (5): o8_waiting_reason + o12_waiting_details (the
+    #     NULL-required_programs missing-task short-circuit, r13 ADVICE —
+    #     fixture extended with the %89 programs-NULL stripe, both
+    #     oracles updated), and the three sketch conversions
+    #     a19_approx_distinct / a22_approx_quantiles / a24_heavy_hitters
+    #     (rows-only → invariant oracles, VERDICT r13 item 4 — each now
+    #     emits exact oracle-replayable columns + guarantee booleans).
+    #     tx_pr_curve also changed (localCheckpoint eager→lazy, r13
+    #     ADVICE) but the change is MECHANICAL — identical output
+    #     relation, r12 pipe_prepare precedent — re-verified hash-green
+    #     in this round's full tools/check.py run; its r13 stamp stands
+    #     and it re-enters with its cohort inside the 5-round floor.
+    # Step OUT: the 50 r13 stamps (fresh, except the (d) members
+    # re-entering) and the 41 r11 + 40 r12 stamps (within the floor);
+    # the r15 roster is headed by the five displaced r10s above plus the
+    # r11 cohort (which hits the floor at r16).
+    # 39 + 4 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) r10 cohort, 39 of 44 ---
+    "a13_manybody_levels", "a23_corr", "dd_cap_duplicates", "dd_cluster",
+    "dd_cluster_rep", "dd_contamination_neardup", "dd_incremental_labels",
+    "dd_minhash_estimate", "dd_minhash_lsh", "dd_prefix_filter",
+    "dd_semdedup", "dd_simhash", "dd_source_overlap", "dd_substring",
+    "dd_url_dedup", "g1_pagerank", "h4_order_priority",
+    "h6_forecast_revenue", "j14_interval", "j16_adaptive_salted",
+    "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
+    "p4_tuple_in", "pipe_prepare", "pk_pack", "pk_site_cap",
+    "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
+    "st_stream_urldedup", "tx_bpe_encode", "tx_bpe_merges",
+    "tx_domain_stats", "tx_html_extract", "tx_kn_lm", "tx_repetition",
+    "u5_stratified_sample",
+    # --- (b) round-14 newcomers (4) ---
+    "dd_winnow_capped", "dd_simhash_scaled", "s13_status_mutations",
+    "s14_dataset_clone",
+    # --- (c) displaced r09 stamps, mandated by the r13 ledger (2) ---
+    "tx_phrase_hits", "dd_containment",
+    # --- (d) changed after their latest stamp (5) ---
+    "o8_waiting_reason", "o12_waiting_details", "a19_approx_distinct",
+    "a22_approx_quantiles", "a24_heavy_hitters",
+]
+
+_R13_WINDOW_LEDGER = [
+    # ---- Round-13 rotation, now rotated out; ledger kept — the
+    # r12 ledger's pre-recorded plan landed EXACTLY:
     # Step IN:
     # (a) the r13 reserved core — the full 45-query r09-stamped cohort
     #     the r12 ledger set aside (including the five r12 displacements

@@ -1,0 +1,290 @@
+"""Internal-jobs lifecycle as MutableTable ops — add (with unique-name
+upsert), claim, progress updates, cancel, delete, finish (with
+repeat-delay resubmission and unique-name release), runner-stop reset,
+and the old-jobs retention sweep (reference
+components/internal_jobs/socket.py:65-447 and status.py:23-130).
+
+The claim ELIGIBILITY (serial-group exclusion + scheduled order) has
+been gated since r11 (`o7_serial_claim`); this module is the lifecycle
+around it — the job-progress/cancel surface a server operator actually
+drives (VERDICT r13 "What's missing" item 3).
+
+Schema (epoch-second longs for every date so the oracle replays with
+integer algebra — the reference's now_at_utc() sites become explicit
+``now`` parameters, keeping every mutation deterministic):
+
+``job_id long, name string, unique_name string, status string,
+scheduled_date long, function string, kwargs string,
+after_function string, repeat_delay long, serial_group string,
+user_id long, progress int, progress_description string,
+started_date long, last_updated long, ended_date long,
+runner_uuid string, result string``
+
+Status machine (status.py / socket.py):
+
+* waiting → running (claim: runner_uuid + started_date set),
+* running → complete (progress forced 100/'Complete', ended stamped,
+  unique_name RELEASED so a new unique job can enqueue, repeat_delay
+  respawns an identical waiting job at ended+delay),
+* running → error (result carries the traceback),
+* waiting|running → cancelled (socket.py:310-331 — the only two
+  cancellable statuses; anything else is silently untouched, matching
+  the reference's UPDATE..WHERE status IN (...) rowcount contract),
+* running → waiting (runner-stop reset: progress/started/last_updated/
+  runner_uuid/result all cleared, socket.py:375-388),
+* retention: DELETE complete|error|cancelled WHERE ended < cutoff
+  (socket.py:288-308).
+
+Scale shape: ids are client-contract lists (broadcast-semi joined);
+every mutation is one CASE transform commit; the respawn append is
+row-per-finished-repeat-job.  Single-writer per path like every
+MutableTable consumer (the reference serializes through row locks).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.table import MutableTable
+
+JOB_SCHEMA = (
+    "job_id long, name string, unique_name string, status string, "
+    "scheduled_date long, function string, kwargs string, "
+    "after_function string, repeat_delay long, serial_group string, "
+    "user_id long, progress int, progress_description string, "
+    "started_date long, last_updated long, ended_date long, "
+    "runner_uuid string, result string"
+)
+_COLS = [c.strip().split()[0] for c in JOB_SCHEMA.split(",")]
+
+
+class InternalJobTable:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.table = MutableTable(spark, path)
+
+    def init(self, jobs_df: DataFrame) -> None:
+        self.table.overwrite(jobs_df.select(*_COLS))
+
+    def read(self) -> DataFrame:
+        return self.table.read()
+
+    # -- add (socket.py:65-173) ---------------------------------------------
+
+    def add(
+        self,
+        name: str,
+        scheduled_date: int,
+        function: str,
+        kwargs: str = "{}",
+        user_id: int | None = None,
+        unique_name: bool = False,
+        after_function: str | None = None,
+        repeat_delay: int | None = None,
+        serial_group: str | None = None,
+    ) -> int:
+        """Returns the job id.  With ``unique_name`` this is the
+        reference's ON CONFLICT DO UPDATE upsert: an existing job with
+        that unique name keeps its id/schedule/status but takes the new
+        after_function and repeat_delay (socket.py:134-146)."""
+        rows = self.table.read().select("job_id", "unique_name").collect()
+        if unique_name:
+            hit = next((r for r in rows if r["unique_name"] == name), None)
+            if hit is not None:
+                upd = F.col("unique_name") == name
+                self.table.transform(
+                    lambda df: df.withColumn(
+                        "after_function",
+                        F.when(upd, F.lit(after_function)).otherwise(
+                            F.col("after_function")
+                        ),
+                    ).withColumn(
+                        "repeat_delay",
+                        F.when(upd, F.lit(repeat_delay).cast("long")).otherwise(
+                            F.col("repeat_delay")
+                        ),
+                    )
+                )
+                return hit["job_id"]
+        new_id = max((r["job_id"] for r in rows), default=0) + 1
+        new_row = self.spark.createDataFrame(
+            [
+                (
+                    new_id,
+                    name,
+                    name if unique_name else None,
+                    "waiting",
+                    int(scheduled_date),
+                    function,
+                    kwargs,
+                    after_function,
+                    repeat_delay,
+                    serial_group,
+                    user_id,
+                    0,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                    None,
+                )
+            ],
+            JOB_SCHEMA,
+        )
+        self.table.transform(lambda df: df.unionByName(new_row))
+        return new_id
+
+    # -- set-oriented lifecycle mutations ------------------------------------
+
+    def _update_where(self, cond, assignments: dict) -> None:
+        def update(df: DataFrame) -> DataFrame:
+            out = df
+            for col, val in assignments.items():
+                out = out.withColumn(
+                    col, F.when(cond, val).otherwise(F.col(col))
+                )
+            return out
+
+        self.table.transform(update)
+
+    def _ids_cond(self, job_ids: Sequence[int]):
+        return F.col("job_id").isin(*[int(i) for i in job_ids])
+
+    def claim(self, job_ids: Sequence[int], runner_uuid: str, now: int) -> None:
+        """waiting → running for the claimed ids (the eligibility SELECT
+        is o7_serial_claim; this applies its result)."""
+        self._update_where(
+            self._ids_cond(job_ids) & (F.col("status") == "waiting"),
+            {
+                "status": F.lit("running"),
+                "runner_uuid": F.lit(runner_uuid),
+                "started_date": F.lit(int(now)).cast("long"),
+                "last_updated": F.lit(int(now)).cast("long"),
+            },
+        )
+
+    def update_progress(
+        self, job_ids: Sequence[int], progress: int, description: str, now: int
+    ) -> None:
+        """Progress column updates for RUNNING jobs only (status.py:59-99;
+        progress clamped to [0, 100])."""
+        p = max(0, min(100, int(progress)))
+        self._update_where(
+            self._ids_cond(job_ids) & (F.col("status") == "running"),
+            {
+                "progress": F.lit(p).cast("int"),
+                "progress_description": F.lit(description),
+                "last_updated": F.lit(int(now)).cast("long"),
+            },
+        )
+
+    def cancel(self, job_ids: Sequence[int]) -> None:
+        """waiting|running → cancelled; every other status untouched
+        (socket.py:310-331)."""
+        self._update_where(
+            self._ids_cond(job_ids) & F.col("status").isin("waiting", "running"),
+            {"status": F.lit("cancelled")},
+        )
+
+    def runner_stop_reset(self, runner_uuid: str) -> None:
+        """Running jobs of a stopping runner go back to waiting with
+        progress/runner fields cleared (socket.py:375-388)."""
+        cond = (F.col("status") == "running") & (
+            F.col("runner_uuid") == runner_uuid
+        )
+        self._update_where(
+            cond,
+            {
+                "status": F.lit("waiting"),
+                "progress": F.lit(0).cast("int"),
+                "progress_description": F.lit(None).cast("string"),
+                "started_date": F.lit(None).cast("long"),
+                "last_updated": F.lit(None).cast("long"),
+                "runner_uuid": F.lit(None).cast("string"),
+                "result": F.lit(None).cast("string"),
+            },
+        )
+
+    def finish(
+        self, job_ids: Sequence[int], now: int, result: str | None = None,
+        error: bool = False,
+    ) -> None:
+        """running → complete (or error).  Completion forces
+        progress=100/'Complete', stamps ended/last_updated, RELEASES the
+        unique name, and respawns every completed repeat_delay job as a
+        fresh waiting row scheduled at now+delay with the same
+        name/function/kwargs/group and the unique flag it held
+        (socket.py:361-364, 405-443)."""
+        cond = self._ids_cond(job_ids) & (F.col("status") == "running")
+        respawn_rows = []
+        if not error:
+            finished = (
+                self.table.read()
+                .where(cond & F.col("repeat_delay").isNotNull())
+                .collect()
+            )
+            for r in finished:
+                respawn_rows.append(r)
+        status = "error" if error else "complete"
+        assignments = {
+            "status": F.lit(status),
+            "ended_date": F.lit(int(now)).cast("long"),
+            "last_updated": F.lit(int(now)).cast("long"),
+            "unique_name": F.lit(None).cast("string"),
+            "result": F.lit(result),
+        }
+        if not error:
+            assignments["progress"] = F.lit(100).cast("int")
+            assignments["progress_description"] = F.lit("Complete")
+        self._update_where(cond, assignments)
+        if respawn_rows:
+            base = max(
+                r["job_id"] for r in self.table.read().select("job_id").collect()
+            )
+            new = self.spark.createDataFrame(
+                [
+                    (
+                        base + i + 1,
+                        r["name"],
+                        r["unique_name"],  # respawn keeps the unique flag it held
+                        "waiting",
+                        int(now) + int(r["repeat_delay"]),
+                        r["function"],
+                        r["kwargs"],
+                        r["after_function"],
+                        r["repeat_delay"],
+                        r["serial_group"],
+                        r["user_id"],
+                        0,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                        None,
+                    )
+                    for i, r in enumerate(
+                        sorted(respawn_rows, key=lambda r: r["job_id"])
+                    )
+                ],
+                JOB_SCHEMA,
+            )
+            self.table.transform(lambda df: df.unionByName(new))
+
+    def delete(self, job_ids: Sequence[int]) -> None:
+        ids = self._ids_cond(job_ids)
+        self.table.transform(lambda df: df.where(~ids))
+
+    def delete_old(self, before: int) -> None:
+        """Retention sweep: finished (complete|error|cancelled) jobs
+        whose ended_date predates the cutoff (socket.py:288-308)."""
+        dead = (
+            F.col("status").isin("complete", "error", "cancelled")
+            & F.col("ended_date").isNotNull()
+            & (F.col("ended_date") < int(before))
+        )
+        self.table.transform(lambda df: df.where(~dead))

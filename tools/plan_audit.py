@@ -104,7 +104,11 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # table (details exist only when managers do; the
                        # fan-out IS the output contract, filter-first at
                        # fleet scale per the operator docstring)
-                       "o12_waiting_details"}
+                       "o12_waiting_details",
+                       # r14 invariant oracle: corpus-total token count
+                       # (1-row scalar) crossed onto the MG candidate ×
+                       # exact-count join (<= k·partitions rows)
+                       "a24_heavy_hitters"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -125,6 +129,12 @@ SMJ_OK = {
                                # sides are group-cardinality-sized
     "j14_interval",  # (key, time-bucket) equi-join: both sides fact-sized
     "dd_winnow",  # fingerprint self-join: both sides fact-sized
+    "dd_winnow_capped",  # same self-join (the r14 benched arm) plus the
+                         # df-cap keep join: every side fact-sized and
+                         # merge-hinted — never a stats-misled broadcast
+    "dd_simhash_scaled",  # corpus-scaled banded Hamming self-join: same
+                          # merge-hinted shape as dd_simhash_pairs with
+                          # the log2(corpus) band width
     "dd_embed",  # LSH bucket self-join: both sides fact-sized
     "dd_semdedup",  # cluster-local self-join: both sides fact-sized
     "dd_substring",  # chunk rows ⋈ duplicated-fingerprint frequencies on
@@ -233,6 +243,36 @@ BOUNDED_COLLECT_OK = {
     # per contribution name, which IS the reference's unit (it stores the
     # same arrays as one JSONB blob per name, dataset_models.py:63-80).
     "s12_contributed_values",
+    # r14 invariant oracle: the exact-percentile arm sorts each event
+    # type's values in one task — bounded-cardinality telemetry groups,
+    # the same a6/percentile_disc bound; the SKETCH arm beside it is the
+    # fleet-scale plan (see q_a22_approx_quantiles docstring).
+    "a22_approx_quantiles",
+}
+
+# A Window with ORDER BY but NO PARTITION BY funnels its entire input
+# through ONE task — fatal on a corpus-sized relation at any real scale.
+# Sanctioned only where the window's input is bounded by construction,
+# never by data volume; every site documents its bound (VERDICT r13
+# item 8 — this pins the previously-implicit invariant).
+BOUNDED_GLOBAL_WINDOW_OK = {
+    # pr_curve's cumulative TP/FP window runs over the checkpointed
+    # threshold-bucket GRID: ≤ 10^bucket_decimals+1 rows (1001 default),
+    # functions/text.py:pr_curve.
+    "tx_pr_curve",
+    # quality sweep: same bucket-grid cumulative window (the retention
+    # curve is a suffix sum over score buckets, grid-sized).
+    "tx_quality_sweep",
+    # RRF fusion ranks each arm's candidate list: both windows run over
+    # the top-k-per-arm candidate relations (k·|queries| rows, k=10).
+    "sim_hybrid_rrf",
+    # recall sweep: ranks within the |sample|·k truth/probe relations
+    # (sample=8 queries by contract).
+    "sim_ivf_recall_eval",
+    # source-index assignment: row_number over the DISTINCT-source
+    # relation (#sources rows, <64 by the interleave-key domain); the
+    # corpus-sized rank window in the same query is partitioned.
+    "u12_interleave",
 }
 
 # Iterative/driver-orchestrated queries: the returned DataFrame is the last
@@ -283,6 +323,51 @@ def operator_subtrees(plan: str, op: str) -> list[list[str]]:
                 break
             sub.append(nxt)
         out.append(sub)
+    return out
+
+
+def _top_level_groups(s: str) -> list[str]:
+    """Top-level [...] group contents of a plan operator line."""
+    depth = 0
+    groups: list[str] = []
+    buf: list[str] = []
+    for ch in s:
+        if ch == "[":
+            if depth == 0:
+                buf = []
+            else:
+                buf.append(ch)
+            depth += 1
+        elif ch == "]":
+            depth = max(0, depth - 1)
+            if depth == 0:
+                groups.append("".join(buf))
+            else:
+                buf.append(ch)
+        elif depth > 0:
+            buf.append(ch)
+    return groups
+
+
+def global_window_lines(splan: str) -> list[str]:
+    """Window operator lines with ORDER BY but no PARTITION BY.
+
+    Physical `Window` prints `Window [exprs], [partition], [order]` when
+    partitioned and `Window [exprs], [order]` when global — two top-level
+    bracket groups WHOSE LAST GROUP IS A SORT ORDER (contains ASC/DESC)
+    mean the whole input sorts through one task.  Two groups whose second
+    has no sort direction is a partition-only window (per-group totals,
+    frame unbounded both ways) — scale-safe, not flagged.
+    WindowGroupLimit is a different operator (map-side top-k) and is not
+    matched."""
+    out = []
+    for ln in splan.splitlines():
+        stripped = re.sub(r"^[\s+:*()-]*", "", ln)
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_groups(stripped)
+        if len(groups) == 2 and re.search(r" (ASC|DESC)\b", groups[1]):
+            out.append(ln.strip())
     return out
 
 
@@ -339,6 +424,18 @@ def audit_one(name: str, df) -> list[str]:
 
     if name in NO_PYTHON and ("ArrowEvalPython" in plan or "BatchEvalPython" in plan):
         problems.append("Python stage in an index-backed plan (quantizer retrain?)")
+
+    # Global windows (ORDER BY, no PARTITION BY) single-task their whole
+    # input — allowed only on declared bounded relations (grid / vocab /
+    # candidate top-k), VERDICT r13 item 8.
+    if name not in BOUNDED_GLOBAL_WINDOW_OK:
+        gw = global_window_lines(simple_plan(df))
+        if gw:
+            problems.append(
+                "global Window without partitionBy on an undeclared relation "
+                "(add to BOUNDED_GLOBAL_WINDOW_OK with the bound): "
+                + gw[0][:120]
+            )
 
     if name in BROADCAST_MUST_BE_FILTERED:
         splan = simple_plan(df)
