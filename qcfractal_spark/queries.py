@@ -3332,6 +3332,149 @@ SELECT 'item', 3, entry_name, specification_name, record_id FROM src_items
 REGISTRY["s14_dataset_clone"] = (q_s14_dataset_clone, SQL_S14)
 
 
+def q_o13_job_lifecycle(spark, sf_dir):
+    """O13 (r14, VERDICT r13 "What's missing" item 3): the internal-jobs
+    progress/cancel lifecycle as actual table ops (streaming/jobs.py;
+    reference internal_jobs/socket.py:65-447, status.py:23-130).  The
+    claim SELECT is o7_serial_claim; this gates everything around it.
+
+    Fixture: every order becomes a waiting job (scheduled = 10^6 +
+    custkey, repeat_delay 60 on the %4 stripe, serial groups as in o7).
+    Script over orderkey%10 stripes: claim 0-1 to runner r1 and 2-4 to
+    r2 at t=1000; progress 40/'working' on 0,2 at 1010; cancel 3
+    (running→cancelled) and 5 (waiting→cancelled); finish 0 complete at
+    1020 — forcing 100/'Complete' and RESPAWNING its repeat-delay
+    members (%20 stripe) as fresh waiting rows at 1080 with ids
+    max_orderkey + rank; finish 2 as error 'boom' at 1030 (progress
+    NOT forced); runner_stop_reset('r2') recycling stripe 4 back to a
+    cleared waiting row; delete_old(1025) sweeping the stripe-0
+    completions (ended 1020) while keeping the error (1030) and the
+    never-ended cancellations.  The oracle replays every cell, so a
+    progress write reaching a non-running job, a cancel touching a
+    finished one, a respawn id/schedule drift, or a retention sweep of a
+    NULL-ended row all hash red.  Gate-only (scratch-IO shaped)."""
+    import shutil
+
+    from .streaming.jobs import InternalJobTable
+
+    orders = _t(spark, sf_dir, "orders")
+    fix = orders.select(
+        F.col("o_orderkey").alias("job_id"),
+        F.concat(F.lit("job"), (F.col("o_orderkey") % 20).cast("string")).alias(
+            "name"
+        ),
+        F.lit(None).cast("string").alias("unique_name"),
+        F.lit("waiting").alias("status"),
+        (F.lit(1_000_000) + F.col("o_custkey")).cast("long").alias(
+            "scheduled_date"
+        ),
+        F.concat(F.lit("f"), (F.col("o_custkey") % 5).cast("string")).alias(
+            "function"
+        ),
+        F.lit("{}").alias("kwargs"),
+        F.lit(None).cast("string").alias("after_function"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(60).cast("long")).alias(
+            "repeat_delay"
+        ),
+        F.when(F.col("o_custkey") % 5 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit("g"), (F.col("o_custkey") % 37).cast("string"))
+        )
+        .alias("serial_group"),
+        F.col("o_custkey").alias("user_id"),
+        F.lit(0).cast("int").alias("progress"),
+        F.lit(None).cast("string").alias("progress_description"),
+        F.lit(None).cast("long").alias("started_date"),
+        F.lit(None).cast("long").alias("last_updated"),
+        F.lit(None).cast("long").alias("ended_date"),
+        F.lit(None).cast("string").alias("runner_uuid"),
+        F.lit(None).cast("string").alias("result"),
+    )
+    path = _scratch_dir(sf_dir, "o13")
+    shutil.rmtree(path, ignore_errors=True)
+    t = InternalJobTable(spark, path)
+    t.init(fix)
+
+    def stripe(*mods):
+        return [
+            r[0]
+            for r in orders.where((F.col("o_orderkey") % 10).isin(*mods))
+            .select("o_orderkey")
+            .collect()
+        ]
+
+    t.claim(stripe(0, 1), runner_uuid="r1", now=1000)
+    t.claim(stripe(2, 3, 4), runner_uuid="r2", now=1000)
+    t.update_progress(stripe(0, 2), 40, "working", now=1010)
+    t.cancel(stripe(3, 5))
+    t.finish(stripe(0), now=1020)
+    t.finish(stripe(2), now=1030, result="boom", error=True)
+    t.runner_stop_reset("r2")
+    t.delete_old(before=1025)
+    return t.read().select(
+        "job_id", "name", "status", "scheduled_date", "function",
+        "repeat_delay", "serial_group", "progress", "progress_description",
+        "started_date", "last_updated", "ended_date", "runner_uuid", "result",
+    )
+
+
+SQL_O13 = """
+WITH base AS (
+  SELECT o_orderkey AS k, o_custkey AS c, o_orderkey % 10 AS stripe
+  FROM orders
+),
+mx AS (SELECT MAX(o_orderkey) AS mx FROM orders),
+survivors AS (
+  SELECT k AS job_id,
+         'job' || CAST(k % 20 AS VARCHAR) AS name,
+         CASE stripe WHEN 1 THEN 'running'
+                     WHEN 2 THEN 'error'
+                     WHEN 3 THEN 'cancelled'
+                     WHEN 5 THEN 'cancelled'
+                     ELSE 'waiting' END AS status,
+         CAST(1000000 + c AS BIGINT) AS scheduled_date,
+         'f' || CAST(c % 5 AS VARCHAR) AS function,
+         CASE WHEN k % 4 = 0 THEN CAST(60 AS BIGINT) END AS repeat_delay,
+         CASE WHEN c % 5 = 0 THEN NULL
+              ELSE 'g' || CAST(c % 37 AS VARCHAR) END AS serial_group,
+         CASE WHEN stripe = 2 THEN 40 ELSE 0 END AS progress,
+         CASE WHEN stripe = 2 THEN 'working' END AS progress_description,
+         CASE WHEN stripe IN (1, 2, 3) THEN CAST(1000 AS BIGINT) END
+           AS started_date,
+         CASE stripe WHEN 1 THEN CAST(1000 AS BIGINT)
+                     WHEN 2 THEN CAST(1030 AS BIGINT)
+                     WHEN 3 THEN CAST(1000 AS BIGINT) END AS last_updated,
+         CASE WHEN stripe = 2 THEN CAST(1030 AS BIGINT) END AS ended_date,
+         CASE stripe WHEN 1 THEN 'r1' WHEN 2 THEN 'r2' WHEN 3 THEN 'r2' END
+           AS runner_uuid,
+         CASE WHEN stripe = 2 THEN 'boom' END AS result
+  FROM base
+  WHERE stripe <> 0  -- completed at 1020, swept by delete_old(1025)
+),
+respawn AS (
+  SELECT CAST(mx.mx + ROW_NUMBER() OVER (ORDER BY k) AS BIGINT) AS job_id,
+         'job' || CAST(k % 20 AS VARCHAR) AS name,
+         'waiting' AS status,
+         CAST(1080 AS BIGINT) AS scheduled_date,
+         'f' || CAST(c % 5 AS VARCHAR) AS function,
+         CAST(60 AS BIGINT) AS repeat_delay,
+         CASE WHEN c % 5 = 0 THEN NULL
+              ELSE 'g' || CAST(c % 37 AS VARCHAR) END AS serial_group,
+         0 AS progress,
+         CAST(NULL AS VARCHAR) AS progress_description,
+         CAST(NULL AS BIGINT) AS started_date,
+         CAST(NULL AS BIGINT) AS last_updated,
+         CAST(NULL AS BIGINT) AS ended_date,
+         CAST(NULL AS VARCHAR) AS runner_uuid,
+         CAST(NULL AS VARCHAR) AS result
+  FROM base, mx WHERE k % 20 = 0
+)
+SELECT * FROM survivors UNION ALL SELECT * FROM respawn
+"""
+
+REGISTRY["o13_job_lifecycle"] = (q_o13_job_lifecycle, SQL_O13)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
@@ -10622,13 +10765,19 @@ _DRIVER_WINDOW = [
     #                         (r12);
     #     all five MUST head the r15 roster (their r10 stamps hit the
     #     5-round floor there).
-    # (b) the round-14 newcomers, never driver-stamped (4):
+    # (b) the round-14 newcomers, never driver-stamped (5):
     #     dd_winnow_capped (the df-capped winnowing arm, now the benched
     #     default — VERDICT r13 item 2), dd_simhash_scaled (corpus-scaled
     #     band width over the 60-bit portable hash, item 3),
     #     s13_status_mutations (record status mutations as MutableTable
     #     ops with backup semantics, item 5), s14_dataset_clone (dataset
-    #     clone/copy_from as multi-table ops, item 6);
+    #     clone/copy_from as multi-table ops, item 6), o13_job_lifecycle
+    #     (internal-jobs progress/cancel lifecycle, missing-item 3 — it
+    #     takes the 40th (a) slot from a13_manybody_levels, whose
+    #     per-level decimal-weighted-sum family is carried by the
+    #     r13-stamped a12_weighted_sum, the same displacement the r9
+    #     ledger used; a13 joins the five r10 displacements heading the
+    #     r15 roster);
     # (c) the two displaced r09 stamps the r13 ledger mandated for r14:
     #     tx_phrase_hits and dd_containment (the 5-round floor reaches
     #     r09 at r15);
@@ -10649,9 +10798,9 @@ _DRIVER_WINDOW = [
     # re-entering) and the 41 r11 + 40 r12 stamps (within the floor);
     # the r15 roster is headed by the five displaced r10s above plus the
     # r11 cohort (which hits the floor at r16).
-    # 39 + 4 + 2 + 5 = 50, zero fill slots this round.
-    # --- (a) r10 cohort, 39 of 44 ---
-    "a13_manybody_levels", "a23_corr", "dd_cap_duplicates", "dd_cluster",
+    # 38 + 5 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) r10 cohort, 38 of 44 ---
+    "a23_corr", "dd_cap_duplicates", "dd_cluster",
     "dd_cluster_rep", "dd_contamination_neardup", "dd_incremental_labels",
     "dd_minhash_estimate", "dd_minhash_lsh", "dd_prefix_filter",
     "dd_semdedup", "dd_simhash", "dd_source_overlap", "dd_substring",
@@ -10663,9 +10812,9 @@ _DRIVER_WINDOW = [
     "st_stream_urldedup", "tx_bpe_encode", "tx_bpe_merges",
     "tx_domain_stats", "tx_html_extract", "tx_kn_lm", "tx_repetition",
     "u5_stratified_sample",
-    # --- (b) round-14 newcomers (4) ---
+    # --- (b) round-14 newcomers (5) ---
     "dd_winnow_capped", "dd_simhash_scaled", "s13_status_mutations",
-    "s14_dataset_clone",
+    "s14_dataset_clone", "o13_job_lifecycle",
     # --- (c) displaced r09 stamps, mandated by the r13 ledger (2) ---
     "tx_phrase_hits", "dd_containment",
     # --- (d) changed after their latest stamp (5) ---

@@ -142,12 +142,23 @@ class InternalJobTable:
 
     def _update_where(self, cond, assignments: dict) -> None:
         def update(df: DataFrame) -> DataFrame:
-            out = df
-            for col, val in assignments.items():
-                out = out.withColumn(
-                    col, F.when(cond, val).otherwise(F.col(col))
-                )
-            return out
+            # evaluate the predicate ONCE against the pre-update row: a
+            # chained withColumn would re-resolve `cond` against already-
+            # updated columns (setting status first would make a
+            # status-guarded condition false for every later column)
+            hit = df.withColumn("_hit", cond)
+            return hit.select(
+                *[
+                    (
+                        F.when(F.col("_hit"), assignments[c])
+                        .otherwise(F.col(c))
+                        .alias(c)
+                        if c in assignments
+                        else F.col(c)
+                    )
+                    for c in df.columns
+                ]
+            )
 
         self.table.transform(update)
 
