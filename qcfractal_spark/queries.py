@@ -3475,6 +3475,77 @@ SELECT * FROM survivors UNION ALL SELECT * FROM respawn
 REGISTRY["o13_job_lifecycle"] = (q_o13_job_lifecycle, SQL_O13)
 
 
+def q_s15_attachments(spark, sf_dir):
+    """S15 (r14, VERDICT r13 "What's missing" item 4): external-file /
+    dataset-attachment metadata as table ops
+    (sources/external_files.py; reference external_files/socket.py:31-372,
+    dataset attachments dataset_socket.py:374-462).
+
+    The storage PHYSICS (binary side-table) is the S11/mm_* pattern; this
+    gates the metadata surface: a bulk attach of one file per customer
+    (content = the name|segment bytes, dataset_id = custkey%3, alternating
+    attachment types), digests and sizes computed scan-side
+    (sha2/length, codegen — never a per-file Python loop), then a
+    dataset-scoped bulk delete of the custkey%7 stripe, returning every
+    surviving attachment row.  The oracle replays the digest
+    (sha256(name|segment)), the byte size, and the delete predicate — a
+    digest drift, a blob/metadata key mismatch, or an over-broad delete
+    all hash red.  Gate-only (scratch-IO shaped)."""
+    import shutil
+
+    from .sources.external_files import ExternalFileStore
+
+    cust = _t(spark, sf_dir, "customer")
+    files = cust.where(F.col("c_custkey") < 500).select(
+        F.col("c_custkey").alias("file_id"),
+        F.concat(F.lit("f"), F.col("c_custkey").cast("string"), F.lit(".txt")).alias(
+            "file_name"
+        ),
+        F.col("c_mktsegment").alias("description"),
+        F.lit('{"origin": "bench"}').alias("provenance"),
+        F.encode(F.concat(F.col("c_name"), F.lit("|"), F.col("c_mktsegment")), "UTF-8").alias("content"),
+        (F.col("c_custkey") % 3).cast("long").alias("dataset_id"),
+        F.when(F.col("c_custkey") % 2 == 0, F.lit("view"))
+        .otherwise(F.lit("other"))
+        .alias("attachment_type"),
+    )
+    path = _scratch_dir(sf_dir, "s15")
+    shutil.rmtree(path, ignore_errors=True)
+    store = ExternalFileStore(spark, path)
+    store.init()
+    store.attach_many(files, now=1234567)
+    doomed = [
+        r[0]
+        for r in cust.where((F.col("c_custkey") < 500) & (F.col("c_custkey") % 7 == 0))
+        .select("c_custkey")
+        .collect()
+    ]
+    store.delete(doomed)
+    return store.metadata.read().select(
+        "file_id", "dataset_id", "attachment_type", "file_type", "status",
+        "created_on", "file_name", "description", "sha256sum", "file_size",
+    )
+
+
+SQL_S15 = """
+SELECT c_custkey AS file_id,
+       CAST(c_custkey % 3 AS BIGINT) AS dataset_id,
+       CASE WHEN c_custkey % 2 = 0 THEN 'view' ELSE 'other' END
+         AS attachment_type,
+       'dataset_attachment' AS file_type,
+       'available' AS status,
+       CAST(1234567 AS BIGINT) AS created_on,
+       'f' || CAST(c_custkey AS VARCHAR) || '.txt' AS file_name,
+       c_mktsegment AS description,
+       sha256(c_name || '|' || c_mktsegment) AS sha256sum,
+       CAST(octet_length(encode(c_name || '|' || c_mktsegment)) AS BIGINT) AS file_size
+FROM customer
+WHERE c_custkey < 500 AND c_custkey % 7 <> 0
+"""
+
+REGISTRY["s15_attachments"] = (q_s15_attachments, SQL_S15)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
@@ -10765,7 +10836,7 @@ _DRIVER_WINDOW = [
     #                         (r12);
     #     all five MUST head the r15 roster (their r10 stamps hit the
     #     5-round floor there).
-    # (b) the round-14 newcomers, never driver-stamped (5):
+    # (b) the round-14 newcomers, never driver-stamped (6):
     #     dd_winnow_capped (the df-capped winnowing arm, now the benched
     #     default — VERDICT r13 item 2), dd_simhash_scaled (corpus-scaled
     #     band width over the 60-bit portable hash, item 3),
@@ -10776,8 +10847,12 @@ _DRIVER_WINDOW = [
     #     takes the 40th (a) slot from a13_manybody_levels, whose
     #     per-level decimal-weighted-sum family is carried by the
     #     r13-stamped a12_weighted_sum, the same displacement the r9
-    #     ledger used; a13 joins the five r10 displacements heading the
-    #     r15 roster);
+    #     ledger used), s15_attachments (external-file/dataset-attachment
+    #     metadata surface, missing-item 4 — it takes the 39th (a) slot
+    #     from u5_stratified_sample, whose per-stratum sample family is
+    #     carried by the r13-stamped u6_mixture_sample, again the r9
+    #     ledger's displacement); a13 and u5 join the five r10
+    #     displacements heading the r15 roster;
     # (c) the two displaced r09 stamps the r13 ledger mandated for r14:
     #     tx_phrase_hits and dd_containment (the 5-round floor reaches
     #     r09 at r15);
@@ -10798,8 +10873,8 @@ _DRIVER_WINDOW = [
     # re-entering) and the 41 r11 + 40 r12 stamps (within the floor);
     # the r15 roster is headed by the five displaced r10s above plus the
     # r11 cohort (which hits the floor at r16).
-    # 38 + 5 + 2 + 5 = 50, zero fill slots this round.
-    # --- (a) r10 cohort, 38 of 44 ---
+    # 37 + 6 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) r10 cohort, 37 of 44 ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster",
     "dd_cluster_rep", "dd_contamination_neardup", "dd_incremental_labels",
     "dd_minhash_estimate", "dd_minhash_lsh", "dd_prefix_filter",
@@ -10811,10 +10886,9 @@ _DRIVER_WINDOW = [
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "st_stream_urldedup", "tx_bpe_encode", "tx_bpe_merges",
     "tx_domain_stats", "tx_html_extract", "tx_kn_lm", "tx_repetition",
-    "u5_stratified_sample",
-    # --- (b) round-14 newcomers (5) ---
+    # --- (b) round-14 newcomers (6) ---
     "dd_winnow_capped", "dd_simhash_scaled", "s13_status_mutations",
-    "s14_dataset_clone", "o13_job_lifecycle",
+    "s14_dataset_clone", "o13_job_lifecycle", "s15_attachments",
     # --- (c) displaced r09 stamps, mandated by the r13 ledger (2) ---
     "tx_phrase_hits", "dd_containment",
     # --- (d) changed after their latest stamp (5) ---
