@@ -76,10 +76,39 @@ class RecordStatusTable:
     the status matches — the reference's own weaker invariant, since its
     backup rows survive hard resets too)."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, edges: DataFrame | None = None):
+        """``edges`` is the optional parent/child relation
+        (``parent_id, child_id`` — the reference's record_children view):
+        with it, mutations propagate exactly as the reference does —
+        forward ops reach ALL RELATIVES when ``*_children=True`` (else
+        parents only: a child's state change always invalidates its
+        parents, record_socket.py:1126-1135), and reverts always reach
+        children, never parents (:1005-1008)."""
         self.spark = spark
+        self.edges = edges
         self.records = MutableTable(spark, f"{path}/records")
         self.backup = MutableTable(spark, f"{path}/backup")
+
+    def _expand(self, ids: Sequence[int], mode: str) -> list[int]:
+        """Propagation sets via the graph closure operators (the same
+        fixpoint the j8 gate verifies); bounded by family size × id
+        list, the reference's own collect unit."""
+        ids = sorted({int(i) for i in ids})
+        if self.edges is None or not ids:
+            return ids
+        from .graph import ancestors, descendants, relatives
+
+        seeds = self.spark.createDataFrame([(i,) for i in ids], "id long")
+        if mode == "children":
+            extra = descendants(seeds, self.edges)
+        elif mode == "parents":
+            extra = ancestors(seeds, self.edges)
+        elif mode == "relatives":
+            extra = relatives(seeds, self.edges)
+        else:  # pragma: no cover - internal contract
+            raise ValueError(mode)
+        got = {r["id"] for r in extra.select("id").collect()}
+        return sorted(set(ids) | got)
 
     # -- lifecycle ---------------------------------------------------------
 
@@ -97,21 +126,46 @@ class RecordStatusTable:
 
     # -- forward ops (the _cancel_common kernel) ----------------------------
 
-    def cancel(self, record_ids: Sequence[int]) -> dict:
-        """waiting/running/error → cancelled (record_socket.py:1274-1305)."""
-        return self._cancel_common(record_ids, _CANCEL_APPLICABLE, "cancelled")
+    def cancel(self, record_ids: Sequence[int], cancel_children: bool = True) -> dict:
+        """waiting/running/error → cancelled (record_socket.py:1274-1305).
+        ``cancel_children=True`` propagates to all relatives; False still
+        reaches parents (a cancelled child invalidates its parents'
+        state, :1126-1135)."""
+        return self._cancel_common(
+            record_ids,
+            self._expand(record_ids, "relatives" if cancel_children else "parents"),
+            _CANCEL_APPLICABLE,
+            "cancelled",
+        )
 
     def invalidate(self, record_ids: Sequence[int]) -> dict:
-        """complete → invalid (record_socket.py:1310-1339)."""
-        return self._cancel_common(record_ids, _INVALIDATE_APPLICABLE, "invalid")
+        """complete → invalid (record_socket.py:1310-1339);
+        propagate_to_children=False in the reference, so parents only."""
+        return self._cancel_common(
+            record_ids,
+            self._expand(record_ids, "parents"),
+            _INVALIDATE_APPLICABLE,
+            "invalid",
+        )
 
-    def delete(self, record_ids: Sequence[int], soft_delete: bool = True) -> dict:
+    def delete(
+        self,
+        record_ids: Sequence[int],
+        soft_delete: bool = True,
+        delete_children: bool = True,
+    ) -> dict:
         """Soft delete: anything-but-deleted → deleted, revertible via
         :meth:`undelete`.  Hard delete removes the rows outright (and
         their backup stacks) — the reference's ``soft_delete=False`` arm
-        (record_socket.py:1204-1272)."""
+        (record_socket.py:1204-1272, children via get_children_ids)."""
         if not soft_delete:
-            ids = sorted(set(record_ids))
+            ids = sorted(
+                set(
+                    self._expand(record_ids, "children")
+                    if delete_children
+                    else record_ids
+                )
+            )
             present = {
                 r["record_id"]
                 for r in self._affected(ids, _ALL_STATUSES).select("record_id").collect()
@@ -124,7 +178,12 @@ class RecordStatusTable:
                 lambda df: df.join(F.broadcast(ids_df), on="record_id", how="left_anti")
             )
             return _meta(record_ids, present)
-        return self._cancel_common(record_ids, _DELETE_APPLICABLE, "deleted")
+        return self._cancel_common(
+            record_ids,
+            self._expand(record_ids, "relatives" if delete_children else "parents"),
+            _DELETE_APPLICABLE,
+            "deleted",
+        )
 
     # -- revert ops (the _revert_common kernel) -----------------------------
 
@@ -161,9 +220,13 @@ class RecordStatusTable:
         )
 
     def _cancel_common(
-        self, record_ids: Sequence[int], applicable: frozenset, new_status: str
+        self,
+        record_ids: Sequence[int],
+        all_ids: Sequence[int],
+        applicable: frozenset,
+        new_status: str,
     ) -> dict:
-        ids = sorted(set(record_ids))
+        ids = sorted(set(all_ids))
         if not ids:
             return _meta(record_ids, set())
         # the demotion happens BEFORE the backup snapshot (reference
@@ -234,7 +297,10 @@ class RecordStatusTable:
         return _meta(record_ids, updated)
 
     def _revert_common(self, record_ids: Sequence[int], applicable: frozenset) -> dict:
-        ids = sorted(set(record_ids))
+        # reverts always reach children, never parents
+        # (record_socket.py:1005-1008: "We always apply these operations
+        # to children")
+        ids = sorted(set(self._expand(record_ids, "children")))
         if not ids:
             return _meta(record_ids, set())
         backed = applicable & {"deleted", "cancelled", "invalid"}

@@ -199,3 +199,59 @@ def test_matrix_matches_o11_transition_replay(spark, tmp_path, op):
 
 
 FIXTURE_BY_STATUS = {r[1]: r for r in FIXTURE if not r[2]}
+
+
+def test_propagation_matches_reference_directions(spark, tmp_path):
+    """Propagation (record_socket.py:1005-1008, 1126-1135): forward ops
+    reach all RELATIVES with *_children=True and parents-only otherwise;
+    reverts always reach children, never parents."""
+    # tree: 10 -> 11 -> 12 (service parent, child, grandchild), sibling 13
+    rows = [
+        (10, "waiting", True, None, None, None, None),
+        (11, "waiting", False, None, "t0", 1, True),
+        (12, "waiting", False, None, "t1", 1, True),
+        (13, "waiting", False, None, "t2", 1, True),  # unrelated
+    ]
+    edges = spark.createDataFrame(
+        [(10, 11), (11, 12)], "parent_id long, child_id long"
+    )
+    from qcfractal_spark.operators.record_status import (
+        RECORD_SCHEMA,
+        RecordStatusTable,
+    )
+
+    def fresh(name):
+        t = RecordStatusTable(spark, str(tmp_path / name), edges=edges)
+        t.init(spark.createDataFrame(rows, RECORD_SCHEMA))
+        return t
+
+    # cancel mid-tree with children: relatives = whole family, not 13
+    t = fresh("a")
+    meta = t.cancel([11], cancel_children=True)
+    got = _by_id(t)
+    assert [got[i]["status"] for i in (10, 11, 12)] == ["cancelled"] * 3
+    assert got[13]["status"] == "waiting"
+    # n_children_updated analog: 1 requested landed, 2 relatives extra
+    assert meta["n_updated"] == 1 and meta["updated_idx"] == [0]
+    # uncancel the grandchild only: children-only propagation means the
+    # PARENT (11) stays cancelled while 12 reverts
+    t.uncancel([12])
+    got = _by_id(t)
+    assert got[12]["status"] == "waiting" and got[11]["status"] == "cancelled"
+    assert got[10]["status"] == "cancelled"
+
+    # cancel_children=False still reaches PARENTS (10, 11) but not child 12
+    t = fresh("b")
+    t.cancel([11], cancel_children=False)
+    got = _by_id(t)
+    assert got[10]["status"] == "cancelled" and got[11]["status"] == "cancelled"
+    assert got[12]["status"] == "waiting"
+
+    # uncancel with children: parent revert pulls the child back too
+    t = fresh("c")
+    t.cancel([10], cancel_children=True)
+    t.uncancel([10])
+    got = _by_id(t)
+    assert [got[i]["status"] for i in (10, 11, 12)] == ["waiting"] * 3
+    # non-service children got their tasks back
+    assert got[11]["compute_tag"] == "t0" and got[11]["task_available"] is True
