@@ -1214,3 +1214,106 @@ def unigram_encode_report(docs: DataFrame, params: dict | None = None) -> DataFr
             "total_pieces"
         ),
     )
+
+
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+
+
+def gopher_rules(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al. 2021, "Scaling
+    Language Models: Methods, Analysis & Insights from Training Gopher",
+    arXiv 2112.11446, Appendix A1.1) — the published rule set most
+    pretraining pipelines start from, as one scan-side verdict per doc:
+
+    * word count in [50, 100 000];
+    * mean word length in [3, 10] chars;
+    * symbol-to-word ratio ('#' and ellipsis) ≤ 0.1;
+    * ≤ 90 % of lines start with a bullet ('-', '*', '•');
+    * ≤ 30 % of lines end with an ellipsis;
+    * ≥ 80 % of words contain an alphabetic character;
+    * ≥ 2 distinct members of the 8-word stop-word probe set.
+
+    Returns per doc the raw counts, one boolean per rule, and the AND'd
+    ``keep`` verdict.  EVERY ratio rule is evaluated by integer
+    cross-multiplication (``10·symbols ≤ words`` instead of a float
+    divide), so the verdicts are exact under any engine's float rules —
+    the oracle replays them bit-for-bit.  100 TB story: pure codegen
+    string/array algebra in the scan (split, filter, aggregate — no
+    UDF, no shuffle, no explode); the output is one row per input row,
+    so this composes as a WHERE clause on any downstream pipeline
+    exactly like quality_score does in pipe_prepare.
+
+    Repetition rules (Gopher A1.2: duplicate lines/paragraphs, top-gram
+    share) live in the dedup/repetition family (`tx_repetition`,
+    `dd_span_dedup`) — this is the A1.1 per-document arm.
+    """
+    words = tokens(F.col(text_col))
+    n_words = F.size(words).cast("long")
+    sum_len = F.coalesce(
+        F.aggregate(
+            words, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+        ),
+        F.lit(0).cast("long"),
+    )
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+    n_lines = F.size(lines).cast("long")
+    n_bullet = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).startswith("-")
+            | F.trim(l).startswith("*")
+            | F.trim(l).startswith("•"),
+        )
+    ).cast("long")
+    n_ell_lines = F.size(
+        F.filter(
+            lines,
+            lambda l: F.trim(l).endswith("...") | F.trim(l).endswith("…"),
+        )
+    ).cast("long")
+    txt = F.col(text_col)
+    n_hash = (F.length(txt) - F.length(F.replace(txt, F.lit("#"), F.lit("")))).cast(
+        "long"
+    )
+    n_ell = (
+        (F.length(txt) - F.length(F.replace(txt, F.lit("..."), F.lit("")))) / 3
+    ).cast("long") + (
+        F.length(txt) - F.length(F.replace(txt, F.lit("…"), F.lit("")))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(words, lambda w: w.rlike("[a-z]"))
+    ).cast("long")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(words),
+            F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+        )
+    ).cast("long")
+    out = df.select(
+        F.col(id_col),
+        n_words.alias("n_words"),
+        n_lines.alias("n_lines"),
+        ((n_words >= 50) & (n_words <= 100_000)).alias("word_count_ok"),
+        ((sum_len >= 3 * n_words) & (sum_len <= 10 * n_words)).alias(
+            "mean_word_len_ok"
+        ),
+        ((n_hash + n_ell) * 10 <= n_words).alias("symbol_ratio_ok"),
+        (n_bullet * 10 <= 9 * n_lines).alias("bullet_ok"),
+        (n_ell_lines * 10 <= 3 * n_lines).alias("ellipsis_lines_ok"),
+        (n_alpha * 5 >= n_words * 4).alias("alpha_words_ok"),
+        (n_stop >= 2).alias("stopwords_ok"),
+    )
+    keep = (
+        F.col("word_count_ok")
+        & F.col("mean_word_len_ok")
+        & F.col("symbol_ratio_ok")
+        & F.col("bullet_ok")
+        & F.col("ellipsis_lines_ok")
+        & F.col("alpha_words_ok")
+        & F.col("stopwords_ok")
+    )
+    return out.withColumn("keep", keep)

@@ -3546,6 +3546,73 @@ WHERE c_custkey < 500 AND c_custkey % 7 <> 0
 REGISTRY["s15_attachments"] = (q_s15_attachments, SQL_S15)
 
 
+def q_tx_gopher_rules(spark, sf_dir):
+    """TX+ (beyond-reference, r14): the Gopher A1.1 document-quality rule
+    set (Rae et al. 2021, arXiv 2112.11446) as one scan-side verdict per
+    doc — word-count band, mean-word-length band, symbol-to-word ratio,
+    bullet-line and ellipsis-line fractions, alpha-word fraction, and
+    the 8-word stop-word probe (functions/text.py:gopher_rules).  Every
+    ratio rule is integer cross-multiplied (never a float divide), so
+    the booleans are engine-exact and the DuckDB oracle replays them
+    bit-for-bit with list algebra.  Plan: pure codegen string/array
+    work in the scan, one row out per row in — composes as a WHERE
+    clause in any prep pipeline (the published-rule sibling of the
+    quality_score filter pipe_prepare uses)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    return tx.gopher_rules(docs)
+
+
+SQL_TX_GOPHER = f"""
+WITH d AS (
+  SELECT doc_id, text, {_TOKS_SQL} AS toks,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM documents WHERE text IS NOT NULL
+),
+c AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(len(lines) AS BIGINT) AS n_lines,
+         CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+              AS BIGINT) AS sum_len,
+         CAST(length(text) - length(replace(text, '#', '')) AS BIGINT)
+           AS n_hash,
+         CAST((length(text) - length(replace(text, '...', ''))) / 3 AS BIGINT)
+           + CAST(length(text) - length(replace(text, '…', '')) AS BIGINT)
+           AS n_ell,
+         CAST(len(list_filter(lines,
+                l -> starts_with(trim(l), '-') OR starts_with(trim(l), '*')
+                     OR starts_with(trim(l), '•'))) AS BIGINT) AS n_bullet,
+         CAST(len(list_filter(lines,
+                l -> ends_with(trim(l), '...') OR ends_with(trim(l), '…')))
+              AS BIGINT) AS n_ell_lines,
+         CAST(len(list_filter(toks, x -> regexp_matches(x, '[a-z]')))
+              AS BIGINT) AS n_alpha,
+         CAST(len(list_intersect(list_distinct(toks),
+                ['the','be','to','of','and','that','have','with']))
+              AS BIGINT) AS n_stop
+  FROM d
+),
+r AS (
+  SELECT doc_id, n_words, n_lines,
+         (n_words >= 50 AND n_words <= 100000) AS word_count_ok,
+         (sum_len >= 3 * n_words AND sum_len <= 10 * n_words)
+           AS mean_word_len_ok,
+         ((n_hash + n_ell) * 10 <= n_words) AS symbol_ratio_ok,
+         (n_bullet * 10 <= 9 * n_lines) AS bullet_ok,
+         (n_ell_lines * 10 <= 3 * n_lines) AS ellipsis_lines_ok,
+         (n_alpha * 5 >= n_words * 4) AS alpha_words_ok,
+         (n_stop >= 2) AS stopwords_ok
+  FROM c
+)
+SELECT *,
+       (word_count_ok AND mean_word_len_ok AND symbol_ratio_ok AND bullet_ok
+        AND ellipsis_lines_ok AND alpha_words_ok AND stopwords_ok) AS keep
+FROM r
+"""
+
+REGISTRY["tx_gopher_rules"] = (q_tx_gopher_rules, SQL_TX_GOPHER)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
@@ -10836,7 +10903,7 @@ _DRIVER_WINDOW = [
     #                         (r12);
     #     all five MUST head the r15 roster (their r10 stamps hit the
     #     5-round floor there).
-    # (b) the round-14 newcomers, never driver-stamped (6):
+    # (b) the round-14 newcomers, never driver-stamped (7):
     #     dd_winnow_capped (the df-capped winnowing arm, now the benched
     #     default — VERDICT r13 item 2), dd_simhash_scaled (corpus-scaled
     #     band width over the 60-bit portable hash, item 3),
@@ -10851,8 +10918,13 @@ _DRIVER_WINDOW = [
     #     metadata surface, missing-item 4 — it takes the 39th (a) slot
     #     from u5_stratified_sample, whose per-stratum sample family is
     #     carried by the r13-stamped u6_mixture_sample, again the r9
-    #     ledger's displacement); a13 and u5 join the five r10
-    #     displacements heading the r15 roster;
+    #     ledger's displacement), and tx_gopher_rules (the published
+    #     Gopher A1.1 rule set as one scan-side verdict — it takes the
+    #     38th (a) slot from dd_contamination_neardup, whose
+    #     signature+banding kernel is carried by the r14-in-window
+    #     dd_minhash_lsh and the r13-stamped dd_contamination, the r9
+    #     ledger's displacement); a13, u5 and dd_contamination_neardup
+    #     join the five r10 displacements heading the r15 roster;
     # (c) the two displaced r09 stamps the r13 ledger mandated for r14:
     #     tx_phrase_hits and dd_containment (the 5-round floor reaches
     #     r09 at r15);
@@ -10873,10 +10945,10 @@ _DRIVER_WINDOW = [
     # re-entering) and the 41 r11 + 40 r12 stamps (within the floor);
     # the r15 roster is headed by the five displaced r10s above plus the
     # r11 cohort (which hits the floor at r16).
-    # 37 + 6 + 2 + 5 = 50, zero fill slots this round.
-    # --- (a) r10 cohort, 37 of 44 ---
+    # 36 + 7 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) r10 cohort, 36 of 44 ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster",
-    "dd_cluster_rep", "dd_contamination_neardup", "dd_incremental_labels",
+    "dd_cluster_rep", "dd_incremental_labels",
     "dd_minhash_estimate", "dd_minhash_lsh", "dd_prefix_filter",
     "dd_semdedup", "dd_simhash", "dd_source_overlap", "dd_substring",
     "dd_url_dedup", "g1_pagerank", "h4_order_priority",
@@ -10886,9 +10958,10 @@ _DRIVER_WINDOW = [
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "st_stream_urldedup", "tx_bpe_encode", "tx_bpe_merges",
     "tx_domain_stats", "tx_html_extract", "tx_kn_lm", "tx_repetition",
-    # --- (b) round-14 newcomers (6) ---
+    # --- (b) round-14 newcomers (7) ---
     "dd_winnow_capped", "dd_simhash_scaled", "s13_status_mutations",
     "s14_dataset_clone", "o13_job_lifecycle", "s15_attachments",
+    "tx_gopher_rules",
     # --- (c) displaced r09 stamps, mandated by the r13 ledger (2) ---
     "tx_phrase_hits", "dd_containment",
     # --- (d) changed after their latest stamp (5) ---

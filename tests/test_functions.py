@@ -1428,3 +1428,37 @@ def test_filtered_topk_honors_predicate(spark):
     assert all(r["vec_id"] in allowed for r in out)
     scores = [r["score"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+def test_gopher_rules_each_rule_fires(spark):
+    """Gopher A1.1 rules (functions/text.py:gopher_rules): each rule
+    flips on its own pathological doc while a healthy doc keeps."""
+    from qcfractal_spark.functions.text import gopher_rules
+
+    healthy = " ".join(
+        ["the quick brown fox jumps over lazy dogs and cats that have fun with it"] * 5
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, healthy),                                     # keeps
+            (2, "too short to have fifty words"),             # word count
+            (3, " ".join(["a"] * 60) + " the of"),            # mean len < 3
+            (4, healthy + " " + " ".join(["#"] * 20)),        # symbols
+            (5, "\n".join(["- " + healthy] * 10)),            # bullets > 90%
+            (6, "\n".join([healthy + "..."] * 10)),           # ellipsis > 30%
+            (7, healthy + " " + " ".join(["123"] * 40)),      # alpha < 80%
+            (8, " ".join(["zz yy xx ww vv"] * 15)),           # no stop words
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in gopher_rules(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["word_count_ok"] is False
+    assert got[3]["mean_word_len_ok"] is False
+    assert got[4]["symbol_ratio_ok"] is False and got[4]["word_count_ok"] is True
+    assert got[5]["bullet_ok"] is False and got[5]["n_lines"] == 10
+    assert got[6]["ellipsis_lines_ok"] is False
+    assert got[7]["alpha_words_ok"] is False
+    assert got[8]["stopwords_ok"] is False
+    for i in range(2, 9):
+        assert got[i]["keep"] is False, i
