@@ -1317,3 +1317,67 @@ def gopher_rules(
         & F.col("stopwords_ok")
     )
     return out.withColumn("keep", keep)
+
+
+def c4_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020, "Exploring the
+    Limits of Transfer Learning with a Unified Text-to-Text Transformer",
+    arXiv 1910.10683 §2.2 — the public C4 rules) as a REWRITE: unlike
+    :func:`gopher_rules` (verdicts only), this emits the cleaned text.
+
+    Line rules (a line survives iff ALL hold):
+    * ends in terminal punctuation (``.``, ``!``, ``?``, ``"``);
+    * has ≥ 5 words;
+    * does not contain the word "javascript" (case-insensitive).
+
+    Page rules (the ``page_keep`` verdict over the CLEANED text):
+    * ≥ 3 sentences — counted as terminal-punctuation characters in the
+      kept lines (C4 counts sentences; the terminal-punct count is the
+      deterministic engine-exact stand-in, and every kept line
+      contributes ≥ 1 by construction);
+    * no "lorem ipsum" (case-insensitive) and no ``{`` anywhere in the
+      ORIGINAL page (the curly-brace code heuristic).
+
+    Everything is codegen array/string algebra on the scan — one row
+    out per row in, no explode, no shuffle, no UDF — and every rule is
+    count/containment-based so the DuckDB oracle replays it exactly.
+    At 100 TB this is a projection: the cleaned corpus is written by
+    the same scan that read the raw one.
+    """
+    lines = F.filter(
+        F.split(F.col(text_col), "\n"), lambda l: F.trim(l) != F.lit("")
+    )
+
+    def line_ok(l):
+        t = F.trim(l)
+        ends = (
+            t.endswith(".") | t.endswith("!") | t.endswith("?") | t.endswith('"')
+        )
+        words = F.size(
+            F.filter(F.split(F.lower(t), " "), lambda w: w != F.lit(""))
+        )
+        return ends & (words >= 5) & ~F.lower(t).contains("javascript")
+
+    kept = F.filter(lines, line_ok)
+    cleaned = F.array_join(kept, "\n")
+    n_term = (
+        F.length(cleaned)
+        - F.length(F.translate(cleaned, ".!?", ""))
+    ).cast("long")
+    low = F.lower(F.col(text_col))
+    return df.select(
+        F.col(id_col),
+        cleaned.alias("cleaned_text"),
+        F.size(kept).cast("long").alias("n_lines_kept"),
+        (F.size(lines) - F.size(kept)).cast("long").alias("n_lines_dropped"),
+        n_term.alias("n_sentences"),
+        low.contains("lorem ipsum").alias("has_lorem"),
+        F.col(text_col).contains("{").alias("has_brace"),
+        (
+            (n_term >= 3)
+            & ~low.contains("lorem ipsum")
+            & ~F.col(text_col).contains("{")
+        ).alias("page_keep"),
+    )

@@ -3613,6 +3613,101 @@ FROM r
 REGISTRY["tx_gopher_rules"] = (q_tx_gopher_rules, SQL_TX_GOPHER)
 
 
+def q_tx_c4_clean(spark, sf_dir):
+    """TX+ (beyond-reference, r14): C4 line-level cleaning (Raffel et al.
+    2020 §2.2 public rules) as a REWRITE — kept lines (terminal
+    punctuation, ≥5 words, no 'javascript') re-joined into cleaned text
+    plus the page verdict (≥3 sentences, no 'lorem ipsum', no '{')
+    (functions/text.py:c4_clean).  The transform sibling of
+    tx_gopher_rules: one scan, one row out per row in, all rules
+    count/containment-based so the oracle replays the REWRITTEN TEXT
+    byte-for-byte — a dropped line, a join-separator drift, or a
+    verdict flip all hash red.
+
+    The documents fixture is single-line unpunctuated word soup, so the
+    gate first synthesizes page structure DETERMINISTICALLY (literal
+    replaces both engines execute identically): '.'/'?'-terminated
+    lines cut at the 'merge'/'join' tokens, an unterminated line at
+    'scan' (dropped by the terminal rule), plus per-stripe injections —
+    a javascript line (doc_id%7), a lorem-ipsum line (%11), and a
+    curly-brace line (%13) — exercising every rule against real data."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    t = F.col("text")
+    t = F.replace(t, F.lit(" merge "), F.lit(" merge.\n "))
+    t = F.replace(t, F.lit(" join "), F.lit(" join?\n "))
+    t = F.replace(t, F.lit(" scan "), F.lit(" scan\n "))
+    did = F.col("doc_id")
+    t = F.concat(
+        t,
+        F.when(did % 7 == 0, F.lit("\nplease enable javascript support now."))
+        .otherwise(F.lit("")),
+        F.when(did % 11 == 0, F.lit("\nlorem ipsum dolor sit amet friend."))
+        .otherwise(F.lit("")),
+        F.when(did % 13 == 0, F.lit("\ncall function() { now. }")).otherwise(
+            F.lit("")
+        ),
+    )
+    return tx.c4_clean(docs.select("doc_id", t.alias("text")))
+
+
+SQL_TX_C4 = """
+WITH raw AS (
+  SELECT doc_id,
+         replace(replace(replace(text,
+                 ' merge ', ' merge.' || chr(10) || ' '),
+                 ' join ', ' join?' || chr(10) || ' '),
+                 ' scan ', ' scan' || chr(10) || ' ')
+         || CASE WHEN doc_id % 7 = 0
+                 THEN chr(10) || 'please enable javascript support now.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 11 = 0
+                 THEN chr(10) || 'lorem ipsum dolor sit amet friend.'
+                 ELSE '' END
+         || CASE WHEN doc_id % 13 = 0
+                 THEN chr(10) || 'call function() { now. }'
+                 ELSE '' END AS text
+  FROM documents WHERE text IS NOT NULL
+),
+d AS (
+  SELECT doc_id, text,
+         list_filter(string_split(text, chr(10)), l -> trim(l) <> '') AS lines
+  FROM raw
+),
+k AS (
+  SELECT doc_id, text, lines,
+         list_filter(lines, l ->
+            (ends_with(trim(l), '.') OR ends_with(trim(l), '!')
+             OR ends_with(trim(l), '?') OR ends_with(trim(l), '"'))
+            AND len(list_filter(string_split(lower(trim(l)), ' '),
+                                w -> w <> '')) >= 5
+            AND NOT contains(lower(trim(l)), 'javascript')) AS kept
+  FROM d
+),
+c AS (
+  SELECT doc_id, text, lines, kept,
+         COALESCE(array_to_string(kept, chr(10)), '') AS cleaned_text
+  FROM k
+)
+SELECT doc_id, cleaned_text,
+       CAST(len(kept) AS BIGINT) AS n_lines_kept,
+       CAST(len(lines) - len(kept) AS BIGINT) AS n_lines_dropped,
+       CAST(length(cleaned_text)
+            - length(replace(replace(replace(cleaned_text, '.', ''),
+                                     '!', ''), '?', '')) AS BIGINT)
+         AS n_sentences,
+       contains(lower(text), 'lorem ipsum') AS has_lorem,
+       contains(text, '{') AS has_brace,
+       (length(cleaned_text)
+          - length(replace(replace(replace(cleaned_text, '.', ''),
+                                   '!', ''), '?', '')) >= 3
+        AND NOT contains(lower(text), 'lorem ipsum')
+        AND NOT contains(text, '{')) AS page_keep
+FROM c
+"""
+
+REGISTRY["tx_c4_clean"] = (q_tx_c4_clean, SQL_TX_C4)
+
+
 def q_st_sessionize(spark, sf_dir):
     """Session-window rollup per user (gap 30 min) — the engine's
     sessionization surface (streaming/state.py; batch plan here, identical
@@ -10903,7 +10998,7 @@ _DRIVER_WINDOW = [
     #                         (r12);
     #     all five MUST head the r15 roster (their r10 stamps hit the
     #     5-round floor there).
-    # (b) the round-14 newcomers, never driver-stamped (7):
+    # (b) the round-14 newcomers, never driver-stamped (8):
     #     dd_winnow_capped (the df-capped winnowing arm, now the benched
     #     default — VERDICT r13 item 2), dd_simhash_scaled (corpus-scaled
     #     band width over the 60-bit portable hash, item 3),
@@ -10923,8 +11018,14 @@ _DRIVER_WINDOW = [
     #     38th (a) slot from dd_contamination_neardup, whose
     #     signature+banding kernel is carried by the r14-in-window
     #     dd_minhash_lsh and the r13-stamped dd_contamination, the r9
-    #     ledger's displacement); a13, u5 and dd_contamination_neardup
-    #     join the five r10 displacements heading the r15 roster;
+    #     ledger's displacement), and tx_c4_clean (the C4 §2.2 line-
+    #     cleaning REWRITE beside the Gopher verdicts — it takes the
+    #     37th (a) slot from dd_simhash, whose signature family is
+    #     carried by the in-window dd_simhash_scaled newcomer plus the
+    #     r12-stamped dd_simhash_pairs, again the r9 ledger's
+    #     displacement); a13, u5, dd_contamination_neardup and
+    #     dd_simhash join the five r10 displacements heading the r15
+    #     roster;
     # (c) the two displaced r09 stamps the r13 ledger mandated for r14:
     #     tx_phrase_hits and dd_containment (the 5-round floor reaches
     #     r09 at r15);
@@ -10945,12 +11046,12 @@ _DRIVER_WINDOW = [
     # re-entering) and the 41 r11 + 40 r12 stamps (within the floor);
     # the r15 roster is headed by the five displaced r10s above plus the
     # r11 cohort (which hits the floor at r16).
-    # 36 + 7 + 2 + 5 = 50, zero fill slots this round.
-    # --- (a) r10 cohort, 36 of 44 ---
+    # 35 + 8 + 2 + 5 = 50, zero fill slots this round.
+    # --- (a) r10 cohort, 35 of 44 ---
     "a23_corr", "dd_cap_duplicates", "dd_cluster",
     "dd_cluster_rep", "dd_incremental_labels",
     "dd_minhash_estimate", "dd_minhash_lsh", "dd_prefix_filter",
-    "dd_semdedup", "dd_simhash", "dd_source_overlap", "dd_substring",
+    "dd_semdedup", "dd_source_overlap", "dd_substring",
     "dd_url_dedup", "g1_pagerank", "h4_order_priority",
     "h6_forecast_revenue", "j14_interval", "j16_adaptive_salted",
     "j8_closure", "mm_features", "mm_phash_dedup", "p2_p3_filter_page",
@@ -10958,10 +11059,10 @@ _DRIVER_WINDOW = [
     "sim_cosine_pairs", "sim_ivfpq_topk", "st_session_custom",
     "st_stream_urldedup", "tx_bpe_encode", "tx_bpe_merges",
     "tx_domain_stats", "tx_html_extract", "tx_kn_lm", "tx_repetition",
-    # --- (b) round-14 newcomers (7) ---
+    # --- (b) round-14 newcomers (8) ---
     "dd_winnow_capped", "dd_simhash_scaled", "s13_status_mutations",
     "s14_dataset_clone", "o13_job_lifecycle", "s15_attachments",
-    "tx_gopher_rules",
+    "tx_gopher_rules", "tx_c4_clean",
     # --- (c) displaced r09 stamps, mandated by the r13 ledger (2) ---
     "tx_phrase_hits", "dd_containment",
     # --- (d) changed after their latest stamp (5) ---

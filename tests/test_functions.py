@@ -1462,3 +1462,36 @@ def test_gopher_rules_each_rule_fires(spark):
     assert got[8]["stopwords_ok"] is False
     for i in range(2, 9):
         assert got[i]["keep"] is False, i
+
+
+def test_c4_clean_line_and_page_rules(spark):
+    """C4 cleaning (functions/text.py:c4_clean): line survival needs
+    terminal punctuation + >=5 words + no 'javascript'; the page verdict
+    needs >=3 sentences and no lorem-ipsum/brace anywhere."""
+    from qcfractal_spark.functions.text import c4_clean
+
+    good = "this line has enough words here."
+    docs = spark.createDataFrame(
+        [
+            (1, f"{good}\nanother full line with words too!\nand a third good line right here?"),
+            (2, f"{good}\nno terminal punctuation on this line\nshort line."),
+            (3, f"{good}\nplease enable your javascript support now.\n{good}"),
+            (4, f"{good}\n{good}\nlorem ipsum dolor sit amet friend.\n{good}"),
+            (5, "code ahead function() { return; }\n" + good),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r.asDict() for r in c4_clean(docs).collect()}
+    assert got[1]["n_lines_kept"] == 3 and got[1]["page_keep"] is True
+    assert got[1]["cleaned_text"].count("\n") == 2
+    # no-terminal and <5-words lines dropped
+    assert got[2]["n_lines_kept"] == 1 and got[2]["n_lines_dropped"] == 2
+    assert got[2]["page_keep"] is False  # only 1 sentence survives
+    # javascript line dropped but page may still keep if >=3 sentences
+    assert got[3]["n_lines_kept"] == 2
+    assert "javascript" not in got[3]["cleaned_text"]
+    # lorem ipsum: lines keep but the PAGE is rejected
+    assert got[4]["has_lorem"] is True and got[4]["page_keep"] is False
+    assert got[4]["n_lines_kept"] == 4
+    # brace: page rejected even though the brace line itself was dropped
+    assert got[5]["has_brace"] is True and got[5]["page_keep"] is False
