@@ -90,6 +90,8 @@ BENCH_QUERIES = [
     "dd_minhash_estimate",  # signature-agreement Jaccard triage
     "pk_length_buckets",    # length-bucket padding-waste report
     "tx_doc_freq",          # document-frequency vocabulary head
+    "tx_gopher_rules",      # Gopher A1.1 quality verdicts (scan-side, r14)
+    "tx_c4_clean",          # C4 line-cleaning rewrite (scan-side, r14)
     "dd_cluster_rep",       # quality-aware cluster representatives
     "u9_leak_split",        # leakage-safe cluster-keyed split
     "sim_outliers",         # per-label centroid-distance outliers
