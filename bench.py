@@ -75,8 +75,8 @@ BENCH_QUERIES = [
     "j15_salted_join",      # salted fact-to-dim join
     "j16_adaptive_salted",  # hot-key-only salting (measured skew)
     "a21_histogram",        # fixed-width histogram + per-type share window
-    "a19_approx_distinct",  # HLL sketch cardinalities
-    "a22_approx_quantiles", # GK sketch quantile profile
+    "a19_approx_distinct",  # HLL sketch cardinalities (sketch-only arm, r15)
+    "a22_approx_quantiles", # GK sketch quantile profile (sketch-only arm, r15)
     "j5_one_hop",           # direct-children broadcast-semi edge join
     "j6_membership",        # dataset-membership fact-to-record join
     "dd_jaccard_capped",    # rare-shingle candidates (df-capped pair join)
@@ -102,7 +102,7 @@ BENCH_QUERIES = [
     "t11_scd2",             # SCD2 interval build (per-entity lead window)
     "a23_corr",             # decimal-exact correlation matrix (one scan)
     "tx_source_kl",         # per-source KL drift (counts-derived rollups)
-    "a24_heavy_hitters",    # Misra-Gries mergeable sketch (Arrow mapInPandas)
+    "a24_heavy_hitters",    # Misra-Gries sketch (Arrow mapInPandas; sketch-only arm, r15)
     "sim_multiprobe_topk",  # Hamming-1 multi-probe LSH (recall knob)
     "sim_filtered_topk",    # predicate+vector search (pushdown + topk)
     "dd_cap_duplicates",    # duplicate capping over persisted labels
@@ -227,14 +227,14 @@ INTENTIONAL_CHANGES = {
     # (0.65 + 0.7 → ~1.45 s at sf0.1), a richer query by design (r12
     # VERDICT item 2).
     "pk_bfd_pack": "r13 invariant oracle: BFD + FFD comparison arm in one query",
-    # r14 (VERDICT r13 item 4): the three sketch queries converted from
-    # rows-only to invariant-oracle form — each now runs the EXACT
-    # counterpart beside the sketch in one query (COUNT DISTINCT for HLL,
-    # sorted-array discrete percentiles for GK, the exact token-count
-    # join for Misra-Gries), roughly doubling each gate's cost by design.
-    "a19_approx_distinct": "r14 invariant oracle: exact COUNT(DISTINCT) arm added",
-    "a22_approx_quantiles": "r14 invariant oracle: exact percentile_disc arm added",
-    "a24_heavy_hitters": "r14 invariant oracle: exact token-count join added",
+    # r15 (VERDICT r14 item 1): the three sketch queries split back into
+    # benched sketch-ONLY production arms (these names) + gate-only
+    # invariant-oracle arms (a19_distinct_gate / a22_quantiles_gate /
+    # a24_heavy_hitters_gate, hash-green, never benched) — the
+    # dd_winnow/dd_winnow_capped precedent in reverse.  The benched arms
+    # only got FASTER (the exact-replay stage moved to the gates), so no
+    # regression entry is needed; this note records the semantics change
+    # for the next like-for-like baseline diff.
 }
 
 

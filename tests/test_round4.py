@@ -39,13 +39,14 @@ def test_span_dedup_intra_document_duplicates(spark):
 
 
 def test_approx_distinct_within_rsd_bound(spark):
-    """a19 (r14 invariant-oracle form): the emitted exact_users must match
-    an independent COUNT(DISTINCT), and the sketch's accuracy verdict
-    (within 5x the configured 1% rsd) must be TRUE for every group — the
-    envelope check itself now lives inside the gated query."""
+    """a19 gate arm (r14 invariant-oracle form; r15: split to its own
+    key): the emitted exact_users must match an independent
+    COUNT(DISTINCT), and the sketch's accuracy verdict (within 5x the
+    configured 1% rsd) must be TRUE for every group — the envelope check
+    itself lives inside the gated query."""
     from qcfractal_spark.queries import REGISTRY
 
-    fn, _ = REGISTRY["a19_approx_distinct"]
+    fn, _ = REGISTRY["a19_distinct_gate"]
     got = {r["event_type"]: r.asDict() for r in fn(spark, "/root/testdata/sf0.001").collect()}
     from qcfractal_spark.catalog import load_table
 
@@ -254,17 +255,17 @@ def test_insert_dedup_classify_reports_dup_of(spark):
 
 
 def test_approx_quantiles_within_rank_error(spark):
-    """a22 (r14 invariant-oracle form): the emitted exact percentiles must
-    match an independently computed percentile_disc (smallest value with
-    cumulative fraction >= p), and every per-quantile rank-bound verdict
-    must be TRUE — the GK-vs-exact band check now lives inside the gated
-    query."""
+    """a22 gate arm (r14 invariant-oracle form; r15: split to its own
+    key): the emitted exact percentiles must match an independently
+    computed percentile_disc (smallest value with cumulative fraction
+    >= p), and every per-quantile rank-bound verdict must be TRUE — the
+    GK-vs-exact band check lives inside the gated query."""
     import math
 
     from qcfractal_spark.catalog import load_table
     from qcfractal_spark.queries import REGISTRY
 
-    fn, _ = REGISTRY["a22_approx_quantiles"]
+    fn, _ = REGISTRY["a22_quantiles_gate"]
     sf = "/root/testdata/sf0.001"
     got = {r["event_type"]: r.asDict() for r in fn(spark, sf).collect()}
     events = load_table(spark, sf, "events")

@@ -105,10 +105,11 @@ SCALAR_BROADCAST_OK = {"tx_tfidf", "tx_unigram_lm", "u6_mixture_sample", "tx_dsi
                        # fan-out IS the output contract, filter-first at
                        # fleet scale per the operator docstring)
                        "o12_waiting_details",
-                       # r14 invariant oracle: corpus-total token count
-                       # (1-row scalar) crossed onto the MG candidate ×
-                       # exact-count join (<= k·partitions rows)
-                       "a24_heavy_hitters"}
+                       # r14 invariant oracle (r15: split to the gate-only
+                       # arm): corpus-total token count (1-row scalar)
+                       # crossed onto the MG candidate × exact-count join
+                       # (<= k·partitions rows)
+                       "a24_heavy_hitters_gate"}
 
 # Queries where a SortMergeJoin is legitimate (fact-to-fact joins with no
 # small side at scale).
@@ -243,11 +244,11 @@ BOUNDED_COLLECT_OK = {
     # per contribution name, which IS the reference's unit (it stores the
     # same arrays as one JSONB blob per name, dataset_models.py:63-80).
     "s12_contributed_values",
-    # r14 invariant oracle: the exact-percentile arm sorts each event
-    # type's values in one task — bounded-cardinality telemetry groups,
-    # the same a6/percentile_disc bound; the SKETCH arm beside it is the
-    # fleet-scale plan (see q_a22_approx_quantiles docstring).
-    "a22_approx_quantiles",
+    # r14 invariant oracle (r15: split to the gate-only arm): the
+    # exact-percentile arm sorts each event type's values in one task —
+    # bounded-cardinality telemetry groups, the same a6/percentile_disc
+    # bound; the benched a22_approx_quantiles is the sketch alone.
+    "a22_quantiles_gate",
 }
 
 # A Window with ORDER BY but NO PARTITION BY funnels its entire input
