@@ -337,7 +337,7 @@ class RecordStatusTable:
             )
 
         self._apply_update(update, updated)
-        self.backup.transform(lambda df: df.unionByName(new_backup))
+        self.backup.append(new_backup)
         return _meta(record_ids, updated)
 
     def _revert_common(self, record_ids: Sequence[int], applicable: frozenset) -> dict:

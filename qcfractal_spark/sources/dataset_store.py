@@ -133,11 +133,11 @@ class DatasetStore:
         if spec_plan is not None:
             new = spec_plan["new"].localCheckpoint(eager=True)
             out["specs"] = new.count()
-            self.specs.transform(lambda df: df.unionByName(new))
+            self.specs.append(new)
         if entry_plan is not None:
             new = entry_plan["new"].localCheckpoint(eager=True)
             out["entries"] = new.count()
-            self.entries.transform(lambda df: df.unionByName(new))
+            self.entries.append(new)
         if copy_records:
             items = copy_record_items_plan(
                 self.record_items.read(),
@@ -147,7 +147,7 @@ class DatasetStore:
                 specification_names,
             ).localCheckpoint(eager=True)
             out["record_items"] = items.count()
-            self.record_items.transform(lambda df: df.unionByName(items))
+            self.record_items.append(items)
         return out
 
     # -- clone (base_dataset_socket.py:1869-1945) ----------------------------
@@ -187,6 +187,6 @@ class DatasetStore:
             ],
             DATASET_SCHEMA,
         )
-        self.datasets.transform(lambda df: df.unionByName(new_row))
+        self.datasets.append(new_row)
         self.copy_from(source_dataset_id, new_id, copy_records=True)
         return new_id

@@ -110,8 +110,8 @@ class ExternalFileStore:
                 else F.lit(None).cast("string")
             ).alias("attachment_type"),
         ).localCheckpoint(eager=True)
-        self.blobs.transform(lambda df: df.unionByName(blob_rows))
-        self.metadata.transform(lambda df: df.unionByName(meta_rows))
+        self.blobs.append(blob_rows)
+        self.metadata.append(meta_rows)
         return n
 
     def add_data(
@@ -145,9 +145,9 @@ class ExternalFileStore:
             ],
             METADATA_SCHEMA,
         )
-        self.metadata.transform(lambda df: df.unionByName(row))
+        self.metadata.append(row)
         blob = self.spark.createDataFrame([(okey, bytearray(content))], BLOB_SCHEMA)
-        self.blobs.transform(lambda df: df.unionByName(blob))
+        self.blobs.append(blob)
         sha = hashlib.sha256(content).hexdigest()
         size = len(content)
         hit = F.col("file_id") == file_id

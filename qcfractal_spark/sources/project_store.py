@@ -146,7 +146,7 @@ class ProjectStore:
             ],
             PROJECT_DATASET_SCHEMA,
         )
-        self.project_datasets.transform(lambda df: df.unionByName(row))
+        self.project_datasets.append(row)
 
     def unlink_datasets(
         self,
@@ -264,7 +264,7 @@ class ProjectStore:
             [(int(project_id), int(record_id), name, description, list(tags or []))],
             PROJECT_RECORD_SCHEMA,
         )
-        self.project_records.transform(lambda df: df.unionByName(row))
+        self.project_records.append(row)
 
     def _next_record_id(self) -> int:
         if self.records is None:
@@ -299,7 +299,7 @@ class ProjectStore:
         rec_df = self.spark.createDataFrame(
             [tuple(vals)], self.records.read().schema
         )
-        self.records.transform(lambda df: df.unionByName(rec_df))
+        self.records.append(rec_df)
         self.link_record(project_id, new_id, name, description, tags)
         return new_id
 
@@ -327,7 +327,7 @@ class ProjectStore:
             new_id if c == self.record_id_col else record_row.get(c) for c in cols
         ]
         rec_df = self.spark.createDataFrame([tuple(vals)], self.records.read().schema)
-        self.records.transform(lambda df: df.unionByName(rec_df))
+        self.records.append(rec_df)
         self.link_record(project_id, new_id, name, description, tags)
         return new_id
 

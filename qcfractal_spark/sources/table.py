@@ -842,6 +842,57 @@ class MutableTable:
 
         return self._mutate(build, meta=merged_meta)
 
+    def append(self, batch: DataFrame, meta: dict | None = None) -> int:
+        """TRUE append commit (r15): the new version hardlinks every data
+        file of the base version and writes ONLY the batch's files beside
+        them — commit IO is O(batch) + O(#files) link syscalls, never a
+        table rewrite.  This is what `transform(lambda df:
+        df.unionByName(batch))` should have been for pure inserts: that
+        form re-stages the ENTIRE relation every call, which at 100 TB
+        turns a KB-sized backup push into a table-sized CoW pass.
+
+        The batch must already be in the table's CURRENT schema (same
+        column set — checked; appending pre-evolution columns would
+        corrupt read-time reconciliation, whose defaults are scoped to
+        pre-evolution basenames).  Runs under the CAS loop: a conflict
+        re-links against the fresh base.  Partitioned tables append into
+        their partition directories (new files only — untouched
+        partitions still share inodes with the base)."""
+
+        def build(base):
+            if base is not None:
+                cur_cols = set(self.read(base).columns)
+                new_cols = set(batch.columns)
+                if cur_cols != new_cols:
+                    raise ValueError(
+                        f"append schema mismatch: table has {sorted(cur_cols)}, "
+                        f"batch has {sorted(new_cols)}"
+                    )
+            stage = self._new_stage()
+            os.makedirs(stage, exist_ok=True)
+            if base is not None:
+                base_dir = self._resolve_dir(base)
+                for entry in os.listdir(base_dir):
+                    src = os.path.join(base_dir, entry)
+                    if entry.endswith(".parquet"):
+                        os.link(src, os.path.join(stage, entry))
+                    elif os.path.isdir(src) and "=" in entry:
+                        shutil.copytree(
+                            src,
+                            os.path.join(stage, entry),
+                            copy_function=os.link,  # refcounted, no data copy
+                        )
+            writer = batch.write.mode("append")
+            if self.partition_by:
+                writer = writer.partitionBy(*self.partition_by)
+            writer.parquet(stage)
+            return stage, None
+
+        def merged_meta(base):
+            return {**self._meta_at(base), **(meta or {})}
+
+        return self._mutate(build, meta=merged_meta)
+
     def transform_partitions(
         self,
         fn: Callable[[DataFrame], DataFrame],

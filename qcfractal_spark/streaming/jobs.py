@@ -135,7 +135,7 @@ class InternalJobTable:
             ],
             JOB_SCHEMA,
         )
-        self.table.transform(lambda df: df.unionByName(new_row))
+        self.table.append(new_row)
         return new_id
 
     # -- set-oriented lifecycle mutations ------------------------------------
@@ -284,7 +284,7 @@ class InternalJobTable:
                 ],
                 JOB_SCHEMA,
             )
-            self.table.transform(lambda df: df.unionByName(new))
+            self.table.append(new)
 
     def delete(self, job_ids: Sequence[int]) -> None:
         ids = self._ids_cond(job_ids)
