@@ -868,30 +868,35 @@ class MutableTable:
                         f"append schema mismatch: table has {sorted(cur_cols)}, "
                         f"batch has {sorted(new_cols)}"
                     )
-            stage = self._new_stage()
-            os.makedirs(stage, exist_ok=True)
-            if base is not None:
-                base_dir = self._resolve_dir(base)
-                for entry in os.listdir(base_dir):
-                    src = os.path.join(base_dir, entry)
-                    if entry.endswith(".parquet"):
-                        os.link(src, os.path.join(stage, entry))
-                    elif os.path.isdir(src) and "=" in entry:
-                        shutil.copytree(
-                            src,
-                            os.path.join(stage, entry),
-                            copy_function=os.link,  # refcounted, no data copy
-                        )
-            writer = batch.write.mode("append")
-            if self.partition_by:
-                writer = writer.partitionBy(*self.partition_by)
-            writer.parquet(stage)
-            return stage, None
+            return self._stage_append(base, batch), None
 
         def merged_meta(base):
             return {**self._meta_at(base), **(meta or {})}
 
         return self._mutate(build, meta=merged_meta)
+
+    def _stage_append(self, base: int | None, batch: DataFrame) -> str:
+        """Append staging: hardlink the base version's data files, write
+        only ``batch``'s files beside them."""
+        stage = self._new_stage()
+        os.makedirs(stage, exist_ok=True)
+        if base is not None:
+            base_dir = self._resolve_dir(base)
+            for entry in os.listdir(base_dir):
+                src = os.path.join(base_dir, entry)
+                if entry.endswith(".parquet"):
+                    os.link(src, os.path.join(stage, entry))
+                elif os.path.isdir(src) and "=" in entry:
+                    shutil.copytree(
+                        src,
+                        os.path.join(stage, entry),
+                        copy_function=os.link,  # refcounted, no data copy
+                    )
+        writer = batch.write.mode("append")
+        if self.partition_by:
+            writer = writer.partitionBy(*self.partition_by)
+        writer.parquet(stage)
+        return stage
 
     def transform_partitions(
         self,
@@ -1013,9 +1018,22 @@ class MutableTable:
             to_insert, classified = insert_dedup_classify(current, batch, search_cols)
             n_new = to_insert.count()
             n_existing = classified.where(F.col("_existing")).count()
-            stage = self._stage_df(
-                current.unionByName(to_insert, allowMissingColumns=True)
+            # r15: append staging — the pure-insert op writes ONLY the new
+            # rows (aligned to the table schema; unionByName's
+            # allowMissingColumns semantics reproduced with NULL fills)
+            # and hardlinks everything else, instead of restaging the
+            # whole relation.
+            aligned = to_insert.select(
+                *[
+                    F.col(c) if c in to_insert.columns
+                    else F.lit(None).cast(f.dataType).alias(c)
+                    for c, f in zip(
+                        current.columns,
+                        current.schema.fields,
+                    )
+                ]
             )
+            stage = self._stage_append(base, aligned)
             return stage, {"inserted": n_new, "existing": n_existing}
 
         return self._mutate(build)
