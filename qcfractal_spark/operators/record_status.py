@@ -107,7 +107,14 @@ class RecordStatusTable:
             f"{path}/records",
             partition_by=["_bucket"] if n_buckets else None,
         )
-        self.backup = MutableTable(spark, f"{path}/backup")
+        # the backup stack buckets the same way: pushes are append
+        # commits either way, but the revert POP is an anti-join rewrite
+        # that must stay bounded by the touched buckets too
+        self.backup = MutableTable(
+            spark,
+            f"{path}/backup",
+            partition_by=["_bucket"] if n_buckets else None,
+        )
 
     def _with_bucket(self, df: DataFrame) -> DataFrame:
         return df.withColumn(
@@ -127,6 +134,21 @@ class RecordStatusTable:
         self.records.transform_partitions(
             lambda df: self._with_bucket(update(df.drop("_bucket"))), buckets
         )
+
+    def _backup_push(self, new_backup: DataFrame) -> None:
+        if self.n_buckets:
+            new_backup = self._with_bucket(new_backup)
+        self.backup.append(new_backup)
+
+    def _backup_pop(self, anti_fn, touched_ids: set) -> None:
+        """Anti-join removal from the backup stack, bucket-scoped when
+        bucketed (record_id never changes, so popped rows stay in their
+        buckets)."""
+        if not self.n_buckets:
+            self.backup.transform(anti_fn)
+            return
+        buckets = sorted({int(i) % self.n_buckets for i in touched_ids})
+        self.backup.transform_partitions(anti_fn, buckets)
 
     def _expand(self, ids: Sequence[int], mode: str) -> list[int]:
         """Propagation sets via the graph closure operators (the same
@@ -153,19 +175,20 @@ class RecordStatusTable:
 
     def init(self, records_df: DataFrame) -> None:
         base = records_df.select(*_cols(RECORD_SCHEMA))
+        empty_backup = self.spark.createDataFrame([], BACKUP_SCHEMA)
         if self.n_buckets:
             base = self._with_bucket(base)
+            empty_backup = self._with_bucket(empty_backup)
         self.records.overwrite(base)
-        self.backup.overwrite(
-            self.spark.createDataFrame([], BACKUP_SCHEMA)
-        )
+        self.backup.overwrite(empty_backup)
 
     def read(self) -> DataFrame:
         df = self.records.read()
         return df.drop("_bucket") if self.n_buckets else df
 
     def read_backup(self) -> DataFrame:
-        return self.backup.read()
+        df = self.backup.read()
+        return df.drop("_bucket") if self.n_buckets else df
 
     # -- forward ops (the _cancel_common kernel) ----------------------------
 
@@ -218,8 +241,11 @@ class RecordStatusTable:
                 lambda df: df.join(F.broadcast(ids_df), on="record_id", how="left_anti"),
                 present or {-1},
             )
-            self.backup.transform(
-                lambda df: df.join(F.broadcast(ids_df), on="record_id", how="left_anti")
+            self._backup_pop(
+                lambda df: df.join(
+                    F.broadcast(ids_df), on="record_id", how="left_anti"
+                ),
+                present or {-1},
             )
             return _meta(record_ids, present)
         return self._cancel_common(
@@ -337,7 +363,7 @@ class RecordStatusTable:
             )
 
         self._apply_update(update, updated)
-        self.backup.append(new_backup)
+        self._backup_push(new_backup)
         return _meta(record_ids, updated)
 
     def _revert_common(self, record_ids: Sequence[int], applicable: frozenset) -> dict:
@@ -427,8 +453,11 @@ class RecordStatusTable:
             pop_df = F.broadcast(
                 self.spark.createDataFrame(popped, "record_id long, seq long")
             )
-            self.backup.transform(
-                lambda df: df.join(pop_df, on=["record_id", "seq"], how="left_anti")
+            self._backup_pop(
+                lambda df: df.join(
+                    pop_df, on=["record_id", "seq"], how="left_anti"
+                ),
+                {rid for rid, _ in popped},
             )
         return _meta(record_ids, updated)
 

@@ -71,6 +71,7 @@ from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.utils import AnalysisException
 
 
 class CommitConflictError(RuntimeError):
@@ -205,6 +206,7 @@ class MutableTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(stage)
+        self._staged_schema = df.schema.json()
         return stage
 
     def _schema_ops(self, v: int | None) -> list[dict]:
@@ -272,9 +274,20 @@ class MutableTable:
         construction."""
         v = 0 if base is None else base + 1
         ops = self._schema_ops(base) if schema_ops is None else schema_ops
+        # relation schema as of this commit: what the staging write saw,
+        # or carried forward from the base for hardlink-only commits —
+        # the empty-table read fallback (r15)
+        schema_json = getattr(self, "_staged_schema", None) or self._schema_json_at(base)
+        self._staged_schema = None
         with open(os.path.join(stage, "_meta.json"), "w") as fh:
             json.dump(
-                {"version": v, "ts": time.time(), "meta": meta or {}, "schema_ops": ops},
+                {
+                    "version": v,
+                    "ts": time.time(),
+                    "meta": meta or {},
+                    "schema_ops": ops,
+                    "schema_json": schema_json,
+                },
                 fh,
             )
         if self.current_version() != base:
@@ -596,6 +609,7 @@ class MutableTable:
                     )
         if touched_strs:
             touched_survivors.write.mode("append").partitionBy(pcol).parquet(stage)
+        self._staged_schema = touched_survivors.schema.json()
         return stage
 
     # -- reads --------------------------------------------------------------
@@ -616,13 +630,40 @@ class MutableTable:
                 f"table {self.path}: v{v} has been pruned (time-travel depth 1)"
             )
         ops = self._schema_ops(v) if _ops is None else _ops
-        if not ops:
-            return self.spark.read.parquet(self._resolve_dir(v))
-        df = (
-            self.spark.read.option("mergeSchema", "true")
-            .parquet(self._resolve_dir(v))
-        )
-        return self._reconcile(df, ops)
+        try:
+            if not ops:
+                return self.spark.read.parquet(self._resolve_dir(v))
+            df = (
+                self.spark.read.option("mergeSchema", "true")
+                .parquet(self._resolve_dir(v))
+            )
+        except AnalysisException:
+            # zero data files (an EMPTY partitioned relation writes no
+            # parquet at all, so there is nothing to infer from) — fall
+            # back to the schema recorded at commit time (r15)
+            sj = self._schema_json_at(v)
+            if sj is None:
+                raise
+            from pyspark.sql.types import StructType
+
+            empty = self.spark.createDataFrame(
+                [], StructType.fromJson(json.loads(sj))
+            )
+            # the recorded schema is physical-as-staged; replaying the
+            # cumulative ops keeps an empty EVOLVED table consistent
+            return self._reconcile(empty, ops) if ops else empty
+        return self._reconcile(df, ops) if ops else df
+
+    def _schema_json_at(self, v: int | None) -> str | None:
+        """The relation schema recorded by the commit (``schema_json`` in
+        ``_meta.json``) — the empty-table read fallback."""
+        if v is None:
+            return None
+        try:
+            with open(os.path.join(self._resolve_dir(v), "_meta.json")) as fh:
+                return json.load(fh).get("schema_json")
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
 
     @staticmethod
     def _reconcile(df: DataFrame, ops: list[dict]) -> DataFrame:
@@ -896,6 +937,7 @@ class MutableTable:
         if self.partition_by:
             writer = writer.partitionBy(*self.partition_by)
         writer.parquet(stage)
+        self._staged_schema = batch.schema.json()
         return stage
 
     def transform_partitions(
@@ -1056,16 +1098,40 @@ class MutableTable:
         def build(base):
             current = self.read(base)
             batch_keys = batch.select(*keys).dropDuplicates(keys)
-            kept = current.alias("b").join(
-                batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
-            )
-            updated = current.count() - kept.count()
-            stage = self._stage_df(
-                kept.unionByName(batch.dropDuplicates(keys), allowMissingColumns=True)
-            )
+            deduped = batch.dropDuplicates(keys)
+            # r15: partition-scoped MERGE when the partition column is one
+            # of the key columns — every row the merge touches (matched
+            # current rows AND inserted batch rows) then provably lives in
+            # the batch's partitions, so untouched partitions hardlink.
+            # This is Delta's dynamic partition pruning for MERGE; with a
+            # key-derived bucket layout it bounds upsert IO by the batch.
+            if len(self.partition_by) == 1 and self.partition_by[0] in keys:
+                pcol = self.partition_by[0]
+                touched = [
+                    r[pcol]
+                    for r in deduped.select(pcol).distinct().collect()
+                ]
+                scoped = current.where(F.col(pcol).isin(touched))
+                kept = scoped.alias("b").join(
+                    batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
+                )
+                updated = scoped.count() - kept.count()
+                stage = self._stage_partition_scoped(
+                    base,
+                    kept.unionByName(deduped, allowMissingColumns=True),
+                    touched,
+                )
+            else:
+                kept = current.alias("b").join(
+                    batch_keys.alias("t"), _null_safe_cond(keys), how="left_anti"
+                )
+                updated = current.count() - kept.count()
+                stage = self._stage_df(
+                    kept.unionByName(deduped, allowMissingColumns=True)
+                )
             return stage, {
                 "updated": updated,
-                "inserted": batch.dropDuplicates(keys).count() - updated,
+                "inserted": deduped.count() - updated,
             }
 
         return self._mutate(build)

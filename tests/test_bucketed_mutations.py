@@ -72,6 +72,26 @@ def test_transform_partitions_empty_touched_is_hardlink_commit(spark, tmp_path):
     assert t.read().count() == 40
 
 
+def test_upsert_scopes_to_key_partitions(spark, tmp_path):
+    """When the partition column is a key column, upsert must rewrite
+    only the batch's partitions (Delta MERGE dynamic pruning analog)."""
+    t = MutableTable(spark, str(tmp_path / "up"), partition_by=["b"])
+    t.overwrite(spark.createDataFrame(ROWS, "id long, val string, b int"))
+    before = _part_inodes(t, t.current_version())
+    meta = t.upsert(
+        spark.createDataFrame(
+            [(5, "X", 1), (100, "new", 1)], "id long, val string, b int"
+        ),
+        ["id", "b"],
+    )
+    assert meta == {"updated": 1, "inserted": 1}
+    after = _part_inodes(t, t.current_version())
+    for part in ("b=0", "b=2", "b=3"):
+        assert after[part] == before[part], part
+    got = {r["id"]: r["val"] for r in t.read().collect()}
+    assert got[5] == "X" and got[100] == "new" and len(got) == 41
+
+
 def _records(spark, n=60):
     # waiting/running/error/complete mix over ids 0..n-1
     sts = ["waiting", "running", "error", "complete"]
