@@ -65,6 +65,37 @@ def test_append_to_empty_table(spark, tmp_path):
     assert t.read().count() == 1
 
 
+def test_concurrent_appends_lose_no_batch(spark, tmp_path):
+    """Two threads appending disjoint batches under the CAS loop: the
+    loser must retry against the winner's version and BOTH batches
+    survive (the no-lost-update contract the threaded insert_dedup
+    tests pin, here for raw append)."""
+    import threading
+
+    t = MutableTable(spark, str(tmp_path / "c"), commit_strategy="manifest")
+    t.overwrite(spark.createDataFrame([(0, "seed")], "id long, v string"))
+    errs = []
+
+    def appender(lo):
+        try:
+            t.append(
+                spark.createDataFrame(
+                    [(lo + i, f"w{lo}") for i in range(3)], "id long, v string"
+                )
+            )
+        except Exception as exc:  # noqa: BLE001 — surfaced via errs
+            errs.append(exc)
+
+    threads = [threading.Thread(target=appender, args=(lo,)) for lo in (10, 20)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errs, errs
+    got = sorted(r["id"] for r in t.read().collect())
+    assert got == [0, 10, 11, 12, 20, 21, 22]
+
+
 def test_append_composes_with_transform_history(spark, tmp_path):
     t = MutableTable(spark, str(tmp_path / "h"))
     t.overwrite(spark.createDataFrame([(1, "a")], "id long, v string"))
