@@ -2926,6 +2926,10 @@ def q_s13_status_mutations(spark, sf_dir):
     reference's explicit client id lists (bounded collects, the S2/S6
     contract).  Gate-only: like the other mutation gates it times
     scratch IO, not a query plan."""
+    return _s13_script(spark, sf_dir, "s13", n_buckets=None)
+
+
+def _s13_script(spark, sf_dir, tag, n_buckets):
     import shutil
 
     from .operators.record_status import RecordStatusTable
@@ -2955,9 +2959,9 @@ def q_s13_status_mutations(spark, sf_dir):
         .when(has_task, F.lit(False))
         .alias("task_available"),
     )
-    path = _scratch_dir(sf_dir, "s13")
+    path = _scratch_dir(sf_dir, tag)
     shutil.rmtree(path, ignore_errors=True)
-    table = RecordStatusTable(spark, path)
+    table = RecordStatusTable(spark, path, n_buckets=n_buckets)
     table.init(fix)
 
     def stripe(*mods, extra=None):
@@ -3143,6 +3147,27 @@ FROM b7
 """
 
 REGISTRY["s13_status_mutations"] = (q_s13_status_mutations, SQL_S13)
+
+
+def q_s18_bucketed_mutations(spark, sf_dir):
+    """S18 (r15, VERDICT r14 item 6): the BUCKETED arm of the s13 status
+    mutations — the IDENTICAL 7-op script over the identical fixture,
+    but with ``RecordStatusTable(n_buckets=8)``: records AND backup
+    partitioned on ``record_id % 8``, every forward op routed through
+    ``MutableTable.transform_partitions`` (touched buckets rewritten,
+    the rest hardlinked), backup pushes through the append commit,
+    revert pops bucket-scoped.  Shares s13's layered-CASE oracle
+    verbatim, so any divergence between the partition-scoped commit
+    path and the full-rewrite path — a row lost crossing a bucket
+    boundary, a pop that missed a bucket, a bucket column leaking into
+    the logical schema — hashes red at the driver.  The inode-level
+    only-touched-buckets property is pinned by
+    tests/test_bucketed_mutations.py and the scale_mutations assertion;
+    this gate pins the VALUES.  Gate-only (scratch IO), like s13."""
+    return _s13_script(spark, sf_dir, "s18", n_buckets=8)
+
+
+REGISTRY["s18_bucketed_mutations"] = (q_s18_bucketed_mutations, SQL_S13)
 
 
 def q_s14_dataset_clone(spark, sf_dir):
@@ -11402,12 +11427,15 @@ _DRIVER_WINDOW = [
     #     a13_manybody_levels, u5_stratified_sample,
     #     dd_contamination_neardup, dd_simhash (displaced by the r14
     #     newcomers);
-    # (b) the round-15 newcomers, never driver-stamped (5):
+    # (b) the round-15 newcomers, never driver-stamped (6):
     #     s16_project_links (project record/dataset link/unlink/add/
     #     import as MutableTable ops, VERDICT r14 item 2),
     #     s17_molecule_modify (name/comment/identifier merge-vs-overwrite
-    #     with immutable hash+formula, item 3), and the three gate-only
-    #     invariant arms split out of the sketch queries (item 1):
+    #     with immutable hash+formula, item 3), s18_bucketed_mutations
+    #     (the n_buckets=8 partition-scoped-commit arm of the s13
+    #     script, same layered-CASE oracle verbatim — item 6's
+    #     correctness gate), and the three gate-only invariant arms
+    #     split out of the sketch queries (item 1):
     #     a19_distinct_gate, a22_quantiles_gate, a24_heavy_hitters_gate
     #     (each hash-green vs its r14 invariant oracle);
     # (c) the three changed-after-stamp benched sketch arms (item 1):
@@ -11416,8 +11444,8 @@ _DRIVER_WINDOW = [
     #     stage moved to the (b) gates) — rows/schema-gated with no SQL
     #     oracle, so their r15 stamps will read no_oracle BY DESIGN (the
     #     estimates are engine-specific; the hash gate lives in (b));
-    # (d) 33 of the 39-query r11-stamped cohort — the oldest remaining
-    #     stamps (the floor reaches r11 at r16).  Six displaced, each
+    # (d) 32 of the 39-query r11-stamped cohort — the oldest remaining
+    #     stamps (the floor reaches r11 at r16).  Seven displaced, each
     #     with a fresh in-window or recent-stamp family carrier:
     #       st_stream_span        ⊂ dd_span_dedup (r13) +
     #                             st_stream_urldedup (r14, streaming arm);
@@ -11432,28 +11460,32 @@ _DRIVER_WINDOW = [
     #                             in-window sim_ivf_topk + sim_ivfpq_topk
     #                             (r14);
     #       tx_unigram_encode     ⊂ tx_unigram_tok (in-window under (d),
-    #                             the same learned-vocab encode).
-    #     All six MUST head the r16 roster (their r11 stamps hit the
-    #     floor there) together with the remaining 33 r11 stamps'
+    #                             the same learned-vocab encode);
+    #       sim_multiprobe_topk   ⊂ sim_lsh_topk (r13, the same
+    #                             hyperplane-LSH bucket probe — multi-
+    #                             probe adds the Hamming-1 ring) +
+    #                             in-window sim_filtered_topk.
+    #     All seven MUST head the r16 roster (their r11 stamps hit the
+    #     floor there) together with the remaining 32 r11 stamps'
     #     natural expiry — i.e. the full r11 cohort re-enters at r16.
     # Step OUT: the 50 r14 stamps (fresh) and the r12/r13 cohorts
     # (within the floor).
-    # 9 + 5 + 3 + 33 = 50, zero fill slots this round.
+    # 9 + 6 + 3 + 32 = 50, zero fill slots this round.
     # --- (a) r10-stamped, mandated by the r14 ledger (9) ---
     "a2_status_counts", "a4_union_counts", "u3_distinct",
     "j12_element_at", "f9_content_hash", "a13_manybody_levels",
     "u5_stratified_sample", "dd_contamination_neardup", "dd_simhash",
-    # --- (b) round-15 newcomers (5) ---
-    "s16_project_links", "s17_molecule_modify", "a19_distinct_gate",
-    "a22_quantiles_gate", "a24_heavy_hitters_gate",
+    # --- (b) round-15 newcomers (6) ---
+    "s16_project_links", "s17_molecule_modify", "s18_bucketed_mutations",
+    "a19_distinct_gate", "a22_quantiles_gate", "a24_heavy_hitters_gate",
     # --- (c) changed-after-stamp sketch production arms (3) ---
     "a19_approx_distinct", "a22_approx_quantiles", "a24_heavy_hitters",
-    # --- (d) r11 cohort, 33 of 39 ---
+    # --- (d) r11 cohort, 32 of 39 ---
     "a15_properties_df", "a18_cube_counts", "a20_salted_agg",
     "a21_histogram", "a25_diversity", "a7_json_rollup", "a8_status_gate",
     "a9_argmin", "d1_value_call", "o7_serial_claim", "pk_sliding_windows",
     "s9_snapshot_diff", "sim_filtered_topk", "sim_hybrid_rrf",
-    "sim_ivf_topk", "sim_multiprobe_topk", "sim_outliers", "sim_topk",
+    "sim_ivf_topk", "sim_outliers", "sim_topk",
     "t11_scd2", "t12_islands", "tx_doc_freq", "tx_kn_mod", "tx_source_kl",
     "tx_tfidf", "tx_unigram_lm", "tx_unigram_tok", "u10_weighted_sample",
     "u11_curriculum", "u13_coreset", "u14_doremi", "u7_epoch_shuffle",
