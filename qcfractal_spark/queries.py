@@ -47,8 +47,12 @@ def _dsum(col, alias):
     return F.sum(col.cast(_DEC)).cast("double").alias(alias)
 
 
-def _t(spark, sf_dir, name):
-    return load_table(spark, sf_dir, name)
+def _t(spark, sf_dir, name, fan=False):
+    """Catalog read; ``fan=True`` opts the scan into the scale-adaptive
+    fan-out (catalog.load_table) — set on queries whose scan-side compute
+    (md5 shingles, regex scoring, decimal products, array math) measured
+    faster 32-way than single-task at sf0.1, and a no-op at real scale."""
+    return load_table(spark, sf_dir, name, fanout=fan)
 
 
 def build_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1197,7 +1201,7 @@ FROM lineitem GROUP BY l_orderkey
 def q_a9_argmin(spark, sf_dir):
     """A9: DISTINCT ON argmin-per-group with tie-break ordering
     (torsiondrive/record_db_models.py:120-136)."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan=True)
     return agg.argmin_per_group(
         li,
         ["l_orderkey"],
@@ -1218,7 +1222,7 @@ def q_a10_map_agg(spark, sf_dir):
     (torsiondrive/record_db_models.py:138-146).  Keys deduped by a
     pre-aggregation (sum per linenumber) since the synthetic lineitem can
     repeat linenumbers within an order."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan=True)
     per_line = li.groupBy("l_orderkey", "l_linenumber").agg(
         F.sum(F.col("l_quantity").cast("long")).alias("qty")
     )
@@ -1524,7 +1528,7 @@ ORDER BY revenue DESC, o_orderkey ASC LIMIT 10
 def q_tx_text_stats(spark, sf_dir):
     """Text analysis: token counts (whitespace + BPE-ish), language-ID
     heuristic, quality score — all JVM-side expressions."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     t = F.col("text")
     return docs.select(
         "doc_id",
@@ -1588,7 +1592,7 @@ FROM scored
 
 def q_dd_exact(spark, sf_dir):
     """Exact dedup: canonical-text fingerprint groups with keeper id."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.exact_dedup(docs).select("fingerprint", "keep_id", "dup_count")
 
 
@@ -1632,7 +1636,7 @@ WHERE ROUND(common * 1.0 / (sa.n_sh + sb.n_sh - common), 6) >= 0.5
 
 def q_dd_simhash(spark, sf_dir):
     """SimHash 32-bit signatures over the distinct-token set."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.simhash(docs)
 
 
@@ -1662,7 +1666,7 @@ def q_dd_minhash_lsh(spark, sf_dir):
     Signatures use the portable md5-derived hash, so this is exactly
     reproducible; the oracle (SQL_DD_MINHASH) replays the same permutation
     table and banding in DuckDB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     # Materialize signatures once: the banding self-join would otherwise
     # evaluate the signature subplan on both sides.
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
@@ -1674,7 +1678,7 @@ def q_dd_minhash_lsh(spark, sf_dir):
 
 def q_sim_topk(spark, sf_dir):
     """Brute-force cosine top-10 against the vec_id=0 query vector."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan=True)
     qvec = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
     return sim.brute_force_topk(emb, qvec, k=10)
 
@@ -1928,7 +1932,7 @@ def q_sim_cosine_pairs(spark, sf_dir):
     bitwise-matching by sim_topk's hash gate), so phase 1 only selects and
     the emitted scores stay oracle-exact.
     """
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan=True)
     return sim.exact_cosine_pairs_topk(emb, k=20)
 
 
@@ -2310,7 +2314,7 @@ def q_dd_cluster(spark, sf_dir):
     keep rows WHERE id = cluster_id."""
     from .operators.graph import connected_components
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     sigs = dd.minhash_signatures(docs).localCheckpoint(eager=True)
     # Star-contracted edges (doc -> bucket representative), NOT the bucket
     # cliques: identical components, edge count linear in bucket size
@@ -2513,7 +2517,7 @@ def q_dd_contamination(spark, sf_dir):
     document plays the benchmark set; each remaining document reports how
     many of its distinct 13-grams leak from the benchmark
     (functions/dedup.py:contamination_report)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     bench = docs.where(F.col("doc_id") % 100 == 0)
     corpus = docs.where(F.col("doc_id") % 100 != 0)
     return dd.contamination_report(corpus, bench, k=13)
@@ -2579,7 +2583,7 @@ def q_dd_simhash_scaled(spark, sf_dir):
     Oracle recomputes the same width from COUNT(*) and replays the
     signature construction; the pair check is brute-force popcount —
     banding is a plan detail the oracle need not share."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     w = dd.scaled_band_bits(docs.count())
     sigs = dd.simhash(docs, bits=4 * w, wide_hash=True).localCheckpoint(
         eager=True
@@ -3933,7 +3937,7 @@ def q_tx_gopher_rules(spark, sf_dir):
     work in the scan, one row out per row in — composes as a WHERE
     clause in any prep pipeline (the published-rule sibling of the
     quality_score filter pipe_prepare uses)."""
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents", fan=True).where(F.col("text").isNotNull())
     return tx.gopher_rules(docs)
 
 
@@ -4452,7 +4456,7 @@ def q_dd_winnow_capped(spark, sf_dir):
     ENTIRE overlap is boilerplate — near-dup pairs with any distinctive
     shared substring keep ≥min_common rare fingerprints.  Oracle replays
     the cap on the identical fingerprint set."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.winnow_pairs(docs, k=16, w=8, min_common=2, max_doc_freq=20)
 
 
@@ -4498,7 +4502,7 @@ def q_dd_substring(spark, sf_dir):
     tests/test_functions.py::test_cdc_catches_offset_straddling_duplicate).
     Output = removal-ready spans: every chunk (≥ 24 chars) whose md5
     appears in ≥ 2 distinct docs, with its per-doc offset."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.cdc_duplicate_spans(docs, k=16, mod=64, min_len=24).select(
         F.col("id").alias("doc_id"),
         F.col("start").alias("chunk_start"),
@@ -4980,7 +4984,7 @@ def q_tx_pii(spark, sf_dir):
     corpus: per-document counts of emails / phone numbers / IPv4s and the
     md5 of the redacted text.  Pure codegen regex scan — zero shuffles; the
     shape every pre-training privacy pass needs at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     aug = F.concat(
         F.col("text"),
         F.lit(" contact user"),
@@ -5074,7 +5078,7 @@ def q_dd_common_ngrams(spark, sf_dir):
     boilerplate to strip before dedup.  Shape: codegen shingle explode →
     one map-combinable count agg → TakeOrdered 20 — scan-dominated, the
     exact shape that holds at 100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     sh = dd.shingle_rows(docs, "text", "doc_id", k=8, distinct=True)
     return (
         sh.groupBy("shingle")
@@ -5481,7 +5485,7 @@ def q_sim_hard_negatives(spark, sf_dir):
     scan-side scoring, rank-only per-query window (map-side
     WindowGroupLimit); at 100 TB the corpus arg takes the IVF-pruned
     candidate frame instead of the full scan, same algebra."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan=True)
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -5637,7 +5641,7 @@ def q_tx_dsir(spark, sf_dir):
     decimal BEFORE the per-doc sum (order-independent, oracle-exact);
     transcendentals never enter a float accumulation."""
     B = 256
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     # tokenize in a projection BELOW the explode: generator expressions are
     # not CSE'd, so inlining tokens(text) would re-tokenize ~8x per row
     fb = (
@@ -5730,7 +5734,7 @@ def q_tx_quality_clf(spark, sf_dir):
     1000 ∈ [−1000, 1000]); the doc sum stays in BIGINT and floats appear
     only in the final two rounded expressions."""
     B = 4096
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     fb = docs.select("doc_id", tx.tokens(F.col("text")).alias("_tk")).select(
         "doc_id", F.explode(tx.ngram_features_from_tokens(F.col("_tk"))).alias("feat")
     )
@@ -7099,7 +7103,7 @@ def q_dd_jaccard_capped(spark, sf_dir):
     is the useful scale primitive: shingles with document frequency > 20
     contribute 0 pairs instead of f², and pairs sharing ≥3 surviving rare
     shingles are the verify-pass input.  Oracle replays cap + floor."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.ngram_jaccard_pairs(
         docs, k=5, threshold=0.0, max_doc_freq=20, min_common=3
     )
@@ -7917,7 +7921,7 @@ def q_v1_variant_rollup(spark, sf_dir):
     writer shreds ``$.k`` into a typed subcolumn the scan prunes on."""
     from .functions.variantprops import parse_properties, prop
 
-    ev = _t(spark, sf_dir, "events").withColumn("_v", parse_properties(F.col("props")))
+    ev = _t(spark, sf_dir, "events", fan=True).withColumn("_v", parse_properties(F.col("props")))
     k = prop(F.col("_v"), "k", "long")
     return (
         ev.where(k.isNotNull())
@@ -8050,7 +8054,7 @@ def q_dd_minhash_estimate(spark, sf_dir):
     no text hydration, so only estimate-survivors pay the exact pass.
     The oracle replays the shared signature CTE and counts agreeing
     components per pair."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan=True)
     return dd.minhash_estimate_pairs(docs)
 
 
@@ -9098,7 +9102,7 @@ def q_u13_coreset(spark, sf_dir):
     decimal-exact distances make the oracle's unrolled 8-step CTE chain
     reproduce the selection bit-for-bit (the g1_pagerank pattern
     applied to embeddings)."""
-    return sim.kcenter_coreset(_t(spark, sf_dir, "embeddings"), k=8)
+    return sim.kcenter_coreset(_t(spark, sf_dir, "embeddings", fan=True), k=8)
 
 
 def _coreset_oracle_sql(k: int = 8, dim: int = 64) -> str:
@@ -9157,7 +9161,7 @@ def q_sim_outliers(spark, sf_dir):
     mislabeled-example triage op.  Decimal-exact centroid and distance
     sums (the a17 float contract); bottom-k via map-side
     WindowGroupLimit."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", fan=True)
     return sim.label_centroid_outliers(emb, k=20)
 
 
@@ -9450,7 +9454,7 @@ def q_a23_corr(spark, sf_dir):
     independent), the correlation assembled in double at the very end.
     The profile op feeding feature selection; map-combinable end to
     end."""
-    li = _t(spark, sf_dir, "lineitem")
+    li = _t(spark, sf_dir, "lineitem", fan=True)
     cols = ["l_quantity", "l_extendedprice", "l_discount"]
     # Inputs carry <=2 decimal places, so pairwise products are EXACT in
     # double (raw integers < 2^53); round+decimal-cast before the sum keeps
@@ -10399,7 +10403,7 @@ def q_tx_html_extract(spark, sf_dir):
     is already plain text, so the flagship keeps its plain-text input)."""
     from .functions import html as H
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("text").isNotNull())
+    docs = _t(spark, sf_dir, "documents", fan=True).where(F.col("text").isNotNull())
     e = H.with_html_extract(
         docs.select("doc_id", "text"), F.expr(_SYNTH_HTML_EXPR)
     )
