@@ -7257,12 +7257,13 @@ def _scratch_dir(sf_dir: str, tag: str) -> str:
     st_stream_substring flake when pytest and preflight overlapped)."""
     import hashlib
     import os
-    import tempfile
+
+    from .session import scratch_base
 
     _reap_stale_scratch()
     h = hashlib.md5(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
     return os.path.join(
-        tempfile.gettempdir(), f"qcfractal_spark_{tag}_{h}_{os.getpid()}"
+        scratch_base(), f"qcfractal_spark_{tag}_{h}_{os.getpid()}"
     )
 
 
@@ -7284,10 +7285,11 @@ def _reap_stale_scratch(max_age_sec: int = 1800) -> None:
     import os
     import re
     import shutil
-    import tempfile
     import time
 
-    tmp = tempfile.gettempdir()
+    from .session import scratch_base
+
+    tmp = scratch_base()
     now = time.time()
     try:
         names = os.listdir(tmp)

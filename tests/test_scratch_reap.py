@@ -13,10 +13,11 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import qcfractal_spark.queries as q
+from qcfractal_spark.session import scratch_base
 
 
 def _mk(name: str, age_sec: float = 0.0) -> str:
-    p = os.path.join(tempfile.gettempdir(), name)
+    p = os.path.join(scratch_base(), name)
     os.makedirs(p, exist_ok=True)
     if age_sec:
         os.utime(p, (time.time() - age_sec, time.time() - age_sec))
