@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .operators.aggregates import status_counts
+from .session import local_df
 from .operators.dataset import missing_cells, status_matrix
 from .operators.graph import ancestors, descendants
 from .operators.pivot import compile_values_pivot, drop_all_null_columns, properties_df
@@ -103,7 +104,8 @@ def query_records(
                 F.col("id").alias("creator_user_id")
             )
             if ids:
-                idf = df.sparkSession.createDataFrame(
+                idf = local_df(
+                    df.sparkSession,
                     [(int(i),) for i in ids], "creator_user_id long"
                 )
                 uid = uid.unionByName(idf)

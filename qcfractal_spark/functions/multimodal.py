@@ -23,6 +23,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -549,4 +550,4 @@ def make_fake_media(spark, n: int = 64) -> DataFrame:
                 float(i % 7) if kind != "image" else None,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return local_df(spark, rows, MEDIA_SCHEMA)

@@ -45,6 +45,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, functions as F
+from ..session import local_df
 
 # Curated ICANN-section snapshot: every entry is a real PSL rule.
 # Single-label TLD rules are omitted on purpose — the default rule
@@ -192,8 +193,8 @@ def load_psl_rules(path: str | None = None, private: bool = True):
 def rules_df(spark, rules=None) -> DataFrame:
     """The broadcastable rule dim table."""
     rules = rules if rules is not None else load_psl_rules()
-    return spark.createDataFrame(
-        rules, "base string, is_n boolean, is_w boolean, is_e boolean, nlabels int"
+    return local_df(
+        spark, rules, "base string, is_n boolean, is_w boolean, is_e boolean, nlabels int"
     )
 
 

@@ -19,6 +19,7 @@ import numpy as np
 import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -486,7 +487,7 @@ def ivf_topk_batch(
 
     spark = queries.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cent_df = spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+    cent_df = local_df(spark, cent_rows, "cid int, centroid array<double>")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
@@ -563,7 +564,7 @@ def ivf_recall_by_probe(
 
     spark = queries.sparkSession
     cent_rows = [(i, [float(x) for x in c]) for i, c in enumerate(centroids)]
-    cent_df = spark.createDataFrame(cent_rows, "cid int, centroid array<double>")
+    cent_df = local_df(spark, cent_rows, "cid int, centroid array<double>")
     q = queries.select(
         F.col(query_id_col).alias("query_id"),
         F.col(query_vec_col).cast("array<double>").alias("_qv"),
@@ -818,7 +819,7 @@ def write_ivf_index(
     assigned.write.mode("overwrite").partitionBy("_cid").parquet(f"{path}/vectors")
     spark = df.sparkSession
     cent_rows = [(i, list(map(float, c))) for i, c in enumerate(centroids)]
-    spark.createDataFrame(cent_rows, "cid int, centroid array<double>").coalesce(
+    local_df(spark, cent_rows, "cid int, centroid array<double>").coalesce(
         1
     ).write.mode("overwrite").parquet(f"{path}/centroids")
 
@@ -1026,7 +1027,8 @@ def pq_distortion_report(
     ksub = len(codebooks[0])
     dsub = len(codebooks[0][0])
     spark = coded.sparkSession
-    cb = spark.createDataFrame(
+    cb = local_df(
+        spark,
         [
             (j, c, [float(x) for x in codebooks[j][c]])
             for j in range(m)
@@ -1339,7 +1341,7 @@ def kcenter_coreset(
             "mind", F.least(F.col("mind"), F.expr(_sq_dist_expr(row["v"])))
         ).localCheckpoint(eager=False)
         cur.count()  # materialize + cut lineage, one job per step
-    return spark.createDataFrame(centers, "rank int, vec_id long, radius double")
+    return local_df(spark, centers, "rank int, vec_id long, radius double")
 
 
 def rrf_fuse(

@@ -15,6 +15,7 @@ import os
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from ..session import local_df
 
 # Minimal per-language stopword lists for the n-gram/stopword language-ID
 # heuristic.  Deliberately tiny + frozen: the heuristic must be identically
@@ -214,8 +215,8 @@ def lang_id_table(
 
     spark = df.sparkSession
     langs = sorted(STOPWORDS)
-    sw = spark.createDataFrame(
-        [(lang, w) for lang in langs for w in STOPWORDS[lang]], "_lang string, _tk string"
+    sw = local_df(
+        spark, [(lang, w) for lang in langs for w in STOPWORDS[lang]], "_lang string, _tk string"
     )
     toks = (
         df.select(
@@ -764,8 +765,8 @@ def bpe_merges(docs: DataFrame, n_merges: int = 10) -> DataFrame:
     chained CTEs, bit-identical.
     """
     merges, _cur = _bpe_learn(docs, n_merges)
-    return docs.sparkSession.createDataFrame(
-        merges, "rank int, lhs string, rhs string, pair_count long"
+    return local_df(
+        docs.sparkSession, merges, "rank int, lhs string, rhs string, pair_count long"
     )
 
 
@@ -932,7 +933,7 @@ def _term_buckets(spark, terms, n_buckets: int):
 
     if os.environ.get("SPARK_GRAFT_FAST_HASH") == "1":
         rows = (
-            spark.createDataFrame([(t,) for t in terms], "term string")
+            local_df(spark, [(t,) for t in terms], "term string")
             .select(F.pmod(portable_hash64(F.col("term")), F.lit(n_buckets)).alias("b"))
             .collect()
         )

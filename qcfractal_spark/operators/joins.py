@@ -19,6 +19,7 @@ from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def semi_join_values(
@@ -48,7 +49,7 @@ def semi_join_values(
         )
         for row in values
     ]
-    vals_df = spark.createDataFrame(rows, schema=schema)
+    vals_df = local_df(spark, rows, schema=schema)
     # NULL-SAFE equality per position: the reference's OR-of-ANDs fallback
     # renders `col == None` as IS NULL and matches it; a plain equi-key
     # semi join would silently match nothing for tuples containing None.

@@ -23,6 +23,7 @@ from typing import Any, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from ..session import local_df
 
 
 def bulk_get_ordered(
@@ -53,7 +54,8 @@ def bulk_get_ordered(
     # The id column's type comes from the table (string hashes and UUIDs
     # are keys too — a hardcoded long crashed createDataFrame for them).
     id_type = dict(table.dtypes)[id_col]
-    ids_df = spark.createDataFrame(
+    ids_df = local_df(
+        spark,
         [(i, v) for i, v in enumerate(ids)],
         schema=f"_input_idx long, {id_col} {id_type}",
     )

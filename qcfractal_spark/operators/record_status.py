@@ -47,6 +47,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.table import MutableTable
+from ..session import local_df
 
 RECORD_SCHEMA = (
     "record_id long, status string, is_service boolean, "
@@ -159,7 +160,7 @@ class RecordStatusTable:
             return ids
         from .graph import ancestors, descendants, relatives
 
-        seeds = self.spark.createDataFrame([(i,) for i in ids], "id long")
+        seeds = local_df(self.spark, [(i,) for i in ids], "id long")
         if mode == "children":
             extra = descendants(seeds, self.edges)
         elif mode == "parents":
@@ -175,7 +176,7 @@ class RecordStatusTable:
 
     def init(self, records_df: DataFrame) -> None:
         base = records_df.select(*_cols(RECORD_SCHEMA))
-        empty_backup = self.spark.createDataFrame([], BACKUP_SCHEMA)
+        empty_backup = local_df(self.spark, [], BACKUP_SCHEMA)
         if self.n_buckets:
             base = self._with_bucket(base)
             empty_backup = self._with_bucket(empty_backup)
@@ -278,7 +279,7 @@ class RecordStatusTable:
     # -- kernels -------------------------------------------------------------
 
     def _ids_df(self, ids: Sequence[int]) -> DataFrame:
-        return self.spark.createDataFrame(
+        return local_df(self.spark,
             [(int(i),) for i in ids] or [(None,)], "record_id long"
         )
 
@@ -321,7 +322,7 @@ class RecordStatusTable:
             .join(F.broadcast(self._ids_df(sorted(updated))), on="record_id", how="left_semi")
             .collect()
         }
-        new_backup = self.spark.createDataFrame(
+        new_backup = local_df(self.spark,
             [
                 (
                     r["record_id"],
@@ -426,7 +427,7 @@ class RecordStatusTable:
             return _meta(record_ids, set())
         updated = {t[0] for t in restored_rows}
         upd = F.broadcast(
-            self.spark.createDataFrame(
+            local_df(self.spark,
                 restored_rows,
                 "record_id long, _status string, _tag string, _prio int, "
                 "_avail boolean, _mgr string",
@@ -451,7 +452,7 @@ class RecordStatusTable:
         self._apply_update(update, updated)
         if popped:
             pop_df = F.broadcast(
-                self.spark.createDataFrame(popped, "record_id long, seq long")
+                local_df(self.spark, popped, "record_id long, seq long")
             )
             self._backup_pop(
                 lambda df: df.join(

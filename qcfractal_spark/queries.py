@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 import pandas as pd  # noqa: F401  (pandas_udf annotation resolution)
 
 from .catalog import load_table
+from .session import local_df
 from .functions import dedup as dd
 from .functions import similarity as sim
 from .functions import text as tx
@@ -440,7 +441,8 @@ def _waiting_fixture(spark, sf_dir):
         .otherwise(req)
         .alias("required_programs"),
     )
-    managers = spark.createDataFrame(
+    managers = local_df(
+        spark,
         [
             ("m1", ["psi4", "dftd3", "mp2"], ["t0", "t1"], True),
             ("m2", ["psi4"], ["*"], True),
@@ -634,7 +636,8 @@ def q_o9_service_replay(spark, sf_dir):
         return {"level": level + 1, "total": total}, specs, False
 
     queue = SingleWriterQueue(
-        tasks=spark.createDataFrame(
+        tasks=local_df(
+            spark,
             [],
             "id long, record_id long, compute_tag string, compute_priority int, "
             "sort_date timestamp, available boolean, required_programs array<string>",
@@ -673,7 +676,8 @@ def q_o9_service_replay(spark, sf_dir):
             rid = t["record_id"]
             loop.record_result(rid, buckets.get(loop.specs[rid], Decimal(0)))
             queue.return_task("m", t["id"], rid, ok=True)
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         rows,
         "iteration bigint, n_consumed bigint, consumed_sum double, "
         "total double, done boolean, n_complete bigint",
@@ -3205,7 +3209,8 @@ def q_s14_dataset_clone(spark, sf_dir):
 
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
-    datasets = spark.createDataFrame(
+    datasets = local_df(
+        spark,
         [
             (1, "singlepoint", "sp_main", "the main set", "t0", 1),
             (2, "singlepoint", "sp_other", "the other set", "t1", 2),
@@ -3241,7 +3246,8 @@ def q_s14_dataset_clone(spark, sf_dir):
             F.ascii(F.col("o_orderstatus")).cast("long").alias("specification_id"),
         )
         .unionByName(
-            spark.createDataFrame(
+            local_df(
+                spark,
                 [(2, "sO", "spec O", ord("O"))],
                 "dataset_id long, name string, description string, "
                 "specification_id long",
@@ -3419,7 +3425,8 @@ def q_s16_project_links(spark, sf_dir):
     records.overwrite(records_df)
 
     store = ProjectStore(spark, path, records=records)
-    projects = spark.createDataFrame(
+    projects = local_df(
+        spark,
         [
             (1, "proj_main", "the main project", "tag main", []),
             (2, "proj_other", "the other project", "tag other", []),
@@ -3519,7 +3526,8 @@ def q_s16_project_links(spark, sf_dir):
         F.col("record_type").alias("name"),
         F.col("status").alias("aux"),
     )
-    gate = spark.createDataFrame(
+    gate = local_df(
+        spark,
         [("gate", None, gates, "already_exists_caught", None)],
         "kind string, project_id long, obj_id long, name string, aux string",
     )
@@ -3667,7 +3675,8 @@ def q_s17_molecule_modify(spark, sf_dir):
     idents = cur.select(
         "molecule_id", F.explode(F.col("identifiers")).alias("k", "v")
     ).select(F.lit("ident").alias("kind"), "molecule_id", "k", "v")
-    gate = spark.createDataFrame(
+    gate = local_df(
+        spark,
         [("gate", gates, None, None)],
         "kind string, molecule_id long, k string, v string",
     )
@@ -4164,7 +4173,7 @@ def q_st_session_custom(spark, sf_dir):
     ev = _t(spark, sf_dir, "events").select(
         "ts", F.col("user_id").cast("long").alias("user_id"), F.col("value").cast("double").alias("value")
     )
-    sentinel = spark.createDataFrame([(datetime(2030, 1, 1), -1, 0.0)], schema)
+    sentinel = local_df(spark, [(datetime(2030, 1, 1), -1, 0.0)], schema)
     ev.unionByName(sentinel).coalesce(4).write.mode("overwrite").parquet(land)
     for _ in range(2):
         q = (

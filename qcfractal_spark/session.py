@@ -57,6 +57,46 @@ def ensure_session_contract(spark: SparkSession) -> None:
             spark.conf.set(k, v)
 
 
+def local_df(spark: SparkSession, rows, schema):
+    """Small driver-side relation as a LocalTableScan, not a pickled RDD.
+
+    ``createDataFrame(list, schema)`` always takes the Python-RDD path:
+    the rows are pickled into ``defaultParallelism`` slices and EVERY scan
+    of the relation re-pays ~32 Python-worker round trips (~200 ms wall /
+    ~4 ms CPU per task measured on this suite) just to re-read a handful
+    of local rows — the guide-§4 JVM↔Python boundary, paid per action for
+    frames (union-find labels, claim exclusions, centroid dims, rule
+    tables) that iterative operators re-scan many times.  Routing the same
+    rows through pandas + Arrow yields a ``LocalTableScan``: the JVM
+    decodes the Arrow batch directly, scans are free, and a broadcast of
+    the relation needs no Spark job at all.
+
+    Empty inputs build from ``range(0)`` (a known-empty relation the
+    optimizer folds) because the Arrow path falls back to an RDD scan for
+    zero-row pandas frames.  Any Arrow-rejected shape falls back to the
+    classic ``createDataFrame`` — same rows, same schema, just slower."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    rows = list(rows)
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else spark.createDataFrame([], schema).schema
+    )
+    if not rows:
+        return spark.range(0).select(
+            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
+        )
+    try:
+        import pandas as pd
+
+        pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields], dtype=object)
+        return spark.createDataFrame(pdf, st)
+    except Exception:
+        return spark.createDataFrame(rows, schema)
+
+
 def scratch_base() -> str:
     """Base directory for Spark local dirs (shuffle/spill/checkpoint
     blocks) and the engine's scratch tables (r15 optimization round).

@@ -37,6 +37,7 @@ from ..operators.dataset import (
     copy_specifications_plan,
 )
 from .table import MutableTable
+from ..session import local_df
 
 DATASET_SCHEMA = (
     "dataset_id long, dataset_type string, name string, description string, "
@@ -174,7 +175,7 @@ class DatasetStore:
                 f"dataset {new_dataset_name!r} already exists (existing_ok=False)"
             )
         new_id = max(r["dataset_id"] for r in rows) + 1
-        new_row = self.spark.createDataFrame(
+        new_row = local_df(self.spark,
             [
                 (
                     new_id,

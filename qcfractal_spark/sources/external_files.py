@@ -35,6 +35,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .table import MutableTable
+from ..session import local_df
 
 METADATA_SCHEMA = (
     "file_id long, file_type string, created_on long, status string, "
@@ -58,8 +59,8 @@ class ExternalFileStore:
         self.blobs = MutableTable(spark, f"{path}/blobs")
 
     def init(self) -> None:
-        self.metadata.overwrite(self.spark.createDataFrame([], METADATA_SCHEMA))
-        self.blobs.overwrite(self.spark.createDataFrame([], BLOB_SCHEMA))
+        self.metadata.overwrite(local_df(self.spark, [], METADATA_SCHEMA))
+        self.blobs.overwrite(local_df(self.spark, [], BLOB_SCHEMA))
 
     # -- ingest ---------------------------------------------------------------
 
@@ -135,7 +136,7 @@ class ExternalFileStore:
         ids = [r["file_id"] for r in self.metadata.read().select("file_id").collect()]
         file_id = max(ids, default=0) + 1
         okey = f"obj-{file_id}"
-        row = self.spark.createDataFrame(
+        row = local_df(self.spark,
             [
                 (
                     file_id, file_type, int(now), "processing", file_name,
@@ -146,7 +147,7 @@ class ExternalFileStore:
             METADATA_SCHEMA,
         )
         self.metadata.append(row)
-        blob = self.spark.createDataFrame([(okey, bytearray(content))], BLOB_SCHEMA)
+        blob = local_df(self.spark, [(okey, bytearray(content))], BLOB_SCHEMA)
         self.blobs.append(blob)
         sha = hashlib.sha256(content).hexdigest()
         size = len(content)

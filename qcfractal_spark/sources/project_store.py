@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .table import MutableTable
+from ..session import local_df
 
 PROJECT_SCHEMA = (
     "project_id long, name string, description string, tagline string, "
@@ -86,8 +87,8 @@ class ProjectStore:
         project_datasets: DataFrame | None = None,
         project_records: DataFrame | None = None,
     ) -> None:
-        empty_ds = self.spark.createDataFrame([], PROJECT_DATASET_SCHEMA)
-        empty_rec = self.spark.createDataFrame([], PROJECT_RECORD_SCHEMA)
+        empty_ds = local_df(self.spark, [], PROJECT_DATASET_SCHEMA)
+        empty_rec = local_df(self.spark, [], PROJECT_RECORD_SCHEMA)
         self.projects.overwrite(projects)
         self.project_datasets.overwrite(
             project_datasets if project_datasets is not None else empty_ds
@@ -129,7 +130,7 @@ class ProjectStore:
             raise AlreadyExistsError(
                 f"Dataset {dataset_id} already linked to project {project_id}"
             )
-        row = self.spark.createDataFrame(
+        row = local_df(self.spark,
             [
                 (
                     int(project_id),
@@ -260,7 +261,7 @@ class ProjectStore:
             raise AlreadyExistsError(
                 f"Record {record_id} already linked to project {project_id}"
             )
-        row = self.spark.createDataFrame(
+        row = local_df(self.spark,
             [(int(project_id), int(record_id), name, description, list(tags or []))],
             PROJECT_RECORD_SCHEMA,
         )
@@ -296,7 +297,7 @@ class ProjectStore:
         vals = [
             new_id if c == self.record_id_col else record_row.get(c) for c in cols
         ]
-        rec_df = self.spark.createDataFrame(
+        rec_df = local_df(self.spark,
             [tuple(vals)], self.records.read().schema
         )
         self.records.append(rec_df)
@@ -326,7 +327,7 @@ class ProjectStore:
         vals = [
             new_id if c == self.record_id_col else record_row.get(c) for c in cols
         ]
-        rec_df = self.spark.createDataFrame([tuple(vals)], self.records.read().schema)
+        rec_df = local_df(self.spark, [tuple(vals)], self.records.read().schema)
         self.records.append(rec_df)
         self.link_record(project_id, new_id, name, description, tags)
         return new_id

@@ -70,6 +70,7 @@ import uuid
 from typing import Callable, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from ..session import local_df
 from pyspark.sql import functions as F
 from pyspark.sql.utils import AnalysisException
 
@@ -646,8 +647,8 @@ class MutableTable:
                 raise
             from pyspark.sql.types import StructType
 
-            empty = self.spark.createDataFrame(
-                [], StructType.fromJson(json.loads(sj))
+            empty = local_df(
+                self.spark, [], StructType.fromJson(json.loads(sj))
             )
             # the recorded schema is physical-as-staged; replaying the
             # cumulative ops keeps an empty EVOLVED table consistent
@@ -1143,7 +1144,7 @@ class MutableTable:
         """S6 keyed delete with per-row error capture: rows still referenced
         by ``referencing[ref_col]`` are NOT deleted and reported as errors
         (the reference's FK-violation fallback, helpers.py:576-641)."""
-        ids_df = self.spark.createDataFrame([(i,) for i in ids], f"{id_col} long")
+        ids_df = local_df(self.spark, [(i,) for i in ids], f"{id_col} long")
         blocked: list = []
         if referencing is not None and ref_col is not None:
             blocked_df = ids_df.join(
@@ -1153,7 +1154,7 @@ class MutableTable:
             )
             blocked = [r[id_col] for r in blocked_df.collect()]
         deletable = [i for i in ids if i not in set(blocked)]
-        del_df = self.spark.createDataFrame([(i,) for i in deletable] or [(None,)], f"{id_col} long")
+        del_df = local_df(self.spark, [(i,) for i in deletable] or [(None,)], f"{id_col} long")
 
         def build(base):
             current = self.read(base)

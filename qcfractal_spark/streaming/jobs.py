@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.table import MutableTable
+from ..session import local_df
 
 JOB_SCHEMA = (
     "job_id long, name string, unique_name string, status string, "
@@ -110,7 +111,7 @@ class InternalJobTable:
                 )
                 return hit["job_id"]
         new_id = max((r["job_id"] for r in rows), default=0) + 1
-        new_row = self.spark.createDataFrame(
+        new_row = local_df(self.spark,
             [
                 (
                     new_id,
@@ -256,7 +257,7 @@ class InternalJobTable:
             base = max(
                 r["job_id"] for r in self.table.read().select("job_id").collect()
             )
-            new = self.spark.createDataFrame(
+            new = local_df(self.spark,
                 [
                     (
                         base + i + 1,

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..operators.topk import priority_claim_topk
+from ..session import local_df
 
 
 @dataclass
@@ -76,8 +77,11 @@ class SingleWriterQueue:
         self.managers[name].last_heartbeat = datetime.now(timezone.utc)
 
     def _taken_df(self, taken: set) -> DataFrame:
-        return self.tasks.sparkSession.createDataFrame(
-            [(int(t),) for t in sorted(taken)], "id long"
+        # local_df: the exclusion frame is re-scanned by every claim's
+        # anti-join — as a LocalTableScan its broadcast costs no Spark job
+        # and no Python-worker round trips (guide §4).
+        return local_df(
+            self.tasks.sparkSession, [(int(t),) for t in sorted(taken)], "id long"
         )
 
     def _eligible_frame(self) -> DataFrame:
@@ -290,7 +294,11 @@ class ServiceLoop:
             )
         if not rows:
             return []
-        new_df = spark.createDataFrame(
+        # local_df: the task snapshot is a union of these per-spawn frames
+        # and is re-scanned by every subsequent claim top-k — LocalTableScan
+        # keeps those scans free of Python-worker round trips (guide §4).
+        new_df = local_df(
+            spark,
             rows,
             "id long, record_id long, compute_tag string, compute_priority int, "
             "sort_date timestamp, available boolean, required_programs array<string>",
