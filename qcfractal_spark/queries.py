@@ -9928,6 +9928,11 @@ def q_dd_incremental_labels(spark, sf_dir):
     from ONE signature-replay CTE plus two recursive closures."""
     from .operators.graph import connected_components
 
+    # NOT fanned (r15): although the corpus arm runs the dd_minhash_lsh
+    # shingle+md5 kernel (a 5x fan winner in isolation), fanning was A/B'd
+    # here and measured SLOWER (7-run minima 8.78 s fanned vs 7.77 s not)
+    # — the query's wall time is the serial index-write + probe + two-CC
+    # chain with eager checkpoints, not the scan stage.
     docs = _t(spark, sf_dir, "documents")
     corpus = docs.where(F.col("doc_id") % 10 != 0)
     batch = docs.where(F.col("doc_id") % 10 == 0)
