@@ -17,8 +17,23 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from qcfractal_spark.queries import REGISTRY
+from qcfractal_spark.queries import BENCH_ONLY, REGISTRY
 from qcfractal_spark.session import build_session
+
+
+def bench_fn(name: str):
+    """Resolve a bench name to its query fn.
+
+    r16 (VERDICT r15 item 1): the three sketch-only arms
+    (a19_approx_distinct / a22_approx_quantiles / a24_heavy_hitters) moved
+    out of REGISTRY into BENCH_ONLY — their sketch values have no replayable
+    SQL oracle, so leaving them in ``queries()`` made the driver's
+    correctness window fail them with ``no_oracle`` whenever it sampled
+    them.  The benched names and plans are unchanged; their correctness
+    invariants stay pinned by the hash-green ``*_gate`` REGISTRY arms."""
+    if name in REGISTRY:
+        return REGISTRY[name][0]
+    return BENCH_ONLY[name]
 
 # Headline set: one per operator family, weighted toward the shuffle-heavy
 # and scan-heavy shapes that dominate at scale.
@@ -292,11 +307,12 @@ def main() -> None:
     # used to run outside the per-query try block, so one typo'd name
     # raised KeyError and zeroed the whole suite — the exact failure the
     # per-query isolation loop exists to prevent.
-    unknown = [q for q in bench_queries if q not in REGISTRY]
+    unknown = [q for q in bench_queries if q not in REGISTRY and q not in BENCH_ONLY]
     if unknown:
         raise SystemExit(
             f"SPARK_GRAFT_BENCH_QUERIES names not in the registry: {unknown}; "
-            f"valid names are the keys of __spark_entry__.queries()"
+            f"valid names are the keys of __spark_entry__.queries() "
+            f"plus the BENCH_ONLY sketch arms"
         )
     # Runs per query (default 2, best-of): the sf10 spot decade uses 1 —
     # at multi-minute per-query durations the first-run JIT/footer costs
@@ -344,7 +360,7 @@ def main() -> None:
             pass
 
     for name in bench_queries:
-        fn, _ = REGISTRY[name]
+        fn = bench_fn(name)
         best = float("inf")
         try:
             for _ in range(n_runs):
@@ -385,7 +401,7 @@ def main() -> None:
     regressions: dict[str, dict] = {}
     if base_name:
         def rerun(q: str) -> float:
-            fn, _ = REGISTRY[q]
+            fn = bench_fn(q)
             t0 = time.time()
             force(fn(spark, sf_dir))
             return round(time.time() - t0, 3)

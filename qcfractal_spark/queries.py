@@ -1595,8 +1595,13 @@ FROM scored
 
 
 def q_dd_exact(spark, sf_dir):
-    """Exact dedup: canonical-text fingerprint groups with keeper id."""
-    docs = _t(spark, sf_dir, "documents", fan=True)
+    """Exact dedup: canonical-text fingerprint groups with keeper id.
+
+    r16: fan=True reverted (VERDICT r15 item 3) — the driver box measured
+    the r15 opt-in a regression at BOTH core counts (0.35 s r14 → 2.29 s
+    @32c / 0.67 s @8c): one md5-groupBy over a light scan is cheaper than
+    the added exchange + 32-task scheduling at bench scale."""
+    docs = _t(spark, sf_dir, "documents")
     return dd.exact_dedup(docs).select("fingerprint", "keep_id", "dup_count")
 
 
@@ -1810,6 +1815,17 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "mm_features": (q_mm_features, None),  # oracle attached below, after SQL_MM_FEATURES
 }
 
+# Bench-only arms (r16, VERDICT r15 item 1): query plans that the bench
+# times but that have NO replayable SQL oracle by construction (sketch
+# values are engine-specific).  They must NOT live in REGISTRY: every
+# ``__spark_entry__.queries()`` entry is driver-sampled against DuckDB, and
+# an oracle-less entry fails with ``no_oracle`` whenever the window lands on
+# it (CORRECTNESS_r15: a19/a22/a24).  Each bench-only arm has a hash-green
+# REGISTRY companion (``*_gate``) that pins its correctness invariant on the
+# same scan.  bench.py resolves names against REGISTRY first, then here, so
+# the benched names and plans are unchanged.
+BENCH_ONLY: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+
 
 def spark_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in REGISTRY.items()}
@@ -1935,8 +1951,12 @@ def q_sim_cosine_pairs(spark, sf_dir):
     deterministic op sequence as DuckDB's ``list_dot_product`` (proven
     bitwise-matching by sim_topk's hash gate), so phase 1 only selects and
     the emitted scores stay oracle-exact.
+
+    r16: fan=True reverted (VERDICT r15 item 3) — the r15 sandbox A/B
+    (12.61→1.90 s) did not transfer: the driver box ran the un-fanned plan
+    at 0.84 s (r14) and the fanned one at 2.18 s @32c / 2.84 s @8c.
     """
-    emb = _t(spark, sf_dir, "embeddings", fan=True)
+    emb = _t(spark, sf_dir, "embeddings")
     return sim.exact_cosine_pairs_topk(emb, k=20)
 
 
@@ -2586,8 +2606,11 @@ def q_dd_simhash_scaled(spark, sf_dir):
     aggregate-pushdown scan (parquet row-group stats), not a corpus read.
     Oracle recomputes the same width from COUNT(*) and replays the
     signature construction; the pair check is brute-force popcount —
-    banding is a plan detail the oracle need not share."""
-    docs = _t(spark, sf_dir, "documents", fan=True)
+    banding is a plan detail the oracle need not share.
+
+    r16: fan=True reverted (VERDICT r15 item 3) — driver-measured slower
+    fanned at both core counts (3.54 s r14 → 4.15 s @32c / 5.17 s @8c)."""
+    docs = _t(spark, sf_dir, "documents")
     w = dd.scaled_band_bits(docs.count())
     sigs = dd.simhash(docs, bits=4 * w, wide_hash=True).localCheckpoint(
         eager=True
@@ -6154,7 +6177,7 @@ def q_a19_approx_distinct(spark, sf_dir):
     )
 
 
-REGISTRY["a19_approx_distinct"] = (q_a19_approx_distinct, None)
+BENCH_ONLY["a19_approx_distinct"] = q_a19_approx_distinct
 
 
 def q_a19_distinct_gate(spark, sf_dir):
@@ -6231,7 +6254,7 @@ def q_a22_approx_quantiles(spark, sf_dir):
     )
 
 
-REGISTRY["a22_approx_quantiles"] = (q_a22_approx_quantiles, None)
+BENCH_ONLY["a22_approx_quantiles"] = q_a22_approx_quantiles
 
 
 def q_a22_quantiles_gate(spark, sf_dir):
@@ -7111,8 +7134,11 @@ def q_dd_jaccard_capped(spark, sf_dir):
     *threshold* query is structurally empty).  The capped *candidate* form
     is the useful scale primitive: shingles with document frequency > 20
     contribute 0 pairs instead of f², and pairs sharing ≥3 surviving rare
-    shingles are the verify-pass input.  Oracle replays cap + floor."""
-    docs = _t(spark, sf_dir, "documents", fan=True)
+    shingles are the verify-pass input.  Oracle replays cap + floor.
+
+    r16: fan=True reverted (VERDICT r15 item 3) — driver-measured slower
+    fanned at both core counts (3.59 s r14 → 5.33 s @32c / 6.07 s @8c)."""
+    docs = _t(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
         docs, k=5, threshold=0.0, max_doc_freq=20, min_common=3
     )
@@ -9649,7 +9675,7 @@ def q_a24_heavy_hitters(spark, sf_dir):
     return tx.heavy_hitters_mg(docs, text_col="text", k=50)
 
 
-REGISTRY["a24_heavy_hitters"] = (q_a24_heavy_hitters, None)
+BENCH_ONLY["a24_heavy_hitters"] = q_a24_heavy_hitters
 
 
 def q_a24_heavy_hitters_gate(spark, sf_dir):
@@ -11438,7 +11464,67 @@ REGISTRY["tx_pr_curve"] = (q_tx_pr_curve, SQL_TX_PR_CURVE)
 # ]  (end r11 roster ledger)
 
 _DRIVER_WINDOW = [
-    # ---- Round-15 rotation, computed from tools/stale_stamps.py.
+    # ---- Round-16 rotation, computed from tools/stale_stamps.py.
+    # Step IN:
+    # (a) the full 7-query r11-stamped cohort — the r15 ledger's
+    #     pre-recorded mandate ("all seven MUST head the r16 roster; their
+    #     r11 stamps hit the 5-round floor there"): sim_multiprobe_topk,
+    #     st_ann_serve, st_stream_incremental, st_stream_span,
+    #     st_stream_substring, tx_phrase_idx_incr, tx_unigram_encode;
+    # (b) 43 of the 46-query r12-stamped cohort — the next-oldest stamps
+    #     (their floor is r17; taking them now keeps the cycle at the
+    #     structural ceil(194/45)=5-round period).  Three displaced, each
+    #     with the same fresh family carrier the r11 rotation used:
+    #       dd_simhash_pairs   ⊂ dd_simhash (r15 stamp, same signature
+    #                          kernel) + dd_simhash_scaled (r14, the
+    #                          banded-Hamming pair arm);
+    #       dd_lsh_recall_eval ⊂ dd_minhash_lsh (r14, the candidate
+    #                          pipeline it evaluates) + its own
+    #                          recall-bound pytests;
+    #       dd_incremental     ⊂ dd_substring_incremental (r13, the same
+    #                          incremental-probe contract) +
+    #                          dd_incremental_labels (r14).
+    #     All three MUST head the r17 roster (their r12 stamps hit the
+    #     floor there).
+    # NOT in: the three r15-failed sketch arms (a19_approx_distinct /
+    # a22_approx_quantiles / a24_heavy_hitters) left REGISTRY entirely
+    # this round (VERDICT r15 item 1): their sketch values have no
+    # replayable SQL oracle BY CONSTRUCTION, so any queries() entry for
+    # them fails no_oracle whenever sampled.  They are BENCH_ONLY arms
+    # now (bench.py still times the same plans under the same names);
+    # their correctness invariants stay pinned by the hash-green
+    # a19_distinct_gate / a22_quantiles_gate / a24_heavy_hitters_gate
+    # REGISTRY companions (all r15-stamped green).
+    # r16 is an optimization round: no newcomers, and every plan-level
+    # change (fan-out revert, checkpoint consolidation) is MECHANICAL —
+    # identical output relation, re-verified hash-green in this round's
+    # full tools/check.py sf0.01 run (the r12 pipe_prepare precedent), so
+    # no changed-after-stamp slots are needed.
+    # Step OUT: the r13/r14/r15 cohorts (within the 5-round floor).
+    # 7 + 43 = 50, zero fill slots this round.
+    # --- (a) r11 cohort, all 7 ---
+    "sim_multiprobe_topk", "st_ann_serve", "st_stream_incremental",
+    "st_stream_span", "st_stream_substring", "tx_phrase_idx_incr",
+    "tx_unigram_encode",
+    # --- (b) r12 cohort, 43 of 46 ---
+    "dd_common_ngrams", "dd_jaccard_capped", "f12_hour_percentiles",
+    "j13_asof", "j15_salted_join", "j17_spec_chain3", "j18_project_list",
+    "j2_subspec_join", "j5_one_hop", "j6_membership", "j9_anti_join",
+    "mol_identifiers", "o10_manager_reap", "o11_status_replay",
+    "o9_service_replay", "pipe_export", "pipe_funnel", "pk_bin_pack",
+    "pk_domain_cap", "pk_length_buckets", "s11_schema_evolution",
+    "s2_bulk_get", "s3_insert_dedup_table", "s6_delete_survivors",
+    "s7_retention_survivors", "s8_snapshot_roundtrip",
+    "sim_hard_negatives", "sim_index_stats", "sim_ivf_recall_eval",
+    "sim_pq_distortion", "st_rollup_stream", "st_stream_export",
+    "t10_incremental_rollup", "t2_enrichment", "t8_funnel",
+    "t9_cohort_retention", "tx_bm25", "tx_boilerplate_ratio", "tx_dsir",
+    "tx_quality_clf", "u12_interleave", "u15_temperature_mix",
+    "v1_variant_rollup",
+]
+
+_R15_WINDOW_LEDGER = [
+    # ---- Round-15 rotation, now rotated out; ledger kept.
     # Step IN:
     # (a) the 9 r10-stamped queries the r14 ledger mandated to head this
     #     roster (their stamps hit the 5-round floor now):

@@ -12,7 +12,7 @@ import numpy as np
 import pandas as pd
 import pytest
 
-from qcfractal_spark.queries import REGISTRY
+from qcfractal_spark.queries import BENCH_ONLY, REGISTRY
 
 from conftest import SF_SMOKE
 
@@ -55,12 +55,25 @@ def test_oracle_parity(spark, duck, name):
         assert same.all(), f"{name}.{c}: first diff at {list(got.index[~same])[:3]}"
 
 
-@pytest.mark.parametrize("name", [n for n, (_, sql) in REGISTRY.items() if sql is None])
+# r16: every REGISTRY entry now carries an oracle (VERDICT r15 item 1);
+# the rows-only arms live in BENCH_ONLY and stay smoked here.
+@pytest.mark.parametrize(
+    "name",
+    [n for n, (_, sql) in REGISTRY.items() if sql is None] + list(BENCH_ONLY),
+)
 def test_rows_only_queries_run(spark, name):
-    fn, _ = REGISTRY[name]
+    fn = REGISTRY[name][0] if name in REGISTRY else BENCH_ONLY[name]
     df = fn(spark, SF_SMOKE)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_entries_all_oracle_backed():
+    """The r15 regression class: a queries() entry with no oracle fails
+    the driver with no_oracle whenever its window samples it.  Pin the
+    invariant that caused it to zero."""
+    missing = [n for n, (_, sql) in REGISTRY.items() if sql is None]
+    assert not missing, f"REGISTRY entries without oracle SQL: {missing}"
 
 
 def test_cluster_label_index_matches_inline(spark, tmp_path):

@@ -21,14 +21,16 @@ import traceback
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from qcfractal_spark.queries import REGISTRY
+from qcfractal_spark.queries import BENCH_ONLY, REGISTRY
 from qcfractal_spark.session import build_session
 
 
 def run_preflight(spark, sf_dir: str) -> dict[str, str]:
-    """Force-execute every registry query; return {name: error} for failures."""
+    """Force-execute every registry + bench-only query; return {name: error}."""
     errors: dict[str, str] = {}
-    for name, (fn, _) in REGISTRY.items():
+    fns = {name: fn for name, (fn, _) in REGISTRY.items()}
+    fns.update(BENCH_ONLY)  # r16: sketch arms left REGISTRY but stay smoked
+    for name, fn in fns.items():
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         except Exception:  # noqa: BLE001 — capture everything, keep going
@@ -42,7 +44,7 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     t0 = time.time()
     errors = run_preflight(spark, sf_dir)
-    n = len(REGISTRY)
+    n = len(REGISTRY) + len(BENCH_ONLY)
     if errors:
         for name, tb in errors.items():
             print(f"PREFLIGHT FAIL {name}\n{tb}", file=sys.stderr)
