@@ -437,6 +437,17 @@ def main() -> None:
             out["loadavg_end"] = [round(x, 2) for x in os.getloadavg()]
         except OSError:
             pass
+        # r16 (VERDICT r15 item 9): self-report a loaded-box measurement so
+        # adjudication is mechanical — the r15 driver record started at
+        # loadavg 13.28/32 and the contamination had to be argued from
+        # narrative.  Threshold 0.25/cpu: the r15 record (0.42/cpu) flags,
+        # quiet records (<0.05/cpu) don't.
+        ncpu = os.cpu_count() or 1
+        if load_start[0] / ncpu > 0.25:
+            out["load_warning"] = (
+                f"loadavg_start {load_start[0]} on {ncpu} cpus "
+                f"(>{0.25}/cpu): timings are load-contaminated"
+            )
     if errors:
         # A partial total sums only the surviving queries and would read as
         # an improvement next to a complete round — mark it non-comparable.

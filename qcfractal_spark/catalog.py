@@ -85,12 +85,21 @@ _FANOUT_KEY = {
     "embeddings": "vec_id",
 }
 _FANOUT_MIN_BYTES = 48 * 1024  # below this a single task is the right plan
-_fanout_bytes_cache: dict[str, int] = {}
+# keyed on (path, mtime, size) so an in-process regeneration of the parquet
+# invalidates the cached byte count (r15 ADVICE); the stat is cheap next to
+# the table load the result feeds.
+_fanout_bytes_cache: dict[tuple[str, float, int], int] = {}
 
 
 def _table_bytes(path: str) -> int:
-    """Total bytes under ``path`` (file or directory), cached per path."""
-    n = _fanout_bytes_cache.get(path)
+    """Total bytes under ``path`` (file or directory), cached per
+    (path, mtime, size)."""
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime, st.st_size)
+    except OSError:
+        return 0
+    n = _fanout_bytes_cache.get(key)
     if n is None:
         if os.path.isdir(path):
             n = sum(
@@ -100,11 +109,8 @@ def _table_bytes(path: str) -> int:
                 if not f.startswith((".", "_"))
             )
         else:
-            try:
-                n = os.path.getsize(path)
-            except OSError:
-                n = 0
-        _fanout_bytes_cache[path] = n
+            n = st.st_size
+        _fanout_bytes_cache[key] = n
     return n
 
 

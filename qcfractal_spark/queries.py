@@ -7312,7 +7312,12 @@ def _reap_stale_scratch(max_age_sec: int = 1800) -> None:
     runners).  Runs once per process, on first scratch use.  A dir is
     reaped when its owning pid is gone AND it is older than max_age_sec
     (age guards against pid reuse); live processes' dirs are never
-    touched, so concurrent suites stay collision-free."""
+    touched, so concurrent suites stay collision-free.
+
+    r16 (r15 ADVICE): sweeps EVERY candidate base
+    (``scratch_base_candidates``: override, /dev/shm, tempdir), not only
+    the base this process chose — dirs stranded by a mid-run threshold
+    crossing or an env change between runs were never reaped before."""
     global _SCRATCH_REAPED
     if _SCRATCH_REAPED:
         return
@@ -7322,30 +7327,30 @@ def _reap_stale_scratch(max_age_sec: int = 1800) -> None:
     import shutil
     import time
 
-    from .session import scratch_base
+    from .session import scratch_base_candidates
 
-    tmp = scratch_base()
     now = time.time()
-    try:
-        names = os.listdir(tmp)
-    except OSError:
-        return
-    for name in names:
-        m = re.fullmatch(r"qcfractal_spark_.+_([0-9a-f]{12})_(\d+)", name)
-        if not m:
-            continue
-        pid = int(m.group(2))
-        if pid == os.getpid():
-            continue
-        path = os.path.join(tmp, name)
+    for tmp in scratch_base_candidates():
         try:
-            if now - os.path.getmtime(path) < max_age_sec:
-                continue
-            os.kill(pid, 0)  # raises if the owner is gone
-        except ProcessLookupError:
-            shutil.rmtree(path, ignore_errors=True)
+            names = os.listdir(tmp)
         except OSError:
             continue
+        for name in names:
+            m = re.fullmatch(r"qcfractal_spark_.+_([0-9a-f]{12})_(\d+)", name)
+            if not m:
+                continue
+            pid = int(m.group(2))
+            if pid == os.getpid():
+                continue
+            path = os.path.join(tmp, name)
+            try:
+                if now - os.path.getmtime(path) < max_age_sec:
+                    continue
+                os.kill(pid, 0)  # raises if the owner is gone
+            except ProcessLookupError:
+                shutil.rmtree(path, ignore_errors=True)
+            except OSError:
+                continue
 
 
 def q_s6_delete_survivors(spark, sf_dir):

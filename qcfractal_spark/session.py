@@ -71,12 +71,25 @@ def local_df(spark: SparkSession, rows, schema):
     decodes the Arrow batch directly, scans are free, and a broadcast of
     the relation needs no Spark job at all.
 
-    Empty inputs build from ``range(0)`` (a known-empty relation the
-    optimizer folds) because the Arrow path falls back to an RDD scan for
-    zero-row pandas frames.  Any Arrow-rejected shape falls back to the
-    classic ``createDataFrame`` — same rows, same schema, just slower."""
-    from pyspark.sql import functions as F
-    from pyspark.sql.types import StructType
+    Empty inputs build from a zero-row ``pyarrow`` table (``LocalTableScan
+    <empty>``) — schema-preserving (nullability + field metadata survive,
+    r15 ADVICE; the earlier cast-NULL projection over ``range(0)`` coerced
+    every field nullable and dropped metadata) and still RDD-free; an
+    Arrow-unmappable schema falls back to ``createDataFrame([], st)``
+    (ExistingRDD scan, but exact schema).  Any Arrow-rejected non-empty
+    shape falls back to the classic ``createDataFrame`` — same rows, same
+    schema, slower.
+
+    Naive ``datetime`` values are normalized to UTC-aware before the frame
+    is built (r15 ADVICE, medium): the Arrow path localizes naive stamps in
+    the SESSION timezone (UTC per the engine contract) while the classic
+    path — still the exception fallback — uses the driver's OS timezone, so
+    on a non-UTC host the two paths would disagree by the UTC offset.
+    Making the value explicitly UTC-aware is both-paths unambiguous and
+    encodes the engine's timestamps-are-UTC contract at the boundary."""
+    from datetime import datetime, timezone
+
+    from pyspark.sql.types import StructType, TimestampType
 
     rows = list(rows)
     st = (
@@ -85,16 +98,35 @@ def local_df(spark: SparkSession, rows, schema):
         else spark.createDataFrame([], schema).schema
     )
     if not rows:
-        return spark.range(0).select(
-            *[F.lit(None).cast(f.dataType).alias(f.name) for f in st.fields]
-        )
+        try:
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            return spark.createDataFrame(to_arrow_schema(st).empty_table(), st)
+        except Exception:
+            return spark.createDataFrame([], st)
+    ts_idx = [
+        i for i, f in enumerate(st.fields) if isinstance(f.dataType, TimestampType)
+    ]
+    if ts_idx:
+        fixed = []
+        for row in rows:
+            vals = list(row)
+            for i in ts_idx:
+                v = vals[i]
+                if isinstance(v, datetime) and v.tzinfo is None:
+                    vals[i] = v.replace(tzinfo=timezone.utc)
+            fixed.append(tuple(vals))
+        rows = fixed
     try:
         import pandas as pd
 
         pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields], dtype=object)
         return spark.createDataFrame(pdf, st)
     except Exception:
-        return spark.createDataFrame(rows, schema)
+        return spark.createDataFrame(rows, st)
+
+
+_SCRATCH_BASE: str | None = None
 
 
 def scratch_base() -> str:
@@ -110,20 +142,86 @@ def scratch_base() -> str:
     stages) > the platform tempdir.  The 32 GiB floor keeps small hosts
     and shm-less containers on the default path; at 100 TB shuffle volume
     exceeds RAM and operators point SPARK_GRAFT_SCRATCH_DIR at real local
-    disks."""
+    disks.
+
+    The default probe (shm free-space check) is CACHED per process (r15
+    ADVICE): ``spark.local.dir`` is fixed at session build, and
+    re-evaluating ``statvfs`` on every scratch call meant a mid-process
+    threshold crossing could strand scratch dirs in one base while the
+    reaper scanned another.  The env override stays a live read (explicit
+    operator intent); the reaper sweeps every candidate base regardless
+    (``scratch_base_candidates``)."""
     override = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
     if override:
         return override
-    shm = "/dev/shm"
-    try:
-        st = os.statvfs(shm)
-        if st.f_bavail * st.f_frsize >= 32 * 1024**3:
-            return shm
-    except OSError:
-        pass
+    global _SCRATCH_BASE
+    if _SCRATCH_BASE is None:
+        shm = "/dev/shm"
+        try:
+            st = os.statvfs(shm)
+            if st.f_bavail * st.f_frsize >= 32 * 1024**3:
+                _SCRATCH_BASE = shm
+        except OSError:
+            pass
+        if _SCRATCH_BASE is None:
+            import tempfile
+
+            _SCRATCH_BASE = tempfile.gettempdir()
+    return _SCRATCH_BASE
+
+
+def scratch_base_candidates() -> list[str]:
+    """Every base a scratch dir may have landed in across processes/runs:
+    the operator override, ``/dev/shm``, and the platform tempdir.  The
+    stale-scratch reaper sweeps all of them, so dirs orphaned in a base
+    this process did not choose (threshold crossed, env changed between
+    runs) still get pruned (r15 ADVICE)."""
     import tempfile
 
-    return tempfile.gettempdir()
+    cands = []
+    override = os.environ.get("SPARK_GRAFT_SCRATCH_DIR")
+    if override:
+        cands.append(override)
+    cands += ["/dev/shm", tempfile.gettempdir()]
+    out: list[str] = []
+    for c in cands:
+        if c not in out and os.path.isdir(c):
+            out.append(c)
+    return out
+
+
+def _prune_stale_local_dirs(base_dir: str, max_age_sec: int = 6 * 3600) -> None:
+    """Best-effort prune of Spark local-dir litter from dead JVMs.
+
+    ``spark.local.dir`` points every session at
+    ``<scratch_base>/qcfractal-spark-local``; a killed JVM leaves its
+    ``spark-<uuid>``/``blockmgr-<uuid>`` trees behind, and on a RAM-backed
+    base that leak eats memory until reboot (r15 ADVICE — the scratch
+    reaper's regex only matches ``qcfractal_spark_*`` dirs).  Spark's dir
+    names carry no owner pid, so liveness is inferred by age: entries
+    untouched for ``max_age_sec`` are removed at session BUILD time (before
+    this JVM creates its own).  A live long-running session's dirs can have
+    old top-level mtimes, so the threshold is conservative (6 h) and the
+    prune is strictly best-effort — a concurrently-deleted file is a no-op,
+    and shuffle-file loss in the pathological overlap case only triggers
+    Spark's fetch-retry/recompute path, never wrong results."""
+    import shutil
+    import time
+
+    try:
+        names = os.listdir(base_dir)
+    except OSError:
+        return
+    now = time.time()
+    for name in names:
+        if not (name.startswith("spark-") or name.startswith("blockmgr-")):
+            continue
+        path = os.path.join(base_dir, name)
+        try:
+            if now - os.path.getmtime(path) >= max_age_sec:
+                shutil.rmtree(path, ignore_errors=True)
+        except OSError:
+            continue
 
 
 def _default_driver_memory() -> str:
@@ -150,6 +248,14 @@ def _default_driver_memory() -> str:
     except OSError:
         return "8g"
     return f"{max(2, min(48, int(total_gib * 0.4)))}g"
+
+
+def _spark_local_dir() -> str:
+    """The session's ``spark.local.dir``, with dead-JVM litter pruned
+    first (see ``_prune_stale_local_dirs``)."""
+    d = os.path.join(scratch_base(), "qcfractal-spark-local")
+    _prune_stale_local_dirs(d)
+    return d
 
 
 def build_session(
@@ -198,10 +304,7 @@ def build_session(
         # to the fastest local medium available (see scratch_base): this
         # box's root disk stalls for seconds at a time, which surfaced as
         # 32-task stages idling at ~0.3 s/task with near-zero CPU.
-        .config(
-            "spark.local.dir",
-            os.path.join(scratch_base(), "qcfractal-spark-local"),
-        )
+        .config("spark.local.dir", _spark_local_dir())
         .config("spark.ui.enabled", "false")
     )
     for k, v in SESSION_CONTRACT_CONFS.items():

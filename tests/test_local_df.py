@@ -54,3 +54,39 @@ def test_union_find_labels_are_local(spark):
     assert "LocalTableScan" in _plan(comp)
     got = sorted((r["id"], r["component"]) for r in comp.collect())
     assert got == [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)]
+
+
+def test_local_df_naive_datetime_is_utc_both_paths(spark):
+    """r15 ADVICE (medium): naive datetimes must mean UTC regardless of the
+    driver's OS timezone — local_df normalizes them to tz-aware UTC before
+    the frame is built, so the Arrow path and the classic fallback agree."""
+    from datetime import timezone
+
+    naive = datetime(2024, 1, 2, 3, 4, 5)
+    aware = naive.replace(tzinfo=timezone.utc)
+    got_naive = local_df(spark, [(1, naive)], "id long, ts timestamp").collect()
+    got_aware = local_df(spark, [(1, aware)], "id long, ts timestamp").collect()
+    assert got_naive == got_aware
+    # Under the engine's UTC session tz the collected (naive) value must be
+    # the same wall clock that went in.
+    assert got_naive[0]["ts"] == naive
+
+
+def test_local_df_empty_preserves_nullability_and_metadata(spark):
+    """r15 ADVICE: the empty path must reproduce the recorded schema
+    exactly (MutableTable.empty feeds commit schemas through it) — the old
+    cast-NULL projection coerced every field nullable and dropped field
+    metadata."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    st = StructType(
+        [
+            StructField("a", LongType(), nullable=False, metadata={"k": "v"}),
+            StructField("b", StringType(), nullable=True),
+        ]
+    )
+    df = local_df(spark, [], st)
+    assert df.count() == 0
+    assert [f.nullable for f in df.schema.fields] == [False, True]
+    assert df.schema.fields[0].metadata == {"k": "v"}
+    assert "ExistingRDD" not in _plan(df)

@@ -33,7 +33,7 @@ def test_estimator_skips_tiny_tables(spark, monkeypatch):
 
 def test_estimator_fans_small_scan(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SCAN_FANOUT", raising=False)
-    catalog._fanout_bytes_cache["/fake/small"] = 1024 * 1024
+    monkeypatch.setattr(catalog, "_table_bytes", lambda p: 1024 * 1024)
     assert (
         catalog._scan_fanout_partitions(spark, "/fake/small")
         == spark.sparkContext.defaultParallelism
@@ -42,7 +42,7 @@ def test_estimator_fans_small_scan(spark, monkeypatch):
 
 def test_env_kill_switch(spark, monkeypatch):
     monkeypatch.setenv("SPARK_GRAFT_SCAN_FANOUT", "0")
-    catalog._fanout_bytes_cache["/fake/small2"] = 1024 * 1024
+    monkeypatch.setattr(catalog, "_table_bytes", lambda p: 1024 * 1024)
     assert catalog._scan_fanout_partitions(spark, "/fake/small2") == 0
 
 
@@ -80,3 +80,19 @@ def test_broadcast_dims_never_fan(spark, monkeypatch):
     monkeypatch.delenv("SPARK_GRAFT_SCAN_FANOUT", raising=False)
     cust = catalog.load_table(spark, SF, "customer", fanout=True)
     assert cust.rdd.getNumPartitions() == 1
+
+
+def test_table_bytes_cache_invalidates_on_mtime(tmp_path):
+    """r15 ADVICE: a regenerated/grown parquet must refresh the cached
+    byte count the fan-out decision reads."""
+    from qcfractal_spark.catalog import _table_bytes
+
+    p = tmp_path / "t.parquet"
+    p.write_bytes(b"x" * 10)
+    assert _table_bytes(str(p)) == 10
+    import os as _os
+    import time as _time
+
+    p.write_bytes(b"x" * 1000)
+    _os.utime(p, (_time.time() + 2, _time.time() + 2))
+    assert _table_bytes(str(p)) == 1000

@@ -44,3 +44,46 @@ def test_reaper_prunes_dead_spares_live_and_young():
     finally:
         for d in (dead, young_dead, live, unrelated):
             shutil.rmtree(d, ignore_errors=True)
+
+
+def test_reaper_sweeps_all_candidate_bases(monkeypatch):
+    """r15 ADVICE: dirs stranded in a base this process did not choose
+    (threshold crossing, env change between runs) must still be reaped."""
+    import qcfractal_spark.session as sess
+
+    other = tempfile.mkdtemp(prefix="qcfs_altbase_")
+    dead = os.path.join(other, "qcfractal_spark_t_abcdef012345_999999997")
+    os.makedirs(dead, exist_ok=True)
+    os.utime(dead, (time.time() - 7200, time.time() - 7200))
+    monkeypatch.setattr(
+        sess, "scratch_base_candidates", lambda: [scratch_base(), other]
+    )
+    try:
+        q._SCRATCH_REAPED = False
+        q._scratch_dir("/root/testdata/sf0.001", "x")
+        assert not os.path.exists(dead), "dead dir in a sibling base must be reaped"
+    finally:
+        shutil.rmtree(other, ignore_errors=True)
+
+
+def test_prune_stale_local_dirs_ages():
+    """r15 ADVICE: dead-JVM spark-*/blockmgr-* litter under the session's
+    local dir is pruned by age at build time; young and foreign names
+    survive."""
+    from qcfractal_spark.session import _prune_stale_local_dirs
+
+    base = tempfile.mkdtemp(prefix="qcfs_localdir_")
+    old = os.path.join(base, "spark-deadbeef")
+    young = os.path.join(base, "blockmgr-young")
+    foreign = os.path.join(base, "not-spark")
+    for p in (old, young, foreign):
+        os.makedirs(p, exist_ok=True)
+    os.utime(old, (time.time() - 8 * 3600, time.time() - 8 * 3600))
+    os.utime(foreign, (time.time() - 8 * 3600, time.time() - 8 * 3600))
+    try:
+        _prune_stale_local_dirs(base)
+        assert not os.path.exists(old)
+        assert os.path.exists(young)
+        assert os.path.exists(foreign)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
