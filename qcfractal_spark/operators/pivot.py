@@ -96,6 +96,12 @@ def drop_all_null_columns(df: DataFrame, keep: Sequence[str]) -> DataFrame:
     candidates = [c for c in df.columns if c not in set(keep)]
     if not candidates:
         return df  # df.agg() with zero expressions raises
+    # r16: the counts pass below executes the input plan once and the
+    # returned select would execute it AGAIN — for the pivot callers that
+    # is the argmin+pivot shuffle twice.  The wide frame is one row per
+    # entry, so materialize it lazily: the counts job builds the blocks,
+    # the final select is a LocalTableScan-cheap re-read.
+    df = df.localCheckpoint(eager=False)
     # df[c] / indexed aliases: dotted column names (produced by pivots over
     # dotted spec values) must resolve as names, not struct paths.
     counts = df.agg(

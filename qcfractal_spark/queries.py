@@ -6473,6 +6473,16 @@ def pipe_stage_relations(spark, sf_dir) -> dict:
         docs.select("doc_id", canon.alias("_canon"))
         .groupBy("_canon")
         .agg(F.min("doc_id").alias("doc_id"))
+        # r16 (VERDICT r15 item 7): the funnel consumes url_docs twice —
+        # once in its stage-1 aggregate and once through kept's
+        # materialization — and Spark does not share subplans across union
+        # arms, so the URL-canonicalization regex pass + its groupBy
+        # shuffle ran TWICE per funnel call.  Materialize the keeper-id
+        # relation lazily (ids only — the §2.3 "move keys, not payloads"
+        # shape; the text column never enters the checkpoint): the first
+        # consumer's job builds it, every later consumer re-reads blocks.
+        # pipe_prepare consumes it once either way (neutral there, A/B'd).
+        .localCheckpoint(eager=False)
     )
     url_docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
     t = F.col("text")
