@@ -6452,7 +6452,7 @@ def q_pipe_prepare(spark, sf_dir):
     )
 
 
-def pipe_stage_relations(spark, sf_dir) -> dict:
+def pipe_stage_relations(spark, sf_dir, checkpoint_keepers: bool = False) -> dict:
     """The prep pipeline's stage relations, built ONCE and shared by the
     pipeline output (q_pipe_prepare consumes ``final``) and the
     stage-retention funnel (q_pipe_funnel folds all four) — the
@@ -6460,6 +6460,17 @@ def pipe_stage_relations(spark, sf_dir) -> dict:
     run that already holds these frames hands them to the funnel and
     pays only four map-combinable aggregates, zero recomputed stages
     (equality between the reuse and recompute arms is pytest-pinned).
+
+    ``checkpoint_keepers`` (the funnel's opt-in, r16): the funnel
+    consumes ``url_docs`` twice — its stage-1 aggregate and ``kept``'s
+    materialization — and Spark shares no subplans across union arms, so
+    the URL-canonicalization pass + its groupBy exchange ran twice per
+    funnel call.  Lazily checkpointing the keeper-id relation (ids only,
+    no text payload — the §2.3 "move keys, not payloads" shape) halves
+    that.  It stays OFF for pipe_prepare, which consumes url_docs once:
+    the A/B measured the checkpoint there as pure overhead (sf1
+    pipe_prepare 14.7 s un-checkpointed vs 15.7 s checkpointed, funnel
+    15.4 -> 15.0 s; sf0.1 funnel 3.65 -> 3.33 s, prepare neutral).
 
     Returns {"raw": all documents, "url_docs": post URL-dedup,
     "kept": post language+quality filter (carries ``n_tokens``),
@@ -6473,17 +6484,9 @@ def pipe_stage_relations(spark, sf_dir) -> dict:
         docs.select("doc_id", canon.alias("_canon"))
         .groupBy("_canon")
         .agg(F.min("doc_id").alias("doc_id"))
-        # r16 (VERDICT r15 item 7): the funnel consumes url_docs twice —
-        # once in its stage-1 aggregate and once through kept's
-        # materialization — and Spark does not share subplans across union
-        # arms, so the URL-canonicalization regex pass + its groupBy
-        # shuffle ran TWICE per funnel call.  Materialize the keeper-id
-        # relation lazily (ids only — the §2.3 "move keys, not payloads"
-        # shape; the text column never enters the checkpoint): the first
-        # consumer's job builds it, every later consumer re-reads blocks.
-        # pipe_prepare consumes it once either way (neutral there, A/B'd).
-        .localCheckpoint(eager=False)
     )
+    if checkpoint_keepers:  # see docstring — the funnel's double-consume
+        keeper_ids = keeper_ids.localCheckpoint(eager=False)
     url_docs = docs.join(keeper_ids.select("doc_id"), "doc_id", "semi")
     t = F.col("text")
     kept = (
@@ -6606,7 +6609,7 @@ def q_pipe_funnel(spark, sf_dir, stages=None):
     100 TB story: four map-combinable count/sum aggregates over
     relations the pipeline materializes anyway."""
     if stages is None:
-        stages = pipe_stage_relations(spark, sf_dir)
+        stages = pipe_stage_relations(spark, sf_dir, checkpoint_keepers=True)
     t = F.col("text")
 
     def _stage_agg(df, stage, name, tok_col):
