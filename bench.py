@@ -334,6 +334,72 @@ def main() -> None:
     # Warm the JVM/codegen path once with a trivial job.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
+    # r16 (VERDICT r15 item 4): per-kernel-family JIT pre-warm.  At 32
+    # concurrent task threads the first timed run of the md5/shingle
+    # kernels lands on cold interpreted codegen and records 2-3x steady
+    # state even under best-of-2 (driver r15: dd_minhash_lsh 5.49 s @32c
+    # vs 1.94 s @8c — the 8c run warms across its serial task waves).
+    # These jobs exercise the SHARED runtime surfaces (md5 digest, hex
+    # conv, UTF8String substring/split, explode, hash-aggregate update
+    # loops, the Python/Arrow worker pool) over spark.range-derived rows
+    # only: nothing is computed that any timed query reuses, and no input
+    # table is touched.  Untimed by design; per-query timing is unchanged.
+    def _prewarm() -> None:
+        from pyspark.sql import functions as F
+
+        spark.sparkContext.setJobDescription("prewarm: md5/shingle kernels")
+        base = spark.range(0, 100_000, 1, 64).selectExpr(
+            "cast(id as string) s", "id % 97 k"
+        )
+        sh = base.select(
+            "k",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(4)),
+                    lambda i: F.substring(F.concat(F.col("s"), F.lit("qcfw")), i + 1, 8),
+                )
+            ).alias("g"),
+        ).select(
+            "k", F.conv(F.substring(F.md5(F.col("g")), 1, 8), 16, 10).cast("long").alias("h")
+        )
+        for _ in range(2):
+            force(
+                sh.groupBy("k").agg(
+                    *[F.min((F.col("h") * F.lit(7 + i)) % F.lit(2147483647)).alias(f"m{i}")
+                      for i in range(8)],
+                    # decimal-sum / double-avg paths (the h1/a6 agg shapes)
+                    F.sum((F.col("h") % 1000).cast("decimal(20,6)")).alias("dsum"),
+                    F.avg(F.col("h").cast("double")).alias("davg"),
+                )
+            )
+        spark.sparkContext.setJobDescription("prewarm: window/join machinery")
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy("k").orderBy("h")
+        win = sh.select(
+            "k", "h",
+            F.row_number().over(w).alias("rn"),
+            F.lag("h", 1).over(w).alias("lg"),
+        ).where(F.col("rn") <= 3)
+        dim = spark.range(0, 97).selectExpr("id k2", "id * 2 v2")
+        force(
+            win.join(F.broadcast(dim), win["k"] == dim["k2"])          # BHJ
+            .join(sh.groupBy("k").count().withColumnRenamed("k", "k3"),
+                  F.col("k2") == F.col("k3"))                           # SMJ/SHJ
+        )
+        spark.sparkContext.setJobDescription("prewarm: python/arrow workers")
+        pdf = spark.range(0, 3_200, 1, 32).selectExpr("id % 32 g", "id v")
+
+        def _ident(it):
+            for b in it:
+                yield b
+
+        force(pdf.mapInPandas(_ident, "g bigint, v bigint"))
+        spark.sparkContext.setJobDescription(None)
+
+    if os.environ.get("SPARK_GRAFT_PREWARM") != "0":
+        _prewarm()
+
     # Two runs per query, report the min: the first run pays one-time JIT /
     # codegen / parquet-footer costs that a resident service never re-pays.
     # Per-query error isolation: one broken query must never zero the whole
