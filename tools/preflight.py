@@ -25,11 +25,14 @@ from qcfractal_spark.queries import BENCH_ONLY, REGISTRY
 from qcfractal_spark.session import build_session
 
 
-def run_preflight(spark, sf_dir: str) -> dict[str, str]:
-    """Force-execute every registry + bench-only query; return {name: error}."""
+def run_preflight(spark, sf_dir: str, names=None) -> dict[str, str]:
+    """Force-execute every registry + bench-only query (or the ``names``
+    subset); return {name: error}."""
     errors: dict[str, str] = {}
     fns = {name: fn for name, (fn, _) in REGISTRY.items()}
     fns.update(BENCH_ONLY)  # r16: sketch arms left REGISTRY but stay smoked
+    if names is not None:
+        fns = {n: fns[n] for n in names}
     for name, fn in fns.items():
         try:
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
