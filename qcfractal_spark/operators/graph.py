@@ -183,12 +183,20 @@ def relatives(seeds: DataFrame, edges: DataFrame) -> DataFrame:
 _CC_ROWS_PER_PARTITION = 2_000_000
 
 # Edge-count ceiling for the exact driver-side union-find fast path.
-# Sizing is by PYTHON-side footprint, not raw bytes: the Arrow toPandas
-# transfer is ~16 B/edge, but the union-find parent dict boxes up to 2
-# ints per edge (~100 B/entry), so 500k edges ≈ ~100 MB peak on the
-# driver — comfortably safe where a 2M-edge Row-object collect measured
-# ~1 GB.  The O(E α(E)) solve still beats even one distributed round.
-_CC_DRIVER_SOLVE_EDGES = 500_000
+# Re-derived from measurement in r16 (tools/cc_crossover.py; VERDICT r15
+# item 8): on near-dup-shaped graphs (dense candidate clusters + a long
+# chain for adversarial diameter) the driver arm wins at EVERY swept size —
+# 500k edges 1.4 s vs 17.3 s distributed, 2M edges 6.6 s vs 65.3 s, and
+# even 8M edges 10.7 s vs 70.0 s (best-of-3, same session, arms
+# interleaved, identical labels at every point) — so wall time never
+# crosses below 8M edges and the binding constraint is DRIVER MEMORY, not
+# time.  Footprint is Python-side: the Arrow toPandas transfer is
+# ~16 B/edge, but the union-find parent dict boxes ints (~80-100 B/entry);
+# measured worst case (every edge introducing two fresh nodes) is 334 MB
+# peak RSS at 2M edges / 4M nodes.  2M keeps that comfortably inside a
+# default driver heap's headroom; 4M+ would cross ~0.7 GB, which is no
+# longer "free" on a shared driver.
+_CC_DRIVER_SOLVE_EDGES = 2_000_000
 
 
 def _driver_union_find(spark, und: DataFrame) -> DataFrame:
@@ -270,8 +278,9 @@ def connected_components(
     callers left-join and coalesce to assign singletons their own id.
 
     Scale-adaptive strategy: when the (known) edge count fits trivially on
-    the driver (≤ ``_CC_DRIVER_SOLVE_EDGES``, ~32 MB of long pairs), the
-    component problem is solved exactly with one collect + union-find —
+    the driver (≤ ``_CC_DRIVER_SOLVE_EDGES`` — threshold re-derived from a
+    measured crossover sweep, see the constant's comment and SCALE.md),
+    the component problem is solved exactly with one collect + union-find —
     O(E α(E)), no iterative shuffle rounds at all.  The distributed
     label-propagation loop below is the ≥driver-scale path; running its
     serial rounds (each a full scheduling + shuffle cycle) on a 5k-edge
